@@ -1,0 +1,235 @@
+"""Aggregations (SURVEY.md §2.5, A1-A12 + N5/N6 extensions).
+
+The reference computes all of these driver-side with pandas
+(evaluate_test_run.py:91-103, test_parquet_aggregator.yml:169-181);
+here they are declarative groupBy/agg so Spark plans map-side partial
+aggregation (no full-row shuffle — only the partial states move).
+Money sums go through exact decimal accumulation (numeric.py) so the
+DuckDB oracle hash matches bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.numeric import davg, davg_sql, dsum, dsum_sql
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+# A1: count(*) — reference len(df) (evaluate_test_run.py:91)
+@query("agg_count", oracle="select count(*) as n from lineitem", tags=("agg",))
+def agg_count(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# A2: mean — reference df['processing_time'].mean() (evaluate_test_run.py:92).
+# l_quantity is integer-valued so the double sum is exact in any order.
+@query(
+    "agg_avg",
+    oracle="select sum(l_quantity) / count(l_quantity) as avg_qty from lineitem",
+    tags=("agg",),
+)
+def agg_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    )
+
+
+# A3: median (evaluate_test_run.py:100)
+@query(
+    "agg_median",
+    oracle="select median(l_quantity) as med_qty from lineitem",
+    tags=("agg",),
+)
+def agg_median(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").agg(F.median("l_quantity").alias("med_qty"))
+
+
+# A4: max (evaluate_test_run.py:101)
+@query(
+    "agg_max",
+    oracle="select max(o_totalprice) as max_price, min(o_totalprice) as min_price from orders",
+    tags=("agg",),
+)
+def agg_max(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "orders").agg(
+        F.max("o_totalprice").alias("max_price"), F.min("o_totalprice").alias("min_price")
+    )
+
+
+# A5: sum (aggregator.yml:173) — money → exact decimal
+@query(
+    "agg_sum",
+    oracle=f"select {dsum_sql('l_extendedprice', 'sum_price')} from lineitem",
+    tags=("agg",),
+)
+def agg_sum(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").agg(dsum("l_extendedprice", "sum_price"))
+
+
+# A6: conditional count — df['error'].notna().sum() (evaluate_test_run.py:93)
+@query(
+    "agg_count_if",
+    oracle="""
+    select cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_err
+    from events
+    """,
+    tags=("agg",),
+)
+def agg_count_if(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_err")
+    )
+
+
+# A7: derived ratio over aggregates — error_rate (evaluate_test_run.py:103)
+@query(
+    "agg_ratio",
+    oracle="""
+    select cast(sum(case when event_type = 'error' then 1 else 0 end) as double)
+                 / count(*) as error_rate
+    from events
+    """,
+    tags=("agg",),
+)
+def agg_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("error_rate")
+    )
+
+
+# A8: group-by count — media_type value_counts (aggregator.yml:174)
+@query(
+    "agg_groupby_count",
+    oracle="select event_type, count(*) as n from events group by event_type",
+    tags=("agg",),
+)
+def agg_groupby_count(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# A9: grouped multi-aggregate — per-file stats (aggregator.yml:140-148)
+@query(
+    "agg_multi",
+    oracle="""
+    select source,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(sum(n_chars) as double) / count(n_chars) as avg_chars,
+           max(n_chars) as max_chars
+    from documents group by source
+    """,
+    tags=("agg",),
+)
+def agg_multi(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# A10: max_by / argmax — largest parquet per segment (aggregator.yml:124-127)
+@query(
+    "agg_max_by",
+    oracle="""
+    select o_custkey, arg_max(o_orderkey, o_totalprice) as best_order,
+           max(o_totalprice) as best_price
+    from orders group by o_custkey
+    """,
+    tags=("agg",),
+)
+def agg_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+            F.max("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+# A12: threshold gate over aggregates — canary gate thresholds
+# (evaluate_test_run.py:107-113) re-expressed as HAVING.
+@query(
+    "agg_having",
+    oracle="""
+    select l_suppkey, count(*) as n_items,
+           cast(sum(l_quantity) as double) as total_qty
+    from lineitem
+    group by l_suppkey
+    having count(*) > 100 and sum(l_quantity) > 2000
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+        )
+        .where((F.col("n_items") > 100) & (F.col("total_qty") > 2000))
+    )
+
+
+# N5: approximate distinct (HLL). No cross-engine oracle — HLL sketches
+# differ between engines — so this is a rows-only check; the pytest suite
+# bounds it against the exact count.
+@query("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# N6: rollup over the region→nation hierarchy
+@query(
+    "agg_rollup",
+    oracle=f"""
+    select r_name, n_name, count(*) as n_cust,
+           {dsum_sql('c_acctbal', 'total_bal')}
+    from customer
+      join nation on c_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+    group by rollup (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "total_bal")
+    )
+
+
+# N6b: cube over event_type × year
+@query(
+    "agg_cube",
+    oracle="""
+    select event_type, cast(year(ts) as bigint) as yr, count(*) as n
+    from events
+    group by cube (event_type, cast(year(ts) as bigint))
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").withColumn("yr", F.year("ts").cast("long"))
+    return e.cube("event_type", "yr").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,148 @@
+"""Joins (SURVEY.md §2.4, J1-J4 + the general join family).
+
+The reference's "joins" are nested REST lookups (run→artifact matching,
+test_parquet_aggregator.yml:63-99; temporal run correlation :46-58;
+anti-membership skip list, test_parquet_processor.py:353). Re-expressed
+as real relational joins with scale-appropriate physical strategies:
+
+- dimension tables get an explicit ``broadcast()`` hint — at 100 TB the
+  fact side never shuffles for these joins;
+- the range correlation is an equi-join on the natural partition key
+  (user_id) plus a range predicate, so it stays a shuffled hash join,
+  NOT a nested-loop cross product;
+- semi/anti joins never materialize the probe side's payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+# J1: run→artifact equi-lookup → broadcast hash join on the small dim.
+@query(
+    "join_broadcast_equi",
+    oracle="""
+    select o_orderkey, o_totalprice, c_name, c_mktsegment
+    from orders join customer on o_custkey = c_custkey
+    where o_orderstatus = 'O'
+    """,
+    tags=("join",),
+)
+def join_broadcast_equi(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    c = t(spark, sf, "customer")
+    # customer is the dimension: broadcast it so the orders side never shuffles.
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# J2: temporal/range correlation — "runs created after the coordinator"
+# (aggregator.yml:46-58). Same-user event pairs within a 5-minute window:
+# equi on user_id (partitioning key) + range predicate on ts.
+@query(
+    "join_range",
+    oracle="""
+    select a.event_id as base_id, b.event_id as follow_id, a.user_id
+    from events a join events b
+      on a.user_id = b.user_id
+     and b.ts > a.ts
+     and b.ts <= a.ts + interval 5 minutes
+    """,
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 5 minutes"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("base_id"),
+        F.col("b.event_id").alias("follow_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+# J3: anti-membership — skip URLs already in the skip list (processor :353).
+@query(
+    "join_left_anti",
+    oracle="""
+    select c_custkey, c_name from customer c
+    where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# J4: existence probe — .find(first matching run) (coordinator.yml:105-117).
+@query(
+    "join_left_semi",
+    oracle="""
+    select c_custkey, c_name from customer c
+    where exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey and o.o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# General family: left outer (unmatched rows keep nulls).
+@query(
+    "join_left_outer",
+    oracle="""
+    select c.c_custkey, c.c_name, o.o_orderkey
+    from customer c left join orders o
+      on o.o_custkey = c.c_custkey and o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+# General family: full outer over two pre-aggregated sides (per-nation
+# customer counts vs supplier counts; only some nations have suppliers).
+@query(
+    "join_full_outer",
+    oracle="""
+    with cs as (select c_nationkey as nk, count(*) as n_cust from customer group by 1),
+         ss as (select s_nationkey as nk, count(*) as n_supp from supplier group by 1)
+    select coalesce(cs.nk, ss.nk) as nationkey, cs.n_cust, ss.n_supp
+    from cs full outer join ss on cs.nk = ss.nk
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    cs = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ss = (
+        t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cs.join(ss, cs.nk == ss.nk, "full_outer").select(
+        F.coalesce(cs.nk, ss.nk).alias("nationkey"), "n_cust", "n_supp"
+    )

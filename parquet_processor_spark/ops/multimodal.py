@@ -1,0 +1,145 @@
+"""Multimodal columns (SURVEY.md §2.13): opaque binary payloads with
+typed metadata, processed by Arrow-batched pandas stages.
+
+The reference's media handling is per-page DOM scraping of typed media
+records (media_type dispatch, test_parquet_processor.py:103-128,203-204).
+The engine generalizes that: image/audio/video are `binary` columns
+plus a metadata struct; decode/resize/frame-sample run as `mapInPandas`
+stages so bytes never round-trip through Python row-by-row — Arrow
+moves whole batches.
+
+The actual codec step is STUBBED (no PIL/ffmpeg in this environment):
+``decode_image`` raises NotImplementedError unless a deterministic fake
+decoder is injected — the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_image(content: bytes) -> dict[str, Any]:
+    """Real image decode — requires an imaging library not present here.
+
+    Inject ``fake_decoder`` (or your own) into ``extract_features``
+    instead; this stub marks the seam.
+    """
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def fake_decoder(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in decoder: derives dims/features from bytes."""
+    n = len(content)
+    return {
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+        "feature": [float(b) / 255.0 for b in content[:8]],
+    }
+
+
+def extract_features(
+    media: DataFrame, decoder: Callable[[bytes], dict[str, Any]] = decode_image
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                try:
+                    d = decoder(content)
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "media_type": row.media_type,
+                            "n_bytes": len(content),
+                            "width": d.get("width"),
+                            "height": d.get("height"),
+                            "feature": d.get("feature"),
+                        }
+                    )
+                except NotImplementedError:
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "media_type": row.media_type,
+                            "n_bytes": len(content),
+                            "width": None,
+                            "height": None,
+                            "feature": None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesize a media table from documents (no binary testdata table):
+    text bytes play the payload role; plumbing is identical."""
+    return t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+# Oracle-checkable slice of the multimodal path: binary length + magic
+# bytes, all JVM-side.
+@query(
+    "multimodal_bytes",
+    oracle="""
+    select doc_id,
+           octet_length(encode(text)) as n_bytes,
+           hex(encode(substring(text, 1, 4))) as magic
+    from documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+        F.hex(F.substring("text", 1, 4).cast("binary")).alias("magic"),
+    )
+
+
+# Full pandas-stage plumbing with the deterministic fake decoder
+# (rows-only check; pytest asserts schema + values).
+@query("multimodal_features", tags=("multimodal",))
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = documents_as_media(spark, sf)
+    return extract_features(media, decoder=fake_decoder)

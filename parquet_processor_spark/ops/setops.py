@@ -1,0 +1,87 @@
+"""Set operations (SURVEY.md §2.7, U1-U2 + intersect/except).
+
+U1 is the reference's schema-merging union: pd.concat over per-segment
+frames whose column sets differ by media type, missing columns → NaN
+(test_parquet_aggregator.yml:151). Spark twin: unionByName with
+allowMissingColumns — no shuffle at all, it is a pure plan-level
+concatenation of scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+# U1: schema-merging union (aggregator.yml:151, evaluate_test_run.py:90).
+@query(
+    "union_by_name",
+    oracle="""
+    select l_orderkey, l_linenumber, l_quantity, cast(null as double) as l_extendedprice
+    from lineitem where l_linestatus = 'O'
+    union all
+    select l_orderkey, l_linenumber, cast(null as double) as l_quantity, l_extendedprice
+    from lineitem where l_linestatus = 'F'
+    """,
+    tags=("setop",),
+)
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    open_items = li.where(F.col("l_linestatus") == "O").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    finished = li.where(F.col("l_linestatus") == "F").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return open_items.unionByName(finished, allowMissingColumns=True)
+
+
+# U2: dedup by key — the skip-list membership guard (processor :353).
+@query(
+    "distinct_dedup",
+    oracle="select distinct l_returnflag, l_linestatus from lineitem",
+    tags=("setop", "dedup"),
+)
+def distinct_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# Engine extension: INTERSECT (customers that placed finished AND open orders).
+@query(
+    "set_intersect",
+    oracle="""
+    select o_custkey from orders where o_orderstatus = 'F'
+    intersect
+    select o_custkey from orders where o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    f_side = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(o_side)
+
+
+# Engine extension: EXCEPT (customers with no urgent orders).
+@query(
+    "set_except",
+    oracle="""
+    select c_custkey from customer
+    except
+    select o_custkey as c_custkey from orders where o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select("c_custkey")
+    urgent = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll is the bag variant.
+    return c.subtract(urgent)

@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.13 N4).
+
+language-ID, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table. Everything here is
+JVM-side built-ins (regexp_count / split / md5) — no Python UDFs —
+so the hot path stays inside whole-stage codegen and scales linearly
+with no shuffle except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+# N4: per-language corpus stats.
+@query(
+    "text_stats",
+    oracle="""
+    select lang,
+           count(*) as n_docs,
+           cast(sum(n_chars) as double) / count(*) as avg_chars,
+           cast(sum(len(regexp_split_to_array(text, '\\s+'))) as double)
+                 / count(*) as avg_tokens,
+           max(n_chars) as max_chars
+    from documents
+    group by lang
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# N4: per-document token counts — whitespace tokens, word tokens, and a
+# BPE-ish sub-word proxy (word-or-punctuation runs).
+@query(
+    "token_count",
+    oracle=r"""
+    select doc_id,
+           len(regexp_split_to_array(text, '\s+')) as n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_word_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]+')) as n_bpe_tokens
+    from documents
+    """,
+    tags=("text",),
+)
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+")).alias("n_word_tokens"),
+        F.regexp_count("text", F.lit(r"\w+|[^\w\s]+")).alias("n_bpe_tokens"),
+    )
+
+
+# N4: n-gram-heuristic language ID — stopword-marker scoring with a
+# deterministic argmax tie-break. (The synthetic corpus is English word
+# salad, so most docs classify 'en' — the operator is the point.)
+_MARKERS = {
+    "en": r"\b(the|and|of|to|a)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "es": r"\b(el|la|los|las|es)\b",
+    "fr": r"\b(le|les|et|est|une)\b",
+}
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    select doc_id, lang,
+           case
+             when len(regexp_extract_all(text, '{_MARKERS["en"]}'))
+                  >= greatest(len(regexp_extract_all(text, '{_MARKERS["de"]}')),
+                              len(regexp_extract_all(text, '{_MARKERS["es"]}')),
+                              len(regexp_extract_all(text, '{_MARKERS["fr"]}'))) then 'en'
+             when len(regexp_extract_all(text, '{_MARKERS["de"]}'))
+                  >= greatest(len(regexp_extract_all(text, '{_MARKERS["es"]}')),
+                              len(regexp_extract_all(text, '{_MARKERS["fr"]}'))) then 'de'
+             when len(regexp_extract_all(text, '{_MARKERS["es"]}'))
+                  >= len(regexp_extract_all(text, '{_MARKERS["fr"]}')) then 'es'
+             else 'fr'
+           end as predicted_lang
+    from documents
+    """,
+    tags=("text",),
+)
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    s = {k: F.regexp_count("text", F.lit(v)) for k, v in _MARKERS.items()}
+    predicted = (
+        F.when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"]), "en")
+        .when(s["de"] >= F.greatest(s["es"], s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id", "lang", predicted.alias("predicted_lang")
+    )
+
+
+# N4: quality scoring — length / punctuation / stopword-ratio heuristic
+# (the filter a pretraining pipeline runs before tokenization).
+@query(
+    "quality_score",
+    oracle=r"""
+    select doc_id,
+           length(text) as len_chars,
+           len(regexp_extract_all(text, '[[:punct:]]')) as n_punct,
+           least(length(text) / 500.0, 1.0) * 0.4
+             + (1.0 - cast(len(regexp_extract_all(text, '[[:punct:]]')) as double)
+                      / greatest(length(text), 1)) * 0.3
+             + least(cast(len(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) as double)
+                     / greatest(len(regexp_split_to_array(text, '\s+')), 1) * 5.0, 1.0) * 0.3
+             as quality
+    from documents
+    """,
+    tags=("text",),
+)
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    len_chars = F.length("text")
+    n_punct = F.regexp_count("text", F.lit(r"\p{Punct}"))
+    n_stop = F.regexp_count("text", F.lit(r"\b(the|and|of|to|a)\b"))
+    n_ws = F.size(F.split("text", r"\s+"))
+    quality = (
+        F.least(len_chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - n_punct.cast("double") / F.greatest(len_chars, F.lit(1))) * 0.3
+        + F.least(n_stop.cast("double") / F.greatest(n_ws, F.lit(1)) * 5.0, F.lit(1.0)) * 0.3
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        len_chars.alias("len_chars"),
+        n_punct.alias("n_punct"),
+        quality.alias("quality"),
+    )
+
+
+# N4: document fingerprinting — content hash for dedup/provenance.
+# md5 is the cross-engine-checkable fingerprint; the engine also exposes
+# xxhash64 (cheaper, used by dedup.py at scale) as fp64 in the lib path.
+@query(
+    "doc_fingerprint",
+    oracle="""
+    select doc_id, md5(text) as fp,
+           substring(md5(text), 1, 8) as fp_short
+    from documents
+    """,
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_short"),
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embeddings (SURVEY.md §2.13 N3).
+
+Brute-force cosine top-k is the correctness baseline; the scale paths
+are (a) label-blocked all-pairs (the blocking key stands in for an IVF
+cell / LSH bucket) and (b) random-hyperplane LSH bucketing. Dot
+products are computed with zip_with/aggregate higher-order functions —
+JVM-side, float→double exact casts, sequential summation, so the
+DuckDB oracle (same expression spelled with list comprehensions)
+matches after round(…, 6).
+
+At 100 TB: precompute norms once per row (done here), broadcast the
+query vector(s), and prune with the bucket join before any dot product
+is evaluated — the all-pairs product never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+# Identical dot-product spelling for both engines: a sequential left
+# fold (list_reduce ↔ F.aggregate), starting from 0.0, so the double
+# summation order is identical and results match bitwise — no rounding.
+_DOT_SQL = (
+    "list_reduce(list_prepend(cast(0 as double), "
+    "[cast(a.embedding[i] as double) * cast(b.embedding[i] as double) "
+    "for i in generate_series(1, len(a.embedding))]), (acc, v) -> acc + v)"
+)
+_NORM_A_SQL = (
+    "sqrt(list_reduce(list_prepend(cast(0 as double), "
+    "[cast(x as double) * cast(x as double) for x in a.embedding]), (acc, v) -> acc + v))"
+)
+_NORM_B_SQL = (
+    "sqrt(list_reduce(list_prepend(cast(0 as double), "
+    "[cast(x as double) * cast(x as double) for x in b.embedding]), (acc, v) -> acc + v))"
+)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# N3 baseline: brute-force cosine top-k against a fixed query vector
+# (the embedding of vec_id=0), query side broadcast.
+@query(
+    "sim_topk",
+    oracle=f"""
+    select b.vec_id,
+           {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) as cos_sim
+    from (select embedding from embeddings where vec_id = 0) a
+    cross join (select vec_id, embedding from embeddings where vec_id <> 0) b
+    order by {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) desc, b.vec_id
+    limit 10
+    """,
+    tags=("vector", "bench"),
+)
+def sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    base = e.where(F.col("vec_id") != 0).select("vec_id", "embedding")
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.col("cos_raw").alias("cos_sim"))
+    )
+
+
+# N3 near-dup variant: label-blocked all-pairs cosine ≥ threshold.
+# The label equi-join is the blocking step (IVF-cell analog): pairs only
+# form within a block, so cost is Σ block² not N².
+@query(
+    "sim_pairs_blocked",
+    oracle=f"""
+    select a.vec_id as vec_a, b.vec_id as vec_b,
+           {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) as cos_sim
+    from embeddings a join embeddings b
+      on a.label = b.label and a.vec_id < b.vec_id
+    where {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) >= 0.18
+    """,
+    tags=("vector", "dedup"),
+)
+def sim_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.18)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+
+
+# N3 scale path: random-hyperplane LSH. Sign-bit sketch from h
+# deterministic pseudo-random hyperplanes (hash-derived coefficients —
+# no RNG state, reproducible on any cluster), bucket on the sketch,
+# search only within the query's bucket. Rows-only check; pytest
+# verifies recall against brute force.
+_N_PLANES = 8
+
+
+def _plane_coeff(plane: int, dim_idx: Column) -> Column:
+    # Deterministic coefficient in [-1, 1): from xxhash64(plane, dim).
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return (h.cast("double") / F.lit(float(2**63)))
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Bit-pack sign(emb · plane_p) for p in 0.._N_PLANES-1."""
+    idx = F.sequence(F.lit(1), F.size(emb))
+    bucket = F.lit(0)
+    for p in range(_N_PLANES):
+        mul = (lambda plane: (lambda x, i: x.cast("double") * _plane_coeff(plane, i)))(p)
+        proj = F.aggregate(F.zip_with(emb, idx, mul), F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("sim_topk_lsh", tags=("vector", "lsh"))
+def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    q = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cand = bucketed.where(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    )
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        cand.select("vec_id", "bucket", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "bucket", F.col("cos_raw").alias("cos_sim"))
+    )

@@ -1,0 +1,209 @@
+"""Window / sequence operators (SURVEY.md §2.8, W1-W3; §2.6 O1-O3; N7).
+
+The reference's sequence logic is imperative: a global batch_index
+counter (test_parquet_processor.py:291,303), `i // segment_size` range
+bucketing (test_parquet_coordinator.yml:262-276), and running totals
+across micro-batches (:270-275,377-385). Rebuilt as window functions.
+
+Scale notes: the global row_number (W1) intentionally mirrors the
+reference's manifest index and runs as a single-partition window — at
+100 TB use ``zipWithIndex``-style per-partition offsets instead (see
+pipeline/run.py:global_index for the scalable variant). All other
+windows partition by a key and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+# W1: global row index — batch_index analog (processor :291,303).
+@query(
+    "window_row_number",
+    oracle="""
+    select o_orderkey, row_number() over (order by o_orderkey) as rn
+    from orders where o_orderstatus = 'P'
+    """,
+    tags=("window",),
+)
+def window_row_number(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy("o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", F.row_number().over(w).alias("rn"))
+    )
+
+
+# W2: range bucketing — segment id = i // segment_size, label '{k}k-{k}k'
+# (coordinator.yml:262-276).
+@query(
+    "bucket_range",
+    oracle="""
+    select o_orderkey // 1000 as bucket,
+           cast(o_orderkey // 1000 as varchar) || 'k-' ||
+             cast(o_orderkey // 1000 + 1 as varchar) || 'k' as segment,
+           count(*) over (partition by o_orderkey // 1000) as bucket_rows,
+           o_orderkey
+    from orders
+    """,
+    tags=("window", "bucket"),
+)
+def bucket_range(spark: SparkSession, sf: str) -> DataFrame:
+    bucket = F.floor(F.col("o_orderkey") / 1000)
+    w = Window.partitionBy(bucket)
+    return t(spark, sf, "orders").select(
+        bucket.alias("bucket"),
+        F.concat(
+            bucket.cast("string"), F.lit("k-"), (bucket + 1).cast("string"), F.lit("k")
+        ).alias("segment"),
+        F.count(F.lit(1)).over(w).alias("bucket_rows"),
+        "o_orderkey",
+    )
+
+
+# W3: running totals across micro-batches (processor :270-275,377-385).
+# Partitioned by user so state scales; decimal accumulation keeps the
+# running double sum bit-identical with the DuckDB oracle.
+@query(
+    "window_running_sum",
+    oracle="""
+    select event_id, user_id,
+           cast(sum(cast(value as decimal(18,6))) over (
+             partition by user_id order by ts, event_id
+             rows between unbounded preceding and current row) as double) as running_value
+    from events
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# N7: ranking family — rank with ties (deterministic: equal values get
+# equal ranks regardless of physical order).
+@query(
+    "window_rank",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           rank() over (partition by l_returnflag order by l_quantity desc) as qty_rank,
+           dense_rank() over (partition by l_returnflag order by l_quantity desc) as qty_dense_rank
+    from lineitem
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+    )
+
+
+# N7: lag/lead — previous order's price per customer.
+@query(
+    "window_lag",
+    oracle="""
+    select o_orderkey, o_custkey,
+           lag(o_totalprice) over (partition by o_custkey
+                                   order by o_orderdate, o_orderkey) as prev_price,
+           lead(o_totalprice) over (partition by o_custkey
+                                    order by o_orderdate, o_orderkey) as next_price
+    from orders
+    """,
+    tags=("window",),
+)
+def window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# T6 (batch form): tumbling event-time window — 10-minute buckets.
+# The streaming variant (watermarked) lives in streaming/jobs.py; this
+# batch twin is the oracle-checkable version.
+@query(
+    "window_tumbling",
+    oracle="""
+    select time_bucket(interval 10 minutes, ts) as window_start,
+           count(*) as n_events,
+           cast(round(sum(cast(value as decimal(18,6))), 4) as double) as total_value
+    from events
+    group by 1
+    """,
+    tags=("window", "streaming"),
+)
+def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# O1: offset+limit slice — urls[start:end] (processor :277-279).
+@query(
+    "limit_offset",
+    oracle="select o_orderkey, o_totalprice from orders order by o_orderkey limit 50 offset 100",
+    tags=("limit",),
+)
+def limit_offset(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# O2: head-N (aggregator.yml:58).
+@query(
+    "limit_n",
+    oracle="select o_orderkey from orders order by o_orderkey limit 10",
+    tags=("limit",),
+)
+def limit_n(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "orders").orderBy("o_orderkey").select("o_orderkey").limit(10)
+
+
+# O3: top-1-by-recency generalized to top-k (coordinator.yml:93-117).
+# Unique-key tiebreak keeps the row set deterministic.
+@query(
+    "topk_order_limit",
+    oracle="""
+    select o_orderkey, o_totalprice from orders
+    order by o_totalprice desc, o_orderkey limit 10
+    """,
+    tags=("limit", "topk"),
+)
+def topk_order_limit(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )

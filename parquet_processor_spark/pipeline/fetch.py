@@ -1,0 +1,168 @@
+"""The fetch stage: mapInPandas web-scrape analog (SURVEY.md §2.11 X1-X3).
+
+Reference behavior being re-expressed (test_parquet_processor.py):
+- per-URL fetch + media-type-dependent field extraction (:218-266)
+- per-record retry (≤2 attempts, 1 s backoff) and 10 s timeout
+  (:274-275,294-350), driver reset on failure (:323-328)
+- dead-letter records for skipped URLs (:338-348)
+
+Spark-first shape: the URL manifest is a DataFrame; the fetch runs as
+ONE ``mapInPandas`` stage over Arrow batches, with the transport
+injected so tests (and this container) never touch the network. Task
+parallelism replaces the coordinator's worker fan-out; Spark task retry
+(spark.task.maxFailures) replaces runner replacement; the in-UDF
+per-record retry/timeout replicates the reference's per-record policy.
+
+Records that fail extraction come back with ``error`` set (success
+rows have error IS NULL) — the caller splits them into the dead-letter
+sink (pipeline/run.py). This keeps the stage total: one input row in,
+exactly one output row out, which is what makes the pipeline resumable
+and idempotent under task retry.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from parquet_processor_spark.pipeline.schemas import (
+    ALL_METADATA_FIELDS,
+    BASE_FIELDS,
+    MESH_FIELDS,
+    VOLUMETRIC_FIELDS,
+    scrape_schema,
+)
+
+# X3: field-catalog provider (test_parquet_processor.py:79-130).
+FIELD_CATALOGS: dict[str, tuple[str, ...]] = {
+    "base": BASE_FIELDS,
+    "volumetric image series": BASE_FIELDS + VOLUMETRIC_FIELDS,
+    "mesh": BASE_FIELDS + MESH_FIELDS,
+}
+
+
+def get_fields_for_type(media_type: str | None) -> tuple[str, ...]:
+    return FIELD_CATALOGS.get((media_type or "").lower(), BASE_FIELDS)
+
+
+# Transport: url -> raw page payload (dict of field -> value), raising on
+# failure. Injectable; the default refuses network access loudly.
+Transport = Callable[[str], dict[str, str]]
+
+
+def no_network_transport(url: str) -> dict[str, str]:
+    raise NotImplementedError(
+        "live fetch requires a browser/network transport; inject one (tests use fake_transport)"
+    )
+
+
+def fake_transport(url: str) -> dict[str, str]:
+    """Deterministic fake page: media type and fields derived from the URL.
+
+    URLs containing an even trailing id present as volumetric, odd as
+    mesh; ids divisible by 17 simulate a fetch failure (to exercise
+    retry + dead-letter).
+    """
+    digits = "".join(ch for ch in url if ch.isdigit()) or "0"
+    ident = int(digits) % 10**9
+    if ident % 17 == 0:
+        raise TimeoutError(f"simulated timeout for {url}")
+    media_type = "volumetric image series" if ident % 2 == 0 else "mesh"
+    page = {
+        "media_id": str(ident),
+        "media_type": media_type,
+        "object_taxonomy": f"taxon_{ident % 50}",
+        "creator": f"creator_{ident % 7}",
+        "publication_status": "open" if ident % 3 else "restricted",
+    }
+    if media_type == "volumetric image series":
+        page.update(
+            {
+                "file_size": str(1000 + ident % 5000),
+                "image_width": str(512 + ident % 512),
+                "image_height": str(512 + ident % 512),
+                "modality": "MicroCT",
+            }
+        )
+    else:
+        page.update(
+            {
+                "points": str(10_000 + ident % 90_000),
+                "polygons": str(20_000 + ident % 180_000),
+                "modality": "Mesh",
+            }
+        )
+    return page
+
+
+def make_fetcher(
+    transport: Transport,
+    max_attempts: int = 2,
+    record_timeout_s: float = 10.0,
+    backoff_s: float = 0.0,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the mapInPandas function: (url, batch_index) batches in,
+    wide scrape-schema batches out. Mirrors the reference's retry loop
+    (test_parquet_processor.py:294-350) per record, inside the executor."""
+
+    columns = [f.name for f in scrape_schema().fields]
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                start = time.monotonic()
+                row: dict[str, object] = {c: None for c in columns}
+                row["url"] = rec.url
+                row["batch_index"] = int(rec.batch_index)
+                row["processed_at"] = pd.Timestamp.utcnow().tz_localize(None)
+                error: str | None = None
+                attempt = 0
+                page: dict[str, str] | None = None
+                while attempt < max_attempts:
+                    attempt += 1
+                    try:
+                        page = transport(rec.url)
+                        break
+                    except Exception as exc:  # noqa: BLE001 — dead-letter any failure
+                        error = f"{type(exc).__name__}: {exc}"
+                        if time.monotonic() - start > record_timeout_s:
+                            error = f"timeout after {attempt} attempts: {error}"
+                            break
+                        if backoff_s and attempt < max_attempts:
+                            time.sleep(backoff_s)
+                if page is not None:
+                    media_type = page.get("media_type")
+                    for field in get_fields_for_type(media_type):
+                        if field in page:
+                            row[field] = page[field]
+                    error = None
+                row["error"] = error
+                row["attempt"] = attempt
+                row["processing_time"] = time.monotonic() - start
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=columns)
+
+    return fetch
+
+
+def fetch_stage(urls: DataFrame, transport: Transport, **kwargs) -> DataFrame:
+    """urls: DataFrame[url string, batch_index long] → wide scrape records."""
+    return urls.select("url", "batch_index").mapInPandas(
+        make_fetcher(transport, **kwargs), scrape_schema()
+    )
+
+
+__all__ = [
+    "ALL_METADATA_FIELDS",
+    "FIELD_CATALOGS",
+    "fake_transport",
+    "fetch_stage",
+    "get_fields_for_type",
+    "make_fetcher",
+    "no_network_transport",
+]

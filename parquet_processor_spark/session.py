@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Replaces the reference's GitHub-Actions "cluster" (coordinator workflow +
+artifact exchange, reference .github/workflows/test_parquet_coordinator.yml:38-356)
+with a single SparkSession: Spark's scheduler is the coordinator, the
+shuffle service is the artifact exchange.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy demotion replace the reference's hand-tuned
+  static segmentation (coordinator.yml:262-276).
+- shuffle.partitions is a local-mode default; on a real cluster size it
+  to ~2-3x total cores or rely on AQE's coalescing from a high initial.
+- maxPartitionBytes 128m keeps scan partitions memory-bounded at any SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "parquet-processor-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(2 * int(cpus))))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in tables.t (ns→µs truncation,
+        # matching DuckDB's own nanosecond handling).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,102 @@
+"""Structured Streaming analogs (SURVEY.md §2.10 T1-T6).
+
+The reference hand-rolls streaming over GitHub Actions: micro-batch
+flush every 10 records (test_parquet_processor.py:362-364), resumable
+has_more/next_index offsets (:377-385), dead-letter side channel
+(:336-360), per-record lateness bounds (:274-275). Each maps to a
+built-in Structured Streaming facility:
+
+- T1 micro-batches  → trigger(availableNow/processingTime)
+- T2 resume offsets → option("checkpointLocation", …) offset log
+- T4 dead-letter    → foreachBatch split write
+- T5 lateness       → withWatermark + windowed aggregation
+- T6 event windows  → window()/session_window over events.ts
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a parquet directory (schema locked from a
+    batch peek — never infer per micro-batch). ``src`` may be a directory
+    or a single file (handled via pathGlobFilter on its parent)."""
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
+    if src.endswith(".parquet"):
+        base, _, fname = src.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        src = base
+    stream = reader.parquet(src)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long (see session.py) — convert
+        # to micros so event-time ops (watermark/window) get a timestamp.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, window_len: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """T5/T6: watermarked tumbling window — late rows beyond the
+    watermark are dropped, state is bounded (the streaming analog of the
+    reference's 10 s record-lateness cutoff)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """T6: session windows per user (gap-based)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, checkpoint: str) -> StreamingQuery:
+    """T1/T2: availableNow micro-batch run with a checkpointed offset log.
+    Re-running with the same checkpoint resumes (processes nothing new) —
+    the has_more/next_index analog."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream.isStreaming else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_with_dead_letter(
+    events: DataFrame,
+    ok_dir: str,
+    dead_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """T4: foreachBatch split — 'error' events to the dead-letter sink,
+    everything else appended to parquet. One pass, two sinks."""
+
+    def split(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        batch.where(F.col("event_type") != "error").write.mode("append").parquet(ok_dir)
+        batch.where(F.col("event_type") == "error").write.mode("append").json(dead_dir)
+        batch.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(split)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

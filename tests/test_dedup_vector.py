@@ -1,0 +1,123 @@
+"""Unit tests for dedup + similarity on controlled literal data
+(the oracle harness covers the testdata path; these pin semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.ops.dedup import minhash_signature, word_shingles
+from parquet_processor_spark.ops.vector import cosine, dot, lsh_bucket, norm
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    """Tiny corpus with a known near-dup pair and an exact-dup pair,
+    written to parquet so registry queries can read it like testdata."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (1, near, "en", "s0", len(near)),
+        (2, base, "en", "s1", len(base)),  # exact dup of 0
+        (3, "completely different words nothing shared here at all ok", "en", "s1", 57),
+    ]
+    d = tmp_path_factory.mktemp("docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_groups_identical_texts(spark, docs):
+    from parquet_processor_spark.registry import all_queries
+
+    out = all_queries()["dedup_exact"](spark, docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2  # docs 0 and 2 collapse
+    assert len(out) == 3
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(spark, docs):
+    from parquet_processor_spark.registry import all_queries
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in all_queries()["dedup_near"](spark, docs).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup: identical signature
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.4  # near dup caught by some band
+    assert all(3 not in p for p in pairs)  # unrelated doc never a candidate
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    d = spark.read.parquet(f"{docs}/documents.parquet")
+    sig = d.select(minhash_signature(word_shingles()).alias("s"), "doc_id")
+    a = {r["doc_id"]: r["s"] for r in sig.collect()}
+    b = {r["doc_id"]: r["s"] for r in sig.collect()}
+    assert a == b
+    assert a[0] == a[2]  # identical text → identical signature
+
+
+def test_simhash_identical_docs_share_signature(spark, docs):
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["dedup_simhash"](spark, docs).collect()
+    sig = {}
+    for r in rows:
+        sig.setdefault(r["doc_id"], r["simhash"])
+    assert sig[0] == sig[2]
+    # near-dup differs in few bits
+    ham = bin(sig[0] ^ sig[1]).count("1")
+    assert ham < 16
+    assert bin(sig[0] ^ sig[3]).count("1") > ham
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    from parquet_processor_spark.registry import all_queries
+
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in all_queries()["dedup_ngram_jaccard"](spark, docs).collect()
+    }
+    assert out[(0, 2)] == 1.0
+    assert 0.2 <= out[(0, 1)] < 1.0
+
+
+def test_dot_norm_cosine_against_python(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row["d"] == 32.0
+    assert row["na"] == math.sqrt(14.0)
+    assert abs(row["c"] - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.5] * 16),
+            (2, [0.5] * 16),
+            (3, [-0.5] * 16),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["b"] for r in df.select("vec_id", lsh_bucket(F.col("embedding")).alias("b")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]  # opposite vectors land on opposite sides of every plane
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import t
+
+    approx = all_queries()["agg_approx_distinct"](spark, sf_dir).collect()[0]["approx_users"]
+    exact = t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(approx - exact) / exact < 0.1

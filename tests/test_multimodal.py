@@ -1,0 +1,41 @@
+"""Multimodal column plumbing: binary payloads through mapInPandas."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_processor_spark.ops.multimodal import (
+    FEATURE_SCHEMA,
+    decode_image,
+    documents_as_media,
+    extract_features,
+    fake_decoder,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_extract_features_with_fake_decoder(spark):
+    media = documents_as_media(spark, SF_SMALL)
+    feats = extract_features(media, decoder=fake_decoder)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 500
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+    assert len(r["feature"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+
+def test_extract_features_stub_degrades_gracefully(spark):
+    media = documents_as_media(spark, SF_SMALL).limit(5)
+    feats = extract_features(media)  # default decoder raises NotImplementedError
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert all(r["width"] is None and r["n_bytes"] > 0 for r in rows)

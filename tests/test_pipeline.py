@@ -1,0 +1,136 @@
+"""Scrape-pipeline analog: manifest → fetch → partitioned parquet +
+dead-letter, canary gate, aggregation job (SURVEY.md §3.1/§3.3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.pipeline.aggregate import run_aggregation
+from parquet_processor_spark.pipeline.fetch import (
+    fake_transport,
+    fetch_stage,
+    get_fields_for_type,
+    no_network_transport,
+)
+from parquet_processor_spark.pipeline.run import canary_gate, global_index, run_pipeline
+from parquet_processor_spark.pipeline.schemas import REQUIRED_COLUMNS, scrape_schema
+
+
+@pytest.fixture(scope="module")
+def manifest(tmp_path_factory):
+    path = tmp_path_factory.mktemp("manifest") / "manifest.json"
+    records = [
+        {"url": f"https://example.org/concern/media/{700000 + i}?locale=en"} for i in range(60)
+    ]
+    records.insert(10, {"url": None})  # exercises the not-null filter (P1)
+    records.insert(20, {"other": "no url field"})
+    path.write_text("\n".join(json.dumps(r) for r in records))
+    return str(path)
+
+
+def test_field_catalogs():
+    assert "points" in get_fields_for_type("mesh")
+    assert "image_width" in get_fields_for_type("Volumetric Image Series")
+    assert "points" not in get_fields_for_type(None)
+
+
+def test_fetch_stage_success_and_dead_letter(spark):
+    urls = spark.createDataFrame(
+        [(f"https://example.org/media/{i}", i) for i in (1, 2, 17, 34, 5)],
+        "url string, batch_index long",
+    )
+    out = fetch_stage(urls, fake_transport).collect()
+    assert len(out) == 5
+    by_idx = {r["batch_index"]: r for r in out}
+    assert by_idx[17]["error"] is not None and by_idx[34]["error"] is not None  # 17s time out
+    assert by_idx[2]["media_type"] == "volumetric image series"
+    assert by_idx[1]["media_type"] == "mesh"
+    assert by_idx[1]["points"] is not None and by_idx[2]["points"] is None  # catalog dispatch
+    assert by_idx[17]["attempt"] == 2  # retried before dead-lettering
+
+
+def test_no_network_transport_refuses():
+    with pytest.raises(NotImplementedError):
+        no_network_transport("https://example.org")
+
+
+def test_global_index_is_stable_and_dense(spark):
+    urls = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string").repartition(7)
+    indexed = global_index(urls, segment_size=30)
+    idx = sorted(r["batch_index"] for r in indexed.collect())
+    assert idx == list(range(100))
+    segs = {r["segment"] for r in indexed.collect()}
+    assert "0k-0k" in segs  # reference naming: floor(k/1000)
+
+
+def test_canary_gate_thresholds(spark):
+    ok = spark.createDataFrame(
+        [(f"u{i}", 1.0, None) for i in range(10)], "url string, processing_time double, error string"
+    )
+    m = canary_gate(ok)
+    assert m.success and m.total_records == 10
+    slow = ok.withColumn("processing_time", F.lit(31.0))
+    assert not canary_gate(slow).success
+    few = ok.limit(5)
+    assert not canary_gate(few).success
+    bad = ok.withColumn(
+        "error", F.when(F.col("url").isin("u1", "u2", "u3"), "boom")
+    )
+    assert not canary_gate(bad).success  # 30% > 20% error rate
+
+
+def test_run_pipeline_end_to_end(spark, manifest, tmp_path):
+    out = str(tmp_path / "out")
+    res = run_pipeline(
+        spark,
+        manifest,
+        out,
+        fake_transport,
+        segment_size=20,
+        num_tasks=4,
+        canary=False,
+        run_ts="t0",
+    )
+    assert res.total_processed + res.error_count == 60  # null/missing urls dropped
+    assert not res.has_more and res.next_index == 60
+    records = spark.read.parquet(f"{out}/records")
+    for col in REQUIRED_COLUMNS:
+        assert col in records.columns
+    assert records.where(F.col("error").isNotNull()).count() == 0
+    assert set(records.select("segment").distinct().toPandas()["segment"]) >= {"0k-0k"}
+    dead = spark.read.json(f"{out}/skipped")
+    assert dead.count() == res.error_count
+    assert set(dead.columns) >= {"url", "index", "reason", "processing_time", "attempts"}
+
+
+def test_run_pipeline_canary_blocks_broken_transport(spark, manifest, tmp_path):
+    def broken(url: str):
+        raise TimeoutError("always down")
+
+    with pytest.raises(RuntimeError, match="canary gate failed"):
+        run_pipeline(spark, manifest, str(tmp_path / "o"), broken, canary=True)
+
+
+def test_aggregation_job(spark, manifest, tmp_path):
+    out = str(tmp_path / "out")
+    run_pipeline(
+        spark, manifest, out, fake_transport, segment_size=20, num_tasks=4, canary=False
+    )
+    stats = run_aggregation(spark, f"{out}/records", str(tmp_path / "agg"))
+    assert stats.total_records > 0
+    assert set(stats.media_types) <= {"volumetric image series", "mesh"}
+    assert stats.files_combined == len(stats.source_files)
+    assert os.path.exists(str(tmp_path / "agg" / "summary.md"))
+    combined = spark.read.option("header", True).csv(str(tmp_path / "agg" / "combined_csv"))
+    assert combined.count() == stats.total_records
+
+
+def test_scrape_schema_contract():
+    names = [f.name for f in scrape_schema().fields]
+    for col in REQUIRED_COLUMNS:
+        assert col in names
+    assert len(names) == len(set(names))  # no dup columns after catalog union

@@ -1,0 +1,90 @@
+"""Structured Streaming semantics (SURVEY.md §2.10): micro-batch runs,
+checkpoint resume (T2), dead-letter split (T4), event-time windows (T6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.streaming.jobs import (
+    read_event_stream,
+    run_with_dead_letter,
+    session_counts,
+    tumbling_counts,
+)
+from parquet_processor_spark.tables import t
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    # two part-files in one dir → two micro-batches with maxFilesPerTrigger=1
+    ev = t(spark, SF_SMALL, "events")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(str(d))
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def _run(stream_df, name, checkpoint, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_matches_batch(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    _run(tumbling_counts(stream), "tumble_t", str(tmp_path / "ck1"))
+    got = spark.table("tumble_t")
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 1000
+    assert got.count() == batch.count()
+
+
+def test_checkpoint_resume_processes_nothing_new(spark, events_dir, tmp_path):
+    ck = str(tmp_path / "ck2")
+    stream = read_event_stream(spark, events_dir)
+    q1 = _run(tumbling_counts(stream), "resume_a", ck)
+    progress1 = q1.lastProgress
+    # second run, same checkpoint: offsets already committed → no new rows
+    stream2 = read_event_stream(spark, events_dir)
+    q2 = _run(tumbling_counts(stream2), "resume_b", ck)
+    p2 = q2.lastProgress
+    assert progress1 is not None
+    assert p2 is None or p2["numInputRows"] == 0
+
+
+def test_dead_letter_split(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    q = run_with_dead_letter(
+        stream, str(tmp_path / "ok"), str(tmp_path / "dead"), str(tmp_path / "ck3")
+    )
+    q.awaitTermination(120)
+    ok = spark.read.parquet(str(tmp_path / "ok"))
+    dead = spark.read.json(str(tmp_path / "dead"))
+    n_err = t(spark, SF_SMALL, "events").where(F.col("event_type") == "error").count()
+    assert dead.count() == n_err
+    assert ok.count() == 1000 - n_err
+    assert ok.where(F.col("event_type") == "error").count() == 0
+
+
+def test_session_windows(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    _run(session_counts(stream, gap="30 minutes"), "sess_t", str(tmp_path / "ck4"))
+    got = spark.table("sess_t")
+    assert got.count() > 0
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 1000
+    row = got.first()
+    assert row["session_end"] > row["session_start"]
