@@ -22,8 +22,14 @@ from parquet_processor_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_brand_bands",
     "join_broadcast_equi",
     "join_range",
     "agg_rollup",

@@ -1,0 +1,208 @@
+"""Extended scalar-function packs (SURVEY.md §2.9 generalized): string,
+date-part, math, null-handling, and array functions, plus grouped
+string/statistical aggregates built from exact sums.
+
+Cross-engine notes baked into each oracle:
+- weekday: Spark weekday() is 0=Monday; DuckDB spells it isodow()-1.
+- no exp/ln/pow in oracle-checked queries (libm results differ across
+  implementations); sqrt is IEEE-exact so it's fine.
+- variance/stddev are computed from exact integer sums with the
+  textbook formula spelled identically on both sides — the built-in
+  stddev aggregates use different accumulation schemes per engine and
+  would NOT hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+@query(
+    "fn_string_funcs",
+    oracle="""
+    select p_partkey,
+           upper(p_name) as up_name,
+           substring(p_name, 2, 5) as mid_name,
+           lpad(p_brand, 12, '*') as padded_brand,
+           reverse(p_type) as rev_type,
+           translate(p_name, 'aeiou', '.....') as devoweled,
+           length(p_name) as name_len
+    from part
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 2, 5).alias("mid_name"),
+        F.lpad("p_brand", 12, "*").alias("padded_brand"),
+        F.reverse("p_type").alias("rev_type"),
+        F.translate("p_name", "aeiou", ".....").alias("devoweled"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+    select o_orderkey,
+           year(o_orderdate) as yr,
+           month(o_orderdate) as mo,
+           day(o_orderdate) as dy,
+           quarter(o_orderdate) as qtr,
+           isodow(o_orderdate) - 1 as wd,
+           date_trunc('month', o_orderdate) as month_start,
+           last_day(o_orderdate) as month_end
+    from orders
+    """,
+    tags=("scalar", "temporal"),
+)
+def fn_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           l_shipdate + interval 7 days as ship_plus_week,
+           date_diff('day', timestamp '1995-01-01 00:00:00', l_shipdate) as days_since_epoch_start
+    from lineitem
+    """,
+    tags=("scalar", "temporal"),
+)
+def fn_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_shipdate") + F.expr("interval 7 days")).alias("ship_plus_week"),
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) as disc_dev,
+           ceil(l_extendedprice) as price_ceil,
+           floor(l_extendedprice) as price_floor,
+           sqrt(l_quantity) as qty_sqrt,
+           l_orderkey % 7 as key_mod,
+           l_quantity * l_quantity as qty_sq
+    from lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+@query(
+    "fn_null_funcs",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) as disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) as disc_or_neg,
+           (l_tax is null) as tax_missing
+    from lineitem
+    """,
+    tags=("scalar", "null"),
+)
+def fn_null_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias("disc_or_neg"),
+        F.isnull("l_tax").alias("tax_missing"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    select vec_id,
+           len(embedding) as dim,
+           cast(embedding[1] as double) as first_dim,
+           [cast(x as double) for x in embedding[1:4]] as head4
+    from embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    select l_returnflag,
+           string_agg(distinct l_linestatus, ',' order by l_linestatus) as statuses
+    from lineitem group by l_returnflag
+    """,
+    tags=("agg", "string"),
+)
+def agg_string_concat(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses")
+        )
+    )
+
+
+@query(
+    "agg_stats_manual",
+    oracle="""
+    select l_returnflag,
+           count(*) as n,
+           (sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*))
+             / (count(*) - 1) as var_qty,
+           sqrt((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*))
+             / (count(*) - 1)) as stddev_qty
+    from lineitem group by l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_manual(spark: SparkSession, sf: str) -> DataFrame:
+    n = F.count(F.lit(1))
+    s = F.sum("l_quantity")
+    ss = F.sum(F.col("l_quantity") * F.col("l_quantity"))
+    var = (ss - s * s / n) / (n - F.lit(1))
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(n.alias("n"), var.alias("var_qty"), F.sqrt(var).alias("stddev_qty"))
+    )

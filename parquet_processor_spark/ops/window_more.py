@@ -1,0 +1,89 @@
+"""Extended window-function family (SURVEY.md §2.13 N7 — the full
+analytic set beyond rank/lag): ntile, percent_rank, cume_dist,
+first/last_value, and a moving average over a bounded rows frame.
+
+percent_rank/cume_dist are integer-ratio divisions and the moving
+average uses exact decimal sums, so all doubles match the oracle
+bitwise (numeric.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    select o_orderkey,
+           ntile(4) over (partition by o_orderpriority order by o_totalprice, o_orderkey) as quartile,
+           percent_rank() over (partition by o_orderpriority order by o_totalprice, o_orderkey) as pct_rank,
+           cume_dist() over (partition by o_orderpriority order by o_totalprice, o_orderkey) as cdist
+    from orders
+    """,
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    select o_orderkey, o_custkey,
+           first_value(o_orderkey) over w as first_order,
+           last_value(o_orderkey) over w as latest_order
+    from orders
+    window w as (partition by o_custkey order by o_orderdate, o_orderkey
+                 rows between unbounded preceding and unbounded following)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    select event_id, user_id,
+           cast(sum(cast(value as decimal(18,6))) over (
+             partition by user_id order by ts, event_id
+             rows between 2 preceding and current row) as double)
+           / least(count(*) over (
+             partition by user_id order by ts, event_id
+             rows between 2 preceding and current row), 3) as moving_avg
+    from events
+    """,
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.least(F.count(F.lit(1)).over(w), F.lit(3))
+        ).alias("moving_avg"),
+    )

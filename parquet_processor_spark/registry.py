@@ -71,10 +71,15 @@ def _load() -> None:
         joins,
         multimodal,
         relational,
+        roundtrip,
+        scalars,
         setops,
+        sqlapi,
         text,
         tpch,
+        tpch_more,
         vector,
+        window_more,
         windows,
     )
     from parquet_processor_spark.pipeline import queries as pipeline_queries  # noqa: F401
