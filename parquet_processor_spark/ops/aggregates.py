@@ -233,3 +233,34 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events").withColumn("yr", F.year("ts").cast("long"))
     return e.cube("event_type", "yr").agg(F.count(F.lit(1)).alias("n"))
+
+
+# Unpivot (melt) — inverse of agg_pivot: wide per-nation aggregates
+# back to long (metric, value) rows.
+@query(
+    "agg_unpivot",
+    oracle="""
+    with wide as (
+      select n_name,
+             cast(count(*) as double) as n_cust,
+             cast(sum(cast(c_acctbal as decimal(18,2))) as double) as total_bal
+      from customer join nation on c_nationkey = n_nationkey
+      group by n_name
+    )
+    select n_name, metric, value from wide
+    unpivot (value for metric in (n_cust, total_bal))
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+    return wide.unpivot("n_name", ["n_cust", "total_bal"], "metric", "value")

@@ -150,6 +150,10 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", word_shingles().alias("shingles"))
     )
     sig = d.select("doc_id", minhash_signature(F.col("shingles")).alias("sig")).cache()
+    # Force the cache fill now: the downstream plan scans sig from three
+    # subtrees (bands, both pair sides), and a broadcast build racing the
+    # lazy fill would recompute the signature stage per subtree.
+    sig.count()
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -146,3 +146,21 @@ def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     return cs.join(ss, cs.nk == ss.nk, "full_outer").select(
         F.coalesce(cs.nk, ss.nk).alias("nationkey"), "n_cust", "n_supp"
     )
+
+
+# Cross join (explicit Cartesian — only ever sensible when both sides
+# are tiny; here region × nation, 5 × 25 rows).
+@query(
+    "join_cross",
+    oracle="""
+    select r.r_name, n.n_name
+    from region r cross join nation n
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "region")
+        .crossJoin(t(spark, sf, "nation"))
+        .select("r_name", "n_name")
+    )

@@ -325,3 +325,22 @@ def fn_ts_diff(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")).alias("ship_delay_s"),
     )
+
+
+# Generator source: spark.range — the manifest-index generator (the
+# reference derives segment index ranges arithmetically,
+# test_parquet_coordinator.yml:262-276; range() is its Spark source).
+@query(
+    "scan_range",
+    oracle="""
+    select i as idx, i * i as idx_sq, i // 1000 as segment
+    from generate_series(0, 9999) as t(i)
+    """,
+    tags=("scan", "generator"),
+)
+def scan_range(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.range(0, 10000).select(
+        F.col("id").alias("idx"),
+        (F.col("id") * F.col("id")).alias("idx_sq"),
+        (F.col("id") / 1000).cast("long").alias("segment"),
+    )

@@ -164,6 +164,55 @@ def fn_array_ops(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# URL parsing — the scraper-adjacent function family (the reference's
+# whole workload is keyed by media-page URLs). URLs are synthesized
+# deterministically from documents columns, then decomposed with
+# parse_url (JVM-side); the oracle uses equivalent regexes.
+@query(
+    "fn_url_parse",
+    oracle="""
+    with u as (
+      select doc_id,
+             'https://example.org/' || source || '/doc/' || doc_id
+               || '?chars=' || n_chars || '&lang=' || lang as url
+      from documents
+    )
+    select doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) as proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) as path,
+           regexp_extract(url, '\\?(.*)$', 1) as query,
+           regexp_extract(url, '[?&]chars=([^&]*)', 1) as chars_param
+    from u
+    """,
+    tags=("scalar", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    url = F.concat(
+        F.lit("https://example.org/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.lit("?chars="),
+        F.col("n_chars"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("chars")).alias("chars_param"),
+        )
+    )
+
+
 @query(
     "agg_string_concat",
     oracle="""
@@ -205,4 +254,28 @@ def agg_stats_manual(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(n.alias("n"), var.alias("var_qty"), F.sqrt(var).alias("stddev_qty"))
+    )
+
+
+# Map-typed column ops: parse the events JSON props into a map and work
+# on it with the map function family (the nested statistics.json
+# media_types map, SURVEY.md §1.2, as a live column type).
+@query(
+    "fn_map_ops",
+    oracle="""
+    select event_id,
+           cast(json_extract_string(props, '$.k') as bigint) as k_val,
+           json_keys(props) as keys,
+           cast(len(json_keys(props)) as int) as n_keys
+    from events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def fn_map_ops(spark: SparkSession, sf: str) -> DataFrame:
+    m = F.from_json("props", "map<string,bigint>")
+    return t(spark, sf, "events").select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.map_keys(m).alias("keys"),
+        F.size(m).alias("n_keys"),
     )

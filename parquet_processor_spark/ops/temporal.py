@@ -1,0 +1,178 @@
+"""Temporal operators the reference lacks but a Spark engine needs:
+as-of join, batch session windows, and sliding windows over ``events``.
+
+The reference's only temporal logic is run-created-after-coordinator
+correlation (test_parquet_aggregator.yml:46-58, covered by
+``join_range``) — these generalize it to the full event-time family.
+
+Scale strategy per operator:
+
+- as-of join: implemented as union + partitioned window scan (one
+  shuffle on user_id, no range-explosion join). This is the standard
+  big-data as-of formulation: tag both sides, union, sort within the
+  user partition by time, carry the last right-side row forward with
+  ``last(ignorenulls)``, keep left rows. At 100 TB both sides shuffle
+  once on the join key; no per-row probe, no broadcast needed.
+- session windows: built-in ``session_window`` (batch mode); the gap
+  merge runs inside one groupBy shuffle keyed by user.
+- sliding windows: built-in ``window(len, slide)`` — each row expands
+  to len/slide window copies map-side, then one tumbling-style groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+
+# As-of join: for each purchase event, the most recent view event by
+# the same user at or before the purchase time. Right side is first
+# made unique per (user_id, ts) — keep max event_id — so the match is
+# deterministic under timestamp ties; the oracle spells the identical
+# dedup and uses DuckDB's native ASOF JOIN.
+@query(
+    "join_asof",
+    oracle="""
+    with views as (
+      select user_id, ts, max(event_id) as view_event_id
+      from events where event_type = 'view'
+      group by user_id, ts
+    ),
+    purchases as (
+      select event_id as purchase_event_id, user_id, ts, value
+      from events where event_type = 'purchase'
+    )
+    select p.purchase_event_id, p.user_id, p.ts, p.value,
+           v.view_event_id as prior_view_event_id,
+           v.ts as prior_view_ts
+    from purchases p
+      asof left join views v
+        on p.user_id = v.user_id and p.ts >= v.ts
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts", "value"
+    )
+    # Tag and union: right rows get side=0 so they sort before left rows
+    # at equal ts, making ts-tie matches inclusive (ASOF's >= semantics).
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "purchase_event_id",
+        "value",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    right = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "view_event_id",
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .select(
+            "user_id",
+            "ts",
+            "side",
+            "purchase_event_id",
+            "value",
+            F.last("view_event_id", ignorenulls=True).over(w).alias("prior_view_event_id"),
+            F.last("view_ts", ignorenulls=True).over(w).alias("prior_view_ts"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "purchase_event_id", "user_id", "ts", "value", "prior_view_event_id", "prior_view_ts"
+        )
+    )
+
+
+# Batch session windows (gap merge), oracle via gaps-and-islands: a new
+# session starts where the gap from the previous event exceeds 15 min;
+# session id = running count of session starts.
+@query(
+    "window_session",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                       or ts - lag(ts) over w > interval 15 minutes
+                  then 1 else 0 end as new_sess
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    grouped as (
+      select user_id, ts,
+             sum(new_sess) over (partition by user_id order by ts, event_id
+                                 rows between unbounded preceding and current row) as sess_id
+      from marked
+    )
+    select user_id,
+           min(ts) as session_start,
+           max(ts) + interval 15 minutes as session_end,
+           count(*) as n_events
+    from grouped
+    group by user_id, sess_id
+    """,
+    tags=("window", "session", "temporal"),
+)
+def window_session(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# Sliding windows: 10-minute windows sliding every 5 — each event lands
+# in exactly 2 windows. The oracle expands the two window starts per
+# event (time_bucket minus k slides) and re-aggregates.
+@query(
+    "window_sliding",
+    oracle="""
+    select time_bucket(interval 5 minutes, ts) - k * interval 5 minutes as window_start,
+           count(*) as n_events,
+           cast(round(sum(cast(value as decimal(18,6))), 4) as double) as total_value
+    from events cross join (values (0), (1)) as offsets(k)
+    group by 1
+    """,
+    tags=("window", "sliding", "temporal"),
+)
+def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )

@@ -138,6 +138,87 @@ def lsh_bucket(emb: Column) -> Column:
     return bucket
 
 
+def _dot_sql(x: str, y: str) -> str:
+    """DuckDB dot product between ``x.embedding`` and ``y.embedding``,
+    spelled as the same sequential left fold as :func:`dot`."""
+    return (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"[cast({x}.embedding[i] as double) * cast({y}.embedding[i] as double) "
+        f"for i in generate_series(1, len({x}.embedding))]), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(x: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(cast(0 as double), "
+        f"[cast(v as double) * cast(v as double) for v in {x}.embedding]), (acc, v) -> acc + v))"
+    )
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return f"{_dot_sql(x, y)} / ({_norm_sql(x)} * {_norm_sql(y)})"
+
+
+# N3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer = 8 fixed
+# centroids (the embeddings of vec_id 1..8 — deterministic, no RNG);
+# every vector is assigned to its max-cosine cell (map-side, centroids
+# broadcast); the query probes only its own cell. At 100 TB the
+# assignment is a narrow map stage and the search shuffles only the
+# probed cell's partition — the all-pairs product never forms. Both
+# engines run the identical algorithm (same fold-order dot products,
+# same argmax tiebreak), so the oracle hash-matches exactly.
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    with centroids as (
+      select vec_id as cid, embedding from embeddings where vec_id between 1 and 8
+    ),
+    assign as (
+      select vec_id, embedding, cid as cell from (
+        select e.vec_id, e.embedding, c.cid,
+               row_number() over (partition by e.vec_id
+                                  order by {_cos_sql('e', 'c')} desc, c.cid) as rn
+        from embeddings e cross join centroids c
+      ) where rn = 1
+    ),
+    q as (select vec_id, embedding, cell from assign where vec_id = 0)
+    select b.vec_id, cast(b.cell as bigint) as cell, {_cos_sql('a', 'b')} as cos_sim
+    from q a join assign b on a.cell = b.cell and b.vec_id <> 0
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """,
+    tags=("vector", "ivf"),
+)
+def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.max_by(
+                "cid", F.struct(cell_cos.alias("s"), (-F.col("cid")).cast("double").alias("t"))
+            ).alias("cell")
+        )
+    )
+    q = assign.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    cand = assign.where(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("cell") == F.col("q_cell")
+    )
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        cand.select("vec_id", F.col("cell").cast("long").alias("cell"), cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cell", F.col("cos_raw").alias("cos_sim"))
+    )
+
+
 @query("sim_topk_lsh", tags=("vector", "lsh"))
 def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")

@@ -75,6 +75,7 @@ def _load() -> None:
         scalars,
         setops,
         sqlapi,
+        temporal,
         text,
         tpch,
         tpch_more,

@@ -65,6 +65,40 @@ def session_counts(events: DataFrame, gap: str = "15 minutes", watermark: str = 
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """T3/A11 as a custom stateful operator: per-user cumulative event
+    count and value total carried across micro-batches in explicit
+    GroupState (``applyInPandasWithState``) — the engine's template for
+    operators Structured Streaming doesn't have built in.
+
+    The reference's analog is the hand-rolled running counters emitted
+    through $GITHUB_OUTPUT between workflow runs
+    (test_parquet_processor.py:377-385). State here is per-key (user),
+    partitioned by the stream's groupBy shuffle, checkpointed with the
+    query — at 1000 executors each holds only its key range's state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream: DataFrame, name: str, checkpoint: str) -> StreamingQuery:
     """T1/T2: availableNow micro-batch run with a checkpointed offset log.
     Re-running with the same checkpoint resumes (processes nothing new) —

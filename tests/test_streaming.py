@@ -88,3 +88,24 @@ def test_session_windows(spark, events_dir, tmp_path):
     assert got.agg(F.sum("n_events")).collect()[0][0] == 1000
     row = got.first()
     assert row["session_end"] > row["session_start"]
+
+
+def test_stateful_totals_accumulate_across_batches(spark, events_dir, tmp_path):
+    from parquet_processor_spark.streaming.jobs import stateful_user_totals
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    _run(stateful_user_totals(stream), "stateful_t", str(tmp_path / "ck5"), mode="update")
+    got = spark.table("stateful_t")
+    # update mode emits one row per user per micro-batch; the final
+    # (max n_events) row per user must equal the batch ground truth.
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    truth = t(spark, SF_SMALL, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert final.exceptAll(truth).count() == 0
+    assert truth.exceptAll(final).count() == 0
+    # two micro-batches -> at least one user emitted twice
+    assert got.count() > final.count()
