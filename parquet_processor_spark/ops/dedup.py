@@ -45,14 +45,34 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array<string> (JVM-side only)."""
-    words = F.split(F.col(text_col), r"\s+")
+def word_shingles(words_col: str = "words", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array<string> (JVM-side only).
+
+    Takes a pre-split ``array<string>`` COLUMN, not the raw text:
+    higher-order functions are interpreted, so any expression inside the
+    lambda is re-evaluated per element — a ``split(text)`` placed here
+    would run once per shingle position (O(words²) per document).
+    Binding the split to a column in a prior projection makes the lambda
+    read an attribute instead. (CollapseProject keeps the boundary:
+    ``words`` is referenced twice below and split isn't cheap.)
+    """
+    words = F.col(words_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
+    )
+
+
+def split_words(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (doc_id, words), repartitioned before the heavy
+    shingle/hash stages (the small test file reads as one partition; at
+    100 TB the operator must not depend on incoming file layout)."""
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", r"\s+").alias("words"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
 
@@ -85,11 +105,7 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    d = (
-        t(spark, sf, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", word_shingles().alias("shingles"))
-    )
+    d = split_words(spark, sf).select("doc_id", word_shingles().alias("shingles"))
     sh = d.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -123,12 +139,26 @@ _BANDS = 6
 _ROWS = 2
 
 
-def minhash_signature(shingles_col: F.Column, k: int = _K) -> F.Column:
-    """array<long> of k minhashes, built with nested transforms (JVM-side)."""
-    hashes = F.transform(shingles_col, lambda s: F.xxhash64(s))
+def shingle_hashes(words_col: str = "words", n: int = 3) -> F.Column:
+    """Distinct word-n-gram shingles hashed straight to longs (the
+    shingle string never materializes as a column — each is built,
+    hashed, and dropped inside one pass over the words array)."""
+    words = F.col(words_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+        )
+    )
+
+
+def minhash_signature(hashes_col: F.Column, k: int = _K) -> F.Column:
+    """array<long> of k minhashes over pre-hashed shingles: each of the
+    k seed passes re-hashes fixed-width longs (cheap) — the one
+    expensive string-hash pass happened in :func:`shingle_hashes`."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, j))),
+        lambda j: F.array_min(F.transform(hashes_col, lambda h: F.xxhash64(h, j))),
     )
 
 
@@ -139,20 +169,14 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     Rows-only check (the banding construction is unwieldy as one SQL
     string; the pytest suite verifies it against brute-force Jaccard).
     """
-    # The scan is a single small file at test SF → repartition BEFORE the
-    # hash-heavy signature stage so it parallelizes (and at 100 TB the
-    # operator never depends on incoming file layout). Signatures are
-    # cached: the LSH self-join would otherwise recompute them per side.
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        t(spark, sf, "documents")
-        .repartition(par, "doc_id")
-        .select("doc_id", word_shingles().alias("shingles"))
-    )
-    sig = d.select("doc_id", minhash_signature(F.col("shingles")).alias("sig")).cache()
-    # Force the cache fill now: the downstream plan scans sig from three
-    # subtrees (bands, both pair sides), and a broadcast build racing the
-    # lazy fill would recompute the signature stage per subtree.
+    # Stage 1 (expensive, once): split words, build+hash shingles.
+    # Stage 2 (cheap, k passes over longs): the minhash signature.
+    # Signatures are cached AND materialized now: the downstream plan
+    # scans sig from three subtrees (bands, both pair sides), and a
+    # broadcast build racing a lazy fill would recompute the stage per
+    # subtree.
+    hashed = split_words(spark, sf).select("doc_id", shingle_hashes().alias("hashes"))
+    sig = hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig")).cache()
     sig.count()
     bands = sig.select(
         "doc_id",

@@ -143,3 +143,119 @@ def multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(spark, sf)
     return extract_features(media, decoder=fake_decoder)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def fake_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: produces exactly
+    width*height//64 bytes by cycling the payload."""
+    target = max(width * height // 64, 1)
+    if not content:
+        return b"\x00" * target
+    reps = target // len(content) + 1
+    return (content * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """mapInPandas resize stage: batch in, batch out, 1:1 rows. A real
+    deployment injects a PIL/libvips resizer; the Arrow plumbing,
+    schema, and partitioning are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": row.media_type,
+                        "content": resizer(content, width, height),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampler: each payload row fans out to
+    ``n_frames`` evenly spaced chunk rows (1:N — the video→frames
+    explode). A real deployment decodes keyframes with ffmpeg; the
+    deterministic fake slices the byte stream into equal windows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                step = max(len(content) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = content[i * step : (i + 1) * step]
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_idx": i,
+                            "frame": frame,
+                            "n_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+# Resize plumbing as a driver query: output sizes are deterministic, so
+# the oracle recomputes the fake resizer's length/content contract in SQL.
+@query(
+    "multimodal_resize",
+    oracle="""
+    select doc_id as media_id,
+           64 as width, 64 as height,
+           cast(64 * 64 // 64 as bigint) as n_bytes
+    from documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    media = documents_as_media(spark, sf)
+    resized = resize_media(media, 64, 64)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+
+
+# Frame-sampling plumbing (rows-only: 1:N fan-out, byte windows).
+@query("multimodal_frames", tags=("multimodal",))
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    media = documents_as_media(spark, sf).where(F.col("media_type") == "audio")
+    return sample_frames(media, n_frames=4)

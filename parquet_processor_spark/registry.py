@@ -73,6 +73,7 @@ def _load() -> None:
         relational,
         roundtrip,
         scalars,
+        scale_patterns,
         setops,
         sqlapi,
         temporal,

@@ -17,6 +17,7 @@ Scale notes (100 TB / 1000 executors):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,15 @@ def get_spark(
         # matching DuckDB's own nanosecond handling).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed-table location (bucketed tables, ops/scale_patterns.py).
+        # Fresh per session: the in-memory catalog forgets tables on exit,
+        # so a reused location would collide with the next CREATE.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="ppspark_warehouse_")
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

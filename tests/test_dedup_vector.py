@@ -8,7 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from parquet_processor_spark.ops.dedup import minhash_signature, word_shingles
+from parquet_processor_spark.ops.dedup import minhash_signature, shingle_hashes
 from parquet_processor_spark.ops.vector import cosine, dot, lsh_bucket, norm
 
 
@@ -53,8 +53,10 @@ def test_minhash_lsh_finds_near_and_exact_dups(spark, docs):
 
 
 def test_minhash_signature_deterministic(spark, docs):
-    d = spark.read.parquet(f"{docs}/documents.parquet")
-    sig = d.select(minhash_signature(word_shingles()).alias("s"), "doc_id")
+    d = spark.read.parquet(f"{docs}/documents.parquet").select(
+        "doc_id", F.split("text", r"\s+").alias("words")
+    ).select("doc_id", shingle_hashes().alias("hashes"))
+    sig = d.select(minhash_signature(F.col("hashes")).alias("s"), "doc_id")
     a = {r["doc_id"]: r["s"] for r in sig.collect()}
     b = {r["doc_id"]: r["s"] for r in sig.collect()}
     assert a == b

@@ -39,3 +39,29 @@ def test_extract_features_stub_degrades_gracefully(spark):
     rows = feats.collect()
     assert len(rows) == 5
     assert all(r["width"] is None and r["n_bytes"] > 0 for r in rows)
+
+
+def test_resize_is_deterministic_and_sized(spark, sf_dir):
+    from parquet_processor_spark.ops.multimodal import documents_as_media, resize_media
+
+    media = documents_as_media(spark, sf_dir).limit(20)
+    out = resize_media(media, 64, 64).collect()
+    assert all(len(r["content"]) == 64 * 64 // 64 for r in out)
+    again = resize_media(media, 64, 64).collect()
+    assert sorted((r["media_id"], bytes(r["content"])) for r in out) == sorted(
+        (r["media_id"], bytes(r["content"])) for r in again
+    )
+
+
+def test_frame_sampling_fans_out(spark, sf_dir):
+    from parquet_processor_spark.ops.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(spark, sf_dir).limit(10)
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+    assert all(r["n_bytes"] == len(r["frame"]) for r in rows)

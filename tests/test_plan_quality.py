@@ -101,3 +101,29 @@ def test_agg_has_partial_phase(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange" in plan, plan
+
+
+# --- scale-pattern plan shapes ------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # The whole point of ops/scale_patterns.join_bucketed: both scans
+    # carry the bucket partitioning, so the join plans with zero
+    # Exchange nodes (vs the shuffle the plain join needs).
+    from parquet_processor_spark.ops.scale_patterns import bucketed_tables
+
+    left, right = bucketed_tables(spark, SF_SMALL)
+    # merge hint: at test SF the tables are tiny enough to broadcast,
+    # which would bypass the bucket mechanics we're asserting on.
+    joined = left.hint("merge").join(right, left.c_custkey == right.o_custkey)
+    plan = spark._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_salted_join_is_two_phase(spark):
+    # The salted rewrite must partial-aggregate on (key, salt) before
+    # the merge on key — two distinct aggregate rounds in the plan.
+    plan = plan_of(spark, "join_skew_salted")
+    assert plan.count("HashAggregate") >= 4, plan  # 2 rounds x partial+final
