@@ -32,17 +32,25 @@ HEADLINE = [
     "q19_brand_bands",
     "join_broadcast_equi",
     "join_range",
+    "join_asof",
+    "join_skew_salted",
+    "join_bucketed",
     "agg_rollup",
     "window_rank",
     "window_running_sum",
     "window_tumbling",
+    "window_session",
+    "window_sliding",
     "distinct_dedup",
     "dedup_exact",
     "dedup_near",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "text_stats",
     "token_count",
     "quality_score",
     "sim_topk",
+    "sim_topk_ivf",
     "topk_order_limit",
 ]
 

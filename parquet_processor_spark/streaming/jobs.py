@@ -134,3 +134,47 @@ def run_with_dead_letter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a static
+    dimension snapshot (broadcast per batch — no stream state). The
+    scraper analog: enriching fetched records with the field-catalog
+    dimension instead of a Python dict lookup."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def stream_stream_view_purchase(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: purchases matched to any view by the
+    same user within ``horizon`` before the purchase. Both sides are
+    watermarked so the join state is bounded — the interval condition
+    lets Spark expire buffered rows past the horizon."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}")),
+        "inner",
+    ).select(
+        "purchase_event_id", F.col("p_user").alias("user_id"), "purchase_ts", "value",
+        "view_event_id", "view_ts",
+    )

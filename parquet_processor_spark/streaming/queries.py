@@ -57,3 +57,11 @@ def streaming_session(spark: SparkSession, sf: str) -> DataFrame:
 def streaming_stateful(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(stateful_user_totals(events), "update")
+
+
+@query("streaming_stream_join", tags=("streaming", "join"))
+def streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_processor_spark.streaming.jobs import stream_stream_view_purchase
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    return _run_stream(stream_stream_view_purchase(events), "append")

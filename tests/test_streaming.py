@@ -109,3 +109,41 @@ def test_stateful_totals_accumulate_across_batches(spark, events_dir, tmp_path):
     assert truth.exceptAll(final).count() == 0
     # two micro-batches -> at least one user emitted twice
     assert got.count() > final.count()
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    from parquet_processor_spark.streaming.jobs import stream_stream_view_purchase
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    _run(stream_stream_view_purchase(stream), "ssj_t", str(tmp_path / "ck6"), mode="append")
+    got = spark.table("ssj_t")
+    ev = t(spark, SF_SMALL, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    batch_n = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("interval 30 minutes")),
+    ).count()
+    assert got.count() == batch_n
+    assert batch_n > 0
+
+
+def test_stream_static_enrich(spark, events_dir, tmp_path):
+    from parquet_processor_spark.streaming.jobs import stream_static_enrich
+
+    stream = read_event_stream(spark, events_dir)
+    dim = (
+        t(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total_events"))
+    )
+    _run(stream_static_enrich(stream, dim), "sse_t", str(tmp_path / "ck7"), mode="append")
+    got = spark.table("sse_t")
+    assert got.count() == 1000
+    assert got.where(F.col("user_total_events").isNull()).count() == 0
