@@ -25,9 +25,13 @@ HEADLINE = [
     "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "q10_returned_items",
     "q12_priority_class",
+    "q13_order_distribution",
     "q14_promo_share",
+    "q17_small_quantity",
     "q18_large_orders",
     "q19_brand_bands",
     "join_broadcast_equi",

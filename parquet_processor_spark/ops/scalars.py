@@ -279,3 +279,24 @@ def fn_map_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.map_keys(m).alias("keys"),
         F.size(m).alias("n_keys"),
     )
+
+
+# Lateral explode with ordinality — the array→rows pivot that feeds
+# any per-token/per-dimension pipeline stage.
+@query(
+    "explode_positional",
+    oracle="""
+    select vec_id, cast(i - 1 as int) as pos,
+           cast(embedding[i] as double) as val
+    from embeddings, generate_series(1, 8) as g(i)
+    where vec_id < 50
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def explode_positional(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"))
+        .select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    )

@@ -221,3 +221,204 @@ def q19_brand_bands(spark: SparkSession, sf: str) -> DataFrame:
     return joined.where(cond).agg(
         F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue")
     )
+
+
+# Q7 analog: volume shipping — revenue between two nation pairs by
+# year. Exercises the double-dimension join (supplier nation AND
+# customer nation) with a symmetric pair predicate.
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    select sn.n_name as supp_nation, cn.n_name as cust_nation,
+           cast(year(l.l_shipdate) as int) as l_year,
+           cast(round(sum({_DISC_PRICE_SQL}), 2) as double) as revenue
+    from lineitem l
+      join supplier s on l.l_suppkey = s.s_suppkey
+      join nation sn on s.s_nationkey = sn.n_nationkey
+      join orders o on l.l_orderkey = o.o_orderkey
+      join customer c on o.o_custkey = c.c_custkey
+      join nation cn on c.c_nationkey = cn.n_nationkey
+    where ((sn.n_name = 'NATION_5' and cn.n_name = 'NATION_10')
+        or (sn.n_name = 'NATION_10' and cn.n_name = 'NATION_5'))
+    group by sn.n_name, cn.n_name, cast(year(l.l_shipdate) as int)
+    """,
+    tags=("tpch", "bench"),
+)
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    sn = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_5"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+# Q9 analog: product-type profit by nation and year. The synthetic
+# schema has no partsupp/supplycost, so profit = discounted revenue
+# minus a retail-cost proxy (p_retailprice × quantity × 0.9) — the
+# join/aggregation shape (5-way star, substring part filter) is Q9's.
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    select n.n_name as nation, cast(year(o.o_orderdate) as int) as o_year,
+           cast(round(sum({_DISC_PRICE_SQL}
+                 - cast(p.p_retailprice as decimal(12,2))
+                   * cast(l.l_quantity as decimal(12,2))
+                   * cast(0.9 as decimal(3,1))), 2) as double) as profit
+    from lineitem l
+      join part p on l.l_partkey = p.p_partkey
+      join supplier s on l.l_suppkey = s.s_suppkey
+      join nation n on s.s_nationkey = n.n_nationkey
+      join orders o on l.l_orderkey = o.o_orderkey
+    where p.p_name like '%a%'
+    group by n.n_name, cast(year(o.o_orderdate) as int)
+    """,
+    tags=("tpch", "bench"),
+)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").where(F.col("p_name").like("%a%"))
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    o = t(spark, sf, "orders")
+    profit = _disc_price() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(0.9).cast("decimal(3,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+# Q13 analog: customer order-count distribution — left outer join (so
+# zero-order customers count), two stacked aggregations.
+@query(
+    "q13_order_distribution",
+    oracle="""
+    select c_count, count(*) as custdist
+    from (
+      select c.c_custkey, count(o.o_orderkey) as c_count
+      from customer c left join orders o on c.c_custkey = o.o_custkey
+      group by c.c_custkey
+    )
+    group by c_count
+    """,
+    tags=("tpch", "bench"),
+)
+def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# Q17 analog: small-quantity revenue — per-part average-quantity
+# correlated threshold feeding a filter, summed revenue / 7.
+@query(
+    "q17_small_quantity",
+    oracle="""
+    with avg_qty as (
+      select l_partkey, sum(l_quantity) / count(*) as avg_q
+      from lineitem group by l_partkey
+    )
+    select cast(sum(cast(l.l_extendedprice as decimal(12,2))) as double) / 7.0
+             as avg_yearly
+    from lineitem l
+      join part p on l.l_partkey = p.p_partkey
+      join avg_qty a on l.l_partkey = a.l_partkey
+    where p.p_brand = 'Brand#1' and l.l_quantity < 0.5 * a.avg_q
+    """,
+    tags=("tpch", "bench"),
+)
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_q")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_q"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# Q22 analog: wealthy customers with no large order — above-average
+# balance, anti-joined against orders over 400k (scalar subquery +
+# anti join; every synthetic customer has SOME order, so the plain
+# no-orders predicate would be vacuous).
+@query(
+    "q22_idle_customers",
+    oracle="""
+    select c_mktsegment, count(*) as n_cust,
+           cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double) as total_bal
+    from customer c
+    where c_acctbal > (
+        select cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*)
+        from customer where c_acctbal > 0
+      )
+      and not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey and o.o_totalprice > 400000)
+    group by c_mktsegment
+    """,
+    tags=("tpch", "bench"),
+)
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    return (
+        c.where(F.col("c_acctbal") > avg_bal)
+        .join(o.where(F.col("o_totalprice") > 400000), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

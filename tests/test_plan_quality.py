@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from parquet_processor_spark.registry import all_queries
 
@@ -127,3 +128,19 @@ def test_salted_join_is_two_phase(spark):
     # the merge on key — two distinct aggregate rounds in the plan.
     plan = plan_of(spark, "join_skew_salted")
     assert plan.count("HashAggregate") >= 4, plan  # 2 rounds x partial+final
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    # K4 layout: write partitioned by a column, read with a filter on it
+    # — the scan must show a PartitionFilters entry and list fewer
+    # partitions than exist (partition pruning, not a full-dir scan).
+    from parquet_processor_spark.tables import t
+
+    out = str(tmp_path / "bylflag")
+    t(spark, SF_SMALL, "lineitem").write.partitionBy("l_returnflag").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).where(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("l_returnflag" in ln for ln in pf), plan
