@@ -105,8 +105,16 @@ def split_words(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    d = split_words(spark, sf).select("doc_id", word_shingles().alias("shingles"))
-    sh = d.select("doc_id", F.explode("shingles").alias("shingle"))
+    # The blocking join runs on xxhash64(shingle) longs, not shingle
+    # strings: the exploded join/shuffle carries 8-byte keys instead of
+    # ~20-byte text (the oracle keeps string shingles — identical counts
+    # absent 64-bit collisions, ~1e-8 expected even at sf0.1).
+    d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
+    # Materialized: the pair self-join scans sh from three subtrees
+    # (both join sides + sizes) — without the cache the shingle stage
+    # runs three times.
+    sh = d.select("doc_id", F.explode("shingles").alias("shingle")).cache()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

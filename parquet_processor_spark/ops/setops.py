@@ -85,3 +85,37 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     )
     # subtract == SQL EXCEPT (distinct semantics); exceptAll is the bag variant.
     return c.subtract(urgent)
+
+
+# Bag-semantics set ops: intersectAll/exceptAll keep duplicate
+# multiplicity (the reference's pd.concat world is bag-semantics too).
+@query(
+    "set_intersect_all",
+    oracle="""
+    select l_quantity from lineitem where l_returnflag = 'A'
+    intersect all
+    select l_quantity from lineitem where l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.where(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.intersectAll(r)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    select l_quantity from lineitem where l_returnflag = 'A'
+    except all
+    select l_quantity from lineitem where l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.where(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.exceptAll(r)

@@ -160,3 +160,24 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.md5("text").alias("fp"),
         F.substring(F.md5("text"), 1, 8).alias("fp_short"),
     )
+
+
+# Edit distance — the character-level near-dup measure (complements the
+# token-level Jaccard family): distance from each part name to a fixed
+# probe plus a same-brand name-pair sample.
+@query(
+    "fn_edit_distance",
+    oracle="""
+    select p_partkey,
+           levenshtein(p_name, 'part name probe') as dist_to_probe,
+           levenshtein(p_brand, p_type) as brand_type_dist
+    from part
+    """,
+    tags=("text", "scalar"),
+)
+def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("part name probe")).alias("dist_to_probe"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+    )
