@@ -1,0 +1,51 @@
+"""Scale experiment: replicate sf0.1 tenfold (disjoint key ranges) into
+/tmp -> ~6M-row lineitem, run headline queries at both scales in one
+session, print per-query wall-clock. Measured results live in SCALE.md
+("Measured scaling" section). Caveat: replication turns every document
+into a 10-way duplicate cluster, so pair-producing dedup operators do
+quadratically more TRUE work - that is workload growth, not engine
+regression."""
+import sys, time, os; sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from parquet_processor_spark.session import get_spark
+from parquet_processor_spark.registry import all_queries
+from parquet_processor_spark.tables import TABLES, t
+
+spark = get_spark("scalex"); spark.sparkContext.setLogLevel("ERROR")
+SRC = "/root/testdata/sf0.1"; DST = "/tmp/ppspark_sf1"
+KEYED = {
+  "lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
+  "customer": ["c_custkey"], "documents": ["doc_id"], "embeddings": ["vec_id"],
+  "events": ["event_id", "user_id"],
+}
+if not os.path.exists(DST):
+    os.makedirs(DST)
+    for tab in TABLES:
+        df = t(spark, SRC, tab)
+        if tab in KEYED:
+            parts = []
+            for i in range(10):
+                p = df
+                for k in KEYED[tab]:
+                    p = p.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{DST}/{tab}.parquet")
+    print("built", DST)
+
+q = all_queries()
+q["agg_count"](spark, DST).collect()  # warm
+NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+         "q13_order_distribution", "dedup_exact", "dedup_near", "window_rank",
+         "join_skew_salted", "sim_topk", "text_stats"]
+for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
+    times = {}
+    for name in NAMES:
+        t0 = time.perf_counter()
+        q[name](spark, sfdir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 2)
+    print(label, times, "total", round(sum(times.values()), 2))
