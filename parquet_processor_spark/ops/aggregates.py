@@ -264,3 +264,28 @@ def agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return wide.unpivot("n_name", ["n_cust", "total_bal"], "metric", "value")
+
+
+# Exact interpolated percentiles (integer-valued doubles keep the
+# (1-f)*a + f*b interpolation bitwise-identical across engines).
+@query(
+    "agg_percentiles",
+    oracle="""
+    select l_returnflag,
+           quantile_cont(l_quantity, 0.25) as p25,
+           quantile_cont(l_quantity, 0.75) as p75,
+           quantile_cont(l_quantity, 0.99) as p99
+    from lineitem group by l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
+        )
+    )

@@ -137,9 +137,23 @@ def multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Full pandas-stage plumbing with the deterministic fake decoder
-# (rows-only check; pytest asserts schema + values).
-@query("multimodal_features", tags=("multimodal",))
+# Full pandas-stage plumbing with the deterministic fake decoder. The
+# fake derives every output from the payload bytes, so the oracle can
+# replay it in SQL (documents are ASCII: code_point == byte value).
+@query(
+    "multimodal_features",
+    oracle="""
+    select doc_id as media_id,
+           case when doc_id % 2 = 0 then 'image' else 'audio' end as media_type,
+           cast(octet_length(encode(text)) as bigint) as n_bytes,
+           cast((octet_length(encode(text)) % 640) + 1 as int) as width,
+           cast((octet_length(encode(text)) % 480) + 1 as int) as height,
+           [ord(substring(text, i, 1)) / 255.0
+            for i in generate_series(1, least(8, length(text)))] as feature
+    from documents
+    """,
+    tags=("multimodal",),
+)
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(spark, sf)
     return extract_features(media, decoder=fake_decoder)

@@ -11,7 +11,34 @@ from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
 
-@query("pipeline_fetch", tags=("pipeline",))
+@query(
+    "pipeline_fetch",
+    # The fake transport is fully deterministic in the URL id, so the
+    # whole mapInPandas fetch stage (retry loop, media-type dispatch,
+    # dead-letter marking included) is SQL-replayable: the oracle
+    # recomputes every output field from doc_id.
+    oracle="""
+    select 'https://example.org/concern/media/' || doc_id as url,
+           doc_id as batch_index,
+           case when doc_id % 17 = 0
+                then 'TimeoutError: simulated timeout for https://example.org/concern/media/'
+                     || doc_id
+                end as error,
+           case when doc_id % 17 = 0 then null
+                when doc_id % 2 = 0 then 'volumetric image series'
+                else 'mesh' end as media_type,
+           case when doc_id % 17 = 0 then null
+                else cast(doc_id as varchar) end as media_id,
+           case when doc_id % 17 = 0 then null
+                when doc_id % 2 = 0 then 'MicroCT'
+                else 'Mesh' end as modality,
+           case when doc_id % 17 = 0 then null
+                when doc_id % 3 <> 0 then 'open'
+                else 'restricted' end as publication_status
+    from documents
+    """,
+    tags=("pipeline",),
+)
 def pipeline_fetch(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest→fetch analog on testdata: documents provide the URL ids.
 
