@@ -66,8 +66,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm up the JVM + parquet footer caches with a trivial action.
-    queries["agg_count"](spark, sf_dir).collect()
+    # Warm-up pass: run every headline query once at the smallest SF so
+    # JIT/codegen compilation and parquet footer caches are paid before
+    # timing — the measurement below is engine throughput at the target
+    # SF, not first-run compilation latency.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real failures
 
     times: dict[str, float] = {}
     for name in HEADLINE:
