@@ -60,3 +60,12 @@ def sink_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         out,
         schema="l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string",
     )
+
+
+# ORC round trip — Spark's second bundled columnar format; same
+# write→read-back→oracle-compare contract as the parquet sink.
+@query("sink_orc_roundtrip", oracle=_SELECT, tags=("sink",))
+def sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="ppspark_sink_orc_")
+    _subset(spark, sf).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -300,3 +300,32 @@ def explode_positional(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"))
         .select("vec_id", "pos", F.col("v").cast("double").alias("val"))
     )
+
+
+# Struct (nested record) operations: pack, field access, nested
+# access — the statistics-record shape (SURVEY.md §1.2) as a
+# first-class column type. The struct itself isn't emitted (engines
+# render struct cells differently: Row vs dict); the round-tripped
+# fields prove pack+access, and to_json proves serialization.
+@query(
+    "fn_struct_ops",
+    oracle="""
+    select o_orderkey,
+           {'priority': o_orderpriority, 'total': o_totalprice}.total as total_again,
+           {'outer_f': {'inner_f': o_custkey}}.outer_f.inner_f as nested_key,
+           to_json({'priority': o_orderpriority}) as info_json
+    from orders
+    """,
+    tags=("scalar", "struct"),
+)
+def fn_struct_ops(spark: SparkSession, sf: str) -> DataFrame:
+    info = F.struct(
+        F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("total")
+    )
+    nested = F.struct(F.struct(F.col("o_custkey").alias("inner_f")).alias("outer_f"))
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        info.getField("total").alias("total_again"),
+        nested.getField("outer_f").getField("inner_f").alias("nested_key"),
+        F.to_json(F.struct(F.col("o_orderpriority").alias("priority"))).alias("info_json"),
+    )

@@ -1,0 +1,44 @@
+"""Robustness: every operator family must handle empty input without
+crashing (empty partitions are routine at 100 TB — a filter that
+matches nothing in some partition range, a new unpopulated table).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import all_queries
+from parquet_processor_spark.tables import TABLES, t
+
+from .conftest import SF_SMALL
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",      # scan+filter+agg
+    "q10_returned_items",      # multi-join top-k
+    "join_asof",               # union+window asof
+    "window_session",          # session windows
+    "dedup_near",              # cached minhash+LSH
+    "dedup_ngram_jaccard",     # shingle self-join
+    "sim_topk_ivf",            # centroid assignment + probe
+    "text_stats",              # text analysis
+    "pipeline_fetch",          # mapInPandas stage
+    "agg_rollup",              # grouping sets
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for tab in TABLES:
+        t(spark, SF_SMALL, tab).limit(0).write.mode("overwrite").parquet(
+            str(d / f"{tab}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_runs_on_empty_tables(spark, empty_sf, name):
+    out = all_queries()[name](spark, empty_sf)
+    assert out.count() == 0
+    assert len(out.schema.fields) > 0

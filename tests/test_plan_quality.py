@@ -144,3 +144,28 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("l_returnflag" in ln for ln in pf), plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # Join on a partition column with a selective filter on the other
+    # side: the fact scan must carry a dynamicpruning PartitionFilter
+    # (partitions chosen at runtime from the dim side's matches).
+    from parquet_processor_spark.tables import t
+
+    out = str(tmp_path / "dpp_fact")
+    t(spark, SF_SMALL, "lineitem").write.partitionBy("l_returnflag").mode(
+        "overwrite"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim filter is on an aggregate, so the surviving flags aren't
+    # statically known — pruning must happen at runtime (DPP), not via
+    # constraint propagation of a literal
+    dim = (
+        t(spark, SF_SMALL, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 2000)
+    )
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).select("l_orderkey")
+    plan = spark._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+    assert "dynamicpruning" in plan.lower(), plan
