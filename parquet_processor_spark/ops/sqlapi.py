@@ -161,3 +161,46 @@ def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
         .count()
         .na.fill(0, list(_EVENT_TYPES))
     )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): dense month calendar walked
+# from min to max order date, left-joined so empty months appear — the
+# gap-free time-series frame every reporting pipeline needs.
+_RECURSIVE_SQL = """
+with recursive months(m) as (
+  select cast(date_trunc('month', min(o_orderdate)) as date) as m from orders
+  union all
+  select cast(m + interval 1 month as date) from months
+  where m < (select cast(date_trunc('month', max(o_orderdate)) as date) from orders)
+),
+per as (
+  select cast(date_trunc('month', o_orderdate) as date) as m, count(*) as n_orders
+  from orders group by 1
+)
+select months.m as month_start, coalesce(per.n_orders, 0) as n_orders
+from months left join per on per.m = months.m
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL, tags=("sql", "recursive"))
+def sql_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    _view(spark, sf, "orders")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# LATERAL correlated subquery: top-2 customers per nation — the
+# per-group top-k spelled as a lateral instead of a window.
+_LATERAL_SQL = """
+select n.n_name, tc.c_name, tc.c_acctbal
+from nation n,
+lateral (select c_name, c_acctbal from customer c
+         where c.c_nationkey = n.n_nationkey
+         order by c_acctbal desc, c_name limit 2) tc
+"""
+
+
+@query("join_lateral", oracle=_LATERAL_SQL, tags=("sql", "join", "lateral"))
+def join_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    _view(spark, sf, "nation")
+    _view(spark, sf, "customer")
+    return spark.sql(_LATERAL_SQL)
