@@ -21,19 +21,27 @@ from parquet_processor_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
     "q14_promo_share",
+    "q15_top_supplier",
+    "q16_part_supplier_types",
     "q17_small_quantity",
     "q18_large_orders",
     "q19_brand_bands",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
     "join_broadcast_equi",
     "join_range",
     "join_asof",

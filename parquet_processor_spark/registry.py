@@ -80,6 +80,7 @@ def _load() -> None:
         text,
         tpch,
         tpch_more,
+        tpch_rest,
         vector,
         window_more,
         windows,
