@@ -1,0 +1,151 @@
+"""Sampling & batching for training-data pipelines (SURVEY.md §2.13).
+
+The operations a pretraining pipeline runs between curation and
+tokenization: deterministic subsampling, stratified per-source
+sampling, hash-based train/test splitting, and token-budget sequence
+packing. All deterministic (md5-keyed, never ``rand()``) so runs are
+reproducible and re-runs of a 100 TB job select identical rows — and
+so the DuckDB oracle can check them bitwise.
+
+Scale notes:
+- hash sampling / splitting are pure narrow filters — no shuffle, scan
+  parallelism preserved, and the md5 evaluates inside whole-stage
+  codegen next to the parquet reader.
+- stratified sampling and packing use windows PARTITIONED BY a real
+  key (``lang``): one hash shuffle on the stratum key, never a global
+  single-partition sort. At 100 TB you'd sub-salt giant strata
+  (lang → lang,salt) the same way join_skew_salted does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+# First hex nibble of md5(doc_id) — a uniform 16-bucket assignment that
+# is identical in Spark and DuckDB (md5 of the decimal string).
+_NIBBLE_SQL = "substr(md5(cast(doc_id as varchar)), 1, 1)"
+
+
+def _nibble() -> F.Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+
+
+# Deterministic ~3/16 subsample: the reproducible "take a slice of the
+# corpus" pass (canary runs, ablation subsets). Pure filter — no
+# shuffle, no rand(), stable across retries and cluster sizes.
+@query(
+    "sample_hash",
+    oracle=f"""
+    select doc_id, lang, n_chars
+    from documents
+    where {_NIBBLE_SQL} in ('0', '1', '2')
+    """,
+    tags=("sampling",),
+)
+def sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .where(_nibble().isin("0", "1", "2"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# Stratified sample: first n docs per stratum in hash order — i.e. a
+# uniform per-language quota (data-mixing rebalance). One shuffle on
+# the stratum key; hash order makes the quota a true random-but-stable
+# sample rather than "lowest doc_ids win".
+_STRATUM_N = 20
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    select doc_id, lang, rk from (
+      select doc_id, lang,
+             row_number() over (
+               partition by lang
+               order by md5(cast(doc_id as varchar)), doc_id) as rk
+      from documents)
+    where rk <= {_STRATUM_N}
+    """,
+    tags=("sampling", "window"),
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _STRATUM_N)
+    )
+
+
+# Hash train/test split: 13/16 train, 3/16 test. Assignment, not
+# filter — both splits come out of one scan, and membership is a pure
+# function of doc_id (new data lands in the same split forever, the
+# property rand()-splits lose on reprocessing).
+@query(
+    "split_train_test",
+    oracle=f"""
+    select doc_id, lang,
+           case when {_NIBBLE_SQL} in
+                ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                then 'train' else 'test' end as split
+    from documents
+    """,
+    tags=("sampling",),
+)
+def split_train_test(spark: SparkSession, sf: str) -> DataFrame:
+    train = _nibble().isin(*"0123456789abc")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(train, "train").otherwise("test").alias("split"),
+    )
+
+
+# Token-budget sequence packing: assign docs to fixed-budget bins by
+# running token count — the batching step before tokenization. The
+# running sum is per-stratum (partitionBy lang), so the window shuffle
+# is keyed and parallel; bin boundaries are deterministic given the
+# (lang, doc_id) order. floor(exclusive-cumsum / budget) packs greedily:
+# a doc straddling a boundary starts the next bin.
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    select doc_id, lang, n_tokens,
+           cast(floor(coalesce(sum(n_tokens) over (
+                  partition by lang order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0)
+                / {_PACK_BUDGET}) as bigint) as bin_id
+    from (
+      select doc_id, lang,
+             len(regexp_split_to_array(text, '\\s+')) as n_tokens
+      from documents)
+    """,
+    tags=("sampling", "window", "text"),
+)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / _PACK_BUDGET).alias("bin_id"),
+    )

@@ -72,6 +72,7 @@ def _load() -> None:
         multimodal,
         relational,
         roundtrip,
+        sampling,
         scalars,
         scale_patterns,
         setops,
