@@ -109,6 +109,36 @@ def split_train_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Weighted data mixing: per-source sampling rates (the "mix 50% src0,
+# 25% src1, 12.5% of the rest" rebalance before training). The rate is
+# a per-source nibble threshold on the same md5 key — still a pure
+# narrow filter, no shuffle, and each source's kept set is stable as
+# other sources' weights change (rates only move the threshold).
+@query(
+    "sample_weighted_mix",
+    oracle=f"""
+    select doc_id, source, lang
+    from documents
+    where {_NIBBLE_SQL} < case source
+            when 'src0' then '8'
+            when 'src1' then '4'
+            else '2' end
+    """,
+    tags=("sampling",),
+)
+def sample_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
+    threshold = (
+        F.when(F.col("source") == "src0", "8")
+        .when(F.col("source") == "src1", "4")
+        .otherwise("2")
+    )
+    return (
+        t(spark, sf, "documents")
+        .where(_nibble() < threshold)
+        .select("doc_id", "source", "lang")
+    )
+
+
 # Token-budget sequence packing: assign docs to fixed-budget bins by
 # running token count — the batching step before tokenization. The
 # running sum is per-stratum (partitionBy lang), so the window shuffle
