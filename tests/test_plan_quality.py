@@ -130,6 +130,27 @@ def test_salted_join_is_two_phase(spark):
     assert plan.count("HashAggregate") >= 4, plan  # 2 rounds x partial+final
 
 
+@pytest.mark.parametrize("name", ["sample_hash", "split_train_test", "sample_weighted_mix"])
+def test_hash_sampling_is_shuffle_free(spark, name):
+    # The sampling/split design claim (ops/sampling.py): deterministic
+    # md5-keyed selection is a pure narrow filter/projection — the plan
+    # must contain no Exchange at any scale.
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, f"{name}: sampling plan shuffles:\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["sample_stratified", "pack_sequences"])
+def test_stratified_window_shuffles_once_on_stratum(spark, name):
+    # Stratified quota / sequence packing: exactly one hash shuffle on
+    # the stratum key — never a global single-partition sort (the plan
+    # shape that silently serializes a 100 TB window).
+    plan = plan_of(spark, name)
+    assert "SinglePartition" not in plan, f"{name}: global window:\n{plan}"
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"{name}: expected one shuffle:\n{plan}"
+    assert re.search(r"hashpartitioning\(lang", plan), f"{name}: shuffle not keyed on stratum:\n{plan}"
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # K4 layout: write partitioned by a column, read with a filter on it
     # — the scan must show a PartitionFilters entry and list fewer
