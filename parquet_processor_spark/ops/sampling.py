@@ -139,6 +139,30 @@ def sample_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Quantile-threshold filter: keep docs above the corpus median length —
+# the "drop the bottom half by quality proxy" cutoff. Two passes, both
+# cheap at scale: an exact-percentile aggregate reduced to one row,
+# then broadcast back against the full scan (BroadcastNestedLoopJoin on
+# a 1-row side ≈ free) — never a global sort or a driver collect.
+@query(
+    "filter_by_quantile",
+    oracle="""
+    select doc_id, lang, n_chars
+    from documents
+    where n_chars > (select quantile_cont(n_chars, 0.5) from documents)
+    """,
+    tags=("sampling", "text"),
+)
+def filter_by_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    med = d.agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    return (
+        d.join(F.broadcast(med))
+        .where(F.col("n_chars") > F.col("med"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # Token-budget sequence packing: assign docs to fixed-budget bins by
 # running token count — the batching step before tokenization. The
 # running sum is per-stratum (partitionBy lang), so the window shuffle
