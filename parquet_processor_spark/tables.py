@@ -28,6 +28,12 @@ TABLES = (
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless this
+        # runtime-settable conf maps it to long. Set it here so sessions
+        # we didn't build (the driver's harness session) read it too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong);

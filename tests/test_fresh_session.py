@@ -1,0 +1,35 @@
+"""Regression guard: the driver's correctness harness builds its OWN
+SparkSession without our session.py confs. tables.t() must still read
+every table — in round 1 all events.parquet reads died with
+PARQUET_TYPE_ILLEGAL (INT64 TIMESTAMP(NANOS)) because only our session
+set spark.sql.legacy.parquet.nanosAsLong. t() now sets it at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.tables import t
+
+
+def test_events_reads_in_unconfigured_session(spark, sf_dir):
+    # newSession() shares the JVM but gets its own SQLConf; unset the
+    # legacy conf to mimic the driver's vanilla session.
+    fresh = spark.newSession()
+    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+    df = t(fresh, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
+    # the ns→µs conversion must yield sane timestamps, not epoch garbage
+    yr = df.select(F.min(F.year("ts")).alias("y")).collect()[0].y
+    assert 1990 <= yr <= 2100
+
+
+def test_events_query_runs_in_unconfigured_session(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+
+    fresh = spark.newSession()
+    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    out = all_queries()["agg_groupby_count"](fresh, sf_dir)
+    assert out.count() > 0
