@@ -140,6 +140,9 @@ def multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
 # Full pandas-stage plumbing with the deterministic fake decoder. The
 # fake derives every output from the payload bytes, so the oracle can
 # replay it in SQL (documents are ASCII: code_point == byte value).
+# The feature vector is emitted EXPLODED to scalar (idx, val) rows:
+# harnesses canonicalize result frames with pandas sorts, and a raw
+# array<double> cell is unhashable/unsortable there.
 @query(
     "multimodal_features",
     oracle="""
@@ -148,15 +151,25 @@ def multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
            cast(octet_length(encode(text)) as bigint) as n_bytes,
            cast((octet_length(encode(text)) % 640) + 1 as int) as width,
            cast((octet_length(encode(text)) % 480) + 1 as int) as height,
-           [ord(substring(text, i, 1)) / 255.0
-            for i in generate_series(1, least(8, length(text)))] as feature
+           unnest([{'feature_idx': cast(i - 1 as int),
+                    'feature_val': ord(substring(text, cast(i as int), 1)) / 255.0}
+                   for i in generate_series(1, least(8, octet_length(encode(text))))],
+                  recursive := true)
     from documents
     """,
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(spark, sf)
-    return extract_features(media, decoder=fake_decoder)
+    feats = extract_features(media, decoder=fake_decoder)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("feature").alias("feature_idx", "feature_val"),
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

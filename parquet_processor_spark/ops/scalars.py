@@ -144,13 +144,18 @@ def fn_null_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The head-of-array probe is emitted as four scalar columns, not an
+# array<double> cell: harnesses canonicalize with pandas sorts, and a
+# raw list cell is unhashable/unsortable there.
 @query(
     "fn_array_ops",
     oracle="""
     select vec_id,
            len(embedding) as dim,
            cast(embedding[1] as double) as first_dim,
-           [cast(x as double) for x in embedding[1:4]] as head4
+           cast(embedding[2] as double) as head2,
+           cast(embedding[3] as double) as head3,
+           cast(embedding[4] as double) as head4
     from embeddings
     """,
     tags=("scalar", "array"),
@@ -160,7 +165,9 @@ def fn_array_ops(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+        F.element_at("embedding", 2).cast("double").alias("head2"),
+        F.element_at("embedding", 3).cast("double").alias("head3"),
+        F.element_at("embedding", 4).cast("double").alias("head4"),
     )
 
 
@@ -260,12 +267,15 @@ def agg_stats_manual(spark: SparkSession, sf: str) -> DataFrame:
 # Map-typed column ops: parse the events JSON props into a map and work
 # on it with the map function family (the nested statistics.json
 # media_types map, SURVEY.md §1.2, as a live column type).
+# Keys are emitted sorted and comma-joined (not array<string>): string
+# cells survive harness-side pandas canonicalization, arrays do not,
+# and sorting makes the value independent of JSON key order.
 @query(
     "fn_map_ops",
     oracle="""
     select event_id,
            cast(json_extract_string(props, '$.k') as bigint) as k_val,
-           json_keys(props) as keys,
+           array_to_string(list_sort(json_keys(props)), ',') as keys,
            cast(len(json_keys(props)) as int) as n_keys
     from events
     """,
@@ -276,7 +286,7 @@ def fn_map_ops(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "events").select(
         "event_id",
         F.element_at(m, "k").alias("k_val"),
-        F.map_keys(m).alias("keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
         F.size(m).alias("n_keys"),
     )
 
