@@ -188,7 +188,7 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     # subtree.
     hashed = split_words(spark, sf).select("doc_id", shingle_hashes().alias("hashes"))
     sig = hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig")).cache()
-    sig.count()
+    sig.count()  # eager-by-design: materialize the reused-signature cache
     bands = sig.select(
         "doc_id",
         F.explode(

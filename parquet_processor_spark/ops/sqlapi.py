@@ -158,7 +158,7 @@ def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("yr", F.year("ts"))
         .groupBy("yr")
         .pivot("event_type", list(_EVENT_TYPES))
-        .count()
+        .count()  # lazy: GroupedData.count() is a transform, not an action
         .na.fill(0, list(_EVENT_TYPES))
     )
 

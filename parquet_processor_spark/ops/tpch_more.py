@@ -401,18 +401,18 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
 def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
     o = t(spark, sf, "orders")
-    avg_bal = (
-        c.where(F.col("c_acctbal") > 0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("v")
-        )
-        .collect()[0]["v"]
+    # Above-average threshold as a 1-row broadcast join — no driver
+    # collect; the whole query stays one lazy plan.
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     return (
-        c.where(F.col("c_acctbal") > avg_bal)
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
         .join(o.where(F.col("o_totalprice") > 400000), c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(

@@ -171,15 +171,19 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("l_partkey", _disc_price().alias("val"))
     )
-    total = nation_li.agg(F.sum("val").cast("double").alias("v")).collect()[0]["v"]
-    threshold = (total or 0.0) * 0.001
+    # Scalar subquery as a 1-row broadcast join (filter_by_quantile
+    # pattern): no driver collect, the whole query stays one lazy plan.
+    threshold = nation_li.agg(
+        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
+    )
     return (
         nation_li.groupBy("l_partkey")
         .agg(
             F.round(F.sum("val"), 2).cast("double").alias("part_value"),
             F.sum("val").cast("double").alias("raw_value"),
         )
-        .where(F.col("raw_value") > threshold)
+        .join(F.broadcast(threshold))
+        .where(F.col("raw_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
     )
 
@@ -212,10 +216,12 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue")
     )
-    top = revenue.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    # Scalar max as a 1-row broadcast join — no driver collect.
+    top = revenue.agg(F.max("total_revenue").alias("top_revenue"))
     s = t(spark, sf, "supplier")
     return (
-        revenue.where(F.col("total_revenue") == top)
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("top_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -293,12 +299,16 @@ def q20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").cast("double").alias("qty"))
     )
-    row = supp_qty.agg(F.sum("qty").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
-    threshold = 0.5 * (row["s"] or 0.0) / max(row["c"], 1)
+    # Global average as a 1-row broadcast join — no driver collect.
+    threshold = supp_qty.agg(
+        (F.lit(0.5) * F.sum("qty") / F.count(F.lit(1))).alias("threshold")
+    )
     s = t(spark, sf, "supplier")
     n = t(spark, sf, "nation").where(F.col("n_regionkey") == 3)
     return (
-        supp_qty.where(F.col("qty") > threshold)
+        supp_qty.join(F.broadcast(threshold))
+        .where(F.col("qty") > F.col("threshold"))
+        .drop("threshold")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("s_name", "s_acctbal")

@@ -190,3 +190,33 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(dim, fact.l_returnflag == dim.flag).select("l_orderkey")
     plan = spark._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+# --- queries are lazy: no driver-side scalar barriers -------------------
+
+
+def test_no_driver_actions_under_ops():
+    # A .collect()/.count()/.first()/... inside an operator means plan
+    # construction materializes data eagerly and splits one query into
+    # driver-synchronized jobs. Scalar thresholds must be 1-row
+    # broadcast joins instead (the filter_by_quantile pattern). The
+    # few deliberate barriers (dedup_near's reused-signature cache,
+    # sink round-trips, bucketed-table setup) carry an explicit
+    # "eager-by-design" marker comment.
+    from pathlib import Path
+
+    import parquet_processor_spark.ops as ops_pkg
+
+    actions = (".collect(", ".toPandas(", ".first()", ".head()", ".take(", ".count()")
+    ops_dir = Path(ops_pkg.__file__).parent
+    offenders = [
+        f"{p.name}:{i + 1}:{line.strip()}"
+        for p in sorted(ops_dir.glob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines())
+        if any(a in line for a in actions)
+        and "eager-by-design" not in line
+        # "# lazy" marks GroupedData.count()-style lazy transforms
+        and "# lazy" not in line
+        and not line.lstrip().startswith("#")
+    ]
+    assert not offenders, f"driver-side action in ops/ (use a 1-row broadcast join): {offenders}"
