@@ -25,3 +25,14 @@ def test_no_query_emits_complex_typed_columns(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"queries emitting complex-typed columns: {offenders}"
+
+
+def test_check_priority_names_are_registered():
+    from parquet_processor_spark.registry import _CHECK_PRIORITY, all_queries
+
+    names = all_queries()
+    assert len(set(_CHECK_PRIORITY)) == len(_CHECK_PRIORITY), "duplicate priority entries"
+    missing = [n for n in _CHECK_PRIORITY if n not in names]
+    assert not missing, f"priority list names unknown queries: {missing}"
+    # the catalog must actually lead with the priority list
+    assert list(names)[: len(_CHECK_PRIORITY)] == list(_CHECK_PRIORITY)
