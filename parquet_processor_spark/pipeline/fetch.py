@@ -60,6 +60,67 @@ def no_network_transport(url: str) -> dict[str, str]:
     )
 
 
+def make_urllib_transport(
+    timeout_s: float = 10.0,
+    user_agent: str = "parquet-processor-spark/1.0",
+) -> Transport:
+    """Default live transport on stdlib urllib — no browser needed.
+
+    The reference drives headless Chrome per page
+    (test_parquet_processor.py:40-77,218-266); for metadata pages the
+    fields it scrapes are plain document content, so a plain HTTP GET
+    covers them:
+
+    - a JSON response (``application/json``) is taken as the field
+      dict directly (values coerced to str, nulls dropped);
+    - an HTML response is mined for ``<meta name= content=>`` /
+      OpenGraph ``<meta property="og:x">`` pairs plus ``<title>``.
+
+    Any HTTP error / timeout / parse failure raises, which the fetch
+    stage's retry + dead-letter policy (make_fetcher) absorbs — same
+    policy the reference applies around its driver (:274-350).
+
+    The closure is serialized to executors by Spark; only stdlib
+    modules are touched inside, so it is safe on any cluster image.
+    """
+
+    def transport(url: str) -> dict[str, str]:
+        import json as _json
+        import re as _re
+        import urllib.request as _request
+
+        req = _request.Request(url, headers={"User-Agent": user_agent})
+        with _request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 — caller-supplied URL is the point
+            ctype = (resp.headers.get("Content-Type") or "").lower()
+            body = resp.read()
+        if "json" in ctype:
+            data = _json.loads(body.decode("utf-8"))
+            if not isinstance(data, dict):
+                raise ValueError(f"JSON page is not an object: {url}")
+            return {str(k): str(v) for k, v in data.items() if v is not None}
+        text = body.decode("utf-8", errors="replace")
+        page: dict[str, str] = {}
+        for m in _re.finditer(
+            r"<meta\s+(?:name|property)=[\"']([^\"']+)[\"']\s+content=[\"']([^\"']*)[\"']",
+            text,
+            _re.IGNORECASE,
+        ):
+            key = m.group(1).removeprefix("og:")
+            page.setdefault(key, m.group(2))
+        title = _re.search(r"<title>([^<]*)</title>", text, _re.IGNORECASE)
+        if title:
+            page.setdefault("title", title.group(1).strip())
+        if not page:
+            raise ValueError(f"no extractable metadata fields at {url}")
+        return page
+
+    return transport
+
+
+#: Ready-to-use live transport with the reference's 10 s record timeout.
+urllib_transport: Transport = make_urllib_transport()
+
+
 def fake_transport(url: str) -> dict[str, str]:
     """Deterministic fake page: media type and fields derived from the URL.
 
@@ -164,5 +225,7 @@ __all__ = [
     "fetch_stage",
     "get_fields_for_type",
     "make_fetcher",
+    "make_urllib_transport",
     "no_network_transport",
+    "urllib_transport",
 ]

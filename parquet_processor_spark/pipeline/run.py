@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_processor_spark.pipeline.fetch import Transport, fetch_stage
+from parquet_processor_spark.pipeline.fetch import Transport, fetch_stage, urllib_transport
 from parquet_processor_spark.pipeline.schemas import MANIFEST_SCHEMA, REQUIRED_COLUMNS
 
 
@@ -107,7 +107,7 @@ def run_pipeline(
     spark: SparkSession,
     manifest_path: str,
     output_dir: str,
-    transport: Transport,
+    transport: Transport = urllib_transport,
     *,
     start_index: int = 0,
     max_records: int | None = None,

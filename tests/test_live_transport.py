@@ -1,0 +1,127 @@
+"""Live-transport path: run_pipeline with NO injected transport against
+a local HTTP fixture. Proves the default (stdlib urllib) transport
+executes end-to-end — JSON pages, HTML meta pages, 404 dead-letter —
+through the same retry/timeout/dead-letter policy as the fake.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from parquet_processor_spark.pipeline.fetch import (
+    fetch_stage,
+    make_urllib_transport,
+    urllib_transport,
+)
+from parquet_processor_spark.pipeline.run import run_pipeline
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+    def do_GET(self):
+        ident = int("".join(ch for ch in self.path if ch.isdigit()) or "0")
+        if self.path.startswith("/missing"):
+            self.send_error(404)
+            return
+        if self.path.startswith("/html"):
+            body = (
+                "<html><head><title>Media page</title>"
+                f"<meta name=\"media_id\" content=\"{ident}\">"
+                "<meta name=\"media_type\" content=\"mesh\">"
+                f"<meta name=\"points\" content=\"{10_000 + ident}\">"
+                f"<meta property=\"og:creator\" content=\"creator_{ident % 7}\">"
+                "</head><body>ignored</body></html>"
+            ).encode()
+            ctype = "text/html; charset=utf-8"
+        else:
+            body = json.dumps(
+                {
+                    "media_id": str(ident),
+                    "media_type": "volumetric image series",
+                    "file_size": 1000 + ident,
+                    "image_width": 512,
+                    "image_height": 512,
+                    "creator": None,  # nulls must be dropped, not stringified
+                }
+            ).encode()
+            ctype = "application/json"
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def http_base():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    thread.join(timeout=5)
+
+
+def test_urllib_transport_json_and_html(http_base):
+    page = urllib_transport(f"{http_base}/json/7")
+    assert page["media_id"] == "7"
+    assert page["media_type"] == "volumetric image series"
+    assert "creator" not in page  # null dropped
+    page = urllib_transport(f"{http_base}/html/3")
+    assert page["media_type"] == "mesh"
+    assert page["points"] == "10003"
+    assert page["creator"] == "creator_3"  # og: prefix stripped
+    assert page["title"] == "Media page"
+
+
+def test_urllib_transport_raises_on_http_error(http_base):
+    with pytest.raises(Exception):
+        urllib_transport(f"{http_base}/missing/1")
+
+
+def test_fetch_stage_over_live_http(spark, http_base):
+    urls = spark.createDataFrame(
+        [
+            (f"{http_base}/json/2", 0),
+            (f"{http_base}/html/3", 1),
+            (f"{http_base}/missing/4", 2),
+        ],
+        "url string, batch_index long",
+    )
+    rows = {r["batch_index"]: r for r in fetch_stage(urls, urllib_transport).collect()}
+    assert rows[0]["media_type"] == "volumetric image series"
+    assert rows[0]["image_width"] == "512"
+    assert rows[1]["media_type"] == "mesh"
+    assert rows[1]["points"] == "10003"
+    assert rows[2]["error"] is not None and rows[2]["attempt"] == 2
+
+
+def test_run_pipeline_default_transport_end_to_end(spark, http_base, tmp_path):
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(
+        "\n".join(json.dumps({"url": f"{http_base}/json/{i}"}) for i in range(20))
+    )
+    out = str(tmp_path / "out")
+    # no transport argument: the default live urllib transport runs
+    res = run_pipeline(spark, str(manifest), out, num_tasks=4, segment_size=10, canary=True)
+    assert res.total_processed == 20
+    assert res.error_count == 0
+    records = spark.read.parquet(f"{out}/records")
+    assert records.count() == 20
+    assert set(r["media_type"] for r in records.select("media_type").distinct().collect()) == {
+        "volumetric image series"
+    }
+
+
+def test_transport_timeout_dead_letters(spark, http_base):
+    # unroutable TEST-NET address + tiny timeout → retry then dead-letter
+    slow = make_urllib_transport(timeout_s=0.2)
+    urls = spark.createDataFrame([("http://192.0.2.1:81/x", 0)], "url string, batch_index long")
+    row = fetch_stage(urls, slow, record_timeout_s=1.0).collect()[0]
+    assert row["error"] is not None
