@@ -93,6 +93,28 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+
+    # Per-query delta vs the standing baseline (BASELINE_BENCH.json =
+    # best prior round at the same SF), on stderr so stdout stays one
+    # JSON line. >1.5x on a query is a regression to investigate.
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
+            base_q = base.get("queries", {})
+            print(f"{'query':<28}{'now':>8}{'base':>8}{'ratio':>7}", file=sys.stderr)
+            for name, now in times.items():
+                b = base_q.get(name)
+                ratio = f"{now / b:6.2f}x" if b else "   new"
+                print(f"{name:<28}{now:>8.3f}{b if b is not None else float('nan'):>8.3f}{ratio:>7}", file=sys.stderr)
+            bv = base.get("value")
+            if bv:
+                print(f"{'TOTAL':<28}{total:>8.3f}{bv:>8.3f}{total / bv:6.2f}x", file=sys.stderr)
+            slow = {n: round(times[n] / base_q[n], 2) for n in times if base_q.get(n) and times[n] / base_q[n] > 1.5}
+            if slow:
+                print(f"REGRESSED >1.5x vs baseline: {slow}", file=sys.stderr)
+
     print(
         json.dumps(
             {
