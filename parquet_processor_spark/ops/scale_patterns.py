@@ -79,19 +79,36 @@ def join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _clear_stale_table_dir(spark: SparkSession, name: str) -> None:
+    """Remove a leftover warehouse directory for ``name``.
+
+    A fresh process starts with an empty in-memory catalog, but the
+    warehouse dir on disk may still hold the previous process's table
+    files — and saveAsTable refuses to create a managed table over a
+    non-empty location. Fixed names + this sweep keep the warehouse at
+    exactly one table pair per sf instead of leaking one per process.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    path = os.path.join(warehouse, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def bucketed_tables(spark: SparkSession, sf: str, buckets: int = 8) -> tuple[DataFrame, DataFrame]:
     """Write customer/orders bucketed by the join key and read back.
 
-    Table names are per-(session, sf) so repeat calls reuse them; the
-    warehouse location comes from the session (spark.sql.warehouse.dir).
+    Table names are fixed per sf, so repeat calls in one process reuse
+    the tables (catalog hit) and repeated processes overwrite the same
+    pair instead of accumulating per-PID copies in the warehouse dir.
     """
-    # per-(process, sf) tag: repeat calls in one process reuse the
-    # tables; a fresh process (whose in-memory catalog is empty but
-    # whose warehouse dir may not be) never collides with old locations.
-    tag = f"b{hashlib.md5(sf.encode()).hexdigest()[:8]}_{os.getpid()}"
+    tag = f"b{hashlib.md5(sf.encode()).hexdigest()[:8]}"
     names = (f"ppspark_cust_{tag}", f"ppspark_ord_{tag}")
     catalog = spark.catalog
     if not catalog.tableExists(names[0]):
+        _clear_stale_table_dir(spark, names[0])
         (
             t(spark, sf, "customer")
             .select("c_custkey", "c_name")
@@ -101,6 +118,7 @@ def bucketed_tables(spark: SparkSession, sf: str, buckets: int = 8) -> tuple[Dat
             .saveAsTable(names[0])
         )
     if not catalog.tableExists(names[1]):
+        _clear_stale_table_dir(spark, names[1])
         (
             t(spark, sf, "orders")
             .select("o_custkey", "o_orderkey", "o_totalprice")
