@@ -6,7 +6,12 @@ column names, and cell values (exact for non-floats, bitwise-after-
 round-trip for floats). Stricter than the driver's hash compare — if
 this passes, the hash matches.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--first N] [sf_dir] [query ...]
+
+--vanilla   use a bare SparkSession (no session.py confs) like an
+            external driver harness would
+--first N   check only the first N queries in catalog (registry)
+            order — the slice an external harness samples per round
 """
 
 from __future__ import annotations
@@ -52,18 +57,38 @@ def cells_equal(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    first_n = None
+    if "--first" in args:
+        i = args.index("--first")
+        first_n = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for tab in TABLES:
         con.sql(f"create view {tab} as select * from read_parquet('{sf_dir}/{tab}.parquet')")
 
     queries = all_queries()
     oracles = all_oracles()
+    names = list(queries)[:first_n] if first_n else sorted(queries)
     n_pass = n_fail = n_rows_only = 0
     failures = []
-    for name in sorted(queries):
+    for name in names:
         if only and name not in only:
             continue
         t0 = time.time()
