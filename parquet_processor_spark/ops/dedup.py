@@ -227,6 +227,102 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# N2d: embedding-cosine near-dup — semantic dedup over the embeddings
+# table. Blocking first (label block = IVF-cell analog, SQL-exact;
+# the LSH variant below is the hash-blocked scale path), cosine >= tau
+# within the block, then survivor selection: a vector is a duplicate
+# iff some SMALLER-id vector in its block is within the cosine ball,
+# and dup_of is the smallest such id. That min-id rule is what makes
+# the operator a dedup (keep one representative) rather than a pair
+# finder, while staying one keyed shuffle past the pair join — no
+# iterative connected components on the hot path.
+_EMB_TAU = 0.18
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    with pairs as (
+      select a.vec_id as keep_cand, b.vec_id as dup
+      from embeddings a join embeddings b
+        on a.label = b.label and a.vec_id < b.vec_id
+      where {{cos}} >= {_EMB_TAU}
+    )
+    select e.vec_id,
+           min(p.keep_cand) as dup_of,
+           (min(p.keep_cand) is not null) as is_dup
+    from embeddings e left join pairs p on e.vec_id = p.dup
+    group by e.vec_id
+    """.format(
+        cos=(
+            "list_reduce(list_prepend(cast(0 as double), "
+            "[cast(a.embedding[i] as double) * cast(b.embedding[i] as double) "
+            "for i in generate_series(1, len(a.embedding))]), (acc, v) -> acc + v)"
+            " / (sqrt(list_reduce(list_prepend(cast(0 as double), "
+            "[cast(x as double) * cast(x as double) for x in a.embedding]), (acc, v) -> acc + v))"
+            " * sqrt(list_reduce(list_prepend(cast(0 as double), "
+            "[cast(x as double) * cast(x as double) for x in b.embedding]), (acc, v) -> acc + v)))"
+        )
+    ),
+    tags=("dedup", "vector"),
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_processor_spark.ops.vector import cosine
+
+    e = t(spark, sf, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= _EMB_TAU)
+        .select(F.col("a.vec_id").alias("keep_cand"), F.col("b.vec_id").alias("dup"))
+    )
+    return (
+        e.select("vec_id")
+        .join(pairs, F.col("vec_id") == F.col("dup"), "left")
+        .groupBy("vec_id")
+        .agg(F.min("keep_cand").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )
+
+
+@query("dedup_embedding_lsh", tags=("dedup", "vector", "lsh"))
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup with random-hyperplane LSH blocking — the
+    100 TB path (rows-only check; pytest measures recall vs the
+    label-blocked exact variant).
+
+    Same survivor rule as :func:`dedup_embedding`, but candidate pairs
+    form inside sign-sketch buckets instead of label blocks: the
+    bucket equi-join bounds cost at Σ bucket² regardless of label
+    distribution, and the sketch is deterministic (hash-derived
+    hyperplanes, no RNG state to ship).
+    """
+    from parquet_processor_spark.ops.vector import cosine, lsh_bucket
+
+    e = t(spark, sf, "embeddings")
+    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= _EMB_TAU)
+        .select(F.col("a.vec_id").alias("keep_cand"), F.col("b.vec_id").alias("dup"))
+    )
+    return (
+        e.select("vec_id")
+        .join(pairs, F.col("vec_id") == F.col("dup"), "left")
+        .groupBy("vec_id")
+        .agg(F.min("keep_cand").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )
+
+
 # N2c: SimHash — 64-bit signature by bit-voting over token hashes.
 _SIMHASH_BITS = 64
 

@@ -123,3 +123,57 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     approx = all_queries()["agg_approx_distinct"](spark, sf_dir).collect()[0]["approx_users"]
     exact = t(spark, sf_dir, "events").select("user_id").distinct().count()
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_dedup_embedding_survivor_rule(spark, sf_dir):
+    # Every duplicate points at a strictly smaller id (the survivor),
+    # and that survivor is itself... possibly also a dup of an even
+    # smaller id — but the SMALLEST id of any label block can never be
+    # a dup (nothing smaller exists to absorb it).
+    from parquet_processor_spark.registry import all_queries
+
+    out = all_queries()["dedup_embedding"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    dups = [r for r in rows if r["is_dup"]]
+    assert dups, "threshold should mark at least one duplicate at this sf"
+    assert all(r["dup_of"] < r["vec_id"] for r in dups)
+    assert all(r["dup_of"] is None for r in rows if not r["is_dup"])
+    e = t_emb_min_ids(spark, sf_dir)
+    flagged = {r["vec_id"] for r in dups}
+    assert not (e & flagged), "smallest id per label block must survive"
+
+
+def t_emb_min_ids(spark, sf_dir):
+    from parquet_processor_spark.tables import t as _t
+    from pyspark.sql import functions as _F
+
+    return {
+        r["m"]
+        for r in _t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(_F.min("vec_id").alias("m"))
+        .collect()
+    }
+
+
+def test_dedup_embedding_lsh_recall(spark, sf_dir):
+    # The hash-blocked variant must recover a solid fraction of the
+    # label-blocked variant's duplicates (sign-sketch blocking trades
+    # recall for bounded bucket cost; identical/near-identical vectors
+    # always share a bucket).
+    from parquet_processor_spark.registry import all_queries
+
+    exact = {
+        r["vec_id"]
+        for r in all_queries()["dedup_embedding"](spark, sf_dir).collect()
+        if r["is_dup"]
+    }
+    lsh = {
+        r["vec_id"]
+        for r in all_queries()["dedup_embedding_lsh"](spark, sf_dir).collect()
+        if r["is_dup"]
+    }
+    assert exact, "need a non-empty exact dup set to measure recall"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.3, f"LSH dedup recall collapsed: {recall:.2f}"
