@@ -294,25 +294,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     label-blocked exact variant).
 
     Same survivor rule as :func:`dedup_embedding`, but candidate pairs
-    form inside sign-sketch buckets instead of label blocks: the
-    bucket equi-join bounds cost at Σ bucket² regardless of label
-    distribution, and the sketch is deterministic (hash-derived
-    hyperplanes, no RNG state to ship).
+    form inside BANDED sign-sketch buckets instead of label blocks
+    (L bands x r hyperplanes, Indyk-Motwani banding — same scheme as
+    the MinHash ``dedup_near``): a pair is a candidate if all r signs
+    of any one band agree, so recall is 1-(1-p^r)^L instead of the
+    p^h collapse of a single h-bit sketch. The band-key equi-join
+    bounds cost at Σ bucket² per band regardless of label
+    distribution; pair-level dropDuplicates collapses multi-band hits
+    BEFORE the cosine is evaluated. The sketch is deterministic
+    (hash-derived hyperplanes, no RNG state to ship).
+
+    100 TB shape: the candidate self-join shuffles only the narrow
+    (vec_id, band_key) projection — 16 bytes/row x L, not L copies of
+    the embedding; the embeddings are joined back by id only for the
+    deduplicated candidate pairs, so the wide column crosses the wire
+    once per surviving pair side instead of L times per row.
     """
-    from parquet_processor_spark.ops.vector import cosine, lsh_bucket
+    from parquet_processor_spark.ops.vector import cosine, lsh_band_keys
 
     e = t(spark, sf, "embeddings")
-    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    pairs = (
+    keyed = e.select(
+        "vec_id", F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cos >= _EMB_TAU)
         .select(F.col("a.vec_id").alias("keep_cand"), F.col("b.vec_id").alias("dup"))
+        .dropDuplicates(["keep_cand", "dup"])
+    )
+    emb_a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("emb_a"))
+    emb_b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        cand.join(emb_a, F.col("keep_cand") == F.col("ida"))
+        .join(emb_b, F.col("dup") == F.col("idb"))
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= _EMB_TAU)
+        .select("keep_cand", "dup")
     )
     return (
         e.select("vec_id")

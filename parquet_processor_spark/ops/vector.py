@@ -113,12 +113,21 @@ def sim_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# N3 scale path: random-hyperplane LSH. Sign-bit sketch from h
-# deterministic pseudo-random hyperplanes (hash-derived coefficients —
-# no RNG state, reproducible on any cluster), bucket on the sketch,
-# search only within the query's bucket. Rows-only check; pytest
+# N3 scale path: random-hyperplane LSH, BANDED. A single h-bit sketch
+# requires all h signs to agree, so collision probability decays as
+# p^h (p = 1 - theta/pi per plane) — at the loose tau=0.18 threshold
+# (theta ~ 80 deg, p ~ 0.56) an 8-bit sketch collides on ~1% of true
+# pairs. The standard fix (Indyk-Motwani banding, same scheme
+# dedup_near uses for MinHash) is L independent bands of r planes:
+# a pair is a candidate if it agrees on ALL r planes of ANY band, so
+# recall = 1 - (1 - p^r)^L. With L=8, r=3: p^r ~ 0.18-0.21 for pairs
+# at cos 0.19-0.29 (the measured dup-pair range in the test data),
+# giving ~0.8-0.85 pair recall; band keys are hash-mixed so unrelated
+# (band, sig) combinations never collide. Rows-only check; pytest
 # verifies recall against brute force.
 _N_PLANES = 8
+_N_BANDS = 8
+_PLANES_PER_BAND = 3
 
 
 def _plane_coeff(plane: int, dim_idx: Column) -> Column:
@@ -127,15 +136,41 @@ def _plane_coeff(plane: int, dim_idx: Column) -> Column:
     return (h.cast("double") / F.lit(float(2**63)))
 
 
+def _plane_sign(emb: Column, idx: Column, plane: int) -> Column:
+    mul = (lambda p: (lambda x, i: x.cast("double") * _plane_coeff(p, i)))(plane)
+    proj = F.aggregate(F.zip_with(emb, idx, mul), F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+
 def lsh_bucket(emb: Column) -> Column:
-    """Bit-pack sign(emb · plane_p) for p in 0.._N_PLANES-1."""
+    """Bit-pack sign(emb · plane_p) for p in 0.._N_PLANES-1 (single sketch).
+
+    Kept as the building-block / test reference; the registered LSH
+    queries use :func:`lsh_band_keys` (banded, recall-safe)."""
     idx = F.sequence(F.lit(1), F.size(emb))
     bucket = F.lit(0)
     for p in range(_N_PLANES):
-        mul = (lambda plane: (lambda x, i: x.cast("double") * _plane_coeff(plane, i)))(p)
-        proj = F.aggregate(F.zip_with(emb, idx, mul), F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + _plane_sign(emb, idx, p) * F.lit(1 << p)
     return bucket
+
+
+def lsh_band_keys(emb: Column, n_bands: int = _N_BANDS) -> Column:
+    """Array of ``n_bands`` 64-bit band keys: key_b = xxhash64(b, sig_b)
+    where sig_b packs the sign bits of band b's ``_PLANES_PER_BAND``
+    hyperplanes. Explode + equi-join on the key = candidate generation;
+    a pair colliding in any band becomes a candidate exactly once after
+    pair-level dropDuplicates. The first ``_N_BANDS`` bands are a
+    prefix of any larger ``n_bands`` (same planes), so raising the
+    band count only adds probes — it never changes existing keys."""
+    idx = F.sequence(F.lit(1), F.size(emb))
+    keys = []
+    for band in range(n_bands):
+        sig = F.lit(0)
+        for j in range(_PLANES_PER_BAND):
+            plane = _N_PLANES + band * _PLANES_PER_BAND + j  # disjoint from lsh_bucket's planes
+            sig = sig + _plane_sign(emb, idx, plane) * F.lit(1 << j)
+        keys.append(F.xxhash64(F.lit(band), sig))
+    return F.array(*keys)
 
 
 def _dot_sql(x: str, y: str) -> str:
@@ -221,18 +256,39 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("sim_topk_lsh", tags=("vector", "lsh"))
 def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-LSH ANN top-k (rows-only check; pytest gates top-10
+    overlap vs the brute-force :func:`sim_topk`).
+
+    Candidates = vectors sharing >= 1 of the query's L band keys. The
+    band-key equi-join against the L-row broadcast query side prunes
+    MAP-SIDE (explode feeds a broadcast-hash join — no shuffle of the
+    exploded rows) before any cosine is evaluated; dropDuplicates
+    (vec_id) collapses multi-band hits before scoring. L=16 here: the
+    probe side is one vector, so extra bands cost only map work while
+    pushing expected recall past 0.95 at the measured top-10 cosine
+    range (0.27-0.33, p^r ~ 0.21/band)."""
+    n_bands = 16
     e = t(spark, sf, "embeddings")
-    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
-    q = bucketed.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    keyed = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(lsh_band_keys(F.col("embedding"), n_bands)).alias("band_key"),
     )
-    cand = bucketed.where(F.col("vec_id") != 0).join(
-        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    q_keys = keyed.where(F.col("vec_id") == 0).select(F.col("band_key").alias("q_key"))
+    q_emb = (
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
+    )
+    cand = (
+        keyed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q_keys), F.col("band_key") == F.col("q_key"))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
     )
     cos = cosine(F.col("embedding"), F.col("q_emb"))
     return (
-        cand.select("vec_id", "bucket", cos.alias("cos_raw"))
+        cand.crossJoin(F.broadcast(q_emb))
+        .select("vec_id", cos.alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "bucket", F.col("cos_raw").alias("cos_sim"))
+        .select("vec_id", F.col("cos_raw").alias("cos_sim"))
     )

@@ -177,3 +177,35 @@ def test_dedup_embedding_lsh_recall(spark, sf_dir):
     assert exact, "need a non-empty exact dup set to measure recall"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.3, f"LSH dedup recall collapsed: {recall:.2f}"
+
+
+def test_lsh_band_keys_identical_and_opposite(spark):
+    from parquet_processor_spark.ops.vector import lsh_band_keys
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5] * 16),
+            (2, [0.5] * 16),
+            (3, [-0.5] * 16),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["k"]
+        for r in df.select("vec_id", lsh_band_keys(F.col("embedding")).alias("k")).collect()
+    }
+    assert out[1] == out[2]  # identical vectors share every band key
+    # opposite vectors flip every sign, so no band can fully agree
+    assert not (set(out[1]) & set(out[3]))
+
+
+def test_sim_topk_lsh_overlap_vs_brute(spark, sf_dir):
+    # Banded-LSH ANN must recover most of the brute-force top-10
+    # (>= 0.8 overlap keeps the shared sketch honest — VERDICT r2 #5).
+    from parquet_processor_spark.registry import all_queries
+
+    brute = [r["vec_id"] for r in all_queries()["sim_topk"](spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in all_queries()["sim_topk_lsh"](spark, sf_dir).collect()]
+    assert len(brute) == 10
+    overlap = len(set(brute) & set(approx)) / len(brute)
+    assert overlap >= 0.8, f"LSH top-k overlap vs brute force too low: {overlap:.2f}"
