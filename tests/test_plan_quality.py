@@ -151,6 +151,53 @@ def test_stratified_window_shuffles_once_on_stratum(spark, name):
     assert re.search(r"hashpartitioning\(lang", plan), f"{name}: shuffle not keyed on stratum:\n{plan}"
 
 
+def _single_partition_sorts(plan: str) -> list[str]:
+    """Tree lines where an Exchange SinglePartition feeds a Sort/Window.
+
+    A SinglePartition exchange is fine when it merges a scalar
+    aggregate (1 row per partition crosses the wire — e.g. the min/max
+    pass of global_row_number); it is the 100x scale-killer only when
+    the FULL dataset funnels through it to be sorted. So: collect the
+    ids of SinglePartition exchanges, then flag any whose parent in the
+    plan tree (nearest preceding line with smaller indent) is a Sort or
+    Window node."""
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Exchange\b.*?Arguments: ([^\n]*)", plan, re.S)
+        if "SinglePartition" in m.group(2)
+    }
+    tree = [ln for ln in plan.splitlines() if re.search(r"\w+ \(\d+\)\s*$", ln)]
+    bad = []
+    for i, ln in enumerate(tree):
+        m = re.search(r"(\w+) \((\d+)\)\s*$", ln)
+        if m.group(1) != "Exchange" or m.group(2) not in sp_ids:
+            continue
+        indent = ln.index(m.group(1))
+        for parent in reversed(tree[:i]):
+            pm = re.search(r"(\w+) \((\d+)\)\s*$", parent)
+            if parent.index(pm.group(1)) < indent:
+                if pm.group(1) in ("Sort", "Window"):
+                    bad.append(ln.strip())
+                break
+    return bad
+
+
+@pytest.mark.parametrize("name", ["window_row_number", "limit_offset", "limit_n", "topk_order_limit"])
+def test_global_order_ops_have_no_single_partition_sort(spark, name):
+    # W1/O1-O3 (VERDICT r2 #3): a global row index or ordered slice must
+    # never funnel the dataset through one task to sort it. The
+    # two-phase global_row_number ranks inside key-range buckets (hash
+    # exchange) and the offset/limit family compiles to
+    # TakeOrderedAndProject (per-partition top-N + merge).
+    plan = plan_of(spark, name)
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"{name}: single-partition sort/window: {bad}\n{plan}"
+    if name == "window_row_number":
+        assert re.search(r"hashpartitioning\(_bkt", plan), f"{name}: rank not bucket-keyed:\n{plan}"
+    else:
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject:\n{plan}"
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # K4 layout: write partitioned by a column, read with a filter on it
     # — the scan must show a PartitionFilters entry and list fewer
