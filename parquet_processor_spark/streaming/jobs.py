@@ -41,11 +41,20 @@ def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int 
 def tumbling_counts(events: DataFrame, window_len: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
     """T5/T6: watermarked tumbling window — late rows beyond the
     watermark are dropped, state is bounded (the streaming analog of the
-    reference's 10 s record-lateness cutoff)."""
+    reference's 10 s record-lateness cutoff).
+
+    total_value accumulates as decimal(18,6): exact, so the result is
+    independent of micro-batch arrival order AND bit-identical with the
+    DuckDB oracle (same decimal round; never round a raw double)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
@@ -76,24 +85,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     (test_parquet_processor.py:377-385). State here is per-key (user),
     partitioned by the stream's groupBy shuffle, checkpointed with the
     query — at 1000 executors each holds only its key range's state.
+
+    The running total is carried as integer MICROS (trunc(value*1e6)):
+    integer accumulation is exact, so the emitted total is independent
+    of micro-batch order and bit-identical with a DuckDB oracle that
+    spells the same trunc-to-micros sum — a float running sum would
+    drift with accumulation order and never hash-match.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            micros += int(np.trunc(vals * 1e6).astype("int64").sum())
+        state.update((n, micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [micros / 1e6]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total_micros long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

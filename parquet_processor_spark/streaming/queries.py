@@ -1,13 +1,18 @@
 """Driver-visible streaming queries.
 
 Each query genuinely executes a Structured Streaming job (availableNow
-trigger, fresh checkpoint, memory sink) and returns the result table —
-rows-only checks, since the oracle harness can't run a stream. The
-windowed-aggregation semantics are hash-verified separately by batch
-twins: ``window_tumbling`` (ops/windows.py) for ``streaming_tumbling``,
-``window_session`` (ops/temporal.py) for ``streaming_session``, and
-``window_running_sum`` for the per-user totals that
-``streaming_stateful`` maintains as explicit GroupState.
+trigger, fresh checkpoint, memory sink) and returns the result table.
+
+Oracle-checked (VERDICT r2 #4): with an availableNow trigger over one
+static parquet file the micro-batch result is fully deterministic —
+the watermark never drops rows (everything arrives in batch 1) and the
+aggregates accumulate exactly (decimal / integer-micros state, see
+streaming/jobs.py) — so each query registers the DuckDB SQL of its
+batch twin: ``window_tumbling`` (ops/windows.py) for
+``streaming_tumbling``, ``window_session`` (ops/temporal.py) for
+``streaming_session``, an exact trunc-to-micros running total for
+``streaming_stateful``, and a time-bounded self-join for
+``streaming_stream_join``.
 """
 
 from __future__ import annotations
@@ -41,25 +46,86 @@ def _run_stream(df: DataFrame, mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
-@query("streaming_tumbling", tags=("streaming",))
+@query(
+    "streaming_tumbling",
+    oracle="""
+    select time_bucket(interval 10 minutes, ts) as window_start,
+           event_type,
+           count(*) as n_events,
+           cast(round(sum(cast(value as decimal(18,6))), 4) as double) as total_value
+    from events
+    group by 1, 2
+    """,
+    tags=("streaming",),
+)
 def streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(tumbling_counts(events), "complete")
 
 
-@query("streaming_session", tags=("streaming", "session"))
+@query(
+    "streaming_session",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                       or ts - lag(ts) over w > interval 15 minutes
+                  then 1 else 0 end as new_sess
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    grouped as (
+      select user_id, ts,
+             sum(new_sess) over (partition by user_id order by ts, event_id
+                                 rows between unbounded preceding and current row) as sess_id
+      from marked
+    )
+    select min(ts) as session_start,
+           max(ts) + interval 15 minutes as session_end,
+           user_id,
+           count(*) as n_events
+    from grouped
+    group by user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+)
 def streaming_session(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(session_counts(events), "complete")
 
 
-@query("streaming_stateful", tags=("streaming", "stateful"))
+@query(
+    "streaming_stateful",
+    oracle="""
+    select user_id,
+           count(*) as n_events,
+           cast(sum(cast(trunc(value * 1000000) as bigint)) as double) / 1000000
+             as total_value
+    from events
+    group by user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def streaming_stateful(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(stateful_user_totals(events), "update")
 
 
-@query("streaming_stream_join", tags=("streaming", "join"))
+@query(
+    "streaming_stream_join",
+    oracle="""
+    select p.event_id as purchase_event_id,
+           p.user_id,
+           p.ts as purchase_ts,
+           p.value,
+           v.event_id as view_event_id,
+           v.ts as view_ts
+    from events p join events v on p.user_id = v.user_id
+    where p.event_type = 'purchase' and v.event_type = 'view'
+      and v.ts <= p.ts and v.ts >= p.ts - interval 30 minutes
+    """,
+    tags=("streaming", "join"),
+)
 def streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     from parquet_processor_spark.streaming.jobs import stream_stream_view_purchase
 
