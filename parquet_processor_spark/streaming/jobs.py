@@ -24,6 +24,11 @@ def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int 
     """File-source stream over a parquet directory (schema locked from a
     batch peek — never infer per micro-batch). ``src`` may be a directory
     or a single file (handled via pathGlobFilter on its parent)."""
+    # Same runtime conf tables.t() sets: events.parquet stores INT64
+    # TIMESTAMP(NANOS), which both the batch schema peek below and the
+    # file-source stream reject (PARQUET_TYPE_ILLEGAL) on sessions we
+    # didn't build (the driver's harness session) unless mapped to long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
     if src.endswith(".parquet"):
