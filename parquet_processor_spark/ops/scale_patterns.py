@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,6 +80,9 @@ def join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROCESS_START = time.time()
+
+
 def _clear_stale_table_dir(spark: SparkSession, name: str) -> None:
     """Remove a leftover warehouse directory for ``name``.
 
@@ -87,6 +91,12 @@ def _clear_stale_table_dir(spark: SparkSession, name: str) -> None:
     files — and saveAsTable refuses to create a managed table over a
     non-empty location. Fixed names + this sweep keep the warehouse at
     exactly one table pair per sf instead of leaking one per process.
+
+    Only dirs whose mtime predates THIS process's start are swept: a
+    dir modified after we started belongs to a concurrently-running
+    process (writes bump the dir mtime), and rmtree'ing it under that
+    process would fail both of us. Such a dir falls through to
+    saveAsTable, which errors loudly rather than corrupting silently.
     """
     import shutil
     from urllib.parse import urlparse
@@ -94,6 +104,11 @@ def _clear_stale_table_dir(spark: SparkSession, name: str) -> None:
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
     path = os.path.join(warehouse, name)
     if os.path.isdir(path):
+        try:
+            if os.path.getmtime(path) >= _PROCESS_START:
+                return
+        except OSError:
+            return
         shutil.rmtree(path, ignore_errors=True)
 
 

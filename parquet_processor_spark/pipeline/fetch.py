@@ -80,6 +80,10 @@ def make_urllib_transport(
     stage's retry + dead-letter policy (make_fetcher) absorbs — same
     policy the reference applies around its driver (:274-350).
 
+    Only http(s) URLs are accepted: manifest rows are untrusted input,
+    and urllib would otherwise happily read file:// (local filesystem
+    into the output parquet) or ftp:// targets.
+
     The closure is serialized to executors by Spark; only stdlib
     modules are touched inside, so it is safe on any cluster image.
     """
@@ -87,8 +91,12 @@ def make_urllib_transport(
     def transport(url: str) -> dict[str, str]:
         import json as _json
         import re as _re
+        import urllib.parse as _parse
         import urllib.request as _request
 
+        scheme = _parse.urlsplit(url).scheme.lower()
+        if scheme not in ("http", "https"):
+            raise ValueError(f"refusing non-http(s) URL scheme {scheme!r}: {url}")
         req = _request.Request(url, headers={"User-Agent": user_agent})
         with _request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 — caller-supplied URL is the point
             ctype = (resp.headers.get("Content-Type") or "").lower()

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_processor_spark.pipeline.fetch import Transport, fetch_stage, urllib_transport
+from parquet_processor_spark.pipeline.fetch import Transport, fetch_stage, no_network_transport
 from parquet_processor_spark.pipeline.schemas import MANIFEST_SCHEMA, REQUIRED_COLUMNS
 
 
@@ -107,7 +107,7 @@ def run_pipeline(
     spark: SparkSession,
     manifest_path: str,
     output_dir: str,
-    transport: Transport = urllib_transport,
+    transport: Transport = no_network_transport,
     *,
     start_index: int = 0,
     max_records: int | None = None,
@@ -122,6 +122,10 @@ def run_pipeline(
     (W2) → offset/limit slice (O1) → repartition → mapInPandas fetch →
     split success/dead-letter (T4) → partitioned parquet (K4) + skipped
     JSON (K3) → control metrics (K6).
+
+    Live network fetch is OPT-IN: the default transport refuses
+    loudly; pass ``urllib_transport`` (http/https only) or your own
+    ``Transport`` to actually fetch.
     """
     urls = (
         read_manifest(spark, manifest_path)

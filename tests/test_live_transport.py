@@ -1,7 +1,8 @@
-"""Live-transport path: run_pipeline with NO injected transport against
-a local HTTP fixture. Proves the default (stdlib urllib) transport
-executes end-to-end — JSON pages, HTML meta pages, 404 dead-letter —
-through the same retry/timeout/dead-letter policy as the fake.
+"""Live-transport path: run_pipeline with the opt-in urllib transport
+against a local HTTP fixture. Proves the live transport executes
+end-to-end — JSON pages, HTML meta pages, 404 dead-letter — through
+the same retry/timeout/dead-letter policy as the fake, and that
+non-http(s) schemes and networkless defaults refuse loudly.
 """
 
 from __future__ import annotations
@@ -102,14 +103,16 @@ def test_fetch_stage_over_live_http(spark, http_base):
     assert rows[2]["error"] is not None and rows[2]["attempt"] == 2
 
 
-def test_run_pipeline_default_transport_end_to_end(spark, http_base, tmp_path):
+def test_run_pipeline_urllib_transport_end_to_end(spark, http_base, tmp_path):
     manifest = tmp_path / "manifest.json"
     manifest.write_text(
         "\n".join(json.dumps({"url": f"{http_base}/json/{i}"}) for i in range(20))
     )
     out = str(tmp_path / "out")
-    # no transport argument: the default live urllib transport runs
-    res = run_pipeline(spark, str(manifest), out, num_tasks=4, segment_size=10, canary=True)
+    # live fetch is opt-in: pass the urllib transport explicitly
+    res = run_pipeline(
+        spark, str(manifest), out, urllib_transport, num_tasks=4, segment_size=10, canary=True
+    )
     assert res.total_processed == 20
     assert res.error_count == 0
     records = spark.read.parquet(f"{out}/records")
@@ -125,3 +128,22 @@ def test_transport_timeout_dead_letters(spark, http_base):
     urls = spark.createDataFrame([("http://192.0.2.1:81/x", 0)], "url string, batch_index long")
     row = fetch_stage(urls, slow, record_timeout_s=1.0).collect()[0]
     assert row["error"] is not None
+
+
+def test_urllib_transport_rejects_non_http_schemes(tmp_path):
+    # manifest URLs are untrusted: file:// must not read local files
+    # into the output, ftp:// must not open connections.
+    secret = tmp_path / "secret.json"
+    secret.write_text('{"leak": "yes"}')
+    for url in (f"file://{secret}", "ftp://example.com/x"):
+        with pytest.raises(ValueError, match="non-http"):
+            urllib_transport(url)
+
+
+def test_run_pipeline_default_refuses_network(spark, http_base, tmp_path):
+    # no transport argument -> the no-network default raises instead of
+    # silently fetching (live fetch is opt-in).
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(json.dumps({"url": f"{http_base}/json/1"}))
+    with pytest.raises(RuntimeError, match="canary gate failed"):
+        run_pipeline(spark, str(manifest), str(tmp_path / "o"), num_tasks=2, canary=True)
