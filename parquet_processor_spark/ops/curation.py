@@ -1,0 +1,218 @@
+"""Training-data curation operators (SURVEY.md §2.13 extension).
+
+The four curation steps every large-scale LLM data pipeline runs
+between raw scrape and tokenizer, missing from the reference (its
+pipeline stops at metadata extraction) but first-class here:
+
+- per-source quota caps (the CommonCrawl "domain cap" — no single
+  source may dominate the corpus),
+- benchmark-contamination detection (n-gram overlap between training
+  docs and a held-out benchmark set),
+- PII / term scrubbing (regex redaction, RE2-compatible patterns so
+  the DuckDB oracle computes the identical result),
+- repetition filtering (the Gopher-style top-word-fraction signal for
+  degenerate/boilerplate docs).
+
+All four are pure DataFrame built-ins — no Python UDFs — and each is
+oracle-checked at value-hash level.
+
+100 TB notes are per-operator; the common theme: one keyed shuffle
+each, map-side combine everywhere, the benchmark side of the
+contamination join broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.ops.dedup import shingle_hashes, split_words
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+# Deterministic cross-engine tie-free ordering: md5 of the stringified
+# key (the sampling family's established md5-nibble pattern — DuckDB
+# has no xxhash64, but md5 hex strings compare identically everywhere).
+_CAP_PER_SOURCE = 10
+
+
+@query(
+    "curation_cap_per_source",
+    oracle=f"""
+    select doc_id, source, rk from (
+      select doc_id, source,
+             row_number() over (
+               partition by source
+               order by md5(cast(doc_id as varchar)), doc_id) as rk
+      from documents
+    ) where rk <= {_CAP_PER_SOURCE}
+    """,
+    tags=("curation", "sampling"),
+)
+def curation_cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota cap: keep at most K docs per source, chosen by
+    deterministic hash order (not file order — rerunnable on any
+    cluster layout).
+
+    100 TB: one hash shuffle on source. The rank<=K filter directly
+    after row_number triggers Spark's WindowGroupLimit rewrite, so each
+    map task pre-prunes to its local top-K before the shuffle — a
+    billion-page domain ships K rows per task, not a billion
+    (plan-asserted in tests/test_plan_quality.py).
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CAP_PER_SOURCE)
+    )
+
+
+# Contamination: training docs sharing >= _MIN_SHARED distinct word
+# trigrams with any benchmark doc. The benchmark set here is the
+# deterministic doc_id % 50 == 0 slice (~2%) standing in for an
+# external eval-set table.
+_MIN_SHARED = 5
+
+
+@query(
+    "curation_contamination",
+    oracle=rf"""
+    with sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    )
+    select a.doc_id, b.doc_id as bench_id, count(*) as n_shared
+    from sh a join sh b on a.shingle = b.shingle
+    where a.doc_id % 50 <> 0 and b.doc_id % 50 = 0
+    group by a.doc_id, b.doc_id
+    having count(*) >= {_MIN_SHARED}
+    """,
+    tags=("curation", "dedup"),
+)
+def curation_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: flag (train doc, benchmark doc)
+    pairs sharing >= ``_MIN_SHARED`` distinct trigram shingles.
+
+    Same hashed-shingle machinery as dedup_ngram_jaccard (8-byte
+    xxhash64 keys on the wire; the oracle keeps string shingles —
+    identical counts absent 64-bit collisions).
+
+    100 TB: a benchmark set is small (thousands of docs), so its
+    exploded shingles BROADCAST — the train side never shuffles at
+    all; contamination is a map-side hash probe per shingle followed
+    by one aggregation keyed on (doc, bench) pairs that actually
+    collide.
+    """
+    d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
+    train = d.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bench = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("b_shingle")
+    )
+    return (
+        train.join(F.broadcast(bench), F.col("shingle") == F.col("b_shingle"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _MIN_SHARED)
+    )
+
+
+# RE2-compatible redaction patterns (no backrefs/lookarounds): both
+# Java regex and DuckDB's RE2 interpret these identically, which the
+# value-hash oracle proves on every row. The term list ("customer" on
+# this corpus) stands in for a denylist table.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+_TERM = r"\bcustomer\b"
+
+
+@query(
+    "curation_pii_scrub",
+    oracle=rf"""
+    select doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_TERM}', '[REDACTED]', 'g') as text_scrubbed,
+           (regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_TERM}', '[REDACTED]', 'g') <> text) as was_redacted
+    from documents
+    """,
+    tags=("curation", "text"),
+)
+def curation_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII/term scrubbing: chained regexp_replace redaction.
+
+    100 TB: a pure narrow projection — no shuffle, no Python, stays
+    inside whole-stage codegen; the only cost is the regex engine over
+    each row, which scales embarrassingly.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _TERM,
+        "[REDACTED]",
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        (scrubbed != F.col("text")).alias("was_redacted"),
+    )
+
+
+# Repetition: flag when the most frequent word exceeds 1/_REP_DENOM of
+# all words (integer comparison — no float threshold edge cases).
+_REP_DENOM = 10
+
+
+@query(
+    "curation_repetition",
+    oracle=rf"""
+    with w as (
+      select doc_id, unnest(regexp_split_to_array(text, '\s+')) as word
+      from documents
+    ),
+    c as (select doc_id, word, count(*) as n from w group by doc_id, word),
+    s as (select doc_id, max(n) as max_n, sum(n) as n_words from c group by doc_id)
+    select doc_id,
+           cast(max_n as double) / n_words as top_word_frac,
+           (max_n * {_REP_DENOM} > n_words) as is_repetitive
+    from s
+    """,
+    tags=("curation", "text"),
+)
+def curation_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of the doc taken by its
+    single most frequent word, flagged when above 1/10.
+
+    100 TB: two aggregations, both with map-side partial combine —
+    (doc, word) counts collapse before the shuffle, then the per-doc
+    rollup is keyed on doc_id alone. The division happens once per doc
+    (single IEEE op — bit-identical across engines).
+    """
+    words = split_words(spark, sf).select("doc_id", F.explode("words").alias("word"))
+    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("n").alias("max_n"), F.sum("n").alias("n_words")
+    )
+    return per_doc.select(
+        "doc_id",
+        (F.col("max_n").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("max_n") * _REP_DENOM > F.col("n_words")).alias("is_repetitive"),
+    )

@@ -112,6 +112,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_fetch",
     "pipeline_media_dispatch",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    # (the new curation family lands just past the boundary: this
+    # round's 50 slots go to the 18 never-checked TPC-H headliners and
+    # friends; curation rotates in next round)
+    "curation_cap_per_source",
+    "curation_contamination",
+    "curation_pii_scrub",
+    "curation_repetition",
     "set_except_all",
     "set_intersect_all",
     "window_first_last",
@@ -152,6 +159,7 @@ def _load() -> None:
         return
     from parquet_processor_spark.ops import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         joins,
         multimodal,

@@ -1,0 +1,56 @@
+"""Training-data curation operators (ops/curation.py): behavioral
+gates on top of the DuckDB value-hash parity the oracle harness
+already enforces."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.ops.curation import _CAP_PER_SOURCE, _MIN_SHARED
+from parquet_processor_spark.registry import all_queries
+from parquet_processor_spark.tables import t
+
+
+def test_cap_per_source_enforces_quota_and_determinism(spark, sf_dir):
+    out = all_queries()["curation_cap_per_source"](spark, sf_dir)
+    rows = out.collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        assert 1 <= r["rk"] <= _CAP_PER_SOURCE
+    assert max(per_source.values()) <= _CAP_PER_SOURCE
+    # every source with >= cap docs is filled to exactly the cap
+    totals = {
+        r["source"]: r["n"]
+        for r in t(spark, sf_dir, "documents").groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, n in totals.items():
+        assert per_source.get(src, 0) == min(n, _CAP_PER_SOURCE)
+    # deterministic: a rerun picks the identical doc set
+    again = {(r["doc_id"], r["rk"]) for r in all_queries()["curation_cap_per_source"](spark, sf_dir).collect()}
+    assert {(r["doc_id"], r["rk"]) for r in rows} == again
+
+
+def test_contamination_pairs_are_train_vs_bench_only(spark, sf_dir):
+    rows = all_queries()["curation_contamination"](spark, sf_dir).collect()
+    assert rows, "synthetic corpus has near-dup docs; some must cross the benchmark slice"
+    for r in rows:
+        assert r["doc_id"] % 50 != 0, "train side leaked a benchmark doc"
+        assert r["bench_id"] % 50 == 0, "bench side contains a train doc"
+        assert r["n_shared"] >= _MIN_SHARED
+
+
+def test_pii_scrub_removes_term_everywhere(spark, sf_dir):
+    out = all_queries()["curation_pii_scrub"](spark, sf_dir)
+    assert out.where(F.col("text_scrubbed").rlike(r"\bcustomer\b")).count() == 0
+    # the synthetic corpus contains the term, so some rows must flag
+    assert out.where(F.col("was_redacted")).count() > 0
+    assert out.count() == t(spark, sf_dir, "documents").count()
+
+
+def test_repetition_fractions_are_valid(spark, sf_dir):
+    rows = all_queries()["curation_repetition"](spark, sf_dir).collect()
+    assert len(rows) == t(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0.0 < r["top_word_frac"] <= 1.0
+        assert r["is_repetitive"] == (r["top_word_frac"] > 0.1) or abs(r["top_word_frac"] - 0.1) < 1e-12

@@ -198,6 +198,19 @@ def test_global_order_ops_have_no_single_partition_sort(spark, name):
         assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject:\n{plan}"
 
 
+def test_cap_per_source_uses_window_group_limit(spark):
+    # curation_cap_per_source's scale claim: the rank<=K filter rewrites
+    # to WindowGroupLimit with a partial (pre-shuffle) phase, so each
+    # map task ships at most K rows per source instead of the whole
+    # domain. Also: the contamination join must broadcast the benchmark
+    # side, never shuffle the train side's exploded shingles.
+    plan = plan_of(spark, "curation_cap_per_source")
+    assert plan.count("WindowGroupLimit") >= 2, f"no partial+final WindowGroupLimit:\n{plan}"
+    plan = plan_of(spark, "curation_contamination")
+    assert "BroadcastHashJoin" in plan, f"benchmark side not broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"train side shuffled for the join:\n{plan}"
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # K4 layout: write partitioned by a column, read with a filter on it
     # — the scan must show a PartitionFilters entry and list fewer
