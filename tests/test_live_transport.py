@@ -147,3 +147,74 @@ def test_run_pipeline_default_refuses_network(spark, http_base, tmp_path):
     manifest.write_text(json.dumps({"url": f"{http_base}/json/1"}))
     with pytest.raises(RuntimeError, match="canary gate failed"):
         run_pipeline(spark, str(manifest), str(tmp_path / "o"), num_tasks=2, canary=True)
+
+
+class _FakeDriver:
+    """Stands in for a selenium webdriver: .get() renders a canned page."""
+
+    def __init__(self):
+        self.calls = []
+
+    def get(self, url):
+        self.calls.append(url)
+        ident = int("".join(ch for ch in url if ch.isdigit()) or "0")
+        if "showcase" in url:
+            self.page_source = f"""
+            <html><title>Showcase {ident}</title><body>
+            <div class="showcase-label">Media Type</div><div>mesh</div>
+            <div class="showcase-label">Points (total)</div><div>{ident}
+            extra line</div></body></html>"""
+        else:
+            self.page_source = f"""
+            <html><head><meta name="creator" content="c{ident}"></head><body>
+            <div class="field-name">Media Type</div><div>volumetric image series</div>
+            <div class="field-name">Image Width</div><div>512</div>
+            </body></html>"""
+
+
+def test_browser_transport_extracts_rendered_fields():
+    from parquet_processor_spark.pipeline.fetch import make_browser_transport
+
+    fake = _FakeDriver()
+    transport = make_browser_transport(driver_factory=lambda: fake)
+    page = transport("http://x/showcase/42")
+    assert page["media_type"] == "mesh"
+    assert page["points_total"] == "42"  # parens stripped, first line only
+    assert page["title"] == "Showcase 42"
+    page = transport("http://x/plain/7")
+    assert page["media_type"] == "volumetric image series"
+    assert page["image_width"] == "512"
+    assert page["creator"] == "c7"
+    # one driver reused across calls, not one per URL
+    assert len(fake.calls) == 2
+    with pytest.raises(ValueError, match="non-http"):
+        transport("file:///etc/passwd")
+
+
+def test_browser_transport_default_factory_needs_selenium():
+    from parquet_processor_spark.pipeline.fetch import make_browser_transport
+
+    transport = make_browser_transport()
+    try:
+        import selenium  # noqa: F401
+        pytest.skip("selenium installed; default factory would launch a browser")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="selenium"):
+        transport("http://example.com/x")
+
+
+def test_browser_transport_through_fetch_stage(spark):
+    # the browser transport rides the same retry/dead-letter fetch
+    # stage as every other Transport
+    from parquet_processor_spark.pipeline.fetch import fetch_stage, make_browser_transport
+
+    transport = make_browser_transport(driver_factory=_FakeDriver)
+    urls = spark.createDataFrame(
+        [("http://x/showcase/3", 0), ("http://x/plain/4", 1)],
+        "url string, batch_index long",
+    )
+    rows = {r["batch_index"]: r for r in fetch_stage(urls, transport).collect()}
+    assert rows[0]["media_type"] == "mesh"
+    assert rows[1]["media_type"] == "volumetric image series"
+    assert rows[0]["error"] is None and rows[1]["error"] is None
