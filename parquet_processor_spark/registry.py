@@ -119,6 +119,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "curation_contamination",
     "curation_pii_scrub",
     "curation_repetition",
+    "streaming_dedup",
     "set_except_all",
     "set_intersect_all",
     "window_first_last",

@@ -121,6 +121,25 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_keys(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming deduplication: first occurrence per (user_id,
+    event_type) within the watermark horizon, via
+    ``dropDuplicatesWithinWatermark`` — state for a key expires once
+    the watermark passes it, so the dedup map is bounded at any scale
+    (the batch analog keeps ALL keys forever).
+
+    Only the key columns are emitted: which physical row survives per
+    key depends on partition arrival order, but the surviving KEY SET
+    is deterministic — which is what makes the DuckDB ``select
+    distinct`` oracle hash-match.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def run_to_memory(stream: DataFrame, name: str, checkpoint: str) -> StreamingQuery:
     """T1/T2: availableNow micro-batch run with a checkpointed offset log.
     Re-running with the same checkpoint resumes (processes nothing new) —

@@ -27,6 +27,7 @@ from parquet_processor_spark.streaming.jobs import (
     read_event_stream,
     session_counts,
     stateful_user_totals,
+    stream_dedup_keys,
     tumbling_counts,
 )
 
@@ -109,6 +110,16 @@ def streaming_session(spark: SparkSession, sf: str) -> DataFrame:
 def streaming_stateful(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(stateful_user_totals(events), "update")
+
+
+@query(
+    "streaming_dedup",
+    oracle="select distinct user_id, event_type from events",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    return _run_stream(stream_dedup_keys(events), "append")
 
 
 @query(

@@ -147,3 +147,16 @@ def test_stream_static_enrich(spark, events_dir, tmp_path):
     got = spark.table("sse_t")
     assert got.count() == 1000
     assert got.where(F.col("user_total_events").isNull()).count() == 0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import t
+
+    out = all_queries()["streaming_dedup"](spark, sf_dir)
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in t(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
