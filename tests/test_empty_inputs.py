@@ -24,6 +24,11 @@ REPRESENTATIVE = [
     "text_stats",              # text analysis
     "pipeline_fetch",          # mapInPandas stage
     "agg_rollup",              # grouping sets
+    "window_row_number",       # two-phase global index (empty stats row)
+    "curation_cap_per_source", # WindowGroupLimit quota
+    "curation_contamination",  # broadcast shingle join
+    "curation_repetition",     # double aggregation
+    "dedup_embedding_lsh",     # banded LSH explode+self-join
 ]
 
 

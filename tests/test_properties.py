@@ -89,3 +89,25 @@ def test_exact_dedup_partitions_rows(spark, data):
     for i, s in enumerate(data):
         firsts.setdefault(s, i)
     assert sorted(r.keep_id for r in out) == sorted(firsts.values())
+
+
+keys = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(data=keys)
+@prop
+def test_global_row_number_is_dense_sorted_rank(spark, data):
+    # Two-phase global index law: for ANY distinct key set, rn must be
+    # exactly the 1-based rank in sorted order — dense, no gaps, no
+    # dependence on partitioning or bucket boundaries.
+    from parquet_processor_spark.ops.windows import global_row_number
+
+    df = spark.createDataFrame([(k,) for k in data], "k long").repartition(4)
+    out = {r["k"]: r["rn"] for r in global_row_number(df, "k").collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(data))}
+    assert out == want
