@@ -15,6 +15,8 @@ built-in Structured Streaming facility:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -31,7 +33,11 @@ def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
-    if src.endswith(".parquet"):
+    if src.endswith(".parquet") and not os.path.isdir(src):
+        # single FILE: stream its parent dir filtered to this name. A
+        # directory named *.parquet (normal Spark write layout) must
+        # NOT take this branch — pathGlobFilter matches file names, so
+        # filtering on the dir name silently streams zero files.
         base, _, fname = src.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         src = base

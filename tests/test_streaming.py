@@ -160,3 +160,18 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
         for r in t(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_event_stream_reads_directory_shaped_tables(spark, sf_dir, tmp_path):
+    # A table written by Spark is a DIRECTORY named events.parquet; the
+    # single-file pathGlobFilter branch must not match the dir name and
+    # silently stream zero files (caught by the x10 scale experiment).
+    from parquet_processor_spark.streaming.jobs import read_event_stream
+    from parquet_processor_spark.streaming.queries import _run_stream
+    from parquet_processor_spark.tables import t
+
+    d = str(tmp_path / "events.parquet")
+    t(spark, sf_dir, "events").limit(200).write.mode("overwrite").parquet(d)
+    stream = read_event_stream(spark, d).select("event_id")
+    out = _run_stream(stream, "append")
+    assert out.count() == 200

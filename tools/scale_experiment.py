@@ -41,7 +41,9 @@ q = all_queries()
 q["agg_count"](spark, DST).collect()  # warm
 NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "q13_order_distribution", "dedup_exact", "dedup_near", "window_rank",
-         "join_skew_salted", "sim_topk", "text_stats"]
+         "join_skew_salted", "sim_topk", "text_stats",
+         "window_row_number", "curation_cap_per_source",
+         "curation_repetition", "curation_contamination", "streaming_dedup"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     times = {}
     for name in NAMES:
