@@ -167,11 +167,13 @@ def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
 # from min to max order date, left-joined so empty months appear — the
 # gap-free time-series frame every reporting pipeline needs.
 _RECURSIVE_SQL = """
-with recursive months(m) as (
-  select cast(date_trunc('month', min(o_orderdate)) as date) as m from orders
+with recursive months(m, mx) as (
+  select cast(date_trunc('month', min(o_orderdate)) as date) as m,
+         cast(date_trunc('month', max(o_orderdate)) as date) as mx
+  from orders
   union all
-  select cast(m + interval 1 month as date) from months
-  where m < (select cast(date_trunc('month', max(o_orderdate)) as date) from orders)
+  select cast(m + interval 1 month as date), mx from months
+  where m < mx
 ),
 per as (
   select cast(date_trunc('month', o_orderdate) as date) as m, count(*) as n_orders

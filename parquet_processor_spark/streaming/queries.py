@@ -33,18 +33,32 @@ from parquet_processor_spark.streaming.jobs import (
 
 
 def _run_stream(df: DataFrame, mode: str) -> DataFrame:
+    spark = df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ppspark_ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    # The state-store partition count is frozen into the checkpoint at
+    # first start, so a fresh query must pick it deliberately rather
+    # than inherit whatever spark.sql.shuffle.partitions happens to be
+    # (an unconfigured session's 200 means 200 state-store tasks per
+    # micro-batch). Size it to the cluster's actual parallelism for the
+    # duration of this run, then restore the session conf.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(120)
-    return df.sparkSession.table(name)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query(
