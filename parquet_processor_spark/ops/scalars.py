@@ -115,8 +115,10 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
+        # Spark ceil/floor return LONG; DuckDB's return DOUBLE — cast so
+        # the oracle's 68424.0 and Spark's 68424 canonicalize identically.
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),

@@ -164,6 +164,7 @@ def _load() -> None:
         dedup,
         joins,
         multimodal,
+        recall,
         relational,
         roundtrip,
         sampling,

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from parquet_processor_spark.tables import _normalize_event_time
+
 
 def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a parquet directory (schema locked from a
@@ -42,11 +44,9 @@ def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int 
         reader = reader.option("pathGlobFilter", fname)
         src = base
     stream = reader.parquet(src)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long (see session.py) — convert
-        # to micros so event-time ops (watermark/window) get a timestamp.
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # Normalize ts to TIMESTAMP (LTZ) whichever way the writer encoded it
+    # (bigint nanos or timestamp[us]/NTZ) — withWatermark rejects NTZ.
+    return _normalize_event_time(spark, stream)
 
 
 def tumbling_counts(events: DataFrame, window_len: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:

@@ -35,8 +35,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # we didn't build (the driver's harness session) read it too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to micros exactly like DuckDB does for ns timestamps.
+    if name == "events":
+        df = _normalize_event_time(spark, df)
+    return df
+
+
+def _normalize_event_time(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP (LTZ) regardless of how the parquet
+    writer encoded it — the testdata generator has shipped both INT64
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and plain
+    timestamp[us] (read as TIMESTAMP_NTZ). Event-time streaming
+    (``withWatermark``) only accepts TIMESTAMP, and DuckDB treats the
+    stored values as naive wall-clock, so both encodings converge on
+    "wall-clock interpreted as UTC":
+
+    - bigint nanos → truncate to micros (DuckDB does the same) → LTZ.
+    - TIMESTAMP_NTZ → cast to LTZ. The NTZ→LTZ cast goes through the
+      *session* time zone, so pin it to UTC first (runtime-settable,
+      same pattern as the nanosAsLong conf above) — the cast must not
+      depend on the driver session's local zone.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
