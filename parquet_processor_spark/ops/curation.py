@@ -77,6 +77,24 @@ def curation_cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
 # external eval-set table.
 _MIN_SHARED = 5
 
+# Broadcast size contract: the benchmark side is loaded into every
+# executor, so it must stay ≪ executor memory. The cap is on DOCS
+# (checked with one cheap count on the pre-explode side) — at ~1 KB of
+# shingle hashes per doc, 100k docs ≈ 100 MB broadcast, the sane upper
+# bound for real eval suites (which are thousands of docs). A larger
+# "benchmark" means the caller is really doing corpus-vs-corpus dedup
+# and should use dedup_ngram_jaccard's shuffle join instead.
+_MAX_BENCH_DOCS = 100_000
+
+
+def _assert_broadcastable(bench_docs: DataFrame, max_docs: int = _MAX_BENCH_DOCS) -> None:
+    n = bench_docs.limit(max_docs + 1).count()
+    if n > max_docs:
+        raise ValueError(
+            f"benchmark side exceeds {max_docs} docs — too large to broadcast; "
+            "use the shuffle-join dedup (dedup_ngram_jaccard) for corpus-vs-corpus overlap"
+        )
+
 
 @query(
     "curation_contamination",
@@ -109,13 +127,17 @@ def curation_contamination(spark: SparkSession, sf: str) -> DataFrame:
     exploded shingles BROADCAST — the train side never shuffles at
     all; contamination is a map-side hash probe per shingle followed
     by one aggregation keyed on (doc, bench) pairs that actually
-    collide.
+    collide. The broadcast assumption is a CONTRACT, enforced by
+    ``_assert_broadcastable`` (limit-bounded count, so the guard
+    itself never scans more than the cap).
     """
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
+    bench_docs = d.where(F.col("doc_id") % 50 == 0)
+    _assert_broadcastable(bench_docs.select("doc_id"))
     train = d.where(F.col("doc_id") % 50 != 0).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    bench = d.where(F.col("doc_id") % 50 == 0).select(
+    bench = bench_docs.select(
         F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("b_shingle")
     )
     return (

@@ -281,8 +281,35 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Frame-sampling plumbing (rows-only: 1:N fan-out, byte windows).
-@query("multimodal_frames", tags=("multimodal",))
+# Frame-sampling plumbing as a driver query. The binary frames
+# themselves are unhashable for the harness, so the query projects the
+# deterministic facts of the fake sampler's contract — per-frame byte
+# count and head bytes — which the oracle replays in SQL (ASCII
+# payloads: byte == code point, step = max(len//4, 1)).
+@query(
+    "multimodal_frames",
+    oracle="""
+    with m as (
+      select doc_id, text,
+             greatest(octet_length(encode(text)) // 4, 1) as step,
+             octet_length(encode(text)) as total
+      from documents where doc_id % 2 = 1
+    )
+    select doc_id as media_id,
+           cast(i as int) as frame_idx,
+           cast(least(greatest(total - i * step, 0), step) as bigint) as n_bytes,
+           hex(encode(substring(text, cast(i * step + 1 as int),
+                       cast(least(4, least(greatest(total - i * step, 0), step)) as int)))) as head
+    from m, generate_series(0, 3) t(i)
+    """,
+    tags=("multimodal",),
+)
 def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(spark, sf).where(F.col("media_type") == "audio")
-    return sample_frames(media, n_frames=4)
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_bytes",
+        F.hex(F.substring("frame", 1, 4)).alias("head"),
+    )

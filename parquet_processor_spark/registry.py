@@ -45,86 +45,78 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
 # catalog deliberately: queries whose external verification status is
-# stale-or-missing first, well-covered evergreens last. Round 3: lead
-# with the queries that gained or changed behavior this round
-# (streaming oracles, banded LSH, two-phase global index), then every
-# query that has never received a driver CORRECTNESS row — the TPC-H
-# headliners, subquery/lateral/asof/recursive-CTE family, the fn_*
-# scalar packs, pivot/stats aggregates, sinks, set ops, and the
-# pipeline queries. r1∪r2 covered 89/142; these 50 slots push the
-# union to 138.
+# stale-or-missing first, well-covered evergreens last. Round 4: lead
+# with the last 9 queries that have NEVER had a driver row (curation
+# quartet, streaming_dedup, tail set/window/limit ops — this finishes
+# the 151-query catalog), then the 4 repaired this round (the NTZ
+# watermark family + fn_math), then the new recall-evidence queries
+# and the multimodal_frames oracle, then the queries whose newest
+# driver row is round 1 (oldest evidence first).
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # gained oracles this round — prove the streaming determinism claim
-    "streaming_tumbling",
-    "streaming_session",
-    "streaming_stateful",
-    "streaming_stream_join",
-    # changed this round: banded LSH + two-phase global row index
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "window_row_number",
-    # never driver-checked: TPC-H headliners
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q16_part_supplier_types",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_brand_bands",
-    "q21_waiting_suppliers",
-    # never driver-checked: subquery / SQL API family
-    "subquery_scalar",
-    "subquery_correlated",
-    "sql_recursive_cte",
-    "join_asof",
-    "join_lateral",
-    # never driver-checked: aggregate / window stragglers
-    "agg_pivot",
-    "agg_string_concat",
-    "agg_stats_manual",
-    "agg_bool_bit",
-    "explode_positional",
-    "fn_struct_ops",
-    "window_range_frame",
-    "window_ntile",
-    "window_moving_avg",
-    # never driver-checked: scalar function packs
-    "fn_string_funcs",
-    "fn_date_parts",
-    "fn_date_arith",
-    "fn_math",
-    "fn_null_funcs",
-    "fn_url_parse",
-    # never driver-checked: sinks, set ops, pipeline
-    "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "set_except",
-    "pipeline_fetch",
-    "pipeline_media_dispatch",
-    # ---- 50-slot boundary is here; the rest rank above evergreens ----
-    # (the new curation family lands just past the boundary: this
-    # round's 50 slots go to the 18 never-checked TPC-H headliners and
-    # friends; curation rotates in next round)
+    # never driver-checked — closes the catalog
     "curation_cap_per_source",
     "curation_contamination",
     "curation_pii_scrub",
     "curation_repetition",
     "streaming_dedup",
+    "limit_n",
     "set_except_all",
     "set_intersect_all",
     "window_first_last",
-    "limit_n",
+    # repaired this round (TIMESTAMP_NTZ watermark fix; ceil/floor cast)
+    "streaming_tumbling",
+    "streaming_session",
+    "streaming_stream_join",
+    "fn_math",
+    # new this round: recall evidence for the approximate family
+    "recall_sim_topk_lsh",
+    "recall_dedup_embedding_lsh",
+    "recall_dedup_near",
+    "recall_dedup_simhash",
+    # gained an oracle this round (was rows-only)
+    "multimodal_frames",
     "sim_topk_lsh",
+    # stalest driver evidence (last row: round 1)
+    "agg_count",
+    "agg_avg",
+    "agg_median",
+    "agg_max",
+    "agg_sum",
+    "agg_multi",
+    "agg_max_by",
+    "agg_having",
+    "agg_rollup",
+    "agg_unpivot",
+    "agg_percentiles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "join_broadcast_equi",
+    "join_left_anti",
+    "join_left_semi",
+    "join_left_outer",
+    "join_full_outer",
+    "scan_parquet",
+    "project_filter_notnull",
+    "fn_string_normalize",
+    "fn_string_firstline",
+    "filter_prefix",
+    "filter_temporal",
+    "filter_compound",
+    "fn_regexp_extract",
+    "fn_date_format",
+    "fn_ts_diff",
+    "sink_parquet",
+    "sink_csv_roundtrip",
+    "scan_range",
+    # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "dedup_near",
+    "dedup_simhash",
+    "multimodal_bytes",
+    "multimodal_resize",
+    "join_cross",
+    "fn_concat",
+    "fn_least_cast",
+    "streaming_stateful",
 )
 
 

@@ -54,3 +54,16 @@ def test_repetition_fractions_are_valid(spark, sf_dir):
     for r in rows:
         assert 0.0 < r["top_word_frac"] <= 1.0
         assert r["is_repetitive"] == (r["top_word_frac"] > 0.1) or abs(r["top_word_frac"] - 0.1) < 1e-12
+
+
+def test_contamination_broadcast_guard_rejects_oversized_bench(spark, sf_dir):
+    # The broadcast contract: a "benchmark" bigger than the cap must be
+    # refused, not silently shipped to every executor.
+    import pytest
+
+    from parquet_processor_spark.ops.curation import _assert_broadcastable
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    _assert_broadcastable(docs, max_docs=10_000_000)  # under the cap: fine
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        _assert_broadcastable(docs, max_docs=5)
