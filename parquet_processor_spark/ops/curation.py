@@ -88,7 +88,7 @@ _MAX_BENCH_DOCS = 100_000
 
 
 def _assert_broadcastable(bench_docs: DataFrame, max_docs: int = _MAX_BENCH_DOCS) -> None:
-    n = bench_docs.limit(max_docs + 1).count()
+    n = bench_docs.limit(max_docs + 1).count()  # eager-by-design: size-contract guard, limit-bounded
     if n > max_docs:
         raise ValueError(
             f"benchmark side exceeds {max_docs} docs — too large to broadcast; "
