@@ -387,3 +387,120 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return sig.select("doc_id", "simhash", F.explode(chunks).alias("ch")).select(
         "doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.chunk_val").alias("chunk_val")
     )
+
+
+# N2e: transitive-closure dedup — connected components over the
+# near-dup pair graph. The pairwise operators above flag DIRECT
+# duplicates; real corpus dedup needs the transitive clusters (A~B,
+# B~C => {A,B,C} keep one), which is why production fuzzy-dedup
+# pipelines end in a connected-components pass over the candidate
+# pair graph.
+_CC_MAX_ITERS = 50
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends labeled
+    with the smallest node id reachable from it.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``src``/``dst``
+    (any orientation — both directions are propagated).
+
+    Iterative DataFrame algorithm (the one family where a driver-side
+    loop is the right Spark shape): each round is ONE shuffle — labels
+    join edges on src, min-aggregate per dst, merge with the previous
+    labels — and the loop stops when a round changes nothing. Rounds
+    needed = graph diameter; near-dup clusters are quasi-cliques
+    (diameter 1-3), so 2-4 rounds in practice. At 100 TB: labels are
+    two longs per node; localCheckpoint each round cuts the growing
+    lineage so round N's plan does not replay rounds 1..N-1; for
+    adversarial long-chain graphs swap the propagation step for
+    large-star/small-star (same per-round join shape, O(log d) rounds).
+    """
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()  # eager-by-design: iterative seed
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("n_min"))
+        )
+        merged = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("n_min"), F.col("label"))).alias("label"),
+                (F.col("n_min") < F.col("label")).alias("improved"),
+            )
+        ).localCheckpoint()  # eager-by-design: cut per-round lineage
+        changed = merged.where(F.col("improved")).limit(1).count()  # eager-by-design: fixpoint test
+        labels = merged.select("node", "label")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {_CC_MAX_ITERS} rounds")
+
+
+@query(
+    "dedup_connected",
+    oracle=r"""
+    with recursive sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    ),
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    ),
+    dup_pairs as (
+      select p.doc_a, p.doc_b
+      from pairs p
+        join sizes sa on p.doc_a = sa.doc_id
+        join sizes sb on p.doc_b = sb.doc_id
+      where cast(p.n_common as double) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.2
+    ),
+    edges as (
+      select doc_a as a, doc_b as b from dup_pairs
+      union all
+      select doc_b, doc_a from dup_pairs
+    ),
+    reach as (
+      select a as node, b as r from edges
+      union
+      select t.node, e.b from reach t join edges e on t.r = e.a
+    )
+    select d.doc_id,
+           least(d.doc_id, coalesce(min(t.r), d.doc_id)) as cluster_id,
+           (coalesce(min(t.r), d.doc_id) < d.doc_id) as is_dup
+    from documents d left join reach t on d.doc_id = t.node
+    group by d.doc_id
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus dedup by transitive closure: cluster_id = smallest doc_id
+    reachable through the Jaccard>=0.2 near-dup pair graph; every doc
+    with a smaller clustermate is a duplicate (keep-one-per-cluster).
+
+    Pairs come from the exact shingle-join (:func:`dedup_ngram_jaccard`)
+    so the whole operator is oracle-checkable end-to-end (DuckDB replays
+    the closure as a recursive CTE); the 100 TB deployment swaps in the
+    MinHash-LSH candidate pairs (:func:`dedup_near`) — same closure,
+    blocked pair generation.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    docs = t(spark, sf, "documents").select(F.col("doc_id").alias("node"))
+    labels = connected_components(
+        docs, pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") < F.col("node")).alias("is_dup"),
+    )

@@ -73,6 +73,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_dedup_embedding_lsh",
     "recall_dedup_near",
     "recall_dedup_simhash",
+    # new this round: transitive-closure dedup (iterative CC + recursive-CTE oracle)
+    "dedup_connected",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -107,8 +109,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_ts_diff",
     "sink_parquet",
     "sink_csv_roundtrip",
-    "scan_range",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "scan_range",
     "dedup_near",
     "dedup_simhash",
     "multimodal_bytes",

@@ -209,3 +209,32 @@ def test_sim_topk_lsh_overlap_vs_brute(spark, sf_dir):
     assert len(brute) == 10
     overlap = len(set(brute) & set(approx)) / len(brute)
     assert overlap >= 0.8, f"LSH top-k overlap vs brute force too low: {overlap:.2f}"
+
+
+def test_connected_components_closes_long_chains(spark):
+    # A 6-node chain plus an isolated node: closure must label the whole
+    # chain with its minimum even though no node sees the min directly —
+    # this exercises multi-round propagation (diameter 5), which the
+    # quasi-clique corpus graph never does.
+    from parquet_processor_spark.ops.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    chain = [(6, 5), (5, 4), (4, 3), (3, 2), (2, 1)]  # 0 isolated
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_dedup_connected_merges_transitive_clusters(spark, sf_dir):
+    # Every direct near-dup pair must land in one cluster, and cluster
+    # ids must be the cluster minimum.
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["dedup_connected"](spark, sf_dir).collect()
+    cluster = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for r in rows:
+        assert cluster[r["cluster_id"]] == r["cluster_id"], "cluster id must be a root"
+        assert r["is_dup"] == (r["cluster_id"] < r["doc_id"])
+    pairs = all_queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    for p in pairs:
+        assert cluster[p["doc_a"]] == cluster[p["doc_b"]], "direct pair split across clusters"
