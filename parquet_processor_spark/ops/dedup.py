@@ -398,12 +398,15 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 _CC_MAX_ITERS = 50
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame:
     """Min-label propagation to a fixpoint: every node ends labeled
     with the smallest node id reachable from it.
 
-    ``nodes``: one column ``node``; ``edges``: columns ``src``/``dst``
-    (any orientation — both directions are propagated).
+    ``edges``: columns ``src``/``dst`` (any orientation — both
+    directions are propagated). ``nodes``: one column ``node``, or
+    None to derive the node set from the edges (isolated nodes then
+    don't appear; callers assign them their own id with one left
+    join — see :func:`dedup_connected`).
 
     Iterative DataFrame algorithm (the one family where a driver-side
     loop is the right Spark shape): each round is ONE shuffle — labels
@@ -411,14 +414,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels — and the loop stops when a round changes nothing. Rounds
     needed = graph diameter; near-dup clusters are quasi-cliques
     (diameter 1-3), so 2-4 rounds in practice. At 100 TB: labels are
-    two longs per node; localCheckpoint each round cuts the growing
-    lineage so round N's plan does not replay rounds 1..N-1; for
-    adversarial long-chain graphs swap the propagation step for
-    large-star/small-star (same per-round join shape, O(log d) rounds).
+    two longs per node; the (possibly expensive) edge lineage is
+    materialized exactly ONCE up front, and localCheckpoint each round
+    cuts the growing label lineage so round N's plan does not replay
+    rounds 1..N-1; for adversarial long-chain graphs swap the
+    propagation step for large-star/small-star (same per-round join
+    shape, O(log d) rounds).
     """
+    edges = edges.localCheckpoint()  # eager-by-design: everything below reuses the edge list every round — pay its lineage once
     und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
         edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
+    if nodes is None:
+        nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()  # eager-by-design: iterative seed
     for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
@@ -495,12 +503,18 @@ def dedup_connected(spark: SparkSession, sf: str) -> DataFrame:
     blocked pair generation.
     """
     pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
-    docs = t(spark, sf, "documents").select(F.col("doc_id").alias("node"))
-    labels = connected_components(
-        docs, pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") < F.col("node")).alias("is_dup"),
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # The closure only needs to iterate over docs that appear in the
+    # pair graph — a small fraction of the corpus (duplicates are the
+    # exception, not the rule; nodes=None derives exactly that set
+    # from the already-materialized edges). Singletons get their own
+    # id via one final left join, so the per-round label table is
+    # O(dup docs), not O(corpus): at 100 TB the iteration runs on the
+    # dup graph while the full table is touched exactly once.
+    labels = connected_components(None, edges)
+    docs = t(spark, sf, "documents").select("doc_id")
+    return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        F.coalesce(F.col("label") < F.col("doc_id"), F.lit(False)).alias("is_dup"),
     )

@@ -43,7 +43,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "q13_order_distribution", "dedup_exact", "dedup_near", "window_rank",
          "join_skew_salted", "sim_topk", "text_stats",
          "window_row_number", "curation_cap_per_source",
-         "curation_repetition", "curation_contamination", "streaming_dedup"]
+         "curation_repetition", "curation_contamination", "streaming_dedup",
+         "dedup_connected", "recall_dedup_near"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     times = {}
     for name in NAMES:
