@@ -181,3 +181,56 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
         F.levenshtein("p_name", F.lit("part name probe")).alias("dist_to_probe"),
         F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
     )
+
+
+# N4e: corpus-statistics quality scoring — every doc scored against a
+# unigram term-frequency model built FROM the corpus itself in the
+# same plan (the exact-arithmetic analog of a unigram log-prob /
+# perplexity filter: rare-token docs score low avg_freq, boilerplate
+# scores high; integer counts keep the result bitwise-deterministic
+# where a sum of float log-probs would depend on partial-sum order).
+@query(
+    "quality_unigram_rarity",
+    oracle=r"""
+    with tok as (
+      select doc_id, unnest(regexp_split_to_array(text, '\s+')) as tok
+      from documents
+    ),
+    vocab as (select tok, count(*) as n_tok from tok group by tok)
+    select t.doc_id,
+           count(*) as n_tokens,
+           sum(v.n_tok) as sum_freq,
+           min(v.n_tok) as min_freq,
+           cast(sum(v.n_tok) as double) / count(*) as avg_freq
+    from tok t join vocab v on t.tok = v.tok
+    group by t.doc_id
+    """,
+    tags=("text", "curation"),
+)
+def quality_unigram_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc unigram-frequency score against the corpus model.
+
+    100 TB shape: the token explode never materializes to storage;
+    the vocab aggregate is map-side combined and Zipf-small relative
+    to the corpus (shuffle carries one row per distinct token per
+    task); the score join shuffles corpus tokens once on the token
+    key — or broadcasts the vocab when a frequency floor caps it.
+    avg_freq is one bigint/bigint division per doc: a single IEEE
+    rounding, identical across engines — never an order-dependent
+    float accumulation.
+    """
+    tok = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    return (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_tok").alias("sum_freq"),
+            F.min("n_tok").alias("min_freq"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_freq"),
+        )
+    )

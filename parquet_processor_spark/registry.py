@@ -74,7 +74,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_dedup_near",
     "recall_dedup_simhash",
     # new this round: transitive-closure dedup (iterative CC + recursive-CTE oracle)
+    # and the corpus unigram-frequency quality scorer
     "dedup_connected",
+    "quality_unigram_rarity",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -108,8 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_date_format",
     "fn_ts_diff",
     "sink_parquet",
-    "sink_csv_roundtrip",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "sink_csv_roundtrip",
     "scan_range",
     "dedup_near",
     "dedup_simhash",
