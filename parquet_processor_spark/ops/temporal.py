@@ -176,3 +176,75 @@ def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+# Ordered-sequence funnel: view → click-after-view → purchase-after-
+# click per user, each stage the EARLIEST qualifying event. The classic
+# product-analytics operator (and a training-data shape: multi-stage
+# event matching under temporal order).
+@query(
+    "events_funnel",
+    oracle="""
+    with v as (
+      select user_id, min(ts) as t_view
+      from events where event_type = 'view' group by user_id
+    ),
+    c as (
+      select e.user_id, v.t_view, min(e.ts) as t_click
+      from events e join v on e.user_id = v.user_id
+      where e.event_type = 'click' and e.ts > v.t_view
+      group by e.user_id, v.t_view
+    ),
+    p as (
+      select e.user_id, c.t_click, min(e.ts) as t_purchase
+      from events e join c on e.user_id = c.user_id
+      where e.event_type = 'purchase' and e.ts > c.t_click
+      group by e.user_id, c.t_click
+    )
+    select v.user_id, v.t_view, c.t_click, p.t_purchase,
+           (p.t_purchase is not null) as completed
+    from v
+      left join c on v.user_id = c.user_id
+      left join p on v.user_id = p.user_id
+    """,
+    tags=("temporal", "window"),
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user funnel: earliest view, earliest click strictly after
+    it, earliest purchase strictly after that; completed = all three.
+
+    Three min-aggregates cascaded by time predicates. Each stage is a
+    map-side-combined groupBy on user_id plus one equi-join on user_id
+    — with all stages keyed identically, the shuffles reuse one
+    partitioning (no re-exchange between stages; at 100 TB this is one
+    hash exchange of the events projection per stage, and AQE coalesces
+    the small stage outputs). No window over unbounded event history is
+    needed because each stage only carries (user_id, ts) pairs forward.
+    """
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+    )

@@ -77,6 +77,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # and the corpus unigram-frequency quality scorer
     "dedup_connected",
     "quality_unigram_rarity",
+    "events_funnel",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -109,8 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_regexp_extract",
     "fn_date_format",
     "fn_ts_diff",
-    "sink_parquet",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "sink_parquet",
     "sink_csv_roundtrip",
     "scan_range",
     "dedup_near",
