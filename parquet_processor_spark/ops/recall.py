@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from parquet_processor_spark.ops import dedup, vector
 from parquet_processor_spark.registry import _ORACLES, query
+from parquet_processor_spark.tables import t
 
 
 def _gate(matched: F.Column, total: F.Column, threshold: float) -> F.Column:
@@ -131,3 +132,23 @@ def recall_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "doc_b")
         .agg(n.alias("n_true_pairs"), _gate(close, n, 0.9).alias("hamming_ok"))
     )
+
+
+@query(
+    "error_approx_distinct",
+    oracle="select count(distinct user_id) as n_exact, true as within_rsd from events",
+    tags=("agg", "approx", "evidence"),
+)
+def error_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ cardinality error gate: |approx - exact| / exact must be
+    inside 3x the sketch's target relative standard deviation (5%
+    default — Spark's HyperLogLog++ is deterministic for a fixed
+    input set, so the boolean is a stable fact, not a flaky sample).
+    Exact and approx sides aggregate in ONE pass each; the exact count
+    is what the oracle recomputes."""
+    agg = t(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"),
+    )
+    err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return agg.select("n_exact", (err <= 0.15).alias("within_rsd"))

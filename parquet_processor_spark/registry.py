@@ -78,6 +78,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_connected",
     "quality_unigram_rarity",
     "events_funnel",
+    "error_approx_distinct",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -109,8 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "filter_compound",
     "fn_regexp_extract",
     "fn_date_format",
-    "fn_ts_diff",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "fn_ts_diff",
     "sink_parquet",
     "sink_csv_roundtrip",
     "scan_range",
