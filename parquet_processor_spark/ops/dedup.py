@@ -518,3 +518,30 @@ def dedup_connected(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         F.coalesce(F.col("label") < F.col("doc_id"), F.lit(False)).alias("is_dup"),
     )
+
+
+@query("dedup_connected_lsh", tags=("dedup", "graph", "lsh", "iterative"))
+def dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB fuzzy-dedup composition end-to-end: MinHash-LSH
+    candidate pairs (signature-estimated Jaccard >= 0.2) → transitive
+    closure → keep-min-per-cluster. Identical closure machinery to
+    :func:`dedup_connected`, but pair generation is the banded-LSH
+    blocked path instead of the exact shingle join — the shape that
+    holds when the corpus no longer fits an exact pair join.
+
+    Rows-only driver check (LSH candidacy is not SQL-expressible);
+    :func:`parquet_processor_spark.ops.recall.recall_dedup_connected_lsh`
+    gates its cluster assignments against the exact closure.
+    """
+    pairs = (
+        dedup_near(spark, sf)
+        .where(F.col("est_jaccard") >= 0.2)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(None, pairs)
+    docs = t(spark, sf, "documents").select("doc_id")
+    return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        F.coalesce(F.col("label") < F.col("doc_id"), F.lit(False)).alias("is_dup"),
+    )

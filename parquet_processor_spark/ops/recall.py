@@ -152,3 +152,25 @@ def error_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
     err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
     return agg.select("n_exact", (err <= 0.15).alias("within_rsd"))
+
+
+@query(
+    "recall_dedup_connected_lsh",
+    oracle="select count(*) as n_docs, true as agree_ok from documents",
+    tags=("dedup", "graph", "lsh", "evidence"),
+)
+def recall_dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-assignment agreement between the exact transitive
+    closure (shingle-join pairs) and the LSH-blocked closure (MinHash
+    candidate pairs): fraction of docs with identical cluster_id must
+    be >= 0.9 (measured 1.0 at sf0.001/sf0.01 — on this corpus MinHash
+    banding recovers every true pair, so the closures coincide)."""
+    exact = dedup.dedup_connected(spark, sf).select("doc_id", "cluster_id")
+    lsh = dedup.dedup_connected_lsh(spark, sf).select(
+        F.col("doc_id").alias("l_id"), F.col("cluster_id").alias("l_cluster")
+    )
+    same = F.sum(F.when(F.col("cluster_id") == F.col("l_cluster"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return exact.join(lsh, F.col("doc_id") == F.col("l_id")).agg(
+        n.alias("n_docs"), _gate(same, n, 0.9).alias("agree_ok")
+    )

@@ -79,6 +79,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "quality_unigram_rarity",
     "events_funnel",
     "error_approx_distinct",
+    "dedup_connected_lsh",
+    "recall_dedup_connected_lsh",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -108,9 +110,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "filter_prefix",
     "filter_temporal",
     "filter_compound",
+    # ---- 50-slot boundary is here; the rest rank above evergreens ----
     "fn_regexp_extract",
     "fn_date_format",
-    # ---- 50-slot boundary is here; the rest rank above evergreens ----
     "fn_ts_diff",
     "sink_parquet",
     "sink_csv_roundtrip",
