@@ -69,3 +69,36 @@ def sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ppspark_sink_orc_")
     _subset(spark, sf).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# Clustered-at-rest layout: range-partition by the query key, sort
+# within partitions, write parquet, read back through a range filter.
+# At 100 TB this is the layout that makes parquet row-group min/max
+# statistics actually skip IO for time/key-range queries: each output
+# file covers a narrow, sorted l_shipdate slice, so a date-range
+# predicate prunes whole files (footer stats) and whole row groups
+# inside the survivors. The oracle replays the filtered scan on the
+# source table — proving the clustered write+filtered read is exact.
+@query(
+    "sink_sorted_roundtrip",
+    oracle="""
+    select l_orderkey, l_linenumber, l_shipdate, l_quantity
+    from lineitem
+    where l_shipdate >= date '1997-01-01' and l_shipdate < date '1997-04-01'
+    """,
+    tags=("sink", "layout"),
+)
+def sink_sorted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="ppspark_sink_sorted_")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )

@@ -280,3 +280,15 @@ def test_no_driver_actions_under_ops():
         and not line.lstrip().startswith("#")
     ]
     assert not offenders, f"driver-side action in ops/ (use a 1-row broadcast join): {offenders}"
+
+
+def test_sorted_roundtrip_filter_pushed_to_clustered_scan(spark, sf_dir):
+    # The read side of the clustered-layout roundtrip must push the
+    # date-range predicate into the parquet scan — that pushdown is what
+    # turns the sorted-at-rest layout into row-group/file skipping.
+    from parquet_processor_spark.registry import all_queries
+
+    df = all_queries()["sink_sorted_roundtrip"](spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("l_shipdate" in ln for ln in pushed), plan
