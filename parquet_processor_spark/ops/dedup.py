@@ -352,15 +352,22 @@ _SIMHASH_BITS = 64
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash signatures + 16-bit-chunk LSH buckets (rows-only check).
 
-    Distributed bit-voting: explode tokens, xxhash64 each, one groupBy
-    with 64 partially-aggregated vote sums (map-side combine does the
-    heavy lifting — the shuffle carries 64 ints per doc, not tokens).
+    Distributed bit-voting: explode features, one groupBy with 64
+    partially-aggregated vote sums (map-side combine does the heavy
+    lifting — the shuffle carries 64 ints per doc, not features).
     Fully JVM-side, no Python UDF.
+
+    Features are the 3-gram SHINGLE hashes (same feature space as the
+    Jaccard family), not whole tokens: on a small shared vocabulary,
+    token votes are near-tied on most bits, so random-pair Hamming
+    collapses (measured median 14/64 — true pairs indistinguishable).
+    Shingles are high-cardinality, giving proper simhash behavior:
+    true near-dup pairs land at Hamming <= 12, random pairs at median
+    32 (gated by ``recall_dedup_simhash``).
     """
-    d = t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    tok = split_words(spark, sf).select(
+        "doc_id", F.explode(shingle_hashes()).alias("h")
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(

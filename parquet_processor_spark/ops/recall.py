@@ -114,8 +114,10 @@ def recall_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
 def recall_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """True near-dup pairs must land Hamming-close in simhash space:
     fraction with bit_count(sig_a XOR sig_b) <= 16 must be >= 0.9
-    (measured: max true-pair distance is 12 at both test SFs, while
-    the random-pair median is 14 on this small-vocabulary corpus)."""
+    (measured with shingle-feature simhash: max true-pair distance 12
+    at both test SFs vs random-pair median 32 — the token-feature
+    variant collapsed to median 14 on this shared-vocabulary corpus,
+    which is why the features are shingles)."""
     sig = (
         dedup.dedup_simhash(spark, sf)
         .where(F.col("chunk") == 0)
