@@ -292,3 +292,88 @@ def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.col("cos_raw").alias("cos_sim"))
     )
+
+
+# IVF centroid TRAINING: k-means (Lloyd) as an iterative DataFrame
+# algorithm — the missing half of sim_topk_ivf, whose centroids are a
+# fixed seed set. Deterministic throughout: init = the embeddings of
+# vec_id 1..k (no RNG), ties in assignment break to the lowest cid,
+# fixed iteration count (no float-convergence test).
+_KM_K = 8
+_KM_ITERS = 4
+
+
+@query(
+    "kmeans_ivf_train",
+    oracle=(
+        f"select {_KM_K} as k, count(*) as n_assigned, true as inertia_improved "
+        "from embeddings"
+    ),
+    tags=("vector", "ivf", "iterative", "evidence"),
+)
+def kmeans_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Train IVF cells with Lloyd iterations and emit the oracle-checkable
+    facts: k, corpus size, and inertia(final) <= inertia(init).
+
+    Per iteration (all DataFrame ops): broadcast the k centroids against
+    the corpus, argmax-cosine assign (max_by with lowest-cid tiebreak),
+    then recompute each centroid as the element-wise mean via
+    posexplode → avg per (cell, dim) → array_sort(collect_list) re-pack.
+    The k-row centroid table is localCheckpointed per round, so round N
+    never replays rounds 1..N-1; the corpus is scanned once per round —
+    the canonical 100 TB k-means shape (centroids broadcast, data never
+    shuffles except the tiny per-cell partial means).
+
+    Exact centroid float values depend on partial-sum order, which is
+    why the driver gate is the inertia MONOTONICITY boolean plus exact
+    counts, not centroid coordinates (same policy as ops/recall.py).
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        cc = cosine(F.col("embedding"), F.col("c_emb"))
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(cc.alias("s"), (-F.col("cid")).cast("double").alias("t"))
+                ).alias("cell"),
+                F.max(cc).alias("best_cos"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+
+    def inertia(assigned: DataFrame) -> DataFrame:
+        return assigned.agg(F.sum(1 - F.col("best_cos")).alias("inertia"))
+
+    cent = e.where(F.col("vec_id").between(1, _KM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    first_assign = assign(cent)
+    inertia0 = inertia(first_assign).select(F.col("inertia").alias("inertia_init"))
+    assigned = first_assign
+    for _ in range(_KM_ITERS):
+        cent = (
+            assigned.select("cell", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("c_emb")
+            )
+            .select(F.col("cell").alias("cid"), "c_emb")
+            .localCheckpoint()  # eager-by-design: k-row centroid table; cuts per-round lineage
+        )
+        assigned = assign(cent)
+    final = assigned.agg(
+        F.count(F.lit(1)).alias("n_assigned"), F.sum(1 - F.col("best_cos")).alias("inertia_final")
+    )
+    return final.crossJoin(inertia0).select(
+        F.lit(_KM_K).cast("int").alias("k"),
+        "n_assigned",
+        # 1e-9 slack: inertia is a float sum; Lloyd never increases it
+        (F.col("inertia_final") <= F.col("inertia_init") + 1e-9).alias("inertia_improved"),
+    )

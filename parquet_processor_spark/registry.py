@@ -82,6 +82,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_connected_lsh",
     "recall_dedup_connected_lsh",
     "sink_sorted_roundtrip",
+    "kmeans_ivf_train",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -109,8 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_string_normalize",
     "fn_string_firstline",
     "filter_prefix",
-    "filter_temporal",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "filter_temporal",
     "filter_compound",
     "fn_regexp_extract",
     "fn_date_format",

@@ -241,3 +241,12 @@ def test_dedup_connected_merges_transitive_clusters(spark, sf_dir):
     pairs = all_queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
     for p in pairs:
         assert cluster[p["doc_a"]] == cluster[p["doc_b"]], "direct pair split across clusters"
+
+
+def test_kmeans_ivf_train_improves_and_covers_cells(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+
+    row = all_queries()["kmeans_ivf_train"](spark, sf_dir).collect()[0]
+    assert row["k"] == 8
+    assert row["n_assigned"] > 0
+    assert row["inertia_improved"] is True
