@@ -83,6 +83,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_dedup_connected_lsh",
     "sink_sorted_roundtrip",
     "kmeans_ivf_train",
+    "streaming_static_join",
     # gained an oracle this round (was rows-only)
     "multimodal_frames",
     "sim_topk_lsh",
@@ -109,8 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "project_filter_notnull",
     "fn_string_normalize",
     "fn_string_firstline",
-    "filter_prefix",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "filter_prefix",
     "filter_temporal",
     "filter_compound",
     "fn_regexp_extract",

@@ -156,3 +156,40 @@ def streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(stream_stream_view_purchase(events), "append")
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    select c.c_mktsegment as segment,
+           count(*) as n_events,
+           cast(round(sum(cast(e.value as decimal(18,6))), 4) as double) as total_value
+    from events e join customer c on e.user_id = c.c_custkey
+    group by 1
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (static, broadcast — re-read per micro-batch by contract,
+    so dimension updates between batches are picked up) and aggregates
+    per market segment. The streaming analog of every "enrich events
+    with a slowly-changing dim" pipeline; state is only the final
+    aggregate, the join itself is stateless map-side work.
+
+    Deterministic under availableNow + decimal accumulation, so the
+    batch twin is the oracle (same policy as streaming_tumbling)."""
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.tables import t
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    dim = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return _run_stream(agg, "complete")
