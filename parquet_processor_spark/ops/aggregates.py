@@ -289,3 +289,40 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
         )
     )
+
+
+# Deterministic MODE: most frequent value per group with an explicit
+# lowest-value tiebreak — the built-in mode() is tie-nondeterministic
+# in both engines, so both sides spell the same count+rank plan.
+@query(
+    "agg_mode",
+    oracle="""
+    with c as (
+      select l_returnflag, l_linestatus, count(*) as n
+      from lineitem group by 1, 2
+    ),
+    r as (
+      select l_returnflag, l_linestatus, n,
+             row_number() over (partition by l_returnflag
+                                order by n desc, l_linestatus) as rn
+      from c
+    )
+    select l_returnflag, l_linestatus as mode_status, n as mode_count
+    from r where rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("l_linestatus"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"), F.col("n").alias("mode_count"))
+    )

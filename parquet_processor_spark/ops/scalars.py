@@ -341,3 +341,32 @@ def fn_struct_ops(spark: SparkSession, sf: str) -> DataFrame:
         nested.getField("outer_f").getField("inner_f").alias("nested_key"),
         F.to_json(F.struct(F.col("o_orderpriority").alias("priority"))).alias("info_json"),
     )
+
+
+# ANSI-safe error-handling scalar family: try_* returns NULL where
+# strict evaluation would raise (division by zero, bad casts) — the
+# batch-pipeline contract for dirty data (never kill a 100 TB job on
+# one malformed cell; route nulls to the dead-letter predicate).
+@query(
+    "fn_try_arith",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           case when l_discount = 0 then null
+                else l_extendedprice / l_discount end as safe_ratio,
+           case when l_tax = 0 then null
+                else l_quantity / l_tax end as qty_per_tax,
+           try_cast(l_returnflag as bigint) as flag_num,
+           try_cast(cast(l_linenumber as varchar) as bigint) as line_rt
+    from lineitem
+    """,
+    tags=("scalar", "null", "safety"),
+)
+def fn_try_arith(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("safe_ratio"),
+        F.try_divide("l_quantity", "l_tax").alias("qty_per_tax"),
+        F.expr("try_cast(l_returnflag as bigint)").alias("flag_num"),
+        F.expr("try_cast(cast(l_linenumber as string) as bigint)").alias("line_rt"),
+    )

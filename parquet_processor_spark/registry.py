@@ -111,6 +111,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_string_normalize",
     "fn_string_firstline",
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "fn_try_arith",
+    "agg_mode",
     "filter_prefix",
     "filter_temporal",
     "filter_compound",

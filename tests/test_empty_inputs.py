@@ -29,7 +29,17 @@ REPRESENTATIVE = [
     "curation_contamination",  # broadcast shingle join
     "curation_repetition",     # double aggregation
     "dedup_embedding_lsh",     # banded LSH explode+self-join
+    "dedup_connected",         # iterative closure over an EMPTY pair graph
+    "quality_unigram_rarity",  # self-joined vocab model
+    "events_funnel",           # cascaded stage joins
+    # (kmeans_ivf_train excluded: global-aggregate queries emit one
+    # summary row on empty input by SQL semantics — covered below)
 ]
+
+
+def test_kmeans_summary_row_on_empty_input(spark, empty_sf):
+    rows = all_queries()["kmeans_ivf_train"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["n_assigned"] == 0
 
 
 @pytest.fixture(scope="module")
