@@ -326,3 +326,57 @@ def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_linestatus").alias("mode_status"), F.col("n").alias("mode_count"))
     )
+
+
+# Pearson correlation from exact sums — same policy as agg_stats_manual:
+# the built-in corr() uses engine-specific streaming accumulation and
+# would never hash-match, so both sides compute the six exact decimal
+# sums (per-row decimal products, no float accumulation anywhere) and
+# then evaluate the textbook formula through an IDENTICAL double
+# expression tree (each op one IEEE rounding on identical inputs).
+# Column choice matters: every sum must stay within ~15 significant
+# digits, where both engines' decimal->double casts agree bitwise —
+# quantity (integral) x discount (2 decimals) qualifies at any test SF,
+# while extendedprice^2 sums need 17 digits and diverge by 1 ulp.
+@query(
+    "agg_corr",
+    oracle="""
+    with s as (
+      select l_returnflag,
+             count(*) as n,
+             cast(sum(cast(l_quantity as decimal(18,1))) as double) as sx,
+             cast(sum(cast(l_discount as decimal(18,2))) as double) as sy,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_discount as decimal(18,2))) as double) as sxy,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_quantity as decimal(18,1))) as double) as sxx,
+             cast(sum(cast(l_discount as decimal(18,2))
+                      * cast(l_discount as decimal(18,2))) as double) as syy
+      from lineitem group by l_returnflag
+    )
+    select l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) as corr_qty_disc
+    from s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr(spark: SparkSession, sf: str) -> DataFrame:
+    x = F.col("l_quantity").cast("decimal(18,1)")
+    y = F.col("l_discount").cast("decimal(18,2)")
+    g = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return g.select("l_returnflag", "n", corr.alias("corr_qty_disc"))

@@ -113,6 +113,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # ---- 50-slot boundary is here; the rest rank above evergreens ----
     "fn_try_arith",
     "agg_mode",
+    "agg_corr",
     "filter_prefix",
     "filter_temporal",
     "filter_compound",
