@@ -192,14 +192,15 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "quality_unigram_rarity",
     oracle=r"""
-    with tok as (
+    with tok0 as (
       select doc_id, unnest(regexp_split_to_array(text, '\s+')) as tok
       from documents
     ),
+    tok as (select * from tok0 where tok <> ''),
     vocab as (select tok, count(*) as n_tok from tok group by tok)
     select t.doc_id,
            count(*) as n_tokens,
-           sum(v.n_tok) as sum_freq,
+           cast(sum(v.n_tok) as bigint) as sum_freq,
            min(v.n_tok) as min_freq,
            cast(sum(v.n_tok) as double) / count(*) as avg_freq
     from tok t join vocab v on t.tok = v.tok
@@ -218,10 +219,17 @@ def quality_unigram_rarity(spark: SparkSession, sf: str) -> DataFrame:
     avg_freq is one bigint/bigint division per doc: a single IEEE
     rounding, identical across engines — never an order-dependent
     float accumulation.
+
+    Determinism notes (round-5 fix): empty tokens (leading/trailing
+    whitespace splits) are filtered on BOTH engines so tokenizer edge
+    cases can never diverge, and the oracle casts sum(n_tok) to bigint
+    — DuckDB's sum(bigint) is HUGEINT (arrow decimal128), which the
+    driver's value hash sees as Decimal vs Spark's int64.
     """
     tok = (
         t(spark, sf, "documents")
         .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     return (

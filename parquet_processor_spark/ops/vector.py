@@ -120,25 +120,46 @@ def sim_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
 # pairs. The standard fix (Indyk-Motwani banding, same scheme
 # dedup_near uses for MinHash) is L independent bands of r planes:
 # a pair is a candidate if it agrees on ALL r planes of ANY band, so
-# recall = 1 - (1 - p^r)^L. With L=8, r=3: p^r ~ 0.18-0.21 for pairs
-# at cos 0.19-0.29 (the measured dup-pair range in the test data),
-# giving ~0.8-0.85 pair recall; band keys are hash-mixed so unrelated
-# (band, sig) combinations never collide. Rows-only check; pytest
-# verifies recall against brute force.
+# recall = 1 - (1 - p^r)^L. Band keys are injective (band*8 + sig,
+# sig < 2^r), so unrelated (band, sig) combinations never collide.
+#
+# Hyperplane coefficients are PRECOMPUTED literal arrays (md5-derived
+# driver-side, exactly-representable doubles), embedded identically in
+# the Spark plan and in the DuckDB oracle SQL — which is what makes the
+# banded candidate set hash-checkable cross-engine (the previous
+# per-row xxhash64 coefficients had no DuckDB equivalent). Literal
+# planes are also cheaper: no per-row hash evaluation, the projection
+# is a pure fused multiply-add fold inside codegen.
 _N_PLANES = 8
 _N_BANDS = 8
 _PLANES_PER_BAND = 3
+_COEFF_DIM = 64  # testdata embeddings are 64-d at every SF (TESTDATA.md);
+# shorter vectors slice the plane, longer ones need _COEFF_DIM raised.
 
 
-def _plane_coeff(plane: int, dim_idx: Column) -> Column:
-    # Deterministic coefficient in [-1, 1): from xxhash64(plane, dim).
-    h = F.xxhash64(F.lit(plane), dim_idx)
-    return (h.cast("double") / F.lit(float(2**63)))
+def _plane_coeffs(plane: int) -> list[float]:
+    """Deterministic coefficients in [-1, 1), one per dimension.
+
+    h = 20 md5 bits → h/2^19 - 1.0 is exactly representable (≤ 20
+    significand bits), so repr() round-trips bit-exactly through both
+    engines' float parsers — the sign of the projection is the same
+    IEEE double comparison on both sides."""
+    import hashlib
+
+    out = []
+    for i in range(1, _COEFF_DIM + 1):
+        h = int(hashlib.md5(f"plane{plane}_{i}".encode()).hexdigest()[:5], 16)
+        out.append(h / float(1 << 19) - 1.0)
+    return out
 
 
-def _plane_sign(emb: Column, idx: Column, plane: int) -> Column:
-    mul = (lambda p: (lambda x, i: x.cast("double") * _plane_coeff(p, i)))(plane)
-    proj = F.aggregate(F.zip_with(emb, idx, mul), F.lit(0.0), lambda acc, v: acc + v)
+def _plane_sign(emb: Column, plane: int) -> Column:
+    coeff = F.slice(F.lit(_plane_coeffs(plane)), F.lit(1), F.size(emb))
+    proj = F.aggregate(
+        F.zip_with(emb, coeff, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -147,30 +168,51 @@ def lsh_bucket(emb: Column) -> Column:
 
     Kept as the building-block / test reference; the registered LSH
     queries use :func:`lsh_band_keys` (banded, recall-safe)."""
-    idx = F.sequence(F.lit(1), F.size(emb))
     bucket = F.lit(0)
     for p in range(_N_PLANES):
-        bucket = bucket + _plane_sign(emb, idx, p) * F.lit(1 << p)
+        bucket = bucket + _plane_sign(emb, p) * F.lit(1 << p)
     return bucket
 
 
 def lsh_band_keys(emb: Column, n_bands: int = _N_BANDS) -> Column:
-    """Array of ``n_bands`` 64-bit band keys: key_b = xxhash64(b, sig_b)
-    where sig_b packs the sign bits of band b's ``_PLANES_PER_BAND``
-    hyperplanes. Explode + equi-join on the key = candidate generation;
-    a pair colliding in any band becomes a candidate exactly once after
-    pair-level dropDuplicates. The first ``_N_BANDS`` bands are a
-    prefix of any larger ``n_bands`` (same planes), so raising the
-    band count only adds probes — it never changes existing keys."""
-    idx = F.sequence(F.lit(1), F.size(emb))
+    """Array of ``n_bands`` band keys: key_b = b*8 + sig_b where sig_b
+    packs the sign bits of band b's ``_PLANES_PER_BAND`` hyperplanes
+    (sig < 8, so the key is injective — no hash mixing needed, and the
+    same arithmetic is spelled verbatim in the DuckDB oracles). Explode
+    + equi-join on the key = candidate generation; a pair colliding in
+    any band becomes a candidate exactly once after pair-level
+    dropDuplicates. The first ``_N_BANDS`` bands are a prefix of any
+    larger ``n_bands`` (same planes), so raising the band count only
+    adds probes — it never changes existing keys."""
     keys = []
     for band in range(n_bands):
         sig = F.lit(0)
         for j in range(_PLANES_PER_BAND):
             plane = _N_PLANES + band * _PLANES_PER_BAND + j  # disjoint from lsh_bucket's planes
-            sig = sig + _plane_sign(emb, idx, plane) * F.lit(1 << j)
-        keys.append(F.xxhash64(F.lit(band), sig))
+            sig = sig + _plane_sign(emb, plane) * F.lit(1 << j)
+        keys.append((F.lit(band * 8) + sig).cast("long"))
     return F.array(*keys)
+
+
+def _coeff_sql(plane: int) -> str:
+    """The plane's coefficient list as a DuckDB literal — repr() round-
+    trips each double exactly, so both engines hold identical planes."""
+    return "[" + ",".join(repr(c) for c in _plane_coeffs(plane)) + "]"
+
+
+def _band_key_sql(tbl: str, band: int) -> str:
+    """DuckDB spelling of one band key: the same slice/zip/fold sign
+    arithmetic as :func:`_plane_sign` + :func:`lsh_band_keys`."""
+    bits = []
+    for j in range(_PLANES_PER_BAND):
+        plane = _N_PLANES + band * _PLANES_PER_BAND + j
+        proj = (
+            f"list_reduce(list_prepend(cast(0 as double), "
+            f"[cast({tbl}.embedding[i] as double) * ({_coeff_sql(plane)})[i] "
+            f"for i in generate_series(1, len({tbl}.embedding))]), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {proj} > 0 then {1 << j} else 0 end)")
+    return f"cast({band * 8} + {' + '.join(bits)} as bigint)"
 
 
 def _dot_sql(x: str, y: str) -> str:
@@ -254,10 +296,39 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_topk_lsh", tags=("vector", "lsh"))
+def _sim_topk_lsh_oracle(n_bands: int) -> str:
+    keys = ", ".join(_band_key_sql("e", b) for b in range(n_bands))
+    return f"""
+    with keyed as (
+      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
+    ),
+    qk as (select distinct band_key from keyed where vec_id = 0),
+    cand as (
+      select distinct k.vec_id from keyed k join qk using (band_key)
+      where k.vec_id <> 0
+    )
+    select b.vec_id, {_cos_sql('b', 'a')} as cos_sim
+    from embeddings b
+    join cand c on b.vec_id = c.vec_id
+    cross join (select embedding from embeddings where vec_id = 0) a
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """
+
+
+_LSH_TOPK_BANDS = 16
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=_sim_topk_lsh_oracle(_LSH_TOPK_BANDS),
+    tags=("vector", "lsh"),
+)
 def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded-LSH ANN top-k (rows-only check; pytest gates top-10
-    overlap vs the brute-force :func:`sim_topk`).
+    """Banded-LSH ANN top-k, hash-checked against a DuckDB oracle that
+    spells the identical banding (same literal hyperplanes, same
+    injective band keys, same fold-order cosine) in SQL — feasible
+    since the plane coefficients became engine-neutral literals.
 
     Candidates = vectors sharing >= 1 of the query's L band keys. The
     band-key equi-join against the L-row broadcast query side prunes
@@ -267,7 +338,7 @@ def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     probe side is one vector, so extra bands cost only map work while
     pushing expected recall past 0.95 at the measured top-10 cosine
     range (0.27-0.33, p^r ~ 0.21/band)."""
-    n_bands = 16
+    n_bands = _LSH_TOPK_BANDS
     e = t(spark, sf, "embeddings")
     keyed = e.select(
         "vec_id",

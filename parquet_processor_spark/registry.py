@@ -45,75 +45,30 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
 # catalog deliberately: queries whose external verification status is
-# stale-or-missing first, well-covered evergreens last. Round 4: lead
-# with the last 9 queries that have NEVER had a driver row (curation
-# quartet, streaming_dedup, tail set/window/limit ops — this finishes
-# the 151-query catalog), then the 4 repaired this round (the NTZ
-# watermark family + fn_math), then the new recall-evidence queries
-# and the multimodal_frames oracle, then the queries whose newest
-# driver row is round 1 (oldest evidence first).
+# stale-or-missing first, well-covered evergreens last. Round 5: lead
+# with the 3 queries that have NEVER had a driver row (added after
+# round 4's check ran — this closes the catalog at 163/163
+# ever-checked), then the two upgraded this round
+# (quality_unigram_rarity: empty-token + HUGEINT-sum fix;
+# sim_topk_lsh: gained a real hash-checked oracle via literal
+# hyperplanes), then new round-5 queries, then everything whose newest
+# driver row is round 1 (oldest evidence first), then the round-2 era.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # never driver-checked — closes the catalog
-    "curation_cap_per_source",
-    "curation_contamination",
-    "curation_pii_scrub",
-    "curation_repetition",
-    "streaming_dedup",
-    "limit_n",
-    "set_except_all",
-    "set_intersect_all",
-    "window_first_last",
-    # repaired this round (TIMESTAMP_NTZ watermark fix; ceil/floor cast)
-    "streaming_tumbling",
-    "streaming_session",
-    "streaming_stream_join",
-    "fn_math",
-    # new this round: recall evidence for the approximate family
-    "recall_sim_topk_lsh",
-    "recall_dedup_embedding_lsh",
-    "recall_dedup_near",
-    "recall_dedup_simhash",
-    # new this round: transitive-closure dedup (iterative CC + recursive-CTE oracle)
-    # and the corpus unigram-frequency quality scorer
-    "dedup_connected",
-    "quality_unigram_rarity",
-    "events_funnel",
-    "error_approx_distinct",
-    "dedup_connected_lsh",
-    "recall_dedup_connected_lsh",
-    "sink_sorted_roundtrip",
-    "kmeans_ivf_train",
-    "streaming_static_join",
-    # gained an oracle this round (was rows-only)
-    "multimodal_frames",
-    "sim_topk_lsh",
-    # stalest driver evidence (last row: round 1)
-    "agg_count",
-    "agg_avg",
-    "agg_median",
-    "agg_max",
-    "agg_sum",
-    "agg_multi",
-    "agg_max_by",
-    "agg_having",
-    "agg_rollup",
-    "agg_unpivot",
-    "agg_percentiles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "join_broadcast_equi",
-    "join_left_anti",
-    "join_left_semi",
-    "join_left_outer",
-    "join_full_outer",
-    "scan_parquet",
-    "project_filter_notnull",
-    "fn_string_normalize",
-    "fn_string_firstline",
-    # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    # never driver-checked — closes the catalog at 163/163
     "fn_try_arith",
     "agg_mode",
     "agg_corr",
+    # repaired this round (wrong answer r4: empty tokens + HUGEINT sum)
+    "quality_unigram_rarity",
+    # gained a hash-checked oracle this round (was rows-only):
+    # engine-neutral literal hyperplanes made the banding SQL-spellable
+    "sim_topk_lsh",
+    # stalest driver evidence (last row: round 1) — includes the
+    # rows-only tail the verdict wants re-run on current testdata
+    "dedup_near",
+    "dedup_simhash",
+    "multimodal_bytes",
+    "multimodal_resize",
     "filter_prefix",
     "filter_temporal",
     "filter_compound",
@@ -123,14 +78,62 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_parquet",
     "sink_csv_roundtrip",
     "scan_range",
-    "dedup_near",
-    "dedup_simhash",
-    "multimodal_bytes",
-    "multimodal_resize",
     "join_cross",
     "fn_concat",
     "fn_least_cast",
+    # round-2-era evidence, approximate/rows-only members first
+    "agg_approx_distinct",
+    "dedup_embedding_lsh",
+    "sim_pairs_blocked",
+    "sim_topk",
+    "sim_topk_ivf",
+    "agg_count_if",
+    "agg_ratio",
+    "agg_groupby_count",
+    "agg_cube",
+    "join_range",
+    "multimodal_features",
+    "scan_json",
+    "fn_json_extract",
+    "case_when_dispatch",
+    "filter_error_rows",
+    "sample_hash",
+    "sample_stratified",
+    "split_train_test",
+    "sample_weighted_mix",
+    "filter_by_quantile",
+    "pack_sequences",
+    "fn_array_ops",
+    "fn_map_ops",
+    "join_skew_salted",
+    "join_bucketed",
+    "union_by_name",
+    "distinct_dedup",
+    "set_intersect",
+    "agg_grouping_sets",
+    "sql_cte",
+    # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    "window_session",
+    "window_sliding",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "fn_edit_distance",
+    "q22_idle_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "bucket_range",
+    "window_running_sum",
+    "window_rank",
+    "window_lag",
+    "window_tumbling",
+    "limit_offset",
+    "topk_order_limit",
     "streaming_stateful",
+    "dedup_embedding",
 )
 
 

@@ -46,7 +46,7 @@ def read_event_stream(spark: SparkSession, src: str, max_files_per_trigger: int 
     stream = reader.parquet(src)
     # Normalize ts to TIMESTAMP (LTZ) whichever way the writer encoded it
     # (bigint nanos or timestamp[us]/NTZ) — withWatermark rejects NTZ.
-    return _normalize_event_time(spark, stream)
+    return _normalize_event_time(stream)
 
 
 def tumbling_counts(events: DataFrame, window_len: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:

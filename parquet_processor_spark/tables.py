@@ -36,11 +36,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = _normalize_event_time(spark, df)
+        df = _normalize_event_time(df)
     return df
 
 
-def _normalize_event_time(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _normalize_event_time(df: DataFrame) -> DataFrame:
     """Normalize ``ts`` to TIMESTAMP (LTZ) regardless of how the parquet
     writer encoded it — the testdata generator has shipped both INT64
     TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and plain
@@ -50,15 +50,21 @@ def _normalize_event_time(spark: SparkSession, df: DataFrame) -> DataFrame:
     "wall-clock interpreted as UTC":
 
     - bigint nanos → truncate to micros (DuckDB does the same) → LTZ.
-    - TIMESTAMP_NTZ → cast to LTZ. The NTZ→LTZ cast goes through the
-      *session* time zone, so pin it to UTC first (runtime-settable,
-      same pattern as the nanosAsLong conf above) — the cast must not
-      depend on the driver session's local zone.
+    - TIMESTAMP_NTZ → wall-clock micros since the NTZ epoch
+      (``timestampdiff`` on two NTZ operands is pure calendar
+      arithmetic, session-tz-independent) → ``timestamp_micros`` LTZ.
+      Never a plain NTZ→LTZ cast: that routes through the *session*
+      time zone, and mutating ``spark.sql.session.timeZone`` here
+      (the previous approach) made every later tz-sensitive query in
+      a foreign session depend on whether an NTZ events table had
+      been read first.
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dtype == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        df = df.withColumn("ts", F.timestamp_micros(micros))
     return df
