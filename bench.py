@@ -97,10 +97,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm-up pass: run every headline query once at the smallest SF so
-    # JIT/codegen compilation and parquet footer caches are paid before
-    # timing — the measurement below is engine throughput at the target
-    # SF, not first-run compilation latency.
+    # Warm-up: one pass at the smallest SF (pays JIT/codegen cheaply and
+    # surfaces hard failures early), then ONE UNTIMED PASS AT THE TARGET
+    # SF — sf0.1 plans compile different codegen stages and touch
+    # different parquet footers than sf0.001, so without it the first
+    # timed pass still carries session-cold costs (r4: pass-1 total
+    # 35.4 s vs steady-state 33.3 s, per-query spread up to 4x). The
+    # timed passes below then measure steady-state engine throughput.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name in HEADLINE + EXTENDED:
         try:
@@ -112,6 +115,12 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
+
+    for name in HEADLINE:
+        try:
+            run_once(name)  # untimed target-SF warm pass
+        except Exception:
+            pass
 
     n_passes = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")), 1)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -138,7 +147,16 @@ def main() -> None:
         if b and min(samples[name]) / b > 1.5:
             samples[name].append(run_once(name))
 
-    extended = {name: round(run_once(name), 3) for name in EXTENDED}
+    # Extended operators: each isolated in try/except — one failing
+    # operator records null for itself instead of aborting the whole
+    # benchmark after the headline passes already completed.
+    extended: dict[str, float | None] = {}
+    for name in EXTENDED:
+        try:
+            extended[name] = round(run_once(name), 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"EXTENDED FAILED {name}: {exc}", file=sys.stderr)
+            extended[name] = None
 
     times = {name: round(min(ts), 3) for name, ts in samples.items()}
     spread = {

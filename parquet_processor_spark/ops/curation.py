@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_processor_spark.ops.dedup import shingle_hashes, split_words
+from parquet_processor_spark.ops.dedup import (
+    _SHINGLE_DF_CAP,
+    drop_hot_shingles,
+    shingle_hashes,
+    split_words,
+)
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -106,9 +111,11 @@ def _assert_broadcastable(bench_docs: DataFrame, max_docs: int = _MAX_BENCH_DOCS
           i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
         ))) as shingle
       from documents
-    )
+    ),
+    hot as (select shingle from sh group by shingle having count(*) > {_SHINGLE_DF_CAP}),
+    shc as (select s.* from sh s anti join hot h on s.shingle = h.shingle)
     select a.doc_id, b.doc_id as bench_id, count(*) as n_shared
-    from sh a join sh b on a.shingle = b.shingle
+    from shc a join shc b on a.shingle = b.shingle
     where a.doc_id % 50 <> 0 and b.doc_id % 50 = 0
     group by a.doc_id, b.doc_id
     having count(*) >= {_MIN_SHARED}
@@ -124,21 +131,24 @@ def curation_contamination(spark: SparkSession, sf: str) -> DataFrame:
     identical counts absent 64-bit collisions).
 
     100 TB: a benchmark set is small (thousands of docs), so its
-    exploded shingles BROADCAST — the train side never shuffles at
-    all; contamination is a map-side hash probe per shingle followed
+    exploded shingles BROADCAST — the train rows never shuffle
+    (the hot-shingle df statistic shuffles distinct shingles only);
+    contamination is a map-side hash probe per shingle followed
     by one aggregation keyed on (doc, bench) pairs that actually
     collide. The broadcast assumption is a CONTRACT, enforced by
     ``_assert_broadcastable`` (limit-bounded count, so the guard
-    itself never scans more than the cap).
+    itself never scans more than the cap). Shingles above the
+    document-frequency cap are dropped first (same guard as
+    ``dedup_ngram_jaccard``): a stop-phrase trigram present in both
+    sets would otherwise fan out |train| × |bench| rows out of the
+    probe while carrying no contamination signal.
     """
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
-    bench_docs = d.where(F.col("doc_id") % 50 == 0)
-    _assert_broadcastable(bench_docs.select("doc_id"))
-    train = d.where(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    bench = bench_docs.select(
-        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("b_shingle")
+    _assert_broadcastable(d.where(F.col("doc_id") % 50 == 0).select("doc_id"))
+    sh = drop_hot_shingles(d.select("doc_id", F.explode("shingles").alias("shingle")))
+    train = sh.where(F.col("doc_id") % 50 != 0)
+    bench = sh.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("shingle").alias("b_shingle")
     )
     return (
         train.join(F.broadcast(bench), F.col("shingle") == F.col("b_shingle"))

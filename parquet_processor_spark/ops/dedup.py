@@ -76,10 +76,41 @@ def split_words(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Hot-shingle document-frequency cap: a shingle shared by d documents
+# contributes d*(d-1)/2 rows to the shingle self-join, so ONE
+# stop-phrase trigram in millions of docs turns a linear blocking join
+# quadratic. Dropping shingles with df > cap before the join bounds
+# every block at cap²/2 pairs — the standard guard for Jaccard
+# blocking (hot shingles carry no discriminative signal anyway; a
+# trigram in >1000 docs identifies boilerplate, not duplication).
+# At the test SFs max df is 25, so the cap provably changes nothing
+# locally — it exists for the 100× corpus.
+_SHINGLE_DF_CAP = 1000
+
+
+def drop_hot_shingles(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
+    """Filter exploded (doc_id, shingle) rows to shingles appearing in
+    at most ``cap`` documents.
+
+    The df statistic is one map-side-combined aggregate (the shuffle
+    carries distinct shingles per task, not occurrences); the hot list
+    it yields is tiny by construction (≤ total_occurrences/cap rows,
+    in practice a handful of stop-phrases) so the exclusion is a
+    broadcast anti join — the exploded rows themselves never shuffle
+    for the cap."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 # N2a: n-gram Jaccard near-dup — shingle join as the blocking step.
 @query(
     "dedup_ngram_jaccard",
-    oracle=r"""
+    oracle=rf"""
     with sh as (
       select doc_id, unnest(list_distinct(
         list_transform(
@@ -88,10 +119,12 @@ def split_words(spark: SparkSession, sf: str) -> DataFrame:
         ))) as shingle
       from documents
     ),
+    hot as (select shingle from sh group by shingle having count(*) > {_SHINGLE_DF_CAP}),
+    shc as (select s.* from sh s anti join hot h on s.shingle = h.shingle),
     sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
     pairs as (
       select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
-      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      from shc a join shc b on a.shingle = b.shingle and a.doc_id < b.doc_id
       group by a.doc_id, b.doc_id
     )
     select p.doc_a, p.doc_b,
@@ -118,7 +151,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # old 6.6 s cold time at sf0.1), while the shingle hash pass itself
     # is sub-second.
     sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
-    sh = d.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Jaccard numerators count only df<=cap shingles (both engines);
+    # denominators keep the full per-doc shingle count, so the capped
+    # score is a conservative lower bound of true Jaccard.
+    sh = drop_hot_shingles(d.select("doc_id", F.explode("shingles").alias("shingle")))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -458,7 +494,7 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
 
 @query(
     "dedup_connected",
-    oracle=r"""
+    oracle=rf"""
     with recursive sh as (
       select doc_id, unnest(list_distinct(
         list_transform(
@@ -467,10 +503,12 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
         ))) as shingle
       from documents
     ),
+    hot as (select shingle from sh group by shingle having count(*) > {_SHINGLE_DF_CAP}),
+    shc as (select s.* from sh s anti join hot h on s.shingle = h.shingle),
     sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
     pairs as (
       select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
-      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      from shc a join shc b on a.shingle = b.shingle and a.doc_id < b.doc_id
       group by a.doc_id, b.doc_id
     ),
     dup_pairs as (

@@ -211,6 +211,22 @@ def test_cap_per_source_uses_window_group_limit(spark):
     assert "SortMergeJoin" not in plan, f"train side shuffled for the join:\n{plan}"
 
 
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "curation_contamination"])
+def test_shingle_join_has_hot_shingle_cap(spark, name):
+    # The df>cap guard (drop_hot_shingles): the shingle self-join must
+    # be preceded by a document-frequency aggregate feeding a broadcast
+    # anti join — without it one stop-phrase shingle shared by millions
+    # of docs makes a join block quadratic at 100 TB. The exploded rows
+    # themselves must not shuffle for the cap (broadcast, not SMJ anti).
+    from parquet_processor_spark.ops.dedup import _SHINGLE_DF_CAP
+
+    plan = plan_of(spark, name)
+    assert "LeftAnti" in plan, f"{name}: no anti join for the hot-shingle cap:\n{plan}"
+    assert f"> {_SHINGLE_DF_CAP}" in plan, f"{name}: no df>cap filter:\n{plan}"
+    assert re.search(r"BroadcastHashJoin LeftAnti", plan), f"{name}: no broadcast anti:\n{plan}"
+    assert not re.search(r"SortMergeJoin LeftAnti", plan), f"{name}: cap anti join shuffles:\n{plan}"
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # K4 layout: write partitioned by a column, read with a filter on it
     # — the scan must show a PartitionFilters entry and list fewer
