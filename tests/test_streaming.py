@@ -66,6 +66,45 @@ def test_checkpoint_resume_processes_nothing_new(spark, events_dir, tmp_path):
     assert p2 is None or p2["numInputRows"] == 0
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    # T2 under growth — the reference's has_more/next_index contract
+    # (test_parquet_processor.py:377-385): a restarted run must pick up
+    # exactly the data that arrived since the last committed offset,
+    # not reprocess history and not skip the delta.
+    d = str(tmp_path / "grow")
+    ev = t(spark, SF_SMALL, "events")
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    even.coalesce(1).write.mode("append").parquet(d)
+    ck = str(tmp_path / "ck_grow")
+    out = str(tmp_path / "grow_out")
+
+    def run() -> None:
+        q = (
+            read_event_stream(spark, d, max_files_per_trigger=10)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)  # durable sink: supports resume
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {r["event_id"] for r in even.collect()}
+    # growth between runs: a new file lands in the source directory
+    odd.coalesce(1).write.mode("append").parquet(d)
+    run()
+    second = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    # the delta, the whole delta, nothing but the delta — no reprocessing
+    # (exactly-once sink: re-reading history would duplicate even ids,
+    # caught by the count)
+    assert second - first == {r["event_id"] for r in odd.collect()}
+    assert spark.read.parquet(out).count() == even.count() + odd.count()
+
+
 def test_dead_letter_split(spark, events_dir, tmp_path):
     stream = read_event_stream(spark, events_dir)
     q = run_with_dead_letter(
