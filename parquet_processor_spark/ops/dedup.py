@@ -452,17 +452,21 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
     join — see :func:`dedup_connected`).
 
     Iterative DataFrame algorithm (the one family where a driver-side
-    loop is the right Spark shape): each round is ONE shuffle — labels
-    join edges on src, min-aggregate per dst, merge with the previous
-    labels — and the loop stops when a round changes nothing. Rounds
-    needed = graph diameter; near-dup clusters are quasi-cliques
-    (diameter 1-3), so 2-4 rounds in practice. At 100 TB: labels are
-    two longs per node; the (possibly expensive) edge lineage is
-    materialized exactly ONCE up front, and localCheckpoint each round
-    cuts the growing label lineage so round N's plan does not replay
-    rounds 1..N-1; for adversarial long-chain graphs swap the
-    propagation step for large-star/small-star (same per-round join
-    shape, O(log d) rounds).
+    loop is the right Spark shape): each round is two keyed shuffles —
+    (1) min-label propagation: labels join edges on src, min-aggregate
+    per dst, merge with the previous labels; (2) POINTER JUMPING
+    (path halving): label ← label(label), a self-join on the label
+    table. Step 1 alone needs diameter rounds, so an adversarial
+    long-chain pair graph (diameter 1000 → 1000 rounds) would blow any
+    iteration cap; step 2 halves every label chain each round, so the
+    combination converges in O(log diameter) rounds — the 50-round cap
+    then covers diameters past 2^40 instead of 50. Near-dup clusters
+    are quasi-cliques (diameter 1-3): 2-4 rounds in practice either
+    way; the jump step is what makes the worst case safe. At 100 TB:
+    labels are two longs per node; the (possibly expensive) edge
+    lineage is materialized exactly ONCE up front, and localCheckpoint
+    each round cuts the growing label lineage so round N's plan does
+    not replay rounds 1..N-1.
     """
     edges = edges.localCheckpoint()  # eager-by-design: everything below reuses the edge list every round — pay its lineage once
     und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
@@ -477,16 +481,31 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("n_min"))
         )
-        merged = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+        merged = labels.join(neighbor_min, labels["node"] == F.col("node2"), "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("n_min"), F.col("label"))).alias("label"),
+        )
+        # Pointer jump: label ← label's own label. Labels only ever
+        # decrease (min semilattice), so jumping never overshoots the
+        # component minimum — it just shortcuts chains.
+        parent = merged.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
+        jumped = merged.join(parent, merged["label"] == F.col("p_node"), "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
+                "new_label"
+            ),
+        )
+        old = labels.select(F.col("node").alias("o_node"), F.col("label").alias("o_label"))
+        stepped = (
+            jumped.join(old, jumped["node"] == F.col("o_node"))
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("n_min"), F.col("label"))).alias("label"),
-                (F.col("n_min") < F.col("label")).alias("improved"),
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("o_label")).alias("improved"),
             )
         ).localCheckpoint()  # eager-by-design: cut per-round lineage
-        changed = merged.where(F.col("improved")).limit(1).count()  # eager-by-design: fixpoint test
-        labels = merged.select("node", "label")
+        changed = stepped.where(F.col("improved")).limit(1).count()  # eager-by-design: fixpoint test
+        labels = stepped.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {_CC_MAX_ITERS} rounds")

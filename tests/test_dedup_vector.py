@@ -228,6 +228,20 @@ def test_connected_components_closes_long_chains(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
 
 
+def test_connected_components_adversarial_diameter(spark):
+    # A 400-node path graph (diameter 399): pure min-label propagation
+    # needs 399 rounds and would blow the 50-round cap; the pointer-jump
+    # (path-halving) step closes it in O(log d) rounds. This is the
+    # "pathological corpus" failure mode — a duplication chain rather
+    # than a quasi-clique.
+    from parquet_processor_spark.ops.dedup import connected_components
+
+    n = 400
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(None, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_dedup_connected_merges_transitive_clusters(spark, sf_dir):
     # Every direct near-dup pair must land in one cluster, and cluster
     # ids must be the cluster minimum.
