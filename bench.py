@@ -87,6 +87,8 @@ EXTENDED = [
     "curation_contamination",
     "curation_pii_scrub",
     "curation_repetition",
+    "dedup_containment",
+    "doc_chunk_windows",
 ]
 
 

@@ -175,6 +175,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# N2a': shingle containment — |A∩B| / min(|A|,|B|). Jaccard misses
+# SUBSET duplication (a long doc quoting a short one whole scores low
+# Jaccard because the union is large); containment is the standard
+# complement for quote/inclusion detection. Same capped shingle join —
+# only the denominator changes.
+_CONTAINMENT_TAU = 0.6
+
+
+@query(
+    "dedup_containment",
+    oracle=rf"""
+    with sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    ),
+    hot as (select shingle from sh group by shingle having count(*) > {_SHINGLE_DF_CAP}),
+    shc as (select s.* from sh s anti join hot h on s.shingle = h.shingle),
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+      from shc a join shc b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select p.doc_a, p.doc_b,
+           cast(p.n_common as double) / least(sa.n_sh, sb.n_sh) as containment
+    from pairs p
+      join sizes sa on p.doc_a = sa.doc_id
+      join sizes sb on p.doc_b = sb.doc_id
+    where cast(p.n_common as double) / least(sa.n_sh, sb.n_sh) >= {_CONTAINMENT_TAU}
+    """,
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment near-dup pairs: |shared shingles| / min(|A|, |B|)
+    >= tau — catches a short doc embedded whole in a long one, which
+    Jaccard's union denominator dilutes below any usable threshold.
+    Identical plan shape (and hot-shingle df cap) as
+    :func:`dedup_ngram_jaccard`; one extra ``least``."""
+    d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
+    sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
+    sh = drop_hot_shingles(d.select("doc_id", F.explode("shingles").alias("shingle")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(cont >= _CONTAINMENT_TAU)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+    )
+
+
 # N2b: MinHash + LSH banding. k=12 xxhash64 minhashes (numeric min of
 # xxhash64(xxhash64(shingle), seed)), b=6 bands × r=2 rows. Candidate
 # pairs = docs sharing any band signature. Each shingle is hashed ONCE
@@ -581,6 +644,60 @@ def dedup_connected(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         F.coalesce(F.col("label") < F.col("doc_id"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    return rf"""
+    with ranked as (
+      select l.doc_id, l.cluster_id, d.n_chars,
+             row_number() over (partition by l.cluster_id
+                                order by d.n_chars desc, l.doc_id) as rk
+      from ( {_ORACLES['dedup_connected']} ) l
+      join documents d on l.doc_id = d.doc_id
+    )
+    select r.doc_id, r.cluster_id, k.keep_id, (r.doc_id = k.keep_id) as is_kept
+    from ranked r
+    join (select cluster_id, doc_id as keep_id from ranked where rk = 1) k
+      on r.cluster_id = k.cluster_id
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle(), tags=("dedup", "graph", "curation"))
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical selection: within each transitive-closure dup cluster
+    keep the HIGHEST-QUALITY document (longest, tie → lowest doc_id),
+    not the lowest-id one — what a production pipeline actually wants
+    (the first crawl of a page is often the truncated one). Quality
+    here is n_chars standing in for any scoring column.
+
+    Composition: closure labels (:func:`dedup_connected`) joined with
+    the quality column, then one map-side-combined ``max_by`` per
+    cluster (argmax via struct ordering — (quality, -doc_id) — so the
+    tiebreak is deterministic cross-engine), and the k-row keep table
+    joins back by cluster_id. At 100 TB the argmax shuffles one row
+    per cluster per task; the full corpus crosses the wire once.
+    """
+    labels = dedup_connected(spark, sf).select("doc_id", "cluster_id")
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    joined = labels.join(docs, "doc_id")
+    keep = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t")),
+        ).alias("keep_id")
+    )
+    return (
+        joined.select("doc_id", "cluster_id")
+        .join(keep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keep_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        )
     )
 
 

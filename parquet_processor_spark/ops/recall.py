@@ -157,6 +157,45 @@ def error_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "error_approx_quantile",
+    oracle="select cast(count(*) as bigint) as n_rows, true as within_err from lineitem",
+    tags=("agg", "approx", "evidence"),
+)
+def error_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Greenwald-Khanna approximate-percentile error gate: the RANK of
+    each approx value (p50/p95 of l_extendedprice at accuracy 1/1000)
+    must sit within 0.005 of its target rank — 5x the sketch's epsilon,
+    so the boolean is a stable fact, not a flaky measurement. Rank
+    error, not value error: value distance is scale-dependent while
+    rank distance is the quantity the sketch actually bounds.
+
+    Two passes in one plan: the 1-row sketch aggregate broadcasts back
+    against the scan (the filter_by_quantile pattern — no driver-side
+    scalar), then one rank-counting aggregate. At 100 TB both passes
+    are map-side-combined scans; nothing shuffles but partial aggs."""
+    li = t(spark, sf, "lineitem").select("l_extendedprice")
+    ap = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("ap")
+    )
+    eps = 0.005
+    return (
+        li.crossJoin(F.broadcast(ap))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap")[0], 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap")[1], 1).otherwise(0)).alias("r95"),
+        )
+        .select(
+            "n_rows",
+            (
+                (F.abs(F.col("r50") / F.col("n_rows") - 0.5) <= eps)
+                & (F.abs(F.col("r95") / F.col("n_rows") - 0.95) <= eps)
+            ).alias("within_err"),
+        )
+    )
+
+
+@query(
     "recall_dedup_connected_lsh",
     oracle="select count(*) as n_docs, true as agree_ok from documents",
     tags=("dedup", "graph", "lsh", "evidence"),

@@ -183,6 +183,58 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# N4d: passage chunking — split every document into overlapping
+# word-window chunks (the retrieval-corpus / context-packing prep step:
+# fixed window W, stride S, last window clamped). Pure array arithmetic
+# on both engines; the chunk count is exact integer math so the row set
+# is deterministic.
+_CHUNK_W = 32
+_CHUNK_S = 16
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=rf"""
+    with w as (
+      select doc_id, regexp_split_to_array(text, '\s+') as words from documents
+    )
+    select doc_id,
+           cast(k as bigint) as chunk_id,
+           cast(len(words[k*{_CHUNK_S}+1 : k*{_CHUNK_S}+{_CHUNK_W}]) as bigint) as n_chunk_words,
+           array_to_string(words[k*{_CHUNK_S}+1 : k*{_CHUNK_S}+{_CHUNK_W}], ' ') as chunk_text
+    from w, unnest(generate_series(0,
+         (greatest(len(words) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) // {_CHUNK_S})) as t(k)
+    """,
+    tags=("text", "curation"),
+)
+def doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping word-window chunks per document (window ``_CHUNK_W``
+    words, stride ``_CHUNK_S``); the last chunk clamps at the doc end.
+
+    100 TB shape: a narrow map-only explode — each row fans out to
+    ceil(max(n-W,0)/S)+1 chunks with zero shuffle; chunk text is built
+    by array slice inside codegen (the words array is bound to a
+    column once, so the slice lambda reads an attribute, same pattern
+    as word_shingles). Downstream embedding/packing stages key chunks
+    by (doc_id, chunk_id) — a deterministic, rerunnable identity.
+    """
+    n_last = F.expr(
+        f"(greatest(size(words) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) div {_CHUNK_S}"
+    )
+    chunk = F.slice(F.col("words"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", r"\s+").alias("words"))
+        .select("doc_id", "words", F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_words"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
 # N4e: corpus-statistics quality scoring — every doc scored against a
 # unigram term-frequency model built FROM the corpus itself in the
 # same plan (the exact-arithmetic analog of a unigram log-prob /

@@ -63,6 +63,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # gained a hash-checked oracle this round (was rows-only):
     # engine-neutral literal hyperplanes made the banding SQL-spellable
     "sim_topk_lsh",
+    # new this round — canonical selection, containment dedup, passage
+    # chunking, GK-quantile error gate
+    "dedup_keep_best",
+    "dedup_containment",
+    "doc_chunk_windows",
+    "error_approx_quantile",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
