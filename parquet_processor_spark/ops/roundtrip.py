@@ -79,6 +79,89 @@ def sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # predicate prunes whole files (footer stats) and whole row groups
 # inside the survivors. The oracle replays the filtered scan on the
 # source table — proving the clustered write+filtered read is exact.
+# Z-order (Morton) clustered layout: interleave the bits of two filter
+# columns and sort the files by the interleaved key. A single-column
+# sort gives parquet footer stats a narrow range on THAT column only —
+# the other column's per-file min/max stays global-width and prunes
+# nothing. Z-ordering makes BOTH columns' per-file ranges narrow, so a
+# 2D box predicate skips files/row groups on each dimension — the
+# standard multi-dimensional data-skipping layout at 100 TB (what
+# Delta/Iceberg expose as OPTIMIZE ZORDER, here as plain DataFrame
+# ops). Both dims are first NORMALIZED to a fixed 16-bit width by
+# max-scaling (via a broadcast 1-row agg — no driver scalar): raw
+# interleave of unequal-width keys degenerates into a sort on the wide
+# key alone, because the narrow key contributes no high bits. The
+# z-key orders the write; it is dropped before the write and never
+# part of the data, so the oracle is a plain box-filter SELECT.
+_Z_BITS = 16
+
+
+def zorder_key(a, b, a_max, b_max, bits: int = _Z_BITS):
+    """Morton key of two non-negative integer columns, each max-scaled
+    to ``bits`` width (``a_max``/``b_max`` are Columns, e.g. from a
+    broadcast agg). Pure integer arithmetic — deterministic."""
+    hi = F.lit(1 << bits)
+    an = (a.cast("long") * hi / (a_max.cast("long") + 1)).cast("long")
+    bn = (b.cast("long") * hi / (b_max.cast("long") + 1)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftright(an, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        z = z + F.shiftright(bn, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+    return z
+
+
+@query(
+    "sink_zorder_roundtrip",
+    oracle="""
+    select l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    from lineitem
+    where l_partkey between (select max(l_partkey) * 0.1 from lineitem)
+                        and (select max(l_partkey) * 0.3 from lineitem)
+      and l_suppkey between (select max(l_suppkey) * 0.2 from lineitem)
+                        and (select max(l_suppkey) * 0.5 from lineitem)
+    """,
+    tags=("sink", "layout"),
+)
+def sink_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write lineitem z-ordered on (l_partkey, l_suppkey), read back
+    through a 2D box filter (bounds are fractions of each key's max, so
+    the query is meaningful at every SF). tests/test_plan_quality.py
+    verifies the layout claim directly on the parquet footers: per-file
+    min/max is narrow on BOTH dimensions and the box skips files."""
+    out = tempfile.mkdtemp(prefix="ppspark_sink_zorder_")
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    li = t(spark, sf, "lineitem").select(*cols)
+    maxes = li.agg(
+        F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+    )
+    (
+        li.crossJoin(F.broadcast(maxes))
+        .withColumn(
+            "_z",
+            zorder_key(
+                F.col("l_partkey"), F.col("l_suppkey"), F.col("max_p"), F.col("max_s")
+            ),
+        )
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .select(*cols)  # layout key ordered the rows; not part of the data
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    bounds = back.agg(
+        F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+    )
+    return (
+        back.crossJoin(F.broadcast(bounds))
+        .where(
+            F.col("l_partkey").between(F.col("max_p") * 0.1, F.col("max_p") * 0.3)
+            & F.col("l_suppkey").between(F.col("max_s") * 0.2, F.col("max_s") * 0.5)
+        )
+        .select(*cols)
+    )
+
+
 @query(
     "sink_sorted_roundtrip",
     oracle="""

@@ -69,6 +69,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "doc_chunk_windows",
     "error_approx_quantile",
+    "sink_zorder_roundtrip",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -298,6 +298,63 @@ def test_no_driver_actions_under_ops():
     assert not offenders, f"driver-side action in ops/ (use a 1-row broadcast join): {offenders}"
 
 
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
+    # The z-order claim: after Morton-key clustering, EACH file's
+    # footer min/max is narrow on BOTH columns, so a 2D box predicate
+    # can skip files on either dimension. A single-column sort leaves
+    # the secondary column's per-file range at full width (prunes
+    # nothing); the z-layout must (a) let the box skip at least one
+    # file and (b) beat the linear layout on secondary-column width.
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.roundtrip import zorder_key
+    from parquet_processor_spark.tables import t
+
+    cols = ["l_partkey", "l_suppkey"]
+    base = t(spark, SF_SMALL, "lineitem").select(*cols)
+
+    def file_ranges(out: str) -> list[dict]:
+        ranges = []
+        for p in sorted(Path(out).glob("*.parquet")):
+            md = pq.ParquetFile(str(p)).metadata
+            lo = {c: min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+                  for i, c in enumerate(cols)}
+            hi = {c: max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+                  for i, c in enumerate(cols)}
+            ranges.append({c: (lo[c], hi[c]) for c in cols})
+        return ranges
+
+    z_out = str(tmp_path / "zorder")
+    maxes = base.agg(F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s"))
+    base.crossJoin(F.broadcast(maxes)).withColumn(
+        "_z",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey"), F.col("max_p"), F.col("max_s")),
+    ).repartitionByRange(8, "_z").sortWithinPartitions("_z").select(*cols).write.parquet(z_out)
+    lin_out = str(tmp_path / "linear")
+    base.repartitionByRange(8, "l_partkey").sortWithinPartitions("l_partkey").write.parquet(
+        lin_out
+    )
+    z_ranges, lin_ranges = file_ranges(z_out), file_ranges(lin_out)
+    mp, ms = maxes.collect()[0]
+    box = {"l_partkey": (0.1 * mp, 0.3 * mp), "l_suppkey": (0.2 * ms, 0.5 * ms)}
+
+    def hits(ranges):
+        return sum(
+            all(r[c][0] <= box[c][1] and r[c][1] >= box[c][0] for c in cols) for r in ranges
+        )
+
+    assert hits(z_ranges) < len(z_ranges), "z-order box filter skipped no files"
+    # secondary-dimension clustering: mean per-file suppkey width under
+    # z-order must be well below the linear layout's (which is ~global)
+    def mean_width(ranges, c):
+        return sum(r[c][1] - r[c][0] for r in ranges) / len(ranges)
+
+    assert mean_width(z_ranges, "l_suppkey") < 0.7 * mean_width(lin_ranges, "l_suppkey")
+
+
 def test_sorted_roundtrip_filter_pushed_to_clustered_scan(spark, sf_dir):
     # The read side of the clustered-layout roundtrip must push the
     # date-range predicate into the parquet scan — that pushdown is what
