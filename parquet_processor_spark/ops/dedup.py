@@ -502,6 +502,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # pipelines end in a connected-components pass over the candidate
 # pair graph.
 _CC_MAX_ITERS = 50
+# Rounds before the pointer-jump join joins in: quasi-clique dedup
+# graphs converge inside these cheap propagation-only rounds; anything
+# still unconverged is chain-shaped and needs the O(log d) jumps.
+_CC_JUMP_AFTER = 3
 
 
 def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame:
@@ -515,21 +519,22 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
     join — see :func:`dedup_connected`).
 
     Iterative DataFrame algorithm (the one family where a driver-side
-    loop is the right Spark shape): each round is two keyed shuffles —
-    (1) min-label propagation: labels join edges on src, min-aggregate
-    per dst, merge with the previous labels; (2) POINTER JUMPING
-    (path halving): label ← label(label), a self-join on the label
-    table. Step 1 alone needs diameter rounds, so an adversarial
-    long-chain pair graph (diameter 1000 → 1000 rounds) would blow any
-    iteration cap; step 2 halves every label chain each round, so the
-    combination converges in O(log diameter) rounds — the 50-round cap
-    then covers diameters past 2^40 instead of 50. Near-dup clusters
-    are quasi-cliques (diameter 1-3): 2-4 rounds in practice either
-    way; the jump step is what makes the worst case safe. At 100 TB:
-    labels are two longs per node; the (possibly expensive) edge
-    lineage is materialized exactly ONCE up front, and localCheckpoint
-    each round cuts the growing label lineage so round N's plan does
-    not replay rounds 1..N-1.
+    loop is the right Spark shape). Each round: (1) min-label
+    propagation — labels join edges on src, min-aggregate per dst,
+    merge with the previous labels (one keyed shuffle); (2) from round
+    ``_CC_JUMP_AFTER`` on, POINTER JUMPING (path halving): label ←
+    label(label), a self-join on the label table. Step 1 alone needs
+    diameter rounds, so an adversarial long-chain pair graph (diameter
+    1000 → 1000 rounds) would blow any iteration cap; the jump step
+    halves every label chain per round, so the combination converges
+    in O(log diameter) — the 50-round cap then covers diameters past
+    2^40 instead of 50. Near-dup clusters are quasi-cliques (diameter
+    1-3) that converge within the cheap propagation-only rounds, which
+    is why the jump join is deferred rather than paid from round one.
+    At 100 TB: labels are two longs per node; the (possibly expensive)
+    edge lineage is materialized exactly ONCE up front, and
+    localCheckpoint each round cuts the growing label lineage so round
+    N's plan does not replay rounds 1..N-1.
     """
     edges = edges.localCheckpoint()  # eager-by-design: everything below reuses the edge list every round — pay its lineage once
     und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
@@ -538,7 +543,7 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
     if nodes is None:
         nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()  # eager-by-design: iterative seed
-    for _ in range(_CC_MAX_ITERS):
+    for rnd in range(_CC_MAX_ITERS):
         neighbor_min = (
             und.join(labels, und["a"] == labels["node"])
             .groupBy(F.col("b").alias("node2"))
@@ -548,23 +553,26 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
             "node",
             F.least(F.col("label"), F.coalesce(F.col("n_min"), F.col("label"))).alias("label"),
         )
-        # Pointer jump: label ← label's own label. Labels only ever
-        # decrease (min semilattice), so jumping never overshoots the
-        # component minimum — it just shortcuts chains.
-        parent = merged.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
-        jumped = merged.join(parent, merged["label"] == F.col("p_node"), "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
-                "new_label"
-            ),
-        )
+        if rnd >= _CC_JUMP_AFTER:
+            # Pointer jump: label ← label's own label. Labels only ever
+            # decrease (min semilattice), so jumping never overshoots
+            # the component minimum — it just shortcuts chains.
+            parent = merged.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            merged = merged.join(parent, merged["label"] == F.col("p_node"), "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
         old = labels.select(F.col("node").alias("o_node"), F.col("label").alias("o_label"))
         stepped = (
-            jumped.join(old, jumped["node"] == F.col("o_node"))
+            merged.join(old, merged["node"] == F.col("o_node"))
             .select(
                 "node",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") < F.col("o_label")).alias("improved"),
+                "label",
+                (F.col("label") < F.col("o_label")).alias("improved"),
             )
         ).localCheckpoint()  # eager-by-design: cut per-round lineage
         changed = stepped.where(F.col("improved")).limit(1).count()  # eager-by-design: fixpoint test

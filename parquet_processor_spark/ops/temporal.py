@@ -150,6 +150,56 @@ def window_session(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Event-level sessionization: label EVERY event with its user-session
+# ordinal (gaps-and-islands) — the per-event complement of
+# window_session's per-session aggregate (downstream training
+# pipelines key sequence packing by (user, session_seq), which needs
+# the label on the row, not the session summary).
+@query(
+    "sessionize_events",
+    oracle="""
+    with marked as (
+      select event_id, user_id, ts,
+             case when lag(ts) over w is null
+                       or ts - lag(ts) over w > interval 15 minutes
+                  then 1 else 0 end as new_sess
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    )
+    select event_id, user_id,
+           cast(sum(new_sess) over (partition by user_id order by ts, event_id
+                                    rows between unbounded preceding and current row)
+                as bigint) as session_seq
+    from marked
+    """,
+    tags=("temporal", "window", "session"),
+)
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign each event its per-user session ordinal: a session break
+    is a gap > 15 min from the previous event (ties broken by
+    event_id, so the labeling is deterministic).
+
+    Gap arithmetic runs on ``unix_micros`` — exact integer micros, the
+    same resolution DuckDB's interval comparison uses; casting ts to
+    seconds would truncate and disagree on sub-second boundary gaps.
+
+    100 TB: one hash shuffle on user_id; the lag window and the
+    running-sum window share that partitioning (single Exchange in the
+    plan), and neither ever funnels through a global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.unix_micros(F.col("ts")) - lag_us > 900_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t(spark, sf, "events")
+        .select("event_id", "user_id", "ts", new_sess.alias("new_sess"))
+        .select("event_id", "user_id", F.sum("new_sess").over(wc).alias("session_seq"))
+    )
+
+
 # Sliding windows: 10-minute windows sliding every 5 — each event lands
 # in exactly 2 windows. The oracle expands the two window starts per
 # event (time_bucket minus k slides) and re-aggregates.

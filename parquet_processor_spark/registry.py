@@ -70,6 +70,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "doc_chunk_windows",
     "error_approx_quantile",
     "sink_zorder_roundtrip",
+    "sessionize_events",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -151,6 +151,16 @@ def test_stratified_window_shuffles_once_on_stratum(spark, name):
     assert re.search(r"hashpartitioning\(lang", plan), f"{name}: shuffle not keyed on stratum:\n{plan}"
 
 
+def test_sessionize_shuffles_once_on_user(spark):
+    # Both windows (lag and running sum) must share one user_id hash
+    # exchange — and never a global single-partition sort.
+    plan = plan_of(spark, "sessionize_events")
+    assert "SinglePartition" not in plan, f"global window:\n{plan}"
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"expected one shuffle:\n{plan}"
+    assert re.search(r"hashpartitioning\(user_id", plan), f"shuffle not keyed on user_id:\n{plan}"
+
+
 def _single_partition_sorts(plan: str) -> list[str]:
     """Tree lines where an Exchange SinglePartition feeds a Sort/Window.
 
