@@ -196,6 +196,33 @@ def error_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_sketch_merge",
+    oracle="select cast(count(distinct user_id) as bigint) as n_exact, true as within_err from events",
+    tags=("agg", "approx", "sketch", "evidence"),
+)
+def agg_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch distinct: one DataSketches HLL sketch per day
+    (``hll_sketch_agg``), merged at query time (``hll_union_agg``) into
+    a corpus-wide estimate — gated within 15% of exact. This is THE
+    incremental-distinct pattern at 100 TB: per-partition/per-day
+    sketches are built once at ingest (kilobytes each), and any date
+    range's cardinality is a union of sketches instead of a re-scan;
+    the union is register-wise max — commutative, associative, and
+    deterministic for a fixed input set, so the gate is stable."""
+    ev = t(spark, sf, "events")
+    merged = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_approx"))
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_exact", (err <= 0.15).alias("within_err")
+    )
+
+
+@query(
     "recall_dedup_connected_lsh",
     oracle="select count(*) as n_docs, true as agree_ok from documents",
     tags=("dedup", "graph", "lsh", "evidence"),

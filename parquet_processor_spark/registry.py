@@ -71,6 +71,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "error_approx_quantile",
     "sink_zorder_roundtrip",
     "sessionize_events",
+    "agg_sketch_merge",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -44,7 +44,9 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "join_skew_salted", "sim_topk", "text_stats",
          "window_row_number", "curation_cap_per_source",
          "curation_repetition", "curation_contamination", "streaming_dedup",
-         "dedup_connected", "recall_dedup_near"]
+         "dedup_connected", "recall_dedup_near",
+         "sessionize_events", "doc_chunk_windows", "dedup_keep_best",
+         "sim_topk_lsh"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     times = {}
     for name in NAMES:
