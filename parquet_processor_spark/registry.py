@@ -72,6 +72,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_zorder_roundtrip",
     "sessionize_events",
     "agg_sketch_merge",
+    "streaming_sliding",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

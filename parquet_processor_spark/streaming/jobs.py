@@ -70,6 +70,28 @@ def tumbling_counts(events: DataFrame, window_len: str = "10 minutes", watermark
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T6: watermarked SLIDING window — each event lands in
+    window_len/slide windows (expanded map-side), then the same
+    bounded-state aggregate as the tumbling job."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
     """T6: session windows per user (gap-based)."""
     return (

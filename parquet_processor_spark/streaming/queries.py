@@ -26,6 +26,7 @@ from parquet_processor_spark.registry import query
 from parquet_processor_spark.streaming.jobs import (
     read_event_stream,
     session_counts,
+    sliding_counts,
     stateful_user_totals,
     stream_dedup_keys,
     tumbling_counts,
@@ -107,6 +108,22 @@ def streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 def streaming_session(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(session_counts(events), "complete")
+
+
+@query(
+    "streaming_sliding",
+    oracle="""
+    select time_bucket(interval 5 minutes, ts) - k * interval 5 minutes as window_start,
+           count(*) as n_events,
+           cast(round(sum(cast(value as decimal(18,6))), 4) as double) as total_value
+    from events cross join (values (0), (1)) as offsets(k)
+    group by 1
+    """,
+    tags=("streaming", "sliding"),
+)
+def streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    return _run_stream(sliding_counts(events), "complete")
 
 
 @query(
