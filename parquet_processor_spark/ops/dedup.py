@@ -409,11 +409,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     deduplicated candidate pairs, so the wide column crosses the wire
     once per surviving pair side instead of L times per row.
     """
-    from parquet_processor_spark.ops.vector import cosine, lsh_band_keys
+    from parquet_processor_spark.ops.vector import cosine, lsh_band_keys_arrow
 
     e = t(spark, sf, "embeddings")
     keyed = e.select(
-        "vec_id", F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key")
+        "vec_id", F.explode(lsh_band_keys_arrow()(F.col("embedding"))).alias("band_key")
     )
     a = keyed.alias("a")
     b = keyed.alias("b")

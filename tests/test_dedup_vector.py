@@ -228,6 +228,29 @@ def test_connected_components_closes_long_chains(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
 
 
+def test_arrow_band_keys_bit_exact_with_jvm(spark, sf_dir):
+    # The Arrow sketch kernel must produce the IDENTICAL band keys as
+    # the JVM fold for every vector — np.cumsum is a sequential left
+    # fold by spec, so any divergence means the kernel no longer
+    # matches the DuckDB oracles and the LSH family's hash checks are
+    # silently invalid.
+    from parquet_processor_spark.ops.vector import lsh_band_keys, lsh_band_keys_arrow
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    jvm = {
+        r["vec_id"]: list(r["k"])
+        for r in e.select("vec_id", lsh_band_keys(F.col("embedding"), 16).alias("k")).collect()
+    }
+    arw = {
+        r["vec_id"]: list(r["k"])
+        for r in e.select(
+            "vec_id", lsh_band_keys_arrow(16)(F.col("embedding")).alias("k")
+        ).collect()
+    }
+    assert jvm == arw
+
+
 def test_connected_components_adversarial_diameter(spark):
     # A 400-node path graph (diameter 399): pure min-label propagation
     # needs 399 rounds and would blow the 50-round cap; the pointer-jump
