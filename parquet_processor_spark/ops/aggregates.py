@@ -380,3 +380,66 @@ def agg_corr(spark: SparkSession, sf: str) -> DataFrame:
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
     return g.select("l_returnflag", "n", corr.alias("corr_qty_disc"))
+
+
+# Integrity checksum — the Spark analog of the reference's per-segment
+# artifact verification (evaluate_test_run.py:24-29 checks each segment
+# parquet for required columns and row counts before aggregation): a
+# per-bucket row-fingerprint manifest that two sides of a pipeline
+# (writer and reader, or two replicas) can diff without moving data.
+# Only integer/string/date columns feed the fingerprint — float
+# formatting is engine-dependent, keys and flags are what identity
+# means. md5 is the cross-engine hash (doc_fingerprint policy).
+@query(
+    "table_checksum",
+    oracle="""
+    with fp as (
+      select l_orderkey % 8 as bucket,
+             md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                           l_returnflag, l_linestatus,
+                           strftime(l_shipdate, '%Y-%m-%d'))) as fp
+      from lineitem
+    )
+    select bucket,
+           count(*) as n_rows,
+           count(distinct fp) as n_distinct,
+           min(fp) as min_fp,
+           max(fp) as max_fp
+    from fp group by bucket
+    """,
+    tags=("agg", "integrity"),
+)
+def table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bucket (orderkey mod 8) integrity manifest over lineitem.
+
+    100 TB shape: the fingerprint is computed map-side inside codegen;
+    the aggregate shuffles 8 grouping keys with map-side combine for
+    count/min/max (count distinct adds one expand pass — still keyed
+    by bucket, never a global sort). Manifests from independent runs
+    or replicas compare with an 8-row diff. At a real deployment the
+    bucket count scales with the table (e.g. one manifest row per
+    partition-day), keeping each bucket's hash population small.
+    """
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        )
+    )
+    return (
+        t(spark, sf, "lineitem")
+        .select((F.col("l_orderkey") % 8).alias("bucket"), fp.alias("fp"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )

@@ -242,3 +242,40 @@ def recall_dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return exact.join(lsh, F.col("doc_id") == F.col("l_id")).agg(
         n.alias("n_docs"), _gate(same, n, 0.9).alias("agree_ok")
     )
+
+
+@query(
+    "error_minhash_estimate",
+    oracle=(
+        "select count(*) as n_pairs, true as mae_ok, true as max_err_ok "
+        f"from ({_ORACLES['dedup_ngram_jaccard']})"
+    ),
+    tags=("dedup", "lsh", "evidence"),
+)
+def error_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimation-error gate for the MinHash signature itself: on every
+    TRUE near-dup pair (exact capped-shingle Jaccard >= 0.2), compare
+    the K-minhash agreement estimate (`dedup_near`'s est_jaccard) to
+    the exact Jaccard. Gates: mean |est - exact| <= 0.25 and
+    max |est - exact| <= 0.6 (K=12 gives sd ~= sqrt(J(1-J)/K) <= 0.15,
+    so both bounds hold with wide margin; a pair the LSH banding missed
+    entirely counts as est = 0 — the recall gate says there are none,
+    this gate would surface it as max error if that ever regressed).
+    Complements the recall_* family: recall says the candidates are
+    found, this says the similarity VALUES the sketch reports are
+    trustworthy — what a production pipeline thresholds on."""
+    exact = dedup.dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b", "jaccard")
+    est = dedup.dedup_near(spark, sf).select(
+        F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b"), "est_jaccard"
+    )
+    err = F.abs(F.coalesce(F.col("est_jaccard"), F.lit(0.0)) - F.col("jaccard"))
+    return (
+        exact.join(
+            est, (F.col("doc_a") == F.col("e_a")) & (F.col("doc_b") == F.col("e_b")), "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.coalesce(F.avg(err) <= 0.25, F.lit(True))).alias("mae_ok"),
+            (F.coalesce(F.max(err) <= 0.6, F.lit(True))).alias("max_err_ok"),
+        )
+    )

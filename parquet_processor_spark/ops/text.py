@@ -294,3 +294,149 @@ def quality_unigram_rarity(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_freq"),
         )
     )
+
+
+def _corpus_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, tok) with empty tokens dropped — the shared tokenizer
+    for the corpus-statistics scorers (same normalization as
+    quality_unigram_rarity so the family can never diverge)."""
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+_TOK_CTE = r"""
+    tok as (
+      select doc_id, tok from (
+        select doc_id, unnest(regexp_split_to_array(text, '\s+')) as tok
+        from documents
+      ) where tok <> ''
+    )
+"""
+
+
+# N4f: per-document top TF-IDF term — the keyword-extraction /
+# salience-scoring step of a curation pipeline. idf is the LINEAR
+# ratio N/df (not log): tf * (N/df) is two IEEE operations in a fixed
+# order, so the double matches the oracle bitwise, where a transcendental
+# ln() could differ in the last ulp between libm builds.
+@query(
+    "quality_tfidf",
+    oracle=rf"""
+    with {_TOK_CTE},
+    tf as (select doc_id, tok, count(*) as tf from tok group by doc_id, tok),
+    dfreq as (select tok, count(*) as df from tf group by tok),
+    n as (select count(*) as n_docs from documents),
+    scored as (
+      select t.doc_id, t.tok, t.tf,
+             cast(t.tf as double) * (cast(n.n_docs as double) / cast(d.df as double))
+               as score
+      from tf t join dfreq d on t.tok = d.tok cross join n
+    )
+    select doc_id, tok as top_term, cast(tf as bigint) as top_tf, score as top_score
+    from (
+      select *, row_number() over (partition by doc_id order by score desc, tok) as rn
+      from scored
+    ) where rn = 1
+    """,
+    tags=("text", "curation"),
+)
+def quality_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc most-salient term by tf * (N/df).
+
+    100 TB shape: tf is one map-side-combined aggregate on
+    (doc_id, tok); df aggregates tf's output (already one row per
+    doc-term, Zipf-small on the tok key); N is a 1-row broadcast —
+    never a driver-side scalar; the final per-doc argmax is a
+    window over the doc_id partitioning the tf shuffle already
+    established. Deterministic tie-break: score desc, then token asc.
+    """
+    from pyspark.sql import Window
+
+    tok = _corpus_tokens(spark, sf)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.col("tf").alias("top_tf"),
+            F.col("score").alias("top_score"),
+        )
+    )
+
+
+# N4g: vocabulary coverage / OOV rate — build the top-K corpus
+# vocabulary (the tokenizer-training step) and score every document by
+# how much of it the vocab covers. Pretraining pipelines drop or route
+# high-OOV documents; tokenizer training needs exactly this frequency
+# cut.
+_VOCAB_K = 500
+
+
+@query(
+    "vocab_coverage",
+    oracle=rf"""
+    with {_TOK_CTE},
+    tc as (select tok, count(*) as n from tok group by tok),
+    vocab as (select tok from tc order by n desc, tok limit {_VOCAB_K}),
+    j as (
+      select t.doc_id, case when v.tok is null then 1 else 0 end as oov
+      from tok t left join vocab v on t.tok = v.tok
+    )
+    select doc_id,
+           count(*) as n_tokens,
+           cast(sum(oov) as bigint) as n_oov,
+           cast(sum(oov) as double) / count(*) as oov_ratio
+    from j group by doc_id
+    """,
+    tags=("text", "curation"),
+)
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-K vocab.
+
+    100 TB shape: token counts are map-side combined; the global top-K
+    is a TakeOrdered (per-partition top-K then a K-row merge — never a
+    full sort); the K-row vocab broadcasts to the membership join, so
+    the corpus token stream is scored map-side with zero extra
+    shuffle beyond the per-doc aggregate. Vocab tie-break is
+    deterministic: count desc, then token asc.
+    """
+    tok = _corpus_tokens(spark, sf)
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .select("doc_id", oov.alias("oov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_ratio"),
+        )
+    )

@@ -73,6 +73,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "agg_sketch_merge",
     "streaming_sliding",
+    "quality_tfidf",
+    "vocab_coverage",
+    "error_minhash_estimate",
+    "table_checksum",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
