@@ -205,6 +205,68 @@ def run_with_dead_letter(
     )
 
 
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """One row per user: the (ts, event_id)-greatest event — the
+    snapshot-supersedence rule (T3: newest record wins, event_id breaks
+    equal-timestamp ties deterministically)."""
+    s = F.max_by(
+        F.struct("ts", "event_id", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("s")
+    return df.groupBy("user_id").agg(s).select(
+        "user_id",
+        F.col("s.ts").alias("ts"),
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.value").alias("value"),
+    )
+
+
+def run_with_upsert(events: DataFrame, state_dir: str, checkpoint: str) -> StreamingQuery:
+    """T3 as a continuously-maintained sink: a keyed latest-state table
+    upserted by ``foreachBatch`` merge. Each micro-batch reduces to one
+    row per user (map-side-combined ``max_by``), merges with the
+    current state under the same newest-wins rule, and swaps the state
+    directory atomically (write-new → rename-old → rename-new →
+    drop-old), so a reader never sees a half-written table and a crash
+    mid-swap leaves either the old or the new complete state.
+
+    100 TB shape: the merge cost is O(|state| + |batch|) with one
+    shuffle on the key — the batch side is pre-shrunk to one row per
+    key before touching the state. On a real deployment the state
+    would live in a table format with MERGE support (Delta/Iceberg)
+    so the rewrite touches only changed files; the
+    directory-swap stands in for that commit protocol with plain
+    parquet, exactly as the reference supersedes its snapshot files
+    (flush-every-10 rewrite, test_parquet_processor.py:362-364).
+    """
+    import shutil
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = _latest_per_user(batch)
+        if os.path.isdir(state_dir):
+            cur = spark.read.parquet(state_dir)
+            merged = _latest_per_user(cur.unionByName(delta))
+        else:
+            merged = delta
+        tmp = f"{state_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{state_dir}.old-{batch_id}"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins against a static
     dimension snapshot (broadcast per batch — no stream state). The

@@ -214,3 +214,50 @@ def test_event_stream_reads_directory_shaped_tables(spark, sf_dir, tmp_path):
     stream = read_event_stream(spark, d).select("event_id")
     out = _run_stream(stream, "append")
     assert out.count() == 200
+
+
+def test_foreachbatch_upsert_maintains_latest_state(spark, events_dir, tmp_path):
+    # T3 as a sink: after streaming all batches through the keyed
+    # upsert, the state table must equal the batch-mode newest-wins
+    # snapshot — and a resumed run with new data must update only the
+    # superseded keys.
+    from parquet_processor_spark.streaming.jobs import _latest_per_user, run_with_upsert
+
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck_upsert")
+    q = run_with_upsert(read_event_stream(spark, events_dir), state, ck)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(state).collect()}
+    want = {tuple(r) for r in _latest_per_user(t(spark, SF_SMALL, "events")).collect()}
+    assert got == want
+    # growth: one user gets a newer event than anything in the corpus
+    newer = (
+        t(spark, SF_SMALL, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            (F.col("ts") + F.expr("interval 1 hour")).alias("ts"),
+            "user_id",
+            F.lit("supersede").alias("event_type"),
+            F.lit(1.5).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    newer.coalesce(1).write.mode("append").parquet(events_dir)
+    try:
+        q2 = run_with_upsert(read_event_stream(spark, events_dir), state, ck)
+        q2.awaitTermination(120)
+        after = spark.read.parquet(state)
+        [(uid, etype)] = newer.select("user_id", "event_type").collect()
+        assert after.where(F.col("user_id") == uid).collect()[0]["event_type"] == etype
+        # untouched keys keep their rows; key count is unchanged
+        assert after.count() == len(want)
+    finally:
+        # events_dir is module-scoped: remove the growth file so later
+        # tests in this module see the original two-batch corpus
+        import glob as _glob
+        import os as _os
+
+        files = sorted(_glob.glob(f"{events_dir}/*.parquet"), key=_os.path.getmtime)
+        _os.remove(files[-1])
