@@ -88,6 +88,50 @@ def split_words(spark: SparkSession, sf: str) -> DataFrame:
 _SHINGLE_DF_CAP = 1000
 
 
+def shingle_pair_counts(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
+    """(doc_a, doc_b, n_common) with doc_a < doc_b from exploded
+    (doc_id, shingle) rows — the blocking step of the Jaccard/
+    containment family as ONE group-by-shingle block expansion.
+
+    Why not a shingle self-join: the join form reads and re-explodes
+    the shingle source once per join side AND shuffles both sides on
+    the shingle key (round-4 shape: 3 source passes + 3 exchanges once
+    the df-cap statistic joined in). Grouping instead collects each
+    shingle's posting list in one map-side-combined pass (shuffle
+    carries the 8-byte hashed shingle + doc ids), applies the
+    hot-shingle document-frequency cap as a plain ``size(docs) <= cap``
+    filter on the grouped row — no anti join, no second statistic
+    pass — and expands each block's C(df,2) pairs inside codegen from
+    the sorted posting list. A shingle shared by d docs still costs
+    d*(d-1)/2 pair rows (that IS the operator's output lower bound);
+    the cap bounds any single block at cap²/2, and AQE splits skewed
+    pair partitions downstream. Blocks of one doc carry no pairs and
+    are dropped before expansion.
+    """
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(docs) - 1),
+            lambda i: F.transform(
+                F.slice(docs, i + 1, F.size(docs) - i),
+                lambda x: F.struct(
+                    F.element_at(docs, i).alias("doc_a"), x.alias("doc_b")
+                ),
+            ),
+        )
+    )
+    blocks = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= cap))
+    )
+    return (
+        blocks.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def drop_hot_shingles(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
     """Filter exploded (doc_id, shingle) rows to shingles appearing in
     at most ``cap`` documents.
@@ -138,30 +182,23 @@ def drop_hot_shingles(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    # The blocking join runs on xxhash64(shingle) longs, not shingle
-    # strings: the exploded join/shuffle carries 8-byte keys instead of
-    # ~20-byte text (the oracle keeps string shingles — identical counts
-    # absent 64-bit collisions, ~1e-8 expected even at sf0.1).
+    # Blocking runs on xxhash64(shingle) longs, not shingle strings:
+    # the exploded shuffle carries 8-byte keys instead of ~20-byte text
+    # (the oracle keeps string shingles — identical counts absent
+    # 64-bit collisions, ~1e-8 expected even at sf0.1). The pair
+    # source is the shingle_pair_counts block expansion: one source
+    # pass, one shingle-keyed shuffle, df cap applied on the grouped
+    # posting list (vs the prior self-join's three passes + three
+    # exchanges — 6.1 s → ~4 s at sf0.1).
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
     # Shingle counts come from the pre-explode array — size(shingles) is
     # the per-doc distinct count, so the sizes branch never explodes or
-    # re-groups. Recomputing the shingle arrays per join subtree is
-    # cheaper than a cache: a cache materialization is a synchronous
-    # full-pass barrier before the join can start (measured ~5 s of the
-    # old 6.6 s cold time at sf0.1), while the shingle hash pass itself
-    # is sub-second.
+    # re-groups.
     sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
     # Jaccard numerators count only df<=cap shingles (both engines);
     # denominators keep the full per-doc shingle count, so the capped
     # score is a conservative lower bound of true Jaccard.
-    sh = drop_hot_shingles(d.select("doc_id", F.explode("shingles").alias("shingle")))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = shingle_pair_counts(d.select("doc_id", F.explode("shingles").alias("shingle")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -219,14 +256,7 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     :func:`dedup_ngram_jaccard`; one extra ``least``."""
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
     sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
-    sh = drop_hot_shingles(d.select("doc_id", F.explode("shingles").alias("shingle")))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = shingle_pair_counts(d.select("doc_id", F.explode("shingles").alias("shingle")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     cont = F.col("n_common").cast("double") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))

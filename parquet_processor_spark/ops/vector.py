@@ -490,3 +490,113 @@ def kmeans_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
         # 1e-9 slack: inertia is a float sum; Lloyd never increases it
         (F.col("inertia_final") <= F.col("inertia_init") + 1e-9).alias("inertia_improved"),
     )
+
+
+# N3c: scalar (uint8) quantization of the embedding column — the
+# vector-compression step an ANN system applies before indexing at
+# scale (a 64-d float32 corpus shrinks 4x; IVF/LSH probes then scan
+# byte codes). Per-dimension affine codes against corpus min/max, plus
+# per-vector reconstruction error so a pipeline can gate on
+# quantization loss. Everything is exact-deterministic: min/max are
+# order-independent, the per-element quantize/dequantize is a fixed
+# IEEE op sequence, and the error reductions are sequential left folds
+# (the _DOT_SQL policy) — so the whole operator hash-matches DuckDB
+# despite being float arithmetic end to end. floor(x + 0.5) stands in
+# for round() (engines disagree on round's .5 rule, verify-skill note).
+@query(
+    "embedding_quantize",
+    oracle=f"""
+    with dims as (
+      select i,
+             cast(min(embedding[i]) as double) as mn,
+             cast(max(embedding[i]) as double) as mx
+      from embeddings, generate_series(1, {_COEFF_DIM}) as t(i)
+      group by i
+    ),
+    dl as (select list(mn order by i) as mns, list(mx order by i) as mxs from dims),
+    q as (
+      select e.vec_id, e.embedding, dl.mns, dl.mxs,
+             [case when mxs[i] = mns[i] then cast(0 as double)
+                   else floor((cast(embedding[i] as double) - mns[i])
+                              / (mxs[i] - mns[i]) * 255 + 0.5) end
+              for i in generate_series(1, len(embedding))] as codes
+      from embeddings e cross join dl
+    ),
+    err as (
+      select vec_id, codes,
+             [cast(embedding[i] as double)
+              - (mns[i] + codes[i] * ((mxs[i] - mns[i]) / 255))
+              for i in generate_series(1, len(embedding))] as errs
+      from q
+    )
+    select vec_id,
+           cast(len(codes) as bigint) as n_dims,
+           list_reduce(list_prepend(cast(0 as bigint),
+             [cast(c as bigint) for c in codes]), (acc, v) -> acc + v) as sum_codes,
+           list_reduce(list_prepend(cast(0 as double), errs),
+             (acc, v) -> acc + v * v) as sse,
+           list_reduce(list_prepend(cast(0 as double), errs),
+             (acc, v) -> greatest(acc, abs(v))) as max_abs_err
+    from err
+    """,
+    tags=("vector", "compression"),
+)
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Uint8 scalar quantization with per-vector reconstruction error.
+
+    100 TB shape: pass 1 is a posexplode into a 64-key min/max
+    aggregate — map-side combined, the shuffle carries 64 rows per
+    task; the 64-struct range table broadcasts (1-row crossJoin, never
+    a driver scalar), and pass 2 quantizes map-side inside codegen
+    with zero shuffle. The codes themselves would be written as a
+    binary/array column next to the vector; here the checkable facts
+    (code checksum + SSE + max abs error) are emitted so the driver
+    hash-verifies the whole construction.
+    """
+    e = t(spark, sf, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min("val").cast("double").alias("mn"),
+            F.max("val").cast("double").alias("mx"),
+        )
+    )
+    packed = dims.agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("d"))
+
+    emb = F.col("embedding")
+    d = F.col("d")
+
+    def code_at(i: Column) -> Column:
+        x = F.element_at(emb, i).cast("double")
+        mn = F.element_at(d, i)["mn"]
+        mx = F.element_at(d, i)["mx"]
+        return F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.floor((x - mn) / (mx - mn) * F.lit(255.0) + F.lit(0.5)).cast("double")
+        )
+
+    def err_at(i: Column) -> Column:
+        x = F.element_at(emb, i).cast("double")
+        mn = F.element_at(d, i)["mn"]
+        mx = F.element_at(d, i)["mx"]
+        return x - (mn + F.element_at(F.col("codes"), i) * ((mx - mn) / F.lit(255.0)))
+
+    idx = F.sequence(F.lit(1), F.size(emb))
+    with_codes = (
+        e.crossJoin(F.broadcast(packed))
+        .withColumn("codes", F.transform(idx, code_at))
+        .withColumn("errs", F.transform(idx, err_at))
+    )
+    return with_codes.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.aggregate(
+            F.transform(F.col("codes"), lambda c: c.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_codes"),
+        F.aggregate(F.col("errs"), F.lit(0.0), lambda acc, v: acc + v * v).alias("sse"),
+        F.aggregate(
+            F.col("errs"), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        ).alias("max_abs_err"),
+    )

@@ -77,6 +77,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "vocab_coverage",
     "error_minhash_estimate",
     "table_checksum",
+    "embedding_quantize",
+    "streaming_upsert",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -210,3 +210,30 @@ def streaming_static_join(spark: SparkSession, sf: str) -> DataFrame:
         .alias("total_value"),
     )
     return _run_stream(agg, "complete")
+
+
+@query(
+    "streaming_upsert",
+    oracle="""
+    select user_id, ts, event_id, event_type, value
+    from events
+    qualify row_number() over (partition by user_id
+                               order by ts desc, event_id desc) = 1
+    """,
+    tags=("streaming", "upsert"),
+)
+def streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """T3 as a continuously-maintained sink: stream the events table
+    through the foreachBatch keyed upsert (streaming/jobs.py
+    run_with_upsert — newest (ts, event_id) per user wins, state swapped
+    atomically per batch) and return the final state table.
+    Deterministic regardless of how micro-batches split the input:
+    newest-wins is associative and commutative over batches, so the
+    batch-mode ``row_number() = 1`` twin is the oracle."""
+    from parquet_processor_spark.streaming.jobs import run_with_upsert
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    base = tempfile.mkdtemp(prefix="ppspark_upsert_")
+    q = run_with_upsert(events, f"{base}/state", f"{base}/ckpt")
+    q.awaitTermination(120)
+    return spark.read.parquet(f"{base}/state")

@@ -221,20 +221,67 @@ def test_cap_per_source_uses_window_group_limit(spark):
     assert "SortMergeJoin" not in plan, f"train side shuffled for the join:\n{plan}"
 
 
-@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "curation_contamination"])
-def test_shingle_join_has_hot_shingle_cap(spark, name):
-    # The df>cap guard (drop_hot_shingles): the shingle self-join must
-    # be preceded by a document-frequency aggregate feeding a broadcast
-    # anti join — without it one stop-phrase shingle shared by millions
-    # of docs makes a join block quadratic at 100 TB. The exploded rows
-    # themselves must not shuffle for the cap (broadcast, not SMJ anti).
+def test_contamination_join_has_hot_shingle_cap(spark):
+    # The df>cap guard (drop_hot_shingles) on the two-table
+    # contamination join: a document-frequency aggregate feeding a
+    # broadcast anti join — without it one stop-phrase shingle shared
+    # by millions of docs makes a join block quadratic at 100 TB. The
+    # exploded rows themselves must not shuffle for the cap
+    # (broadcast, not SMJ anti).
+    from parquet_processor_spark.ops.dedup import _SHINGLE_DF_CAP
+
+    plan = plan_of(spark, "curation_contamination")
+    assert "LeftAnti" in plan, f"no anti join for the hot-shingle cap:\n{plan}"
+    assert f"> {_SHINGLE_DF_CAP}" in plan, f"no df>cap filter:\n{plan}"
+    assert re.search(r"BroadcastHashJoin LeftAnti", plan), f"no broadcast anti:\n{plan}"
+    assert not re.search(r"SortMergeJoin LeftAnti", plan), f"cap anti join shuffles:\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_containment"])
+def test_shingle_pairs_are_capped_block_expansion(spark, name):
+    # The Jaccard/containment pair source (shingle_pair_counts): ONE
+    # group-by-shingle pass whose posting lists carry the hot-shingle
+    # df cap as a size(docs) <= cap filter — no self-join of the
+    # exploded stream (which would re-read the source per side and
+    # shuffle it twice) and no anti-join statistic pass.
     from parquet_processor_spark.ops.dedup import _SHINGLE_DF_CAP
 
     plan = plan_of(spark, name)
-    assert "LeftAnti" in plan, f"{name}: no anti join for the hot-shingle cap:\n{plan}"
-    assert f"> {_SHINGLE_DF_CAP}" in plan, f"{name}: no df>cap filter:\n{plan}"
-    assert re.search(r"BroadcastHashJoin LeftAnti", plan), f"{name}: no broadcast anti:\n{plan}"
-    assert not re.search(r"SortMergeJoin LeftAnti", plan), f"{name}: cap anti join shuffles:\n{plan}"
+    assert "collect_list" in plan, f"{name}: no posting-list aggregate:\n{plan}"
+    assert re.search(rf"size\(docs[^)]*\) <= {_SHINGLE_DF_CAP}", plan), (
+        f"{name}: no df<=cap filter on posting lists:\n{plan}"
+    )
+    # the only joins left are the per-doc size lookups on doc ids
+    assert not re.search(r"Join \w+, \(+shingle", plan), (
+        f"{name}: shingle self-join still present:\n{plan}"
+    )
+
+
+def test_corpus_scorers_broadcast_their_small_sides(spark):
+    # quality_tfidf's N-docs scalar is a 1-row broadcast (never a
+    # driver-side collect), and vocab_coverage's top-K vocabulary must
+    # broadcast to the membership join so the corpus token stream is
+    # scored map-side; the global top-K itself must be TakeOrdered
+    # (per-partition top-K + K-row merge), never a full sort.
+    plan = plan_of(spark, "quality_tfidf")
+    assert "BroadcastNestedLoopJoin" in plan, f"n_docs not broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+    plan = plan_of(spark, "vocab_coverage")
+    assert re.search(r"BroadcastHashJoin .*LeftOuter", plan), f"vocab not broadcast:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, f"vocab top-K is a full sort:\n{plan}"
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"vocab_coverage: single-partition sort: {bad}\n{plan}"
+
+
+def test_table_checksum_aggregates_map_side(spark):
+    # The integrity manifest must partial-aggregate before its one
+    # shuffle on the bucket key (string min/max plans as SortAggregate,
+    # not HashAggregate), and never sort globally.
+    plan = plan_of(spark, "table_checksum")
+    assert "partial_" in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"table_checksum: single-partition sort: {bad}\n{plan}"
 
 
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
