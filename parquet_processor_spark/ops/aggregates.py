@@ -443,3 +443,182 @@ def table_checksum(spark: SparkSession, sf: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
+
+
+# Multi-column distinct cardinality in ONE aggregate — the profiling
+# query every pipeline runs before choosing join/bucket keys. Spark
+# plans this with a single Expand (one pass over the scan, three
+# grouping streams), not three scans.
+@query(
+    "agg_count_distinct_multi",
+    oracle="""
+    select l_returnflag,
+           count(distinct l_suppkey) as n_supp,
+           count(distinct l_partkey) as n_part,
+           count(distinct l_orderkey) as n_ord,
+           count(*) as n_rows
+    from lineitem group by l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Three count-distincts + count(*) in one pass.
+
+    100 TB shape: one Expand node replicates each row once per
+    distinct-aggregate (3x map output, still one scan), then a
+    two-level aggregate dedups (returnflag, key) pairs map-side
+    before the final per-flag count — the shuffle carries distinct
+    pairs, not rows. The alternative (three self-joined scans) reads
+    the table three times; this plan reads it once.
+    """
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.countDistinct("l_orderkey").alias("n_ord"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# Fixed-width histogram over a double measure — counts and bin
+# min/max only (exact on both engines; no float sums anywhere).
+# floor(value/width) is one IEEE division + floor, identical per row
+# across engines, so bin assignment can never diverge.
+@query(
+    "agg_histogram",
+    oracle="""
+    select event_type,
+           cast(floor(value / 10.0) as bigint) as bin,
+           count(*) as n,
+           min(value) as bin_min,
+           max(value) as bin_max
+    from events group by 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type fixed-width value histogram.
+
+    100 TB shape: bin assignment is map-side codegen; the aggregate
+    map-side combines on (type, bin) — the shuffle carries one row
+    per populated bin per task regardless of input size. min/max per
+    bin replace a sum-of-doubles (order-dependent) with exact,
+    order-free statistics.
+    """
+    return (
+        t(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+    )
+
+
+# Key-skew diagnostic — the histogram-of-key-frequencies you run
+# BEFORE choosing a shuffle key (feeds the salting decision in
+# join_skew_salted). Magnitude tiers via integer case-when, never a
+# float log.
+@query(
+    "agg_key_skew",
+    oracle="""
+    with kc as (
+      select user_id, count(*) as n from events group by user_id
+    )
+    select case when n >= 1000 then 1000
+                when n >= 100 then 100
+                when n >= 10 then 10
+                else 1 end as tier,
+           count(*) as n_keys,
+           cast(sum(n) as bigint) as n_events,
+           max(n) as max_per_key
+    from kc group by 1
+    """,
+    tags=("agg", "skew", "diagnostic"),
+)
+def agg_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-frequency tier histogram over events.user_id.
+
+    100 TB shape: two map-side-combined aggregates back to back —
+    per-key counts shuffle on user_id (the very shuffle being
+    diagnosed, but carrying one row per key per task), then a 4-row
+    tier rollup. The output is what picks the salting factor: the
+    top tier's max_per_key vs rows-per-partition decides whether the
+    production join salts, and n_keys per tier sizes the salt range.
+    """
+    kc = t(spark, sf, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tier = (
+        F.when(F.col("n") >= 1000, 1000)
+        .when(F.col("n") >= 100, 100)
+        .when(F.col("n") >= 10, 10)
+        .otherwise(1)
+    )
+    return (
+        kc.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").alias("max_per_key"),
+        )
+    )
+
+
+# Exact discrete percentiles via explicit rank arithmetic — both
+# engines spell ceil(p*n) as integer math ((p_num*n + p_den - 1) div
+# p_den), so the selected rank (and therefore the value) is
+# bit-identical with no interpolation and no float rank.
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    with s as (
+      select l_returnflag, l_quantity,
+             row_number() over (partition by l_returnflag
+                                order by l_quantity) as rn,
+             count(*) over (partition by l_returnflag) as n
+      from lineitem
+    )
+    select l_returnflag,
+           max(case when rn = (n + 1) // 2 then l_quantity end) as p50,
+           max(case when rn = (19 * n + 19) // 20 then l_quantity end) as p95,
+           max(case when rn = (99 * n + 99) // 100 then l_quantity end) as p99,
+           max(n) as n
+    from s group by l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentile_disc (p50/p95/p99) per group, rank-spelled.
+
+    100 TB shape: one exchange on the grouping key feeds both window
+    functions and the final aggregate (three operators, one shuffle).
+    Ties inside a rank are irrelevant — row_number may order tied
+    quantities arbitrarily, but the VALUE at any rank inside a tie
+    run is the tied value itself, so the result is deterministic.
+    At petabyte group sizes the same statistic would come from the
+    two-phase global-index pattern (ops/windows.py W1) instead of a
+    single-partition-per-group sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag")
+    s = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda expr: F.max(expr)  # noqa: E731
+    return s.groupBy("l_returnflag").agg(
+        pick(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("l_quantity"))).alias("p50"),
+        pick(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("l_quantity"))).alias("p95"),
+        pick(F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("l_quantity"))).alias("p99"),
+        F.max("n").alias("n"),
+    )

@@ -1,0 +1,143 @@
+"""Graph analytics over relational edge lists (SURVEY.md §2.13 N30).
+
+The customer–supplier trade graph (who bought from whom, via
+orders ⋈ lineitem) is the natural graph hiding in the TPC-H-ish
+schema; PageRank over it is the "entity importance" signal a data
+pipeline derives before sampling or weighting sources. The iteration
+is the same one-shuffle-per-round shape as k-means
+(`ops/vector.py`) and connected components (`ops/dedup.py`).
+
+All mass arithmetic is INTEGER (div/mod), so every iteration is
+bit-exact on both engines — no order-dependent float accumulation
+anywhere. The classic float PageRank sums r_j/deg_j over neighbors,
+and a parallel sum of doubles is partitioning-dependent; propagating
+integer mass with floor division (remainder retained at the node)
+makes the fixpoint deterministic and the oracle hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_processor_spark.registry import query
+from parquet_processor_spark.tables import t
+
+# Per-node initial mass and damping split. B is large enough that
+# floor-division granularity (1 part in 1e9 per neighbor) is far
+# below any ranking-relevant difference, small enough that even a
+# node absorbing the entire graph's mass at SF100 stays << 2^63.
+_B = 1_000_000_000
+_TELEPORT = (15 * _B) // 100  # (1-d) * B with d = 0.85
+_ROUNDS = 3
+
+
+def _mass_step(masses: DataFrame, edges: DataFrame) -> DataFrame:
+    """One integer-PageRank round: mass -> shares along edges -> damped
+    re-collect. `masses` is (node, deg, mass); `edges` is (src, dst)
+    with both directions present for the undirected trade graph."""
+    shares = masses.select(
+        F.col("node").alias("src"),
+        F.expr("mass div deg").alias("share"),
+        F.expr("mass % deg").alias("rem"),
+    )
+    inflow = (
+        edges.join(shares.select("src", "share"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("share").alias("inflow"))
+    )
+    return (
+        masses.select("node", "deg", F.expr("mass % deg").alias("rem"))
+        .join(inflow, "node")
+        .select(
+            "node",
+            "deg",
+            (
+                F.lit(_TELEPORT)
+                + F.expr("(85 * (inflow + rem)) div 100")
+            ).alias("mass"),
+        )
+    )
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    with e0 as (
+      select distinct o_custkey as ck, l_suppkey as sk
+      from orders join lineitem on l_orderkey = o_orderkey
+    ),
+    edges as (
+      select 'c' || ck as src, 's' || sk as dst from e0
+      union all
+      select 's' || sk as src, 'c' || ck as dst from e0
+    ),
+    m0 as (
+      select src as node, count(*) as deg, cast({_B} as bigint) as mass
+      from edges group by src
+    ),
+    m1 as (
+      select m.node, m.deg,
+             cast({_TELEPORT} + (85 * (f.inflow + m.mass % m.deg)) // 100 as bigint) as mass
+      from m0 m join (
+        select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow
+        from edges e join m0 s on e.src = s.node group by e.dst
+      ) f on m.node = f.node
+    ),
+    m2 as (
+      select m.node, m.deg,
+             cast({_TELEPORT} + (85 * (f.inflow + m.mass % m.deg)) // 100 as bigint) as mass
+      from m1 m join (
+        select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow
+        from edges e join m1 s on e.src = s.node group by e.dst
+      ) f on m.node = f.node
+    ),
+    m3 as (
+      select m.node, m.deg,
+             cast({_TELEPORT} + (85 * (f.inflow + m.mass % m.deg)) // 100 as bigint) as mass
+      from m2 m join (
+        select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow
+        from edges e join m2 s on e.src = s.node group by e.dst
+      ) f on m.node = f.node
+    )
+    select node, deg, mass from m3
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """3-round damped PageRank over the customer–supplier graph.
+
+    Nodes are 'c<custkey>' / 's<suppkey>'; edges are the distinct
+    trade pairs from orders ⋈ lineitem, undirected (both directions
+    materialized), so every node has deg >= 1 and there are no
+    dangling nodes. Each round: share = mass div deg flows along
+    every edge, the floor-division remainder stays home, and the new
+    mass is teleport + 85% of (inflow + remainder) — all bigint.
+
+    100 TB shape: the edge list is built once (one orders⋈lineitem
+    shuffle + distinct) and reused every round; each round is ONE
+    shuffle — the inflow groupBy on dst, map-side combined — plus a
+    node-keyed join that AQE plans as broadcast once the node table
+    is small relative to edges. The fixed unroll keeps lineage
+    shallow (3 rounds); an open-ended variant would localCheckpoint
+    per round exactly as kmeans_ivf_train and connected_components
+    do. Integer mass makes retries/stragglers safe: any partial
+    recomputation reproduces identical bytes.
+    """
+    e0 = (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cust = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    supp = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(cust.alias("src"), supp.alias("dst")).unionAll(
+        e0.select(supp.alias("src"), cust.alias("dst"))
+    )
+    masses = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"), F.lit(_B).cast("long").alias("mass")
+    )
+    for _ in range(_ROUNDS):
+        masses = _mass_step(masses, edges)
+    return masses.select("node", "deg", "mass")

@@ -298,3 +298,61 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("completed"),
         )
     )
+
+
+# Threshold anomaly flagging against an exact per-type p99 — the
+# outlier filter of a metrics pipeline, spelled so the threshold
+# itself is deterministic: the value AT rank ceil(0.99*n) (integer
+# rank arithmetic, no interpolation), computed per event_type and
+# broadcast back against the scan.
+@query(
+    "events_anomaly_p99",
+    oracle="""
+    with s as (
+      select event_type, value,
+             row_number() over (partition by event_type order by value) as rn,
+             count(*) over (partition by event_type) as n
+      from events
+    ),
+    thr as (
+      select event_type, max(case when rn = (99 * n + 99) // 100 then value end) as p99
+      from s group by event_type
+    )
+    select e.event_id, e.event_type, e.value, t.p99
+    from events e join thr t on e.event_type = t.event_type
+    where e.value > t.p99
+    """,
+    tags=("events", "anomaly", "percentile"),
+)
+def events_anomaly_p99(spark: SparkSession, sf: str) -> DataFrame:
+    """Events whose value exceeds their type's exact 99th percentile.
+
+    100 TB shape: the threshold table is one row per event_type —
+    broadcast back against the scan, so the flagging pass is
+    map-side with the value predicate evaluated inside codegen (at
+    production scale the p99 would come from the two-phase
+    distributed rank, or percentile_approx gated by
+    error_approx_quantile; here the exact rank keeps the oracle
+    hash-checkable). Comparing `value > p99` is exact: both engines
+    read the identical stored double and the threshold is a stored
+    value, not a computed float.
+    """
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    s = t(spark, sf, "events").select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    thr = s.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("value"))
+        ).alias("p99")
+    )
+    e = t(spark, sf, "events")
+    return (
+        e.join(F.broadcast(thr), "event_type")
+        .where(F.col("value") > F.col("p99"))
+        .select("event_id", "event_type", "value", "p99")
+    )

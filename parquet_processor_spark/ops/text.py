@@ -440,3 +440,82 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_ratio"),
         )
     )
+
+
+# N4h: vocab-id encoding — apply the trained top-K vocabulary as a
+# tokenizer: every document's token stream becomes an ordered id
+# sequence (rank-by-frequency ids, OOV -> 0). The ids would feed
+# sequence packing (pack_sequences) directly; the driver-checkable
+# facts are the count, the OOV count, and an md5 over the
+# comma-joined id sequence (exact order-sensitive fingerprint).
+@query(
+    "tokenize_to_ids",
+    oracle=rf"""
+    with w as (
+      select doc_id, regexp_split_to_array(text, '\s+') as words from documents
+    ),
+    tok0 as (
+      select doc_id, i as pos, words[i] as tok
+      from w, unnest(generate_series(1, len(words))) as s(i)
+    ),
+    tok as (select * from tok0 where tok <> ''),
+    vc as (select tok, count(*) as n from tok group by tok),
+    vocab as (
+      select tok, row_number() over (order by n desc, tok) as id
+      from vc order by n desc, tok limit {_VOCAB_K}
+    ),
+    j as (
+      select t.doc_id, t.pos, coalesce(v.id, 0) as id
+      from tok t left join vocab v on t.tok = v.tok
+    )
+    select doc_id,
+           count(*) as n_tokens,
+           cast(sum(case when id = 0 then 1 else 0 end) as bigint) as n_oov,
+           md5(string_agg(cast(id as varchar), ',' order by pos)) as ids_hash
+    from j group by doc_id
+    """,
+    tags=("text", "curation", "tokenize"),
+)
+def tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode each document as an ordered vocab-id sequence.
+
+    100 TB shape: the vocab is a TakeOrdered top-K (per-partition
+    top-K, K-row merge — vocab_coverage's plan) and broadcasts to
+    the encode join, so encoding is map-side with zero shuffle
+    beyond the per-doc re-pack; the re-pack groups on doc_id and
+    restores order via array_sort over (pos, id) structs — a
+    deterministic in-memory sort of one document's tokens, never a
+    global sort. The id fingerprint is md5 over the ordered join —
+    byte-stable across engines, partitionings, and retries.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos0", "tok"))
+        .where(F.col("tok") != "")
+        # DuckDB's generate_series subscripts are 1-based; match them
+        # so `pos` means the same thing on both engines.
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), "tok").limit(_VOCAB_K)
+    # rank the K surviving rows (K-row window, single tiny partition
+    # post-TakeOrdered — never a corpus-wide single-partition sort)
+    vocab = topk.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.col("n").desc(), "tok"))
+    ).select("tok", "id")
+    j = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .select("doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id"))
+    )
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"]
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.md5(
+            F.concat_ws(",", F.transform(ids_in_order, lambda x: x.cast("string")))
+        ).alias("ids_hash"),
+    )

@@ -79,6 +79,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "table_checksum",
     "embedding_quantize",
     "streaming_upsert",
+    # round-5 second wave — analytics quartet, tokenizer-apply,
+    # integer PageRank, p99 anomaly flagging
+    "graph_pagerank",
+    "tokenize_to_ids",
+    "agg_count_distinct_multi",
+    "agg_histogram",
+    "agg_key_skew",
+    "agg_percentile_disc",
+    "events_anomaly_p99",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
@@ -187,6 +196,7 @@ def _load() -> None:
         aggregates,
         curation,
         dedup,
+        graph,
         joins,
         multimodal,
         recall,
