@@ -145,7 +145,14 @@ def curation_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
     _assert_broadcastable(d.where(F.col("doc_id") % 50 == 0).select("doc_id"))
-    sh = drop_hot_shingles(d.select("doc_id", F.explode("shingles").alias("shingle")))
+    # explode_outer + null guard: see dedup._explode_shingles — plain
+    # explode's inferred size>0 filter re-runs the shingle expression
+    # per row once pushed below the projection.
+    sh = drop_hot_shingles(
+        d.select("doc_id", F.explode_outer("shingles").alias("shingle")).where(
+            F.col("shingle").isNotNull()
+        )
+    )
     train = sh.where(F.col("doc_id") % 50 != 0)
     bench = sh.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), F.col("shingle").alias("b_shingle")
@@ -238,7 +245,11 @@ def curation_repetition(spark: SparkSession, sf: str) -> DataFrame:
     rollup is keyed on doc_id alone. The division happens once per doc
     (single IEEE op — bit-identical across engines).
     """
-    words = split_words(spark, sf).select("doc_id", F.explode("words").alias("word"))
+    words = (
+        split_words(spark, sf)
+        .select("doc_id", F.explode_outer("words").alias("word"))
+        .where(F.col("word").isNotNull())
+    )
     counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
     per_doc = counts.groupBy("doc_id").agg(
         F.max("n").alias("max_n"), F.sum("n").alias("n_words")

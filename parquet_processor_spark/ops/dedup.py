@@ -89,47 +89,76 @@ _SHINGLE_DF_CAP = 1000
 
 
 def shingle_pair_counts(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
-    """(doc_a, doc_b, n_common) with doc_a < doc_b from exploded
-    (doc_id, shingle) rows — the blocking step of the Jaccard/
-    containment family as ONE group-by-shingle block expansion.
+    """(doc_a, doc_b, n_common, n_sh_a, n_sh_b) with doc_a < doc_b
+    from exploded (doc_id, n_sh, shingle) rows — the blocking step of
+    the Jaccard/containment family as ONE group-by-shingle block
+    expansion, with each doc's total shingle count carried alongside
+    its id so score denominators need NO per-doc size join afterward.
 
     Why not a shingle self-join: the join form reads and re-explodes
     the shingle source once per join side AND shuffles both sides on
     the shingle key (round-4 shape: 3 source passes + 3 exchanges once
     the df-cap statistic joined in). Grouping instead collects each
     shingle's posting list in one map-side-combined pass (shuffle
-    carries the 8-byte hashed shingle + doc ids), applies the
-    hot-shingle document-frequency cap as a plain ``size(docs) <= cap``
-    filter on the grouped row — no anti join, no second statistic
-    pass — and expands each block's C(df,2) pairs inside codegen from
-    the sorted posting list. A shingle shared by d docs still costs
-    d*(d-1)/2 pair rows (that IS the operator's output lower bound);
-    the cap bounds any single block at cap²/2, and AQE splits skewed
-    pair partitions downstream. Blocks of one doc carry no pairs and
-    are dropped before expansion.
+    carries the 8-byte hashed shingle + (doc_id, n_sh) structs),
+    applies the hot-shingle document-frequency cap as a plain
+    ``size(docs) <= cap`` filter on the grouped row — no anti join, no
+    second statistic pass — and expands each block's C(df,2) pairs as
+    two CHAINED generators (posexplode for the left element, an
+    array-slice explode for the right): pairs stream out of
+    GenerateExec row by row, instead of one interpreted
+    nested-transform building the full d²/2 struct array in memory
+    before a single explode (a cap-sized hot block would materialize
+    ~500k structs in one row under that shape). A shingle shared by d
+    docs still costs d*(d-1)/2 pair rows (that IS the operator's
+    output lower bound); the cap bounds any single block at cap²/2,
+    and AQE splits skewed pair partitions downstream. Carrying n_sh
+    (8 bytes) per posting entry also removes the two doc-keyed size
+    joins the callers used to run — at corpus scale those were
+    full shuffle joins of the pair stream against a per-doc table.
     """
-    docs = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(docs) - 1),
-            lambda i: F.transform(
-                F.slice(docs, i + 1, F.size(docs) - i),
-                lambda x: F.struct(
-                    F.element_at(docs, i).alias("doc_a"), x.alias("doc_b")
-                ),
-            ),
-        )
-    )
     blocks = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
         .where((F.size("docs") >= 2) & (F.size("docs") <= cap))
     )
-    return (
-        blocks.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    left = blocks.select("docs", F.posexplode("docs").alias("i", "a"))
+    pairs = left.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n_sh").alias("n_sh_a"),
+        # 1-based slice starting one past position i (0-based): every
+        # later posting-list entry pairs with entry i exactly once.
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
     )
+    return (
+        pairs.groupBy(
+            "doc_a",
+            "n_sh_a",
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("n_sh_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("doc_a", "doc_b", "n_common", "n_sh_a", "n_sh_b")
+    )
+
+
+def _explode_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, shingle) from (doc_id, shingles) — explode_outer,
+    NOT explode: plain explode lets InferFiltersFromGenerate add a
+    ``size(array) > 0`` guard that predicate pushdown then inlines
+    BELOW the shingle projection, re-running the whole
+    split→transform→hash expression per input row as a filter
+    (measured 4-6× on this stage). word_shingles arrays are never
+    empty by construction (``greatest(size-2, 1)``), so outer explode
+    is equivalent; the null guard sits ABOVE the Generate (it
+    references the generated column, so it cannot be pushed down) and
+    only fires for null text.
+    """
+    return d.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
 
 
 def drop_hot_shingles(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
@@ -188,28 +217,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # 64-bit collisions, ~1e-8 expected even at sf0.1). The pair
     # source is the shingle_pair_counts block expansion: one source
     # pass, one shingle-keyed shuffle, df cap applied on the grouped
-    # posting list (vs the prior self-join's three passes + three
-    # exchanges — 6.1 s → ~4 s at sf0.1).
+    # posting list. Per-doc sizes ride the posting lists, so the
+    # Jaccard denominator needs no size join — the whole query is one
+    # scan, two keyed exchanges, zero joins.
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
-    # Shingle counts come from the pre-explode array — size(shingles) is
-    # the per-doc distinct count, so the sizes branch never explodes or
-    # re-groups.
-    sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
     # Jaccard numerators count only df<=cap shingles (both engines);
-    # denominators keep the full per-doc shingle count, so the capped
-    # score is a conservative lower bound of true Jaccard.
-    pairs = shingle_pair_counts(d.select("doc_id", F.explode("shingles").alias("shingle")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # denominators keep the full per-doc shingle count (size of the
+    # pre-explode array), so the capped score is a conservative lower
+    # bound of true Jaccard.
+    pairs = shingle_pair_counts(_explode_shingles(d))
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
     )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= 0.2)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    return pairs.where(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 # N2a': shingle containment — |A∩B| / min(|A|,|B|). Jaccard misses
@@ -255,16 +275,10 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     Identical plan shape (and hot-shingle df cap) as
     :func:`dedup_ngram_jaccard`; one extra ``least``."""
     d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
-    sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
-    pairs = shingle_pair_counts(d.select("doc_id", F.explode("shingles").alias("shingle")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    cont = F.col("n_common").cast("double") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(cont >= _CONTAINMENT_TAU)
-        .select("doc_a", "doc_b", cont.alias("containment"))
+    pairs = shingle_pair_counts(_explode_shingles(d))
+    cont = F.col("n_common").cast("double") / F.least(F.col("n_sh_a"), F.col("n_sh_b"))
+    return pairs.where(cont >= _CONTAINMENT_TAU).select(
+        "doc_a", "doc_b", cont.alias("containment")
     )
 
 
@@ -320,7 +334,7 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     sig.count()  # eager-by-design: materialize the reused-signature cache
     bands = sig.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_BANDS - 1)),
                 lambda bi: F.struct(
@@ -396,12 +410,19 @@ _EMB_TAU = 0.18
     tags=("dedup", "vector"),
 )
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    from parquet_processor_spark.ops.vector import cosine
+    from parquet_processor_spark.ops.vector import dot, norm
 
     e = t(spark, sf, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Per-vector norms computed on each join SIDE (once per vector),
+    # not per pair — dot/(na*nb) is cosine()'s exact expression tree,
+    # so the oracle (which spells all three folds per pair) still
+    # hash-matches while the block join evaluates one fold per pair.
+    sided = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = sided.alias("a")
+    b = sided.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     pairs = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .where(cos >= _EMB_TAU)
@@ -442,26 +463,56 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from parquet_processor_spark.ops.vector import cosine, lsh_band_keys_arrow
 
     e = t(spark, sf, "embeddings")
+    # explode_outer: a plain explode infers a size>0 filter whose
+    # pushdown would schedule a SECOND ArrowEvalPython pass of the
+    # band-key UDF per row (see _explode_shingles); band arrays have
+    # fixed length L, never empty.
     keyed = e.select(
-        "vec_id", F.explode(lsh_band_keys_arrow()(F.col("embedding"))).alias("band_key")
+        "vec_id", F.explode_outer(lsh_band_keys_arrow()(F.col("embedding"))).alias("band_key")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    # Bucket pairs come from ONE posting-list expansion (the
+    # shingle_pair_counts shape), not a band-key self-join: the join
+    # form would schedule the ArrowEvalPython band-key UDF once per
+    # join side — two full Python passes over the table — and shuffle
+    # both. Grouping runs the UDF once, shuffles 16-byte
+    # (band_key, vec_id) rows once, and streams each bucket's pairs
+    # out of chained generators.
+    blocks = (
+        keyed.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        blocks.select("ids", F.posexplode("ids").alias("i", "va"))
+        .select(
+            F.col("va").alias("keep_cand"),
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("dup"),
         )
-        .select(F.col("a.vec_id").alias("keep_cand"), F.col("b.vec_id").alias("dup"))
         .dropDuplicates(["keep_cand", "dup"])
     )
-    emb_a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("emb_a"))
-    emb_b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("emb_b"))
+    # Norms are computed ONCE PER VECTOR on the id-keyed side and
+    # carried into the pair join, so each candidate pair evaluates
+    # only the dot fold — not three folds. Bit-exact with cosine():
+    # the norm is the identical sqrt-of-fold over the identical
+    # array, just evaluated earlier, and dot/(na*nb) is the same
+    # expression tree.
+    from parquet_processor_spark.ops.vector import dot, norm
+
+    emb_a = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    emb_b = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
     pairs = (
         cand.join(emb_a, F.col("keep_cand") == F.col("ida"))
         .join(emb_b, F.col("dup") == F.col("idb"))
-        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= _EMB_TAU)
+        .where(cos >= _EMB_TAU)
         .select("keep_cand", "dup")
     )
     return (
@@ -494,8 +545,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     true near-dup pairs land at Hamming <= 12, random pairs at median
     32 (gated by ``recall_dedup_simhash``).
     """
-    tok = split_words(spark, sf).select(
-        "doc_id", F.explode(shingle_hashes()).alias("h")
+    # explode_outer + null guard (not plain explode): see
+    # _explode_shingles — the inferred size>0 filter would re-run the
+    # whole shingle expression per row.
+    tok = (
+        split_words(spark, sf)
+        .select("doc_id", F.explode_outer(shingle_hashes()).alias("h"))
+        .where(F.col("h").isNotNull())
     )
     votes = tok.groupBy("doc_id").agg(
         *[

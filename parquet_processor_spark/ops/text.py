@@ -278,9 +278,13 @@ def quality_unigram_rarity(spark: SparkSession, sf: str) -> DataFrame:
     — DuckDB's sum(bigint) is HUGEINT (arrow decimal128), which the
     driver's value hash sees as Decimal vs Spark's int64.
     """
+    # explode_outer: plain explode infers a size>0 filter whose
+    # pushdown re-runs the split per row (see dedup._explode_shingles);
+    # the `tok != ''` guard above the Generate also drops the null row
+    # outer explode emits for null text.
     tok = (
         t(spark, sf, "documents")
-        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .select("doc_id", F.explode_outer(F.split("text", r"\s+")).alias("tok"))
         .where(F.col("tok") != "")
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -302,7 +306,7 @@ def _corpus_tokens(spark: SparkSession, sf: str) -> DataFrame:
     quality_unigram_rarity so the family can never diverge)."""
     return (
         t(spark, sf, "documents")
-        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .select("doc_id", F.explode_outer(F.split("text", r"\s+")).alias("tok"))
         .where(F.col("tok") != "")
     )
 
@@ -492,7 +496,7 @@ def tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
 
     tok = (
         t(spark, sf, "documents")
-        .select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos0", "tok"))
+        .select("doc_id", F.posexplode_outer(F.split("text", r"\s+")).alias("pos0", "tok"))
         .where(F.col("tok") != "")
         # DuckDB's generate_series subscripts are 1-based; match them
         # so `pos` means the same thing on both engines.

@@ -382,10 +382,14 @@ def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     range (0.27-0.33, p^r ~ 0.21/band)."""
     n_bands = _LSH_TOPK_BANDS
     e = t(spark, sf, "embeddings")
+    # explode_outer: plain explode would infer a size>0 filter that
+    # pushdown turns into a second ArrowEvalPython pass of the
+    # band-key UDF (see dedup._explode_shingles); the band array has
+    # fixed length n_bands, never empty.
     keyed = e.select(
         "vec_id",
         "embedding",
-        F.explode(lsh_band_keys_arrow(n_bands)(F.col("embedding"))).alias("band_key"),
+        F.explode_outer(lsh_band_keys_arrow(n_bands)(F.col("embedding"))).alias("band_key"),
     )
     q_keys = keyed.where(F.col("vec_id") == 0).select(F.col("band_key").alias("q_key"))
     q_emb = (
