@@ -87,3 +87,40 @@ def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
             / F.least(F.count(F.lit(1)).over(w), F.lit(3))
         ).alias("moving_avg"),
     )
+
+
+# Relative-rank family: percent_rank and cume_dist — both are exact
+# integer ratios ((rank-1)/(n-1), n_le/n), one IEEE division each, so
+# the doubles match bitwise across engines; ties resolve identically
+# because both functions are defined on the ORDER VALUE, not on an
+# arbitrary row order.
+@query(
+    "window_percent_rank",
+    oracle="""
+    select o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() over (partition by o_orderpriority
+                                order by o_totalprice) as pr,
+           cume_dist() over (partition by o_orderpriority
+                             order by o_totalprice) as cd
+    from orders
+    """,
+    tags=("window",),
+)
+def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank + cume_dist per priority over order value.
+
+    100 TB shape: both functions share ONE exchange+sort on
+    (o_orderpriority, o_totalprice) — Spark collapses same-spec
+    window functions into a single Window operator. At petabyte
+    partition sizes the same statistic comes from the two-phase
+    global-index pattern (ops/windows.py W1); per-group sorts here
+    match the oracle's semantics exactly.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

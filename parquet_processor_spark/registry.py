@@ -88,6 +88,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_key_skew",
     "agg_percentile_disc",
     "events_anomaly_p99",
+    "window_percent_rank",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
