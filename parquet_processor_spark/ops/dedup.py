@@ -128,8 +128,12 @@ def shingle_pair_counts(sh: DataFrame, cap: int = _SHINGLE_DF_CAP) -> DataFrame:
         F.col("a.n_sh").alias("n_sh_a"),
         # 1-based slice starting one past position i (0-based): every
         # later posting-list entry pairs with entry i exactly once.
-        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
-    )
+        # explode_outer: plain explode would infer size(slice)>0 and
+        # evaluate the slice twice per position (guard + generator);
+        # the last position's empty slice becomes one null row,
+        # dropped by the guard above the Generate.
+        F.explode_outer(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
+    ).where(F.col("b").isNotNull())
     return (
         pairs.groupBy(
             "doc_a",
@@ -486,8 +490,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         blocks.select("ids", F.posexplode("ids").alias("i", "va"))
         .select(
             F.col("va").alias("keep_cand"),
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("dup"),
+            # explode_outer + guard: same double-slice avoidance as
+            # shingle_pair_counts
+            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("dup"),
         )
+        .where(F.col("dup").isNotNull())
         .dropDuplicates(["keep_cand", "dup"])
     )
     # Norms are computed ONCE PER VECTOR on the id-keyed side and

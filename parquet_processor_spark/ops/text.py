@@ -225,7 +225,14 @@ def doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t(spark, sf, "documents")
         .select("doc_id", F.split("text", r"\s+").alias("words"))
-        .select("doc_id", "words", F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_id"))
+        # explode_outer: the sequence(0, n>=0) is never empty, and a
+        # plain explode's inferred size>0 guard would re-run the size
+        # arithmetic (and, pushed below the projection, the split)
+        # per row — see dedup._explode_shingles.
+        .select(
+            "doc_id", "words", F.explode_outer(F.sequence(F.lit(0), n_last)).alias("chunk_id")
+        )
+        .where(F.col("chunk_id").isNotNull())
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),
