@@ -363,12 +363,18 @@ def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
 def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
     p = t(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
-    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    # The brand filter broadcast-joins BELOW the per-part average:
+    # each part's average only depends on its own rows, so restricting
+    # the aggregate to qualifying parts is exact while shrinking its
+    # shuffle to the brand's share of the fact table (Q17's correlated
+    # subquery is per-part — the unfiltered aggregate computes averages
+    # for parts the outer query then discards).
+    lif = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    avg_q = lif.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_q")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_q, li.l_partkey == F.col("a_partkey"))
+        lif.join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_q"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0).alias(

@@ -58,28 +58,48 @@ from parquet_processor_spark.tables import t
     tags=("tpch", "bench"),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated min via ONE lineitem pass: the naive shape
+    aggregates lineitem into `offers`, re-aggregates offers into
+    per-part minima, and self-joins the two — Spark evaluates the
+    unshared `offers` subtree twice, scanning and shuffling the fact
+    table per branch. Here the per-part minimum is a window over the
+    single offers aggregate (one extra exchange of the SMALL offer
+    table on l_partkey), and the part filter broadcast-joins BELOW
+    the aggregate so the fact shuffle only carries qualifying parts.
+    The predicate `unit_cost = min` compares identical stored doubles
+    on both engines.
+    """
+    from pyspark.sql import Window
+
     li = t(spark, sf, "lineitem")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    p = t(spark, sf, "part").where(
+        (F.col("p_size") >= 25) & (F.col("p_type") == "STANDARD")
     )
-    part_min = offers.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
+    offers = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    p = t(spark, sf, "part").where((F.col("p_size") >= 25) & (F.col("p_type") == "STANDARD"))
+    w = Window.partitionBy("l_partkey")
+    best = (
+        offers.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select("l_partkey", "l_suppkey", "unit_cost")
+    )
     s = t(spark, sf, "supplier")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
     return (
-        offers.join(F.broadcast(p), offers.l_partkey == p.p_partkey)
-        .join(
-            part_min,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
-        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -216,11 +236,19 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue")
     )
-    # Scalar max as a 1-row broadcast join — no driver collect.
-    top = revenue.agg(F.max("total_revenue").alias("top_revenue"))
+    # Scalar max as an unpartitioned window over the per-supplier
+    # aggregate — NOT a separate 1-row agg branch: an agg+join-back
+    # re-evaluates the unshared `revenue` subtree, scanning and
+    # shuffling the fact table twice. The window runs over the
+    # supplier-sized aggregate (frames, no sort — no orderBy), so its
+    # single partition holds one narrow row per supplier, never fact
+    # rows.
+    from pyspark.sql import Window
+
+    top = F.max("total_revenue").over(Window.partitionBy())
     s = t(spark, sf, "supplier")
     return (
-        revenue.join(F.broadcast(top))
+        revenue.withColumn("top_revenue", top)
         .where(F.col("total_revenue") == F.col("top_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
