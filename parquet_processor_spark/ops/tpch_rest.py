@@ -191,19 +191,23 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("l_partkey", _disc_price().alias("val"))
     )
-    # Scalar subquery as a 1-row broadcast join (filter_by_quantile
-    # pattern): no driver collect, the whole query stays one lazy plan.
-    threshold = nation_li.agg(
-        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
-    )
+    # Scalar threshold as an unpartitioned window over the per-part
+    # DECIMAL sums — summing the exact decimals in any order equals
+    # the all-rows total, so this matches the oracle bitwise while
+    # evaluating the fact join + aggregate ONCE (a separate agg branch
+    # would re-run the unshared nation_li subtree). The window's
+    # single partition holds one narrow row per part, never fact rows.
+    from pyspark.sql import Window
+
+    total = F.sum("dec_value").over(Window.partitionBy())
     return (
         nation_li.groupBy("l_partkey")
         .agg(
             F.round(F.sum("val"), 2).cast("double").alias("part_value"),
-            F.sum("val").cast("double").alias("raw_value"),
+            F.sum("val").alias("dec_value"),
         )
-        .join(F.broadcast(threshold))
-        .where(F.col("raw_value") > F.col("threshold"))
+        .withColumn("threshold", total.cast("double") * F.lit(0.001))
+        .where(F.col("dec_value").cast("double") > F.col("threshold"))
         .select("l_partkey", "part_value")
     )
 
