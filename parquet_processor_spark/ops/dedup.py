@@ -329,49 +329,57 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """
     # Stage 1 (expensive, once): split words, build+hash shingles.
     # Stage 2 (cheap, k passes over longs): the minhash signature.
-    # Signatures are cached AND materialized now: the downstream plan
-    # scans sig from three subtrees (bands, both pair sides), and a
-    # broadcast build racing a lazy fill would recompute the stage per
-    # subtree.
+    # The signature is carried through the band posting lists (k=12
+    # longs per entry), so candidate pairs come out of a bucket
+    # expansion already holding both signatures — no band-key
+    # self-join (which evaluated the signature subtree once per
+    # side), no signature re-join by id. The sig table itself is
+    # still cached+materialized: consumers (the recall gates join
+    # this query against its exact twin) re-evaluate the plan from
+    # several subtrees, and the cache pins the one expensive stage.
     hashed = split_words(spark, sf).select("doc_id", shingle_hashes().alias("hashes"))
     sig = hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig")).cache()
     sig.count()  # eager-by-design: materialize the reused-signature cache
-    bands = sig.select(
-        "doc_id",
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_BANDS - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.slice(F.col("sig"), bi * _ROWS + 1, _ROWS)).alias("band_sig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    bands = (
+        sig.select(
+            "doc_id",
+            "sig",
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), bi * _ROWS + 1, _ROWS)
+                        ).alias("band_sig"),
+                    ),
+                )
+            ).alias("bs"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select("doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    blocks = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    cand = (
+        blocks.select("docs", F.posexplode("docs").alias("i", "a"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.explode_outer(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .select("doc_a", "sig_a", F.col("b.doc_id").alias("doc_b"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(_K))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
-    )
+    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
 
 
 # N2d: embedding-cosine near-dup — semantic dedup over the embeddings
