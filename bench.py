@@ -89,6 +89,11 @@ EXTENDED = [
     "curation_repetition",
     "dedup_containment",
     "doc_chunk_windows",
+    "graph_pagerank",
+    "tokenize_to_ids",
+    "events_anomaly_p99",
+    "sim_topk_lsh",
+    "dedup_embedding_lsh",
 ]
 
 

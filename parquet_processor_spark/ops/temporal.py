@@ -356,3 +356,150 @@ def events_anomaly_p99(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("value") > F.col("p99"))
         .select("event_id", "event_type", "value", "p99")
     )
+
+
+# Cohort retention — users bucketed by first-activity week, retention
+# counted at integer week offsets. The product-analytics staple; all
+# arithmetic is calendar/integer (date_trunc + day-diff div 7), so the
+# row set is exact on both engines.
+@query(
+    "events_retention",
+    oracle="""
+    with act as (
+      select distinct user_id, cast(date_trunc('week', ts) as date) as wk
+      from events
+    ),
+    cohort as (
+      select user_id, min(wk) as cohort_wk from act group by user_id
+    )
+    select c.cohort_wk,
+           date_diff('day', c.cohort_wk, a.wk) // 7 as week_offset,
+           count(distinct a.user_id) as n_users
+    from act a join cohort c on a.user_id = c.user_id
+    group by 1, 2
+    """,
+    tags=("events", "retention", "temporal"),
+)
+def events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix over events.
+
+    100 TB shape: the distinct (user, week) activity table collapses
+    the raw stream first (map-side combined — the shuffle carries one
+    row per user-week, not per event); the cohort table derives from
+    it with a second user-keyed aggregate that REUSES the same hash
+    partitioning (no extra exchange for the join: both sides arrive
+    partitioned by user_id); the final rollup is keyed on
+    (cohort, offset) — a few hundred groups regardless of corpus
+    size. The count distinct dedups map-side within each tiny group.
+    """
+    act = (
+        t(spark, sf, "events")
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("wk"))
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# AS-OF join with a match tolerance (pandas merge_asof semantics: take
+# the nearest prior match, then DISCARD it when it is older than the
+# bound). Same union+window plan as join_asof — the tolerance is one
+# codegen predicate over the matched timestamp, never a range join.
+_ASOF_TOL_SECONDS = 3600
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    with views as (
+      select user_id, ts, max(event_id) as view_event_id
+      from events where event_type = 'view'
+      group by user_id, ts
+    ),
+    purchases as (
+      select event_id as purchase_event_id, user_id, ts, value
+      from events where event_type = 'purchase'
+    )
+    select p.purchase_event_id, p.user_id, p.ts, p.value,
+           case when date_diff('second', v.ts, p.ts) <= {_ASOF_TOL_SECONDS}
+                then v.view_event_id end as recent_view_event_id,
+           case when date_diff('second', v.ts, p.ts) <= {_ASOF_TOL_SECONDS}
+                then v.ts end as recent_view_ts
+    from purchases p
+      asof left join views v
+        on p.user_id = v.user_id and p.ts >= v.ts
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """join_asof with a 1-hour staleness bound on the matched view.
+
+    100 TB shape: identical to join_asof (tag-union both sides, one
+    window scan over a single user_id exchange); the tolerance check
+    is a map-side timestamp difference on the already-matched row —
+    asof-with-tolerance never becomes a per-row range probe.
+    """
+    ev = t(spark, sf, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts", "value"
+    )
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "purchase_event_id",
+        "value",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    right = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "view_event_id",
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        left.unionByName(right)
+        .select(
+            "user_id",
+            "ts",
+            "side",
+            "purchase_event_id",
+            "value",
+            F.last("view_event_id", ignorenulls=True).over(w).alias("m_event_id"),
+            F.last("view_ts", ignorenulls=True).over(w).alias("m_ts"),
+        )
+        .where(F.col("side") == 1)
+    )
+    within = (
+        F.col("m_ts").isNotNull()
+        & (F.unix_timestamp("ts") - F.unix_timestamp("m_ts") <= _ASOF_TOL_SECONDS)
+    )
+    return matched.select(
+        "purchase_event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(within, F.col("m_event_id")).alias("recent_view_event_id"),
+        F.when(within, F.col("m_ts")).alias("recent_view_ts"),
+    )

@@ -89,6 +89,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_percentile_disc",
     "events_anomaly_p99",
     "window_percent_rank",
+    "events_retention",
+    "join_asof_tolerance",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
