@@ -135,6 +135,11 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     edges = e0.select(cust.alias("src"), supp.alias("dst")).unionAll(
         e0.select(supp.alias("src"), cust.alias("dst"))
     )
+    # eager-by-design: every round's inflow join references `edges`;
+    # without materialization Spark re-derives the orders⋈lineitem
+    # distinct per round (3 extra fact joins). Same localCheckpoint
+    # pattern as connected_components / kmeans_ivf_train.
+    edges = edges.localCheckpoint(eager=True)
     masses = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"), F.lit(_B).cast("long").alias("mass")
     )

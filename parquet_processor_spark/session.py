@@ -45,7 +45,24 @@ def get_spark(
         # rejects; read as long and convert in tables.t (ns→µs truncation,
         # matching DuckDB's own nanosecond handling).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs driver+executors in ONE JVM: 8g thrashed GC once
+        # cached signatures + a x10-scale shuffle coexisted (measured 2x
+        # slowdown on the dedup tail); 16g of the box's 128 GiB is the
+        # local-mode floor. Cluster deployments size executor memory
+        # normally — this knob is local-harness only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Shuffle/spill files on tmpfs when available: local-mode shuffle
+        # writes otherwise hit the root disk, serializing map outputs
+        # behind one device. A cluster has per-node SSD local dirs; shm
+        # is the local-mode stand-in (sf0.1 shuffles are MBs, far below
+        # the tmpfs bound).
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+            ),
+        )
         # managed-table location (bucketed tables, ops/scale_patterns.py).
         # Fresh per session: the in-memory catalog forgets tables on exit,
         # so a reused location would collide with the next CREATE.
