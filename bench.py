@@ -94,6 +94,13 @@ EXTENDED = [
     "events_anomaly_p99",
     "sim_topk_lsh",
     "dedup_embedding_lsh",
+    "scd2_intervals",
+    "join_interval_overlap",
+    "profile_columns",
+    "feature_zscore",
+    "agg_heavy_hitters",
+    "quality_bigram_lm",
+    "join_bloom_filtered",
 ]
 
 

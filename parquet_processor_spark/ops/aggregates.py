@@ -622,3 +622,144 @@ def agg_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
         pick(F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("l_quantity"))).alias("p99"),
         F.max("n").alias("n"),
     )
+
+
+# One-pass column profiler — the data-quality audit a pipeline runs
+# before trusting a new drop of data (the engine-level generalization
+# of the reference's schema contract check, evaluate_test_run.py:24-32,
+# which validates required columns and row counts per segment file).
+# Tall output: one row per profiled column.
+_PROFILE_COLS = ("l_quantity", "l_shipdate", "l_returnflag", "l_extendedprice")
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    with s as (
+      select count(*) as n_rows,
+             count(*) - count(l_quantity)   as q_nulls,
+             count(distinct l_quantity)     as q_dist,
+             cast(min(l_quantity) as varchar) as q_min,
+             cast(max(l_quantity) as varchar) as q_max,
+             count(*) - count(l_shipdate)   as d_nulls,
+             count(distinct l_shipdate)     as d_dist,
+             cast(min(l_shipdate) as varchar) as d_min,
+             cast(max(l_shipdate) as varchar) as d_max,
+             count(*) - count(l_returnflag) as r_nulls,
+             count(distinct l_returnflag)   as r_dist,
+             min(l_returnflag) as r_min, max(l_returnflag) as r_max,
+             count(*) - count(l_extendedprice) as c_nulls,
+             count(distinct l_extendedprice) as c_dist,
+             cast(min(l_extendedprice) as varchar) as c_min,
+             cast(max(l_extendedprice) as varchar) as c_max
+      from lineitem
+    )
+    select 'l_quantity' as col_name, n_rows, q_nulls as n_nulls,
+           q_dist as n_distinct, q_min as min_val, q_max as max_val from s
+    union all
+    select 'l_shipdate', n_rows, d_nulls, d_dist, d_min, d_max from s
+    union all
+    select 'l_returnflag', n_rows, r_nulls, r_dist, r_min, r_max from s
+    union all
+    select 'l_extendedprice', n_rows, c_nulls, c_dist, c_min, c_max from s
+    """,
+    tags=("agg", "profile", "diagnostic"),
+)
+def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Null count, distinct cardinality, min/max for four lineitem
+    columns in ONE scan, unpivoted to a tall (column, metrics) table.
+
+    100 TB shape: a single aggregate pass — the multi-column
+    `count(distinct ...)`s share one Expand (each row fans out once
+    per distinct-column, then every path partial-aggregates map-side;
+    same plan family as agg_count_distinct_multi). min/max/null
+    counts ride the same aggregate for free. The stack() unpivot runs
+    on the single result row. Profiling four columns costs one read
+    of those four columns — never four scans, never a driver loop.
+    min/max are normalized to strings so heterogeneous column types
+    share one output schema (decimal/date formatting is canonical and
+    engine-identical: unpadded ISO dates, scale-preserving decimals).
+    """
+    li = t(spark, sf, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            agg
+            for c, pre in zip(_PROFILE_COLS, ("q", "d", "r", "c"))
+            for agg in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{pre}_nulls"),
+                F.countDistinct(c).alias(f"{pre}_dist"),
+                F.min(c).cast("string").alias(f"{pre}_min"),
+                F.max(c).cast("string").alias(f"{pre}_max"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', {pre}_nulls, {pre}_dist, {pre}_min, {pre}_max"
+        for c, pre in zip(_PROFILE_COLS, ("q", "d", "r", "c"))
+    )
+    return stats.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "as (col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# Group-wise z-score feature normalization — the standard ML
+# preprocessing step (normalize a numeric feature within each group
+# before training). Exact decimal sums feed a fixed-order double
+# formula, so the score is bit-identical across engines.
+@query(
+    "feature_zscore",
+    oracle="""
+    with s as (
+      select l_returnflag,
+             count(*) as n,
+             cast(sum(cast(l_quantity as decimal(18,1))) as double) as sx,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_quantity as decimal(18,1))) as double) as sxx
+      from lineitem group by l_returnflag
+    )
+    select l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           cast(l.l_quantity as double) as qty,
+           (cast(l.l_quantity as double) - s.sx / s.n)
+             / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) as z
+    from lineitem l join s on l.l_returnflag = s.l_returnflag
+    """,
+    tags=("agg", "ml", "normalize"),
+)
+def feature_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag z-score of l_quantity on every lineitem row.
+
+    100 TB shape: group stats are ONE map-side-combined aggregate
+    (shuffle carries a handful of rows); the 3-row stats table
+    broadcasts back onto the scan, so scoring is map-side — the fact
+    table is read once and never shuffled. This is the group-stats
+    pattern to prefer over a window (`avg over (partition by ...)`)
+    whenever the grouping key is low-cardinality: a window would sort
+    every row inside the exchange; the broadcast join sorts nothing.
+    Determinism: sums are exact decimals cast to double once; the
+    z formula is the same IEEE operation sequence on both engines
+    (sqrt is correctly rounded, so no libm divergence).
+    """
+    x = F.col("l_quantity").cast("decimal(18,1)")
+    li = t(spark, sf, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    z = (F.col("qty") - mean) / F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .join(F.broadcast(stats), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "qty", z.alias("z"))
+    )

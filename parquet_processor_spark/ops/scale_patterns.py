@@ -198,3 +198,152 @@ def agg_bool_bit(spark: SparkSession, sf: str) -> DataFrame:
             F.bit_xor("l_orderkey").alias("key_bit_xor"),
         )
     )
+
+
+# Bloom-filter pre-join pruning — the runtime-filter pattern that cuts
+# shuffle volume on selective fact⋈dim joins at 100 TB (Spark's own
+# InjectRuntimeFilter does this with an opaque BloomFilterAggregate;
+# this operator spells an engine-portable bloom with md5-derived bit
+# positions so BOTH engines compute the identical filter and the
+# false-positive behavior itself is oracle-checked as evidence).
+# The filter is sized from the data: m = _BLOOM_BITS_PER_KEY * n(build)
+# — constant fill factor (2/bits_per_key with k=2 hashes), hence a
+# scale-independent FP bound; a literal m would saturate the moment the
+# build side grew 10x.
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_SEEDS = (1, 2)  # k = 2 hash functions
+_BLOOM_NATION = 3      # build side: suppliers of NATION_3
+_BLOOM_FP_BOUND = 0.08  # observed row-weighted FP stays under fill^k + skew margin
+
+
+def _bloom_pos_sql(seed: int, key_sql: str) -> str:
+    """DuckDB bit position: hex-prefix cast of an md5 slice, mod m."""
+    return (
+        f"('0x' || substr(md5('{seed}:' || cast({key_sql} as varchar)), 1, 6))::bigint"
+        " % mm.m"
+    )
+
+
+def _bloom_pos(seed: int, key) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("m")
+    )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle=f"""
+    with build as (
+      select s_suppkey from supplier where s_nationkey = {_BLOOM_NATION}
+    ),
+    mm as (
+      select {_BLOOM_BITS_PER_KEY} * greatest(count(*), 1) as m from build
+    ),
+    bloom as (
+      select list_sort(list(distinct b)) as bits from (
+        select unnest([{_bloom_pos_sql(_BLOOM_SEEDS[0], "s_suppkey")},
+                       {_bloom_pos_sql(_BLOOM_SEEDS[1], "s_suppkey")}]) as b
+        from build cross join mm
+      )
+    ),
+    flagged as (
+      select
+        case when list_contains(bloom.bits, {_bloom_pos_sql(_BLOOM_SEEDS[0], "l.l_suppkey")})
+              and list_contains(bloom.bits, {_bloom_pos_sql(_BLOOM_SEEDS[1], "l.l_suppkey")})
+             then 1 else 0 end as bloom_pass,
+        case when b.s_suppkey is not null then 1 else 0 end as member
+      from lineitem l
+      cross join bloom
+      cross join mm
+      left join build b on l.l_suppkey = b.s_suppkey
+    )
+    select count(*) as n_rows,
+           cast(sum(bloom_pass) as bigint) as n_candidates,
+           cast(sum(member) as bigint) as n_member,
+           cast(sum(case when member = 1 and bloom_pass = 0 then 1 else 0 end) as bigint)
+             as n_false_neg,
+           cast(sum(case when bloom_pass = 1 and member = 0 then 1 else 0 end) as bigint)
+             as n_false_pos,
+           cast(sum(case when bloom_pass = 1 and member = 0 then 1 else 0 end) as double)
+             / nullif(cast(count(*) - sum(member) as double), 0.0) as fp_rate,
+           (sum(case when member = 1 and bloom_pass = 0 then 1 else 0 end) = 0
+            and coalesce(
+                  cast(sum(case when bloom_pass = 1 and member = 0 then 1 else 0 end) as double)
+                    / nullif(cast(count(*) - sum(member) as double), 0.0),
+                  0.0) <= {_BLOOM_FP_BOUND}) as bloom_ok
+    from flagged
+    """,
+    tags=("join", "bloom", "scale", "evidence"),
+)
+def join_bloom_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi-join evidence row: candidate/member counts,
+    zero false negatives, and the measured false-positive rate under
+    its bound.
+
+    100 TB shape: the dim side aggregates to ONE bitmap row
+    (collect_set over ≤ m ints, map-side combined) and broadcasts;
+    membership test is then a map-side array probe over the fact scan
+    — the fact table is never shuffled, and rows failing the bloom
+    never reach the (real) join. This is exactly what AQE's runtime
+    bloom filter injects for selective joins; spelled explicitly, the
+    filter's quality (no false negatives, FP rate ≤ bound) becomes a
+    driver-checkable fact instead of an engine promise. The bitmap is
+    sized from the build count (constant fill factor), so the FP
+    bound holds at any scale. The left join against the build keys
+    here exists only to MEASURE FP/FN in the same pass; a production
+    plan keeps just the bloom predicate.
+    Determinism: bit positions come from md5 slices of seed-tagged
+    key strings — identical on both engines; the bitmap is sorted.
+    """
+    sup = t(spark, sf, "supplier")
+    build = sup.where(F.col("s_nationkey") == _BLOOM_NATION).select("s_suppkey")
+    mm = build.agg(
+        (F.lit(_BLOOM_BITS_PER_KEY) * F.greatest(F.count(F.lit(1)), F.lit(1))).alias("m")
+    )
+    bits = (
+        build.crossJoin(F.broadcast(mm))
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(s, F.col("s_suppkey")) for s in _BLOOM_SEEDS])
+            ).alias("b")
+        )
+        .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+    )
+    li = t(spark, sf, "lineitem").select("l_suppkey")
+    flagged = (
+        li.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(mm))
+        .join(
+            F.broadcast(build.withColumn("m1", F.lit(1))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .select(
+            F.when(
+                F.array_contains("bits", _bloom_pos(_BLOOM_SEEDS[0], F.col("l_suppkey")))
+                & F.array_contains("bits", _bloom_pos(_BLOOM_SEEDS[1], F.col("l_suppkey"))),
+                1,
+            )
+            .otherwise(0)
+            .alias("bloom_pass"),
+            F.when(F.col("m1").isNotNull(), 1).otherwise(0).alias("member"),
+        )
+    )
+    fp = F.sum(F.when((F.col("bloom_pass") == 1) & (F.col("member") == 0), 1).otherwise(0))
+    fn = F.sum(F.when((F.col("member") == 1) & (F.col("bloom_pass") == 0), 1).otherwise(0))
+    nonmember = F.count(F.lit(1)) - F.sum("member")
+    fp_rate = fp.cast("double") / F.nullif(nonmember.cast("double"), F.lit(0.0))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bloom_pass").cast("long").alias("n_candidates"),
+        F.sum("member").cast("long").alias("n_member"),
+        fn.cast("long").alias("n_false_neg"),
+        fp.cast("long").alias("n_false_pos"),
+        fp_rate.alias("fp_rate"),
+        ((fn == 0) & (F.coalesce(fp_rate, F.lit(0.0)) <= _BLOOM_FP_BOUND)).alias("bloom_ok"),
+    )

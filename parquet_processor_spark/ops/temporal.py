@@ -503,3 +503,157 @@ def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
         F.when(within, F.col("m_event_id")).alias("recent_view_event_id"),
         F.when(within, F.col("m_ts")).alias("recent_view_ts"),
     )
+
+
+# SCD Type-2 dimension build: compress each user's event-type stream
+# into validity intervals (state, valid_from, valid_to, version,
+# is_current) — the standard slowly-changing-dimension shape a warehouse
+# derives from a change stream (the reference's closest analog is the
+# per-run timestamped snapshot dirs, test_parquet_processor.yml:70,
+# where later snapshots supersede earlier ones).
+@query(
+    "scd2_intervals",
+    oracle="""
+    with ordered as (
+      select user_id, event_type as state, ts,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_state
+      from events
+    ),
+    changes as (
+      select user_id, state, ts from ordered
+      where prev_state is null or state <> prev_state
+    )
+    select user_id, state,
+           ts as valid_from,
+           lead(ts) over w as valid_to,
+           row_number() over w as version,
+           (lead(ts) over w is null) as is_current
+    from changes
+    window w as (partition by user_id order by ts, state)
+    """,
+    tags=("temporal", "window", "scd"),
+)
+def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 validity intervals from the per-user event-type stream.
+
+    100 TB shape: both window passes (change detection, then
+    valid_to/version over the collapsed rows) partition by user_id —
+    ONE hash exchange feeds them; the second pass runs over the
+    change rows only (a fraction of the stream), so the expensive
+    sort touches the raw events once. No join, no self-correlation:
+    SCD2 from a change log is two window scans, never the
+    event-to-next-event range join a naive build would use.
+    Determinism: ties at equal ts break on event_id for change
+    detection and on state for interval ordering (consecutive change
+    states are distinct by construction, so (ts, state) is unique
+    within a user).
+    """
+    ev = t(spark, sf, "events")
+    w_detect = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("prev_state", F.lag("state").over(w_detect))
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "state")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# Interval-overlap join: per user, which view sessions overlap which
+# purchase sessions (15-min gap sessions on each side). The general
+# "range intersects range" correlation — the 2-sided generalization of
+# join_range's point-in-range shape.
+def _session_sql(event_type: str) -> str:
+    """Gaps-and-islands session intervals for one event type (DuckDB)."""
+    return f"""
+      select user_id, min(ts) as s_start, max(ts) + interval 15 minutes as s_end
+      from (
+        select user_id, ts,
+               sum(new_sess) over (partition by user_id order by ts, event_id
+                                   rows between unbounded preceding and current row)
+                 as sess_id
+        from (
+          select user_id, ts, event_id,
+                 case when lag(ts) over w is null
+                           or ts - lag(ts) over w > interval 15 minutes
+                      then 1 else 0 end as new_sess
+          from events where event_type = '{event_type}'
+          window w as (partition by user_id order by ts, event_id)
+        )
+      )
+      group by user_id, sess_id
+    """
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    with v as ({_session_sql("view")}),
+         p as ({_session_sql("purchase")})
+    select v.user_id,
+           v.s_start as view_start, v.s_end as view_end,
+           p.s_start as purchase_start, p.s_end as purchase_end
+    from v join p on v.user_id = p.user_id
+                 and v.s_start < p.s_end and p.s_start < v.s_end
+    """,
+    tags=("join", "temporal", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping (view-session × purchase-session) pairs per user.
+
+    100 TB shape: each side collapses its raw events to session
+    intervals inside one user-keyed session_window aggregate FIRST
+    (orders of magnitude fewer rows than events), then the overlap
+    join is an equi join on user_id with the interval predicate as a
+    post-join filter — a sort-merge join on the user key, never an
+    unblocked interval cross product. Per-user session counts are
+    small and bounded by activity span, so the within-key candidate
+    product stays tiny; the half-open comparison (< on both ends)
+    makes touching-at-boundary intervals non-overlapping on both
+    engines.
+    """
+    ev = t(spark, sf, "events")
+
+    def sessions(event_type: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"),
+            )
+        )
+
+    v = sessions("view")
+    p = sessions("purchase")
+    return (
+        v.alias("v")
+        .join(
+            p.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.s_start") < F.col("p.s_end"))
+            & (F.col("p.s_start") < F.col("v.s_end")),
+        )
+        .select(
+            F.col("v.user_id").alias("user_id"),
+            F.col("v.s_start").alias("view_start"),
+            F.col("v.s_end").alias("view_end"),
+            F.col("p.s_start").alias("purchase_start"),
+            F.col("p.s_end").alias("purchase_end"),
+        )
+    )

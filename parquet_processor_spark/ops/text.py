@@ -530,3 +530,121 @@ def tokenize_to_ids(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(",", F.transform(ids_in_order, lambda x: x.cast("string")))
         ).alias("ids_hash"),
     )
+
+
+# N4i: corpus heavy hitters — the exact top-K most frequent tokens
+# with corpus share. The profiling step a data pipeline runs before
+# choosing stop-word lists / vocab caps.
+_HH_K = 20
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=rf"""
+    with {_TOK_CTE},
+    tc as (select tok, count(*) as n from tok group by tok),
+    total as (select count(*) as n_total from tok)
+    select tok, n, cast(n as double) / n_total as share
+    from tc cross join total
+    order by n desc, tok limit {_HH_K}
+    """,
+    tags=("text", "agg", "topk"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-{K} tokens by corpus frequency, with corpus share.
+
+    100 TB shape: token counts are ONE map-side-combined aggregate
+    (Zipf-small shuffle: one row per distinct token per task); the
+    top-K is a TakeOrderedAndProject (per-partition heaps, K-row
+    driver merge — never a global sort); the corpus total is a 1-row
+    broadcast onto the K rows. For a streaming/bounded-memory variant
+    the same query shape runs over Misra-Gries summaries per
+    partition (merge = sum + truncate), trading exactness for O(K)
+    state — unnecessary here because the exact aggregate already
+    map-side-combines to vocabulary size, not corpus size.
+    Deterministic tie-break: count desc, then token asc.
+    """
+    tok = _corpus_tokens(spark, sf)
+    tc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tc.orderBy(F.col("n").desc(), "tok")
+        .limit(_HH_K)
+        .crossJoin(F.broadcast(total))
+        .select("tok", "n", (F.col("n").cast("double") / F.col("n_total")).alias("share"))
+    )
+
+
+# N4j: bigram language-model rarity — the 2-gram extension of
+# quality_unigram_rarity: score each document by how common its
+# ADJACENT TOKEN PAIRS are in the corpus. Low sum/avg frequency flags
+# machine-garbled or highly atypical word order that unigram stats
+# miss (each word common, the sequence never seen).
+@query(
+    "quality_bigram_lm",
+    oracle=r"""
+    with w as (
+      select doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') as words
+      from documents
+    ),
+    big as (
+      select doc_id, words[i] as w1, words[i + 1] as w2
+      from w, unnest(generate_series(1, len(words) - 1)) as s(i)
+    ),
+    model as (select w1, w2, count(*) as n_big from big group by w1, w2)
+    select b.doc_id,
+           count(*) as n_bigrams,
+           cast(sum(m.n_big) as bigint) as sum_freq,
+           min(m.n_big) as min_freq,
+           cast(sum(m.n_big) as double) / count(*) as avg_freq
+    from big b join model m on b.w1 = m.w1 and b.w2 = m.w2
+    group by b.doc_id
+    """,
+    tags=("text", "curation", "ngram"),
+)
+def quality_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc bigram-frequency score against the corpus bigram model.
+
+    100 TB shape: same as the unigram scorer, one n-gram order up —
+    bigram expansion is map-only array arithmetic over the tokenized
+    row (never a positional self-join: (doc,pos)⋈(doc,pos+1) would
+    shuffle the token stream twice to rebuild adjacency the array
+    already has); the bigram model aggregate is map-side combined on
+    the (w1,w2) key; the score join shuffles the bigram stream once.
+    Bigram vocab grows faster than unigram (a frequency-floor
+    broadcast cap applies at corpus scale), but the per-doc plan
+    shape is unchanged. Docs with <2 tokens have no bigrams and are
+    absent by definition (both engines: inner join over an empty
+    expansion). The oracle's sum is cast to bigint (DuckDB HUGEINT
+    policy, see quality_unigram_rarity) and avg is one bigint/bigint
+    double division.
+    """
+    w = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("words"),
+    )
+    big = (
+        w.select(
+            "doc_id",
+            F.expr(
+                "case when size(words) >= 2 then "
+                "  transform(sequence(1, size(words) - 1), "
+                "            i -> struct(words[i - 1] as w1, words[i] as w2)) "
+                "else array() end"
+            ).alias("pairs"),
+        )
+        .select("doc_id", F.explode("pairs").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    model = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_big"))
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_big").alias("sum_freq"),
+            F.min("n_big").alias("min_freq"),
+            (F.sum("n_big").cast("double") / F.count(F.lit(1))).alias("avg_freq"),
+        )
+    )

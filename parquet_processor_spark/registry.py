@@ -91,6 +91,16 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_percent_rank",
     "events_retention",
     "join_asof_tolerance",
+    # round-5 third wave — SCD2 build, interval-overlap join, column
+    # profiler, group z-score, heavy hitters, bigram LM, bloom-pruned
+    # join evidence
+    "scd2_intervals",
+    "join_interval_overlap",
+    "profile_columns",
+    "feature_zscore",
+    "agg_heavy_hitters",
+    "quality_bigram_lm",
+    "join_bloom_filtered",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -32,6 +32,8 @@ REPRESENTATIVE = [
     "dedup_connected",         # iterative closure over an EMPTY pair graph
     "quality_unigram_rarity",  # self-joined vocab model
     "events_funnel",           # cascaded stage joins
+    "scd2_intervals",          # two chained window passes
+    "join_interval_overlap",   # session intervals × overlap join
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
