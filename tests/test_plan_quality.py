@@ -422,3 +422,52 @@ def test_sorted_roundtrip_filter_pushed_to_clustered_scan(spark, sf_dir):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_feature_zscore_broadcasts_stats_not_window(spark):
+    # Group stats must come back as a BroadcastHashJoin onto the scan —
+    # if this regresses to a window (or a shuffled join), every fact row
+    # sorts inside an exchange at 100 TB for a 3-row stats lookup.
+    plan = plan_of(spark, "feature_zscore")
+    assert "BroadcastHashJoin" in plan, f"stats side not broadcast:\n{plan}"
+    assert "Window" not in plan, f"z-score regressed to a window:\n{plan}"
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"feature_zscore: single-partition sort: {bad}\n{plan}"
+
+
+def test_profile_columns_is_single_scan(spark):
+    # The 4-column profiler must read lineitem ONCE (shared Expand for
+    # the multi-distinct), not once per profiled column.
+    plan = plan_of(spark, "profile_columns")
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 1, f"profiler re-scans the table ({scans} scans):\n{plan}"
+    assert "Expand" in plan, f"multi-distinct lost its shared Expand:\n{plan}"
+
+
+def test_bloom_probe_is_map_side(spark):
+    # The bloom bitmap and the build keys must both broadcast; the fact
+    # scan must never shuffle before the final 1-row aggregate (the
+    # whole point of the runtime-filter pattern).
+    plan = plan_of(spark, "join_bloom_filtered")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert re.search(r"BroadcastHashJoin .*LeftOuter", plan), f"build keys not broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"fact side shuffled for the probe:\n{plan}"
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    # Both window passes partition by user_id — the plan must contain
+    # exactly one hash exchange on user_id feeding them.
+    plan = plan_of(spark, "scd2_intervals")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, f"expected 1 exchange (user_id), saw {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(user_id" in plan, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    # The overlap join must key on user_id (sort-merge or broadcast hash)
+    # with the interval predicate as a residual — never a Cartesian or
+    # pure range join.
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
