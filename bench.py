@@ -101,6 +101,8 @@ EXTENDED = [
     "agg_heavy_hitters",
     "quality_bigram_lm",
     "join_bloom_filtered",
+    "events_gap_fill",
+    "agg_incremental_merge",
 ]
 
 

@@ -763,3 +763,61 @@ def feature_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(stats), "l_returnflag")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "qty", z.alias("z"))
     )
+
+
+# Incremental aggregate maintenance — merge a standing per-key rollup
+# with a new delta partition WITHOUT recomputing history: re-aggregate
+# the union of partial states (counts add, sums add, maxes max). The
+# foundation of incremental materialized views; the oracle recomputes
+# from scratch, so the check proves merge(partials) == full recompute.
+_INCR_CUTOFF = "1997-01-01"
+
+
+@query(
+    "agg_incremental_merge",
+    oracle=f"""
+    select o_custkey,
+           count(*) as n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_spend,
+           max(o_orderdate) as last_order
+    from orders
+    group by o_custkey
+    """,
+    tags=("agg", "incremental", "scale"),
+)
+def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer order rollup maintained incrementally: history
+    partials (orders before {cutoff}) merged with delta partials
+    (orders on/after), equal by construction to the full recompute
+    the oracle runs.
+
+    100 TB shape: this is why the rollup's aggregates are all
+    MERGEABLE states (count, decimal sum, max — never a raw median or
+    distinct list): the history side is aggregated once and stored;
+    each new partition aggregates only its own rows and the merge
+    re-aggregates |keys| partial rows, so daily maintenance costs
+    O(delta + keys), not O(history). The merge groupBy partial-
+    aggregates map-side like any other; both inputs arrive already
+    collapsed to one row per key per side.
+    """
+    o = t(spark, sf, "orders")
+    cutoff = F.lit(_INCR_CUTOFF).cast("date")
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
+            F.max("o_orderdate").alias("pm"),
+        )
+
+    history = partial(o.where(F.col("o_orderdate") < cutoff))
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        history.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total_spend"),
+            F.max("pm").alias("last_order"),
+        )
+    )

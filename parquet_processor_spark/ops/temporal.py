@@ -657,3 +657,75 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
             F.col("p.s_end").alias("purchase_end"),
         )
     )
+
+
+# Time-series gap filling with forward fill (daily resample): every
+# user gets one row per calendar day across their active span; days
+# with no events carry the last observed value forward. The resample /
+# step-interpolation primitive of feature pipelines over event logs.
+@query(
+    "events_gap_fill",
+    oracle="""
+    with daily as (
+      select user_id, cast(ts as date) as day,
+             (max(struct_pack(t := ts, e := event_id, v := value))).v as day_value
+      from events
+      group by user_id, cast(ts as date)
+    ),
+    span as (
+      select user_id, min(day) as d0, max(day) as d1 from daily group by user_id
+    ),
+    grid as (
+      select s.user_id, cast(g.d as date) as day
+      from span s, unnest(generate_series(cast(s.d0 as timestamp),
+                                          cast(s.d1 as timestamp),
+                                          interval 1 day)) as g(d)
+    )
+    select g.user_id, g.day,
+           last_value(d.day_value ignore nulls)
+             over (partition by g.user_id order by g.day
+                   rows between unbounded preceding and current row) as value_filled,
+           (d.day_value is not null) as is_observed
+    from grid g left join daily d on g.user_id = d.user_id and g.day = d.day
+    """,
+    tags=("temporal", "timeseries", "gapfill"),
+)
+def events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily per-user grid over each user's active span, forward-filled.
+
+    100 TB shape: the raw stream first collapses to one row per
+    (user, day) in a map-side-combined aggregate — the only pass over
+    the full data. The calendar grid is generated from the per-user
+    span row (sequence+explode: map-only, output bounded by
+    users x span-days, not by event count), and the fill is one
+    window over the user_id partitioning that the grid join already
+    established. Day-value determinism: struct-max over
+    (ts, event_id, value) — the day's LAST event wins, ties broken by
+    event_id, spelled as a lexicographic struct max on both engines.
+    """
+    ev = t(spark, sf, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.expr("max(struct(ts as t, event_id as e, value as v)).v").alias("day_value"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("day_value").isNotNull().alias("is_observed"),
+        )
+    )

@@ -589,16 +589,17 @@ def agg_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
       from documents
     ),
     big as (
-      select doc_id, words[i] as w1, words[i + 1] as w2
+      select doc_id,
+             ('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 15))::bigint as bk
       from w, unnest(generate_series(1, len(words) - 1)) as s(i)
     ),
-    model as (select w1, w2, count(*) as n_big from big group by w1, w2)
+    model as (select bk, count(*) as n_big from big group by bk)
     select b.doc_id,
            count(*) as n_bigrams,
            cast(sum(m.n_big) as bigint) as sum_freq,
            min(m.n_big) as min_freq,
            cast(sum(m.n_big) as double) / count(*) as avg_freq
-    from big b join model m on b.w1 = m.w1 and b.w2 = m.w2
+    from big b join model m on b.bk = m.bk
     group by b.doc_id
     """,
     tags=("text", "curation", "ngram"),
@@ -610,15 +611,19 @@ def quality_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     bigram expansion is map-only array arithmetic over the tokenized
     row (never a positional self-join: (doc,pos)⋈(doc,pos+1) would
     shuffle the token stream twice to rebuild adjacency the array
-    already has); the bigram model aggregate is map-side combined on
-    the (w1,w2) key; the score join shuffles the bigram stream once.
-    Bigram vocab grows faster than unigram (a frequency-floor
-    broadcast cap applies at corpus scale), but the per-doc plan
-    shape is unchanged. Docs with <2 tokens have no bigrams and are
-    absent by definition (both engines: inner join over an empty
-    expansion). The oracle's sum is cast to bigint (DuckDB HUGEINT
-    policy, see quality_unigram_rarity) and avg is one bigint/bigint
-    double division.
+    already has); pairs are md5-hashed to 60-bit longs BEFORE any
+    shuffle (dedup-family policy: the model aggregate and score join
+    move 8-byte keys, not string pairs — a hash collision merges two
+    pair counts identically on both engines, so parity is unaffected).
+    The model aggregate is map-side combined; the score join shuffles
+    the bigram stream once. Bigram vocab grows faster than unigram (a
+    frequency-floor broadcast cap applies at corpus scale), but the
+    per-doc plan shape is unchanged. Docs with <2 tokens have no
+    bigrams and are absent by definition (both engines: inner join
+    over an empty expansion). explode_outer + null guard, not plain
+    explode — see dedup._explode_shingles for the inferred-filter
+    pushdown trap that re-runs the expansion per row (measured 30x
+    on this query: 28.5 s -> under a second at sf0.1).
     """
     w = t(spark, sf, "documents").select(
         "doc_id",
@@ -627,19 +632,24 @@ def quality_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     big = (
         w.select(
             "doc_id",
-            F.expr(
-                "case when size(words) >= 2 then "
-                "  transform(sequence(1, size(words) - 1), "
-                "            i -> struct(words[i - 1] as w1, words[i] as w2)) "
-                "else array() end"
-            ).alias("pairs"),
+            F.explode_outer(
+                F.expr(
+                    "case when size(words) >= 2 then "
+                    "  transform(sequence(1, size(words) - 1), "
+                    "            i -> concat(words[i - 1], ' ', words[i])) "
+                    "else array() end"
+                )
+            ).alias("pair"),
         )
-        .select("doc_id", F.explode("pairs").alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where(F.col("pair").isNotNull())
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("pair"), 1, 15), 16, 10).cast("bigint").alias("bk"),
+        )
     )
-    model = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_big"))
+    model = big.groupBy("bk").agg(F.count(F.lit(1)).alias("n_big"))
     return (
-        big.join(model, ["w1", "w2"])
+        big.join(model, "bk")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

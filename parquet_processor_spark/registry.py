@@ -101,6 +101,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters",
     "quality_bigram_lm",
     "join_bloom_filtered",
+    "events_gap_fill",
+    "agg_incremental_merge",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -34,6 +34,9 @@ REPRESENTATIVE = [
     "events_funnel",           # cascaded stage joins
     "scd2_intervals",          # two chained window passes
     "join_interval_overlap",   # session intervals × overlap join
+    "events_gap_fill",         # span grid + forward-fill window
+    "quality_bigram_lm",       # hashed-pair bigram model join
+    "agg_incremental_merge",   # partial-state union + merge agg
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
