@@ -103,6 +103,8 @@ EXTENDED = [
     "join_bloom_filtered",
     "events_gap_fill",
     "agg_incremental_merge",
+    "agg_copurchase_pairs",
+    "join_range_bucketed",
 ]
 
 

@@ -821,3 +821,59 @@ def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.max("pm").alias("last_order"),
         )
     )
+
+
+# Market-basket co-occurrence: which part pairs appear in the same
+# order, counted across all orders (the support statistic of frequent-
+# itemset mining / co-occurrence embeddings). Pair expansion runs
+# inside each order's basket — never a table-level self-join.
+_COPURCHASE_MIN_SUPPORT = 2
+
+
+@query(
+    "agg_copurchase_pairs",
+    oracle=f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    )
+    select a.l_partkey as p1, c.l_partkey as p2, count(*) as n_orders
+    from b a join b c
+      on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+    group by 1, 2
+    having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    """,
+    tags=("agg", "basket", "pairs"),
+)
+def agg_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Part pairs co-purchased in >= {min_support} orders.
+
+    100 TB shape: one shuffle collapses lineitem to per-order sorted
+    baskets (collect_set is map-side combined); pair expansion then
+    streams out of two chained generators per basket row —
+    C(basket,2) work bounded by the basket size (<= order line
+    count), never the |lineitem|² self-join the oracle spells. Pair
+    counts map-side combine on the (p1,p2) key. A pathological
+    mega-basket would be capped upstream exactly like hot shingles
+    (dedup.drop_hot_shingles); TPC-H order widths are bounded by
+    schema. The oracle's formulation IS the naive plan — result
+    equality proves the basket rewrite is semantics-preserving.
+    """
+    baskets = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "p1"), "parts")
+        .select(
+            "p1",
+            F.explode(
+                F.expr("slice(parts, i + 2, greatest(size(parts) - i - 1, 0))")
+            ).alias("p2"),
+        )
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= _COPURCHASE_MIN_SUPPORT)
+    )

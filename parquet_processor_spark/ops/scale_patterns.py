@@ -347,3 +347,61 @@ def join_bloom_filtered(spark: SparkSession, sf: str) -> DataFrame:
         fp_rate.alias("fp_rate"),
         ((fn == 0) & (F.coalesce(fp_rate, F.lit(0.0)) <= _BLOOM_FP_BOUND)).alias("bloom_ok"),
     )
+
+
+# Bucketed keyless range join — the scale rewrite for "all event pairs
+# within 5 minutes, ACROSS the whole stream" (no equi key anywhere).
+# The naive plan is a BroadcastNestedLoop/IEJoin — quadratic at 100 TB.
+# Bucketing time into window-width cells turns it into ONE equi
+# shuffle: a row can only match rows in its own or the next cell, so
+# the left side explodes to 2 bucket keys and the range test becomes a
+# residual predicate inside bounded cells.
+_RANGE_BUCKET_US = 300_000_000  # 5 minutes in microseconds
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    select a.event_id as base_id, b.event_id as follow_id
+    from events a join events b
+      on b.ts > a.ts and b.ts <= a.ts + interval 5 minutes
+    """,
+    tags=("join", "range", "bucket", "scale"),
+)
+def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """All (base, follow) event pairs with follow in (base, base+5min],
+    no join key — computed via time-cell bucketing, checked against
+    the plain quadratic range join.
+
+    100 TB shape: both sides hash-shuffle ONCE on the 5-minute cell
+    id (the probe side ships each row to its own and its successor
+    cell: a fixed 2x fan-out, not a per-row range scan); within a
+    cell the residual `0 < dt <= 5min` predicate runs in codegen.
+    Candidate work is sum over cells of |cell|x|cell±1| — linear for
+    any bounded event rate, and a hot cell (load spike) AQE-splits
+    like any skewed equi key. The oracle spells the naive non-equi
+    join, so the check proves the bucketing loses no pair and invents
+    none (boundary pairs are caught by the successor-cell copy).
+    """
+    e = t(spark, sf, "events").select(
+        "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    cell = F.expr(f"us div {_RANGE_BUCKET_US}")  # exact integer floor-div
+    b = e.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("ts").alias("b_ts"),
+        cell.alias("cell"),
+    )
+    a = e.select(
+        F.col("event_id").alias("base_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(cell, cell + 1)).alias("cell"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 5 minutes"))
+        )
+        .select("base_id", "follow_id")
+    )

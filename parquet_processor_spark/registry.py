@@ -103,6 +103,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_bloom_filtered",
     "events_gap_fill",
     "agg_incremental_merge",
+    "agg_copurchase_pairs",
+    "join_range_bucketed",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

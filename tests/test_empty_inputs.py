@@ -37,6 +37,8 @@ REPRESENTATIVE = [
     "events_gap_fill",         # span grid + forward-fill window
     "quality_bigram_lm",       # hashed-pair bigram model join
     "agg_incremental_merge",   # partial-state union + merge agg
+    "agg_copurchase_pairs",    # basket collapse + chained generators
+    "join_range_bucketed",     # 2x bucket fan-out + residual range
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]

@@ -471,3 +471,26 @@ def test_interval_overlap_is_equi_join(spark):
     plan = plan_of(spark, "join_interval_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_range_join_is_equi_not_nested_loop(spark):
+    # The keyless range join rewrite must plan as an equi join on the
+    # time cell (sort-merge or shuffled hash) — the whole point is to
+    # never fall back to BroadcastNestedLoopJoin/Cartesian, which is
+    # what the naive non-equi formulation plans.
+    plan = plan_of(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), f"no equi join on the cell key:\n{plan}"
+
+
+def test_copurchase_pairs_expand_inside_baskets(spark):
+    # Pair expansion must come from generators over the collapsed
+    # basket rows (two Generate nodes), never a lineitem self-join.
+    plan = plan_of(spark, "agg_copurchase_pairs")
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2, plan
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 1, f"basket rewrite re-scans lineitem ({scans} scans):\n{plan}"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
