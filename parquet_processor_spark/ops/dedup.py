@@ -363,7 +363,16 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
         .where(F.size("docs") >= 2)
     )
-    cand = (
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(_K))
+    # est is computed BEFORE the pair dedup: a pair colliding in two
+    # bands yields identical est rows, so dropDuplicates over
+    # (doc_a, doc_b, est) is the same pair set — and the dedup shuffle
+    # carries 24-byte rows instead of two k-long signatures each.
+    return (
         blocks.select("docs", F.posexplode("docs").alias("i", "a"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -372,14 +381,9 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("b").isNotNull())
         .select("doc_a", "sig_a", F.col("b.doc_id").alias("doc_b"), F.col("b.sig").alias("sig_b"))
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(_K))
-    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
 
 
 # N2d: embedding-cosine near-dup — semantic dedup over the embeddings
