@@ -105,6 +105,8 @@ EXTENDED = [
     "agg_incremental_merge",
     "agg_copurchase_pairs",
     "join_range_bucketed",
+    "sample_temperature_mix",
+    "events_markov",
 ]
 
 

@@ -203,3 +203,68 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / _PACK_BUDGET).alias("bin_id"),
     )
+
+
+# Temperature-scaled mixing (alpha = 0.5) over the LANGUAGE strata:
+# downsample each language at rate sqrt(n_l)/sqrt(n_max), flattening
+# the language distribution the way temperature-based mixing does for
+# LLM training corpora (the doc languages are the skewed stratum in
+# this corpus; sources are uniform). Unlike sample_weighted_mix's
+# fixed literal rates, the rates here are DERIVED FROM THE DATA, and
+# selection stays a pure function of the doc key.
+_TEMP_SCALE = float(1 << 52)
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    with counts as (
+      select lang, count(*) as n from documents group by lang
+    ),
+    rates as (
+      select lang,
+             cast(floor(sqrt(cast(n as double))
+                        / sqrt((select max(cast(n as double)) from counts))
+                        * {_TEMP_SCALE}) as bigint) as thr
+      from counts
+    )
+    select d.doc_id, d.source, d.lang
+    from documents d join rates r on d.lang = r.lang
+    where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 13))::bigint < r.thr
+    """,
+    tags=("sampling", "mixing"),
+)
+def sample_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic temperature (alpha=0.5) language rebalance.
+
+    100 TB shape: per-language counts are one map-side-combined
+    aggregate (a handful of rows); the max is a 1-row broadcast onto
+    them; the resulting (lang, threshold) table broadcasts onto the
+    scan, so selection is a codegen filter beside the parquet reader —
+    zero shuffles of the corpus. Selection u(doc) = first 13 md5
+    nibbles of the key as a 52-bit integer, compared against
+    floor(rate * 2^52): u is uniform, reproducible under retries, and
+    stable as the corpus grows (a kept doc stays kept unless its
+    language's rate changes). sqrt and one divide are correctly-
+    rounded IEEE ops, so thresholds are bit-identical across engines.
+    The majority language keeps everything (rate 1.0); minority
+    languages keep sqrt(n_l/n_max) — the alpha=0.5 flattening.
+    """
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.max(F.col("n").cast("double")).alias("n_max"))
+    rates = (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            F.floor(
+                F.sqrt(F.col("n").cast("double")) / F.sqrt(F.col("n_max")) * F.lit(_TEMP_SCALE)
+            ).cast("bigint").alias("thr"),
+        )
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(u < F.col("thr"))
+        .select("doc_id", "source", "lang")
+    )

@@ -729,3 +729,57 @@ def events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
             F.col("day_value").isNotNull().alias("is_observed"),
         )
     )
+
+
+# First-order Markov transition matrix over the event-type stream:
+# counts and conditional probabilities of "user does Y right after X".
+# The behavior-model statistic sequence-mining / anomaly pipelines
+# derive before any learned model.
+@query(
+    "events_markov",
+    oracle="""
+    with seq as (
+      select user_id, event_type,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_type
+      from events
+    ),
+    trans as (
+      select prev_type, event_type as next_type, count(*) as n
+      from seq where prev_type is not null
+      group by prev_type, event_type
+    )
+    select prev_type, next_type, n,
+           cast(n as double)
+             / sum(n) over (partition by prev_type) as p_next
+    from trans
+    """,
+    tags=("temporal", "markov", "events"),
+)
+def events_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """(prev, next) event-type transition counts and P(next | prev).
+
+    100 TB shape: the lag window is ONE shuffle on user_id (ties
+    broken by event_id); transition counts map-side combine onto a
+    |types|^2-row table, and the conditional probability normalizes
+    inside that tiny table (window over prev_type costs nothing at
+    |types| rows). The probability is one double division of exact
+    bigint counts — deterministic across engines. This is the
+    two-aggregate shape that never materializes per-user sequences.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p_next"),
+    )

@@ -105,6 +105,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_incremental_merge",
     "agg_copurchase_pairs",
     "join_range_bucketed",
+    "sample_temperature_mix",
+    "events_markov",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -39,6 +39,8 @@ REPRESENTATIVE = [
     "agg_incremental_merge",   # partial-state union + merge agg
     "agg_copurchase_pairs",    # basket collapse + chained generators
     "join_range_bucketed",     # 2x bucket fan-out + residual range
+    "sample_temperature_mix",  # data-derived broadcast thresholds
+    "events_markov",           # lag window + tiny transition table
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
