@@ -107,6 +107,8 @@ EXTENDED = [
     "join_range_bucketed",
     "sample_temperature_mix",
     "events_markov",
+    "events_rolling_distinct",
+    "agg_rfm_scores",
 ]
 
 

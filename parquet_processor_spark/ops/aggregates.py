@@ -877,3 +877,69 @@ def agg_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= _COPURCHASE_MIN_SUPPORT)
     )
+
+
+# RFM customer scoring — recency/frequency/monetary quintiles, the
+# classic warehouse segmentation (and the per-entity quality weighting
+# a sampling pipeline derives before mixing).
+@query(
+    "agg_rfm_scores",
+    oracle="""
+    with rfm as (
+      select o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (select max(o_orderdate) from orders)) as recency_days,
+             count(*) as frequency,
+             cast(sum(cast(o_totalprice as decimal(18,2))) as double) as monetary
+      from orders group by o_custkey
+    )
+    select o_custkey, recency_days, frequency, monetary,
+           ntile(5) over (order by recency_days, o_custkey) as r_score,
+           ntile(5) over (order by frequency desc, o_custkey) as f_score,
+           ntile(5) over (order by monetary desc, o_custkey) as m_score
+    from rfm
+    """,
+    tags=("agg", "rfm", "window"),
+)
+def agg_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer RFM metrics + quintile scores (1 = best).
+
+    100 TB shape: the RFM metrics are one map-side-combined aggregate
+    per customer (exact decimal money sums); the corpus max date is a
+    1-row broadcast. The ntile windows run over the CUSTOMER table —
+    already |customers| rows, orders of magnitude below the fact
+    table — which is the point: score after collapsing, never window
+    the raw orders. (A customer table too large for the single-
+    partition ntile sort would switch to the two-phase global-index
+    pattern of ops/windows.py W1; the driver-facing semantics are
+    unchanged.) Ties break on o_custkey so quintile assignment is
+    deterministic.
+    """
+    o = t(spark, sf, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff("corpus_max", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    from pyspark.sql import Window
+
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )

@@ -783,3 +783,54 @@ def events_markov(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p_next"),
     )
+
+
+# Rolling 7-day distinct users per day — the sliding-window COUNT
+# DISTINCT that window frames can't express (no distinct aggregates
+# over frames in either engine's window functions): each (user, day)
+# activity row fans out to the 7 target days it is visible from, and
+# the distinct count collapses per target day.
+@query(
+    "events_rolling_distinct",
+    oracle="""
+    with act as (
+      select distinct user_id, cast(ts as date) as day from events
+    ),
+    fan as (
+      select a.user_id, a.day + cast(o as integer) as target_day
+      from act a, unnest(generate_series(0, 6)) as s(o)
+    ),
+    days as (select distinct cast(ts as date) as day from events)
+    select d.day, count(distinct f.user_id) as dau7
+    from days d join fan f on f.target_day = d.day
+    group by d.day
+    """,
+    tags=("temporal", "window", "distinct"),
+)
+def events_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct users active in the trailing 7 days, per observed day.
+
+    100 TB shape: the raw stream collapses to (user, day) map-side
+    FIRST (the only full-data pass); the 7-way fan-out is map-only
+    and bounded by 7x the collapsed table, not the event count; the
+    final distinct count is one map-side-combined aggregate per
+    target day. This replaces the unimplementable
+    `count(distinct) over (range 7 days)` window AND the self-join
+    formulation (activity x activity on a range predicate) that
+    rescans the table per day. Observed-days join keeps the output
+    aligned with days that actually exist in the data.
+    """
+    ev = t(spark, sf, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    fan = act.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, day + interval 6 days, interval 1 day)")).alias(
+            "target_day"
+        ),
+    )
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        days.join(fan, days.day == fan.target_day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+    )

@@ -107,6 +107,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_range_bucketed",
     "sample_temperature_mix",
     "events_markov",
+    "events_rolling_distinct",
+    "agg_rfm_scores",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

@@ -41,6 +41,8 @@ REPRESENTATIVE = [
     "join_range_bucketed",     # 2x bucket fan-out + residual range
     "sample_temperature_mix",  # data-derived broadcast thresholds
     "events_markov",           # lag window + tiny transition table
+    "events_rolling_distinct", # 7-way fan-out sliding distinct
+    "agg_rfm_scores",          # collapsed-table ntile windows
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
