@@ -109,6 +109,7 @@ EXTENDED = [
     "events_markov",
     "events_rolling_distinct",
     "agg_rfm_scores",
+    "dedup_repeated_ngrams",
 ]
 
 

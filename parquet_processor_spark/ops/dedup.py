@@ -839,3 +839,82 @@ def dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         F.coalesce(F.col("label") < F.col("doc_id"), F.lit(False)).alias("is_dup"),
     )
+
+
+# N2e: repeated-passage signal — for each document, how many of its
+# word 8-grams also occur in ANOTHER document (exact cross-doc passage
+# repetition, the span-level statistic behind suffix-array corpus
+# dedup). Distinct from Jaccard/containment: no pairing — the output
+# is a per-document contamination fraction, linear in the corpus.
+_PASSAGE_N = 8
+
+
+@query(
+    "dedup_repeated_ngrams",
+    oracle=rf"""
+    with w as (
+      select doc_id, regexp_split_to_array(text, '\s+') as words from documents
+    ),
+    grams as (
+      select doc_id,
+             ('0x' || substr(md5(array_to_string(words[i:i+{_PASSAGE_N - 1}], ' ')), 1, 15))::bigint
+               as g
+      from w, unnest(generate_series(1, len(words) - {_PASSAGE_N - 1})) as s(i)
+    ),
+    gd as (select distinct doc_id, g from grams),
+    df as (select g, count(*) as n_docs from gd group by g)
+    select gr.doc_id,
+           count(*) as n_grams,
+           cast(sum(case when df.n_docs > 1 then 1 else 0 end) as bigint) as n_shared,
+           cast(sum(case when df.n_docs > 1 then 1 else 0 end) as double) / count(*)
+             as shared_frac
+    from grams gr join df on gr.g = df.g
+    group by gr.doc_id
+    """,
+    tags=("dedup", "ngram", "curation"),
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc count and fraction of 8-gram passages shared with at
+    least one OTHER document (df computed on distinct doc-gram pairs,
+    so within-doc repetition never inflates it).
+
+    100 TB shape: 8-grams hash to 60-bit longs inside one pass over
+    the words array (the passage string never leaves the expression);
+    the doc-frequency aggregate is map-side combined on the gram key
+    (Zipf-ish: the shuffle carries distinct grams per task); the
+    score join shuffles the gram stream once and the per-doc rollup
+    reuses nothing heavier. Linear end-to-end — no pair join at any
+    point, which is what makes the span-level signal usable where
+    even blocked pair enumeration is too big. Docs shorter than
+    {_PASSAGE_N} words have no 8-grams and are absent by definition.
+    """
+    n = _PASSAGE_N
+    w = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("words")
+    )
+    gram_arr = F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (n - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice("words", i, n))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = (
+        w.select("doc_id", F.explode_outer(gram_arr).alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    dfreq = grams.distinct().groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            (F.sum(shared).cast("double") / F.count(F.lit(1))).alias("shared_frac"),
+        )
+    )

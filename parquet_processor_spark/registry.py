@@ -109,6 +109,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_markov",
     "events_rolling_distinct",
     "agg_rfm_scores",
+    "dedup_repeated_ngrams",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

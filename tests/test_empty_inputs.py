@@ -43,6 +43,7 @@ REPRESENTATIVE = [
     "events_markov",           # lag window + tiny transition table
     "events_rolling_distinct", # 7-way fan-out sliding distinct
     "agg_rfm_scores",          # collapsed-table ntile windows
+    "dedup_repeated_ngrams",   # hashed 8-gram df + score join
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
