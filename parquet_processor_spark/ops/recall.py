@@ -279,3 +279,83 @@ def error_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
             (F.coalesce(F.max(err) <= 0.6, F.lit(True))).alias("max_err_ok"),
         )
     )
+
+
+# Approximate top-k evidence gate: Spark 4's approx_top_k sketch
+# (bounded state: maxItemsTracked entries per partial, mergeable)
+# against the exact heavy-hitter counts. With corpus vocab below the
+# tracking bound the sketch is provably exact, so every returned count
+# must equal its exact count and the smallest returned count must sit
+# at the true k-th boundary — stable facts, not flaky measurements.
+# (At a vocab >> tracking bound the same gate loosens to count-error
+# bounds; the plan shape — one sketch aggregate, one broadcast-join
+# audit — is unchanged.)
+_TOPK_K = 10
+_TOPK_TRACKED = 50
+
+
+@query(
+    "error_approx_topk",
+    oracle=f"""
+    with tok0 as (
+      select unnest(regexp_split_to_array(text, '\\s+')) as tok from documents
+    ),
+    tok as (select tok from tok0 where tok <> ''),
+    tc as (select tok, count(*) as n from tok group by tok),
+    kth as (select n from tc order by n desc, tok limit 1 offset {_TOPK_K - 1})
+    select cast({_TOPK_K} as bigint) as n_returned,
+           cast({_TOPK_K} as bigint) as n_count_exact,
+           (select cast(n as bigint) from kth) as boundary_count,
+           true as topk_valid
+    """,
+    tags=("agg", "approx", "topk", "evidence"),
+)
+def error_approx_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_top_k audit: items returned, how many carry exact
+    counts, the exact k-th-place count, and the validity boolean
+    (every sketch count exact AND no returned count below the true
+    boundary).
+
+    100 TB shape: the sketch is ONE map-side-combined aggregate with
+    O(maxItemsTracked) state per partial — the bounded-memory
+    replacement for the exact vocab aggregate when the vocabulary
+    explodes; the audit joins the k returned items against exact
+    counts (broadcast: k rows) and the boundary is a 1-row broadcast.
+    Tie-safety: a tie AT the boundary means either tied item is a
+    valid k-th pick, so the gate checks counts, never item identity.
+    """
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode_outer(F.split("text", r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    kth = (
+        exact.orderBy(F.col("n").desc(), "tok")
+        .limit(_TOPK_K)
+        .agg(F.min("n").alias("kth_n"))
+    )
+    sk = (
+        tok.agg(F.expr(f"approx_top_k(tok, {_TOPK_K}, {_TOPK_TRACKED})").alias("items"))
+        .select(F.explode("items").alias("it"))
+        .select(F.col("it.item").alias("tok"), F.col("it.count").alias("sk_n"))
+    )
+    return (
+        sk.join(F.broadcast(exact), "tok", "left")
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.when(F.col("sk_n") == F.col("n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_count_exact"),
+            F.max("kth_n").cast("long").alias("boundary_count"),
+            (
+                (F.count(F.lit(1)) == F.lit(_TOPK_K))
+                & (
+                    F.sum(F.when(F.col("sk_n") == F.col("n"), 1).otherwise(0))
+                    == F.count(F.lit(1))
+                )
+                & (F.min("sk_n") >= F.max("kth_n"))
+            ).alias("topk_valid"),
+        )
+    )
