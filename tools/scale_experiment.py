@@ -46,8 +46,18 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "curation_repetition", "curation_contamination", "streaming_dedup",
          "dedup_connected", "recall_dedup_near",
          "sessionize_events", "doc_chunk_windows", "dedup_keep_best",
-         "sim_topk_lsh"]
+         "sim_topk_lsh",
+         # round-5 third/fourth/fifth-wave operators
+         "scd2_intervals", "events_gap_fill", "join_bloom_filtered",
+         "quality_bigram_lm", "agg_copurchase_pairs", "join_range_bucketed",
+         "feature_zscore", "profile_columns", "events_rolling_distinct",
+         "dedup_repeated_ngrams", "sample_temperature_mix", "events_markov"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
+    # fresh caches per corpus: cached minhash signatures from the small
+    # scale otherwise coexist with the x10 shuffle and thrash the shared
+    # local[32] heap (SCALE.md "Operational note" - measured ~2x on the
+    # dedup tail). A cluster gives each job its own executors.
+    spark.catalog.clearCache()
     times = {}
     for name in NAMES:
         t0 = time.perf_counter()
