@@ -124,3 +124,58 @@ def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# Rolling median over a row frame — an aggregate Spark's window
+# functions don't support (no median/percentile over frames). The
+# rewrite: collect the frame into an array, sort, index the middle —
+# exact, deterministic, and frame-size-bounded memory. DuckDB runs its
+# native windowed median as the oracle (interpolating even frames),
+# so the array spelling must interpolate identically.
+_ROLL_N = 5  # current row + 4 preceding
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    select event_id, user_id, ts,
+           median(value) over (
+             partition by user_id order by ts, event_id
+             rows between {_ROLL_N - 1} preceding and current row
+           ) as roll_median
+    from events
+    """,
+    tags=("window", "median", "frame"),
+)
+def window_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-{n}-row median of `value` per user.
+
+    100 TB shape: one hash shuffle on user_id (the frame lives inside
+    the partition sort); collect_list over a ROWS frame holds at most
+    {n} elements per row — O(frame) state, never the whole partition.
+    The median is array arithmetic in codegen: sort the frame copy,
+    pick the middle (odd) or average the two middles (even), matching
+    DuckDB's interpolating median bit-for-bit — both engines compute
+    (a+b)/2 on doubles in one IEEE operation. This is the general
+    recipe for any frame aggregate the engine lacks: collect the
+    bounded frame, fold in an expression.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # even frame: mean of the two middle elements; odd: the middle one;
+    # all-null frame (collect_list drops nulls): null, like median.
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise((F.element_at(arr, (n / 2).cast("int")) + mid_hi) / F.lit(2.0))
+    )
+    return t(spark, sf, "events").select(
+        "event_id", "user_id", "ts", med.alias("roll_median")
+    )

@@ -111,6 +111,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_rfm_scores",
     "dedup_repeated_ngrams",
     "error_approx_topk",
+    "window_rolling_median",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
