@@ -111,3 +111,151 @@ def test_global_row_number_is_dense_sorted_rank(spark, data):
     out = {r["k"]: r["rn"] for r in global_row_number(df, "k").collect()}
     want = {k: i + 1 for i, k in enumerate(sorted(data))}
     assert out == want
+
+
+# --- round-5 operator family invariants --------------------------------
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40
+    ),
+    members=st.sets(st.integers(min_value=0, max_value=10_000), max_size=8),
+)
+@prop
+def test_bloom_filter_never_false_negative(spark, keys, members):
+    # The md5-derived portable bloom (ops/scale_patterns.join_bloom_filtered)
+    # must NEVER reject a true member, for ANY key set — the FP rate is
+    # data-dependent, the zero-FN guarantee is structural.
+    from parquet_processor_spark.ops.scale_patterns import (
+        _BLOOM_BITS_PER_KEY,
+        _BLOOM_SEEDS,
+        _bloom_pos,
+    )
+
+    build = spark.createDataFrame(
+        [Row(k=int(m)) for m in members] or [Row(k=None)], "k long"
+    ).where(F.col("k").isNotNull())
+    m_row = build.agg(
+        (F.lit(_BLOOM_BITS_PER_KEY) * F.greatest(F.count(F.lit(1)), F.lit(1))).alias("m")
+    )
+    bits = (
+        build.crossJoin(F.broadcast(m_row))
+        .select(
+            F.explode(F.array(*[_bloom_pos(s, F.col("k")) for s in _BLOOM_SEEDS])).alias("b")
+        )
+        .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+    )
+    probe = spark.createDataFrame([Row(k=int(k)) for k in keys], "k long")
+    flagged = (
+        probe.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "k",
+            (
+                F.array_contains("bits", _bloom_pos(_BLOOM_SEEDS[0], F.col("k")))
+                & F.array_contains("bits", _bloom_pos(_BLOOM_SEEDS[1], F.col("k")))
+            ).alias("pass"),
+        )
+        .collect()
+    )
+    for r in flagged:
+        if r.k in members:
+            assert r.pass_ if hasattr(r, "pass_") else r["pass"], f"false negative for member {r.k}"
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.floats(allow_nan=False, allow_infinity=False, width=32), st.none()),
+        min_size=1,
+        max_size=20,
+    )
+)
+@prop
+def test_rolling_median_matches_brute_force(spark, vals):
+    # The array-spelled frame median (ops/window_more.window_rolling_median
+    # rewrite) must equal a per-row brute-force median of the trailing
+    # 5 non-null values, including interpolation on even counts.
+    from pyspark.sql import Window
+
+    data = [Row(i=i, v=float(v) if v is not None else None) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "i long, v double")
+    w = Window.partitionBy(F.lit(1)).orderBy("i").rowsBetween(-4, Window.currentRow)
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))
+            )
+            / F.lit(2.0)
+        )
+    )
+    got = {r.i: r.m for r in df.select("i", med.alias("m")).collect()}
+    for i in range(len(vals)):
+        window_vals = sorted(
+            v for v in (vals[max(0, i - 4): i + 1]) if v is not None
+        )
+        if not window_vals:
+            expect = None
+        else:
+            k = len(window_vals)
+            expect = (
+                window_vals[k // 2]
+                if k % 2 == 1
+                else (window_vals[k // 2 - 1] + window_vals[k // 2]) / 2.0
+            )
+        g = got[i]
+        if expect is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(expect, nan_ok=True)
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # order id
+            st.integers(min_value=0, max_value=15),  # part id
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@prop
+def test_copurchase_pairs_match_naive_self_join(spark, baskets):
+    # The basket-generator pair expansion must equal the naive distinct
+    # self-join for ANY order/part multiset (duplicates collapse).
+    from itertools import combinations
+
+    df = spark.createDataFrame(
+        [Row(o=o, p=p) for o, p in baskets], "o long, p long"
+    )
+    collapsed = df.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("parts"))
+    pairs = (
+        collapsed.select(F.posexplode("parts").alias("i", "p1"), "parts")
+        .select(
+            "p1",
+            F.explode(
+                F.expr("slice(parts, i + 2, greatest(size(parts) - i - 1, 0))")
+            ).alias("p2"),
+        )
+        .groupBy("p1", "p2")
+        .count()
+        .collect()
+    )
+    got = {(r.p1, r.p2): r["count"] for r in pairs}
+    expect: dict = {}
+    from collections import defaultdict
+
+    per_order = defaultdict(set)
+    for o, p in baskets:
+        per_order[o].add(p)
+    exp = defaultdict(int)
+    for parts in per_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            exp[(a, b)] += 1
+    assert got == dict(exp)
