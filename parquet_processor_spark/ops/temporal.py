@@ -834,3 +834,92 @@ def events_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("dau7"))
     )
+
+
+# Time-bounded funnel: view -> click -> purchase with each NEXT stage
+# required within 1 hour of the previous (the "conversion window"
+# variant of events_funnel — MATCH_RECOGNIZE-lite sequence matching).
+# Earliest-qualifying semantics per stage, like the unbounded funnel.
+_FUNNEL_WINDOW_SECONDS = 3600
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    with v as (
+      select user_id, min(ts) as t_view
+      from events where event_type = 'view' group by user_id
+    ),
+    c as (
+      select e.user_id, v.t_view, min(e.ts) as t_click
+      from events e join v on e.user_id = v.user_id
+      where e.event_type = 'click' and e.ts > v.t_view
+        and e.ts <= v.t_view + interval {_FUNNEL_WINDOW_SECONDS} seconds
+      group by e.user_id, v.t_view
+    ),
+    p as (
+      select e.user_id, c.t_click, min(e.ts) as t_purchase
+      from events e join c on e.user_id = c.user_id
+      where e.event_type = 'purchase' and e.ts > c.t_click
+        and e.ts <= c.t_click + interval {_FUNNEL_WINDOW_SECONDS} seconds
+      group by e.user_id, c.t_click
+    )
+    select v.user_id, v.t_view, c.t_click, p.t_purchase,
+           (p.t_purchase is not null) as completed
+    from v
+      left join c on v.user_id = c.user_id
+      left join p on v.user_id = p.user_id
+    """,
+    tags=("temporal", "funnel", "window"),
+)
+def events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """events_funnel with a 1-hour conversion bound per stage.
+
+    100 TB shape: identical to the unbounded funnel — three map-side-
+    combined min-aggregates cascaded by user-keyed equi joins reusing
+    ONE partitioning — the window bound is a map-side predicate on
+    the already-joined row, never a range join. Note the greedy
+    earliest-qualifying semantics (first view anchors the chain): a
+    later view could in principle convert where the first did not —
+    per-anchor matching is the funnel variant pipelines accept for
+    linear cost, and it is what warehouse funnels (and this oracle)
+    define.
+    """
+    bound = f"interval {_FUNNEL_WINDOW_SECONDS} seconds"
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(bound))
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(bound))
+        )
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+    )

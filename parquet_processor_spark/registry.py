@@ -112,6 +112,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_repeated_ngrams",
     "error_approx_topk",
     "window_rolling_median",
+    "events_funnel_windowed",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
