@@ -110,6 +110,8 @@ EXTENDED = [
     "events_rolling_distinct",
     "agg_rfm_scores",
     "dedup_repeated_ngrams",
+    "window_rolling_median",
+    "events_funnel_windowed",
 ]
 
 
