@@ -667,36 +667,48 @@ _PROFILE_COLS = ("l_quantity", "l_shipdate", "l_returnflag", "l_extendedprice")
 )
 def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     """Null count, distinct cardinality, min/max for four lineitem
-    columns in ONE scan, unpivoted to a tall (column, metrics) table.
+    columns, unpivoted to a tall (column, metrics) table.
 
-    100 TB shape: a single aggregate pass — the multi-column
-    `count(distinct ...)`s share one Expand (each row fans out once
-    per distinct-column, then every path partial-aggregates map-side;
-    same plan family as agg_count_distinct_multi). min/max/null
-    counts ride the same aggregate for free. The stack() unpivot runs
-    on the single result row. Profiling four columns costs one read
-    of those four columns — never four scans, never a driver loop.
-    min/max are normalized to strings so heterogeneous column types
-    share one output schema (decimal/date formatting is canonical and
-    engine-identical: unpadded ISO dates, scale-preserving decimals).
+    100 TB shape: TWO column-pruned aggregate passes joined at one
+    row — the distinct cardinalities in one Expand+HashAggregate
+    pass (each row fans out once per distinct-column, every path
+    partial-aggregates map-side; same plan family as
+    agg_count_distinct_multi), and null counts + min/max in a plain
+    HashAggregate pass. They are deliberately NOT one aggregate:
+    combining multi-distinct with ordinary aggregates makes Catalyst
+    plan the whole thing as a SortAggregate over the Expand output —
+    a full sort of 5x the row count for a 1-row result (measured
+    5.3 s vs 1.9 s for the two hash passes at sf0.1; at 100 TB the
+    difference is a petabyte-scale sort vs two map-side-combined
+    scans of four columns). The stack() unpivot runs on the joined
+    single row. min/max normalize to strings AFTER the typed
+    aggregate, so decimal/date ordering is numeric, with canonical
+    engine-identical formatting.
     """
     li = t(spark, sf, "lineitem")
-    stats = li.agg(
+    prefixes = ("q", "d", "r", "c")
+    dist = li.agg(
+        *[
+            F.countDistinct(c).alias(f"{pre}_dist")
+            for c, pre in zip(_PROFILE_COLS, prefixes)
+        ]
+    )
+    plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
             agg
-            for c, pre in zip(_PROFILE_COLS, ("q", "d", "r", "c"))
+            for c, pre in zip(_PROFILE_COLS, prefixes)
             for agg in (
                 (F.count(F.lit(1)) - F.count(c)).alias(f"{pre}_nulls"),
-                F.countDistinct(c).alias(f"{pre}_dist"),
                 F.min(c).cast("string").alias(f"{pre}_min"),
                 F.max(c).cast("string").alias(f"{pre}_max"),
             )
         ],
     )
+    stats = plain.crossJoin(F.broadcast(dist))
     stack_args = ", ".join(
         f"'{c}', {pre}_nulls, {pre}_dist, {pre}_min, {pre}_max"
-        for c, pre in zip(_PROFILE_COLS, ("q", "d", "r", "c"))
+        for c, pre in zip(_PROFILE_COLS, prefixes)
     )
     return stats.select(
         F.expr(

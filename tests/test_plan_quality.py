@@ -435,13 +435,22 @@ def test_feature_zscore_broadcasts_stats_not_window(spark):
     assert not bad, f"feature_zscore: single-partition sort: {bad}\n{plan}"
 
 
-def test_profile_columns_is_single_scan(spark):
-    # The 4-column profiler must read lineitem ONCE (shared Expand for
-    # the multi-distinct), not once per profiled column.
+def test_profile_columns_two_hash_passes(spark):
+    # The 4-column profiler runs exactly TWO column-pruned aggregate
+    # passes (multi-distinct via shared Expand + plain min/max/null),
+    # never one per profiled column — and never the SortAggregate-over-
+    # Expand plan that a combined aggregate produces (a full sort of
+    # 5x the rows for a 1-row result).
     plan = plan_of(spark, "profile_columns")
     scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
-    assert scans == 1, f"profiler re-scans the table ({scans} scans):\n{plan}"
+    assert scans == 2, f"profiler should read lineitem twice ({scans} scans):\n{plan}"
     assert "Expand" in plan, f"multi-distinct lost its shared Expand:\n{plan}"
+    # the pathological shape sorts the 5x Expand output (Sort directly
+    # over Expand); a keyless SortAggregate on the plain pass is fine —
+    # min/max(string) folds sequentially, nothing is sorted.
+    assert not re.search(r"Sort \(\d+\)\s*\n\s*\+- Expand", plan), (
+        f"profiler sorts the Expand output again:\n{plan}"
+    )
 
 
 def test_bloom_probe_is_map_side(spark):
