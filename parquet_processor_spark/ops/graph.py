@@ -138,8 +138,16 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # eager-by-design: every round's inflow join references `edges`;
     # without materialization Spark re-derives the orders⋈lineitem
     # distinct per round (3 extra fact joins). Same localCheckpoint
-    # pattern as connected_components / kmeans_ivf_train.
-    edges = edges.localCheckpoint(eager=True)
+    # pattern as connected_components / kmeans_ivf_train. The edge
+    # list is hash-partitioned on src BEFORE the checkpoint:
+    # localCheckpoint preserves the physical partitioning, so every
+    # round's edges⋈shares join reuses it and only the k-node shares
+    # table moves — without this, each round re-exchanges the full
+    # edge list (3x the largest shuffle in the query for a 3-round
+    # unroll; at graph scale, 3x the edge list through the wire).
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).localCheckpoint(eager=True)
     masses = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"), F.lit(_B).cast("long").alias("mass")
     )
