@@ -112,6 +112,9 @@ EXTENDED = [
     "dedup_repeated_ngrams",
     "window_rolling_median",
     "events_funnel_windowed",
+    "agg_abc_analysis",
+    "agg_affinity_lift",
+    "orders_open_over_time",
 ]
 
 

@@ -955,3 +955,145 @@ def agg_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
         F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
     )
+
+
+# ABC / Pareto analysis: classify parts by cumulative revenue share
+# (A: first 80%, B: to 95%, C: tail) — the inventory-prioritization
+# classic, and the shape of any "top sources cover X% of the corpus"
+# curation report.
+@query(
+    "agg_abc_analysis",
+    oracle="""
+    with rev as (
+      select l_partkey,
+             sum(cast(l_extendedprice as decimal(18,2))) as revenue
+      from lineitem group by l_partkey
+    ),
+    ranked as (
+      select l_partkey, revenue,
+             sum(revenue) over (order by revenue desc, l_partkey
+                                rows between unbounded preceding and current row)
+               as cum_rev,
+             sum(revenue) over () as total_rev
+      from rev
+    )
+    select l_partkey,
+           cast(revenue as double) as revenue,
+           cast(cum_rev as double) / cast(total_rev as double) as cum_share,
+           case when cast(cum_rev as double) / cast(total_rev as double) <= 0.80 then 'A'
+                when cast(cum_rev as double) / cast(total_rev as double) <= 0.95 then 'B'
+                else 'C' end as abc_class
+    from ranked
+    """,
+    tags=("agg", "pareto", "window"),
+)
+def agg_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-part revenue with cumulative share and A/B/C class.
+
+    100 TB shape: revenue collapses per part in one map-side-combined
+    aggregate (exact decimal sums) — the fact table is read once and
+    never windowed; the cumulative ranking runs over the collapsed
+    |parts| table (the RFM/ntile rule: window after collapsing). The
+    running sum accumulates DECIMALS (exact, order-independent up to
+    the deterministic (revenue desc, part) order) and converts to
+    double in one division per row, so cum_share is bit-identical
+    across engines. A parts table too large for one ordered window
+    would switch to the two-phase global-index pattern (W1).
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy()
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    return (
+        rev.select(
+            "l_partkey",
+            "revenue",
+            F.sum("revenue").over(w).alias("cum_rev"),
+            F.sum("revenue").over(wt).alias("total_rev"),
+        )
+        .select(
+            "l_partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+        )
+    )
+
+
+# Association lift over the co-purchase pairs: lift(a,b) =
+# P(a,b) / (P(a)·P(b)) over order baskets — the normalization that
+# turns raw co-occurrence counts into an affinity signal.
+_LIFT_MIN_SUPPORT = 3
+
+
+@query(
+    "agg_affinity_lift",
+    oracle=f"""
+    with b as (select distinct l_orderkey, l_partkey from lineitem),
+    n as (select count(distinct l_orderkey) as n_orders from lineitem),
+    item as (select l_partkey, count(*) as n_item from b group by l_partkey),
+    pair as (
+      select a.l_partkey as p1, c.l_partkey as p2, count(*) as n_pair
+      from b a join b c on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_LIFT_MIN_SUPPORT}
+    )
+    select p.p1, p.p2, p.n_pair,
+           cast(p.n_pair as double) * n.n_orders
+             / (cast(i1.n_item as double) * i2.n_item) as lift
+    from pair p
+      join item i1 on p.p1 = i1.l_partkey
+      join item i2 on p.p2 = i2.l_partkey
+      cross join n
+    """,
+    tags=("agg", "basket", "lift"),
+)
+def agg_affinity_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Lift for co-purchased part pairs with support >= {m}.
+
+    100 TB shape: pair counts come from the basket-generator expansion
+    (agg_copurchase_pairs' plan — bounded by basket width, no
+    self-join); item frequencies are one map-side-combined aggregate;
+    the support filter shrinks the pair table BEFORE the two item
+    joins, and the 1-row order count broadcasts. lift is three exact
+    integers combined in a fixed double expression — deterministic.
+    """
+    li = t(spark, sf, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    baskets = b.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    pair = (
+        baskets.select(F.posexplode("parts").alias("i", "p1"), "parts")
+        .select(
+            "p1",
+            F.explode(
+                F.expr("slice(parts, i + 2, greatest(size(parts) - i - 1, 0))")
+            ).alias("p2"),
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= _LIFT_MIN_SUPPORT)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_orders")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select("p1", "p2", "n_pair", lift.alias("lift"))
+    )

@@ -923,3 +923,68 @@ def events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("completed"),
         )
     )
+
+
+# Open-orders-over-time via a difference array: each order contributes
+# +1 on its order day and -1 the day after its last shipment; the
+# running sum of per-day deltas IS the number of orders in flight —
+# the interval-stabbing aggregate ("how many X were active on each
+# day") computed WITHOUT joining every day against every interval.
+@query(
+    "orders_open_over_time",
+    oracle="""
+    with span as (
+      select o.o_orderkey,
+             cast(o.o_orderdate as date) as d_open,
+             cast(max(l.l_shipdate) as date) + 1 as d_close
+      from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+      group by o.o_orderkey, o.o_orderdate
+    ),
+    deltas as (
+      select d_open as day, 1 as delta from span
+      union all
+      select d_close as day, -1 as delta from span
+    ),
+    daily as (select day, sum(delta) as net from deltas group by day)
+    select day,
+           cast(sum(net) over (order by day
+                               rows between unbounded preceding and current row)
+                as bigint) as n_open
+    from daily
+    """,
+    tags=("temporal", "interval", "window"),
+)
+def orders_open_over_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders in flight per day (open from order date through last
+    shipment), as a difference array + running sum.
+
+    100 TB shape: the interval table collapses to ±1 deltas map-side
+    (two rows per order, not one row per order-day — a naive
+    day-grid join would be |orders| x avg-duration rows); per-day
+    nets are one map-side-combined aggregate onto |distinct days|
+    rows; the running sum windows over THAT tiny table. This is the
+    canonical rewrite for "count active intervals at each point":
+    O(intervals + days), never O(intervals x days). All-integer
+    arithmetic end to end.
+    """
+    from pyspark.sql import Window
+
+    span = (
+        t(spark, sf, "orders")
+        .join(
+            t(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d_open"),
+            F.date_add(F.col("last_ship").cast("date"), 1).alias("d_close"),
+        )
+    )
+    deltas = span.select(F.col("d_open").alias("day"), F.lit(1).alias("delta")).unionAll(
+        span.select(F.col("d_close").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", F.sum("net").over(w).cast("long").alias("n_open"))

@@ -113,6 +113,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "error_approx_topk",
     "window_rolling_median",
     "events_funnel_windowed",
+    "agg_abc_analysis",
+    "agg_affinity_lift",
+    "orders_open_over_time",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

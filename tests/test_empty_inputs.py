@@ -44,6 +44,9 @@ REPRESENTATIVE = [
     "events_rolling_distinct", # 7-way fan-out sliding distinct
     "agg_rfm_scores",          # collapsed-table ntile windows
     "dedup_repeated_ngrams",   # hashed 8-gram df + score join
+    "agg_abc_analysis",        # collapsed-table cumulative window
+    "agg_affinity_lift",       # basket pairs + item-frequency joins
+    "orders_open_over_time",   # difference-array running sum
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
