@@ -45,14 +45,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
 # catalog deliberately: queries whose external verification status is
-# stale-or-missing first, well-covered evergreens last. Round 5: lead
-# with the 3 queries that have NEVER had a driver row (added after
-# round 4's check ran — this closes the catalog at 163/163
-# ever-checked), then the two upgraded this round
+# stale-or-missing first, well-covered evergreens last. Round 5: the
+# first 50 slots are exactly the 49 queries with no driver row yet
+# (the round-4 stragglers fn_try_arith/agg_mode/agg_corr plus every
+# round-5 addition) and the two upgraded this round
 # (quality_unigram_rarity: empty-token + HUGEINT-sum fix;
 # sim_topk_lsh: gained a real hash-checked oracle via literal
-# hyperplanes), then new round-5 queries, then everything whose newest
-# driver row is round 1 (oldest evidence first), then the round-2 era.
+# hyperplanes), with sink_zorder_roundtrip demoted to slot 51 as the
+# one candidate with strong alternate evidence (footer gates + CI
+# parity). After the stale round-1 tail comes the round-2 era, then
+# evergreens.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # never driver-checked — closes the catalog at 163/163
     "fn_try_arith",
@@ -69,7 +71,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "doc_chunk_windows",
     "error_approx_quantile",
-    "sink_zorder_roundtrip",
     "sessionize_events",
     "agg_sketch_merge",
     "streaming_sliding",
@@ -116,6 +117,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_abc_analysis",
     "agg_affinity_lift",
     "orders_open_over_time",
+    # demoted to slot 51: its correctness is independently pinned by
+    # the parquet-footer gates in test_plan_quality + CI parity, so it
+    # cedes its driver slot to queries with no alternate evidence
+    "sink_zorder_roundtrip",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
@@ -165,7 +170,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "set_intersect",
     "agg_grouping_sets",
     "sql_cte",
-    # ---- 50-slot boundary is here; the rest rank above evergreens ----
+    # (the 50-slot boundary sits after orders_open_over_time above;
+    # everything from sink_zorder_roundtrip down re-verifies only when
+    # the harness widens its sample — all have prior driver rows or
+    # alternate gates)
     "window_session",
     "window_sliding",
     "text_stats",
