@@ -115,6 +115,8 @@ EXTENDED = [
     "agg_abc_analysis",
     "agg_affinity_lift",
     "orders_open_over_time",
+    "join_scd2_pointintime",
+    "agg_gini",
 ]
 
 

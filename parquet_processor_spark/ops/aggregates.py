@@ -1097,3 +1097,60 @@ def agg_affinity_lift(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("p1", "p2", "n_pair", lift.alias("lift"))
     )
+
+
+# Gini coefficient of revenue concentration across parts — the scalar
+# inequality summary behind source-diversity checks (a corpus whose
+# token mass concentrates in few sources scores high). Rank-spelled:
+# G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over x sorted
+# ascending — exact decimal/integer sums, three double ops at the end.
+@query(
+    "agg_gini",
+    oracle="""
+    with rev as (
+      select l_partkey, sum(cast(l_extendedprice as decimal(18,2))) as x
+      from lineitem group by l_partkey
+    ),
+    ranked as (
+      select x, row_number() over (order by x, l_partkey) as i,
+             count(*) over () as n
+      from rev
+    )
+    select max(n) as n_keys,
+           cast(sum(cast(i as decimal(18,0)) * x) as double) * 2.0
+             / (max(n) * cast(sum(x) as double))
+             - cast(max(n) + 1 as double) / max(n) as gini
+    from ranked
+    """,
+    tags=("agg", "gini", "diagnostic"),
+)
+def agg_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-part revenue (0 = uniform, 1 = one part
+    takes all).
+
+    100 TB shape: revenue collapses per key map-side (exact decimals);
+    the rank window runs over the collapsed |keys| table; the weighted
+    sum i*x stays decimal-exact and only the final three operations
+    (multiply, divide, subtract) are double — a fixed IEEE sequence on
+    both engines. Tie-break on (x, key) makes ranks deterministic; the
+    Gini VALUE is tie-invariant anyway (equal x swap ranks freely).
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("x"))
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "l_partkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    gini = (
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).cast("double")
+        * F.lit(2.0)
+        / (F.max("n") * F.sum("x").cast("double"))
+        - (F.max("n") + F.lit(1)).cast("double") / F.max("n")
+    )
+    return ranked.agg(F.max("n").alias("n_keys"), gini.alias("gini"))

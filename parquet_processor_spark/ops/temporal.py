@@ -988,3 +988,99 @@ def orders_open_over_time(spark: SparkSession, sf: str) -> DataFrame:
     daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select("day", F.sum("net").over(w).cast("long").alias("n_open"))
+
+
+# SCD2 point-in-time join: attach to each purchase the user's state
+# version valid AT the purchase instant — the fact-to-versioned-
+# dimension lookup every warehouse does against an SCD2 table. Spelled
+# as the as-of union+window plan over the interval table's valid_from
+# (an interval table's point-in-time lookup IS an as-of join on the
+# open edge).
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    with ordered as (
+      select user_id, event_type as state, ts,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_state
+      from events
+    ),
+    changes as (
+      select user_id, state, ts from ordered
+      where prev_state is null or state <> prev_state
+    ),
+    scd as (
+      select user_id, state,
+             ts as valid_from,
+             lead(ts) over (partition by user_id order by ts, state) as valid_to
+      from changes
+    ),
+    purchases as (
+      select event_id as purchase_event_id, user_id, ts
+      from events where event_type = 'purchase'
+    )
+    select p.purchase_event_id, p.user_id, p.ts,
+           s.state as state_at_purchase, s.valid_from
+    from purchases p
+      asof join scd s on p.user_id = s.user_id and p.ts >= s.valid_from
+    """,
+    tags=("temporal", "scd", "asof", "join"),
+)
+def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
+    """Each purchase with the SCD2 state version valid at its instant.
+
+    100 TB shape: the interval build is scd2_intervals' two window
+    passes over one user exchange; the point-in-time lookup reuses
+    the SAME user partitioning as a tag-union as-of scan (facts and
+    versions sorted together per user, last version carried forward)
+    — one extra sort, ZERO extra shuffles, and never the
+    fact x version range join (quadratic per hot user) that BETWEEN
+    valid_from AND valid_to would plan. Every purchase matches (its
+    own event is a state observation at or before it), so the join is
+    effectively inner on both engines.
+    """
+    ev = t(spark, sf, "events")
+    w_detect = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+        .withColumn("prev_state", F.lag("state").over(w_detect))
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "purchase_event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp").alias("valid_from"),
+    )
+    right = changes.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        "state",
+        "valid_from",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .select(
+            "user_id",
+            "ts",
+            "side",
+            "purchase_event_id",
+            F.last("state", ignorenulls=True).over(w).alias("state_at_purchase"),
+            F.last("valid_from", ignorenulls=True).over(w).alias("valid_from"),
+        )
+        .where(F.col("side") == 1)
+        .select("purchase_event_id", "user_id", "ts", "state_at_purchase", "valid_from")
+    )

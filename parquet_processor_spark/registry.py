@@ -73,11 +73,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "error_approx_quantile",
     "sessionize_events",
     "agg_sketch_merge",
-    "streaming_sliding",
     "quality_tfidf",
     "vocab_coverage",
     "error_minhash_estimate",
-    "table_checksum",
     "embedding_quantize",
     "streaming_upsert",
     # round-5 second wave — analytics quartet, tokenizer-apply,
@@ -117,10 +115,17 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_abc_analysis",
     "agg_affinity_lift",
     "orders_open_over_time",
-    # demoted to slot 51: its correctness is independently pinned by
-    # the parquet-footer gates in test_plan_quality + CI parity, so it
-    # cedes its driver slot to queries with no alternate evidence
+    "join_scd2_pointintime",
+    "agg_gini",
+    # demoted below the window (53 candidates, 50 slots): these three
+    # carry the strongest alternate evidence — zorder has parquet-footer
+    # gates in test_plan_quality, streaming_sliding shares its exact
+    # machinery with the r4-green tumbling/session/stream-join rows,
+    # table_checksum is pytest-pinned — and every query still runs the
+    # identical DuckDB comparison at sf0.001 in CI (test_oracle_parity).
     "sink_zorder_roundtrip",
+    "streaming_sliding",
+    "table_checksum",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",
