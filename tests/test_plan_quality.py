@@ -503,3 +503,40 @@ def test_copurchase_pairs_expand_inside_baskets(spark):
     scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert scans == 1, f"basket rewrite re-scans lineitem ({scans} scans):\n{plan}"
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_scd2_pointintime_reuses_one_user_exchange(spark):
+    # The point-in-time lookup must ride the SCD build's user_id
+    # partitioning: one user_id hash exchange total (facts+versions
+    # tag-union), and never a BETWEEN range join over versions.
+    plan = plan_of(spark, "join_scd2_pointintime")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2, f"expected <=2 exchanges (union sides), saw {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_open_over_time_windows_collapsed_days_only(spark):
+    # The difference-array rewrite: the running sum must window the
+    # per-day net table (|days| rows), so the Window's input comes from
+    # an Aggregate — never a Sort over the interval/fact rows.
+    plan = plan_of(spark, "orders_open_over_time")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    # intervals contribute exactly 2 delta rows each via the union
+    assert "Union" in plan, plan
+
+
+def test_abc_and_gini_window_collapsed_keys_only(spark):
+    # Pareto/Gini rank windows must run over the collapsed per-key
+    # aggregate, not the fact table: the scan's rows reach a
+    # HashAggregate before any Sort/Window node.
+    for name in ("agg_abc_analysis", "agg_gini"):
+        plan = plan_of(spark, name)
+        tree = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)\s*$", ln)]
+        win_i = next(i for i, ln in enumerate(tree) if "Window (" in ln)
+        scan_i = next(i for i, ln in enumerate(tree) if "Scan parquet" in ln)
+        assert win_i < scan_i, f"{name}: tree order unexpected:\n{plan}"
+        between = tree[win_i + 1 : scan_i]
+        assert any("Aggregate" in ln for ln in between), (
+            f"{name}: fact rows reach the Window before collapsing:\n{plan}"
+        )
