@@ -33,3 +33,23 @@ def test_events_query_runs_in_unconfigured_session(spark, sf_dir):
     fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     out = all_queries()["agg_groupby_count"](fresh, sf_dir)
     assert out.count() > 0
+
+
+def test_numeric_results_independent_of_partitioning(spark, sf_dir):
+    # The determinism contract (numeric.py: decimal-exact sums, fixed
+    # tie-breaks, single trailing double ops) must hold under ANY
+    # parallelism — a partition-count-dependent result would pass the
+    # local oracle and silently break on a real cluster. Run the most
+    # numerically sensitive queries at 64 and at 7 shuffle partitions
+    # and require identical values.
+    from parquet_processor_spark.registry import all_queries
+
+    sensitive = ["agg_corr", "feature_zscore", "agg_gini", "quality_bigram_lm"]
+    qs = all_queries()
+    wide = spark.newSession()
+    narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", "7")
+    for name in sensitive:
+        a = sorted(map(tuple, qs[name](wide, sf_dir).collect()))
+        b = sorted(map(tuple, qs[name](narrow, sf_dir).collect()))
+        assert a == b, f"{name}: result depends on partition count"
