@@ -117,6 +117,7 @@ EXTENDED = [
     "orders_open_over_time",
     "join_scd2_pointintime",
     "agg_gini",
+    "sample_budget_mix",
 ]
 
 

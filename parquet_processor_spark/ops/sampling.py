@@ -268,3 +268,83 @@ def sample_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         .where(u < F.col("thr"))
         .select("doc_id", "source", "lang")
     )
+
+
+# Budget-constrained corpus mix: allocate a global character budget
+# across languages by alpha=0.5 temperature weights, then fill each
+# language's budget greedily in deterministic hash order — the "build
+# the training mixture to a token budget" capstone of the sampling
+# family (rates say HOW MUCH of each stratum; this says WHICH rows,
+# to a hard budget).
+_MIX_BUDGET = 100_000  # characters
+
+
+@query(
+    "sample_budget_mix",
+    oracle=f"""
+    with lt as (
+      select lang, cast(sum(n_chars) as bigint) as chars
+      from documents group by lang
+    ),
+    w as (
+      select lang, cast(sqrt(cast(chars as double)) as bigint) as wt from lt
+    ),
+    budgets as (
+      select lang, ({_MIX_BUDGET} * wt) // (select sum(wt) from w) as budget
+      from w
+    ),
+    ordered as (
+      select d.doc_id, d.lang, d.n_chars,
+             sum(d.n_chars) over (
+               partition by d.lang
+               order by md5(cast(d.doc_id as varchar)), d.doc_id
+               rows between unbounded preceding and current row
+             ) as cum_chars,
+             b.budget
+      from documents d join budgets b on d.lang = b.lang
+    )
+    select doc_id, lang, cast(n_chars as bigint) as n_chars,
+           cast(cum_chars as bigint) as cum_chars
+    from ordered where cum_chars <= budget
+    """,
+    tags=("sampling", "mixing", "budget"),
+)
+def sample_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents selected per language up to its share of a global
+    {B}-character budget (alpha=0.5 weights), greedy in hash order.
+
+    100 TB shape: language totals are one map-side-combined aggregate
+    (|langs| rows); weights/budgets are integer arithmetic on that
+    tiny table (sqrt of an integer-valued double is correctly rounded
+    IEEE — identical on both engines — and everything after is bigint,
+    so no order-dependent float accumulation anywhere); the fill is
+    ONE per-language window cumsum in deterministic (md5, id) order
+    with the budget as a broadcast join — the same keyed-window shape
+    as pack_sequences, so state stays sharded by stratum. Selection is
+    stable: a document's rank never changes as other languages grow.
+    """
+    d = t(spark, sf, "documents")
+    lt = d.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("chars"))
+    w = lt.select("lang", F.sqrt(F.col("chars").cast("double")).cast("long").alias("wt"))
+    denom = w.agg(F.sum("wt").alias("denom"))
+    budgets = (
+        w.crossJoin(F.broadcast(denom))
+        .select("lang", F.expr(f"({_MIX_BUDGET} * wt) div denom").alias("budget"))
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(budgets), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_chars").over(win).cast("long").alias("cum_chars"),
+            "budget",
+        )
+        .where(F.col("cum_chars") <= F.col("budget"))
+        .select("doc_id", "lang", "n_chars", "cum_chars")
+    )

@@ -75,7 +75,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_sketch_merge",
     "quality_tfidf",
     "vocab_coverage",
-    "error_minhash_estimate",
     "embedding_quantize",
     "streaming_upsert",
     # round-5 second wave — analytics quartet, tokenizer-apply,
@@ -117,15 +116,19 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "orders_open_over_time",
     "join_scd2_pointintime",
     "agg_gini",
-    # demoted below the window (53 candidates, 50 slots): these three
+    "sample_budget_mix",
+    # demoted below the window (54 candidates, 50 slots): these four
     # carry the strongest alternate evidence — zorder has parquet-footer
     # gates in test_plan_quality, streaming_sliding shares its exact
     # machinery with the r4-green tumbling/session/stream-join rows,
-    # table_checksum is pytest-pinned — and every query still runs the
-    # identical DuckDB comparison at sf0.001 in CI (test_oracle_parity).
+    # table_checksum is pytest-pinned, error_minhash_estimate's MinHash
+    # machinery is driver-rowed via recall_dedup_near — and every query
+    # still runs the identical DuckDB comparison at sf0.001 in CI
+    # (test_oracle_parity).
     "sink_zorder_roundtrip",
     "streaming_sliding",
     "table_checksum",
+    "error_minhash_estimate",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

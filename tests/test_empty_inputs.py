@@ -48,6 +48,7 @@ REPRESENTATIVE = [
     "agg_affinity_lift",       # basket pairs + item-frequency joins
     "orders_open_over_time",   # difference-array running sum
     "join_scd2_pointintime",   # SCD build + as-of union window
+    "sample_budget_mix",       # weight/budget aggs + stratum cumsum
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
