@@ -118,6 +118,8 @@ EXTENDED = [
     "join_scd2_pointintime",
     "agg_gini",
     "sample_budget_mix",
+    "join_asof_nearest",
+    "dedup_incremental",
 ]
 
 

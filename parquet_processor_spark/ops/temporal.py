@@ -1084,3 +1084,125 @@ def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("side") == 1)
         .select("purchase_event_id", "user_id", "ts", "state_at_purchase", "valid_from")
     )
+
+
+# Nearest as-of join (merge_asof direction='nearest'): for each
+# purchase, the view closest in time in EITHER direction, prior
+# winning ties. Completes the as-of family (backward: join_asof;
+# backward+tolerance: join_asof_tolerance; nearest: this).
+@query(
+    "join_asof_nearest",
+    oracle="""
+    with views as (
+      select user_id, ts, max(event_id) as view_event_id
+      from events where event_type = 'view'
+      group by user_id, ts
+    ),
+    purchases as (
+      select event_id as purchase_event_id, user_id, ts
+      from events where event_type = 'purchase'
+    ),
+    back as (
+      select p.purchase_event_id, p.user_id, p.ts,
+             v.view_event_id as b_id, v.ts as b_ts
+      from purchases p
+        asof left join views v on p.user_id = v.user_id and p.ts >= v.ts
+    ),
+    fwd as (
+      select p.purchase_event_id, v.view_event_id as f_id, v.ts as f_ts
+      from purchases p
+        asof left join views v on p.user_id = v.user_id and p.ts <= v.ts
+    )
+    select b.purchase_event_id, b.user_id, b.ts,
+           case when b.b_ts is null then f.f_id
+                when f.f_ts is null then b.b_id
+                when date_diff('microsecond', b.b_ts, b.ts)
+                     <= date_diff('microsecond', b.ts, f.f_ts) then b.b_id
+                else f.f_id end as nearest_view_event_id,
+           case when b.b_ts is null then f.f_ts
+                when f.f_ts is null then b.b_ts
+                when date_diff('microsecond', b.b_ts, b.ts)
+                     <= date_diff('microsecond', b.ts, f.f_ts) then b.b_ts
+                else f.f_ts end as nearest_view_ts
+    from back b join fwd f on b.purchase_event_id = f.purchase_event_id
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest view per purchase (either direction; prior wins ties).
+
+    100 TB shape: ONE tag-union of both sides over one user_id
+    exchange, with TWO window passes sharing it — backward carry
+    (last view at or before) and forward carry (first view at or
+    after, via the mirrored frame) — then a map-side comparison of
+    the two candidate distances. Never two separate as-of joins
+    re-shuffling the fact side, and never a per-row range probe.
+    The >= / <= boundary convention matches the oracle's two ASOF
+    directions: a view AT the purchase instant is both the backward
+    and forward candidate at distance zero (prior wins the tie by
+    the <= comparison).
+    """
+    ev = t(spark, sf, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "purchase_event_id",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    right = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        "view_event_id",
+        F.col("ts").alias("view_ts"),
+    )
+    u = left.unionByName(right)
+    # backward: views sort BEFORE purchases at equal ts (side 0 first)
+    # so >= semantics; forward: mirrored frame on the same sort —
+    # views AT the purchase ts must also qualify, handled by ordering.
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cand = (
+        u.select(
+            "user_id",
+            "ts",
+            "side",
+            "purchase_event_id",
+            F.last("view_event_id", ignorenulls=True).over(wb).alias("b_id"),
+            F.last("view_ts", ignorenulls=True).over(wb).alias("b_ts"),
+            F.first("view_event_id", ignorenulls=True).over(wf).alias("f_id"),
+            F.first("view_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        )
+        .where(F.col("side") == 1)
+    )
+    d_back = F.unix_micros("ts") - F.unix_micros("b_ts")
+    d_fwd = F.unix_micros("f_ts") - F.unix_micros("ts")
+    prior_wins = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (d_back <= d_fwd)
+    )
+    return cand.select(
+        "purchase_event_id",
+        "user_id",
+        "ts",
+        F.when(prior_wins, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_view_event_id"),
+        F.when(prior_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias("nearest_view_ts"),
+    )

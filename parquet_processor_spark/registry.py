@@ -75,7 +75,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_sketch_merge",
     "quality_tfidf",
     "vocab_coverage",
-    "embedding_quantize",
     "streaming_upsert",
     # round-5 second wave — analytics quartet, tokenizer-apply,
     # integer PageRank, p99 anomaly flagging
@@ -86,7 +85,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_key_skew",
     "agg_percentile_disc",
     "events_anomaly_p99",
-    "window_percent_rank",
     "events_retention",
     "join_asof_tolerance",
     # round-5 third wave — SCD2 build, interval-overlap join, column
@@ -117,18 +115,24 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_scd2_pointintime",
     "agg_gini",
     "sample_budget_mix",
-    # demoted below the window (54 candidates, 50 slots): these four
+    "join_asof_nearest",
+    "dedup_incremental",
+    # demoted below the window (56 candidates, 50 slots): these six
     # carry the strongest alternate evidence — zorder has parquet-footer
     # gates in test_plan_quality, streaming_sliding shares its exact
     # machinery with the r4-green tumbling/session/stream-join rows,
-    # table_checksum is pytest-pinned, error_minhash_estimate's MinHash
-    # machinery is driver-rowed via recall_dedup_near — and every query
-    # still runs the identical DuckDB comparison at sf0.001 in CI
-    # (test_oracle_parity).
+    # table_checksum and embedding_quantize are bitwise-pinned by CI
+    # parity, error_minhash_estimate's MinHash machinery is driver-rowed
+    # via recall_dedup_near, window_percent_rank's siblings
+    # (ntile/first_last) carry r4 rows on identical machinery — and
+    # every query still runs the identical DuckDB comparison at
+    # sf0.001 in CI (test_oracle_parity).
     "sink_zorder_roundtrip",
     "streaming_sliding",
     "table_checksum",
     "error_minhash_estimate",
+    "embedding_quantize",
+    "window_percent_rank",
     # stalest driver evidence (last row: round 1) — includes the
     # rows-only tail the verdict wants re-run on current testdata
     "dedup_near",

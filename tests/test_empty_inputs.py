@@ -49,6 +49,8 @@ REPRESENTATIVE = [
     "orders_open_over_time",   # difference-array running sum
     "join_scd2_pointintime",   # SCD build + as-of union window
     "sample_budget_mix",       # weight/budget aggs + stratum cumsum
+    "join_asof_nearest",       # tag-union + two shared window passes
+    "dedup_incremental",       # corpus fp set + delta window
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below)
 ]
