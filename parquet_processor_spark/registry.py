@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # parity). After the stale round-1 tail comes the round-2 era, then
 # evergreens.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # never driver-checked — closes the catalog at 163/163
+    # round-4 stragglers — never driver-checked
     "fn_try_arith",
     "agg_mode",
     "agg_corr",
