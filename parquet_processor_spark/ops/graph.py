@@ -68,9 +68,9 @@ def _mass_step(masses: DataFrame, edges: DataFrame) -> DataFrame:
       from orders join lineitem on l_orderkey = o_orderkey
     ),
     edges as (
-      select 'c' || ck as src, 's' || sk as dst from e0
+      select cast(2 * ck as bigint) as src, cast(2 * sk + 1 as bigint) as dst from e0
       union all
-      select 's' || sk as src, 'c' || ck as dst from e0
+      select cast(2 * sk + 1 as bigint) as src, cast(2 * ck as bigint) as dst from e0
     ),
     m0 as (
       select src as node, count(*) as deg, cast({_B} as bigint) as mass
@@ -107,12 +107,17 @@ def _mass_step(masses: DataFrame, edges: DataFrame) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """3-round damped PageRank over the customer–supplier graph.
 
-    Nodes are 'c<custkey>' / 's<suppkey>'; edges are the distinct
-    trade pairs from orders ⋈ lineitem, undirected (both directions
-    materialized), so every node has deg >= 1 and there are no
-    dangling nodes. Each round: share = mass div deg flows along
-    every edge, the floor-division remainder stays home, and the new
-    mass is teleport + 85% of (inflow + remainder) — all bigint.
+    Nodes are bigint: customers map to ``2*custkey`` and suppliers to
+    ``2*suppkey+1`` — a disjoint integer encoding that keeps the
+    per-round inflow shuffle on fixed-width 8-byte keys (the previous
+    'c<key>'/'s<key>' string encoding shipped variable-width keys
+    through the hottest shuffle in the bench, roughly doubling key
+    bytes). Edges are the distinct trade pairs from orders ⋈
+    lineitem, undirected (both directions materialized), so every
+    node has deg >= 1 and there are no dangling nodes. Each round:
+    share = mass div deg flows along every edge, the floor-division
+    remainder stays home, and the new mass is teleport + 85% of
+    (inflow + remainder) — all bigint.
 
     100 TB shape: the edge list is built once (one orders⋈lineitem
     shuffle + distinct) and reused every round; each round is ONE
@@ -130,8 +135,8 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    cust = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    supp = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    cust = (F.col("o_custkey").cast("long") * 2).alias("cust_node")
+    supp = (F.col("l_suppkey").cast("long") * 2 + 1).alias("supp_node")
     edges = e0.select(cust.alias("src"), supp.alias("dst")).unionAll(
         e0.select(supp.alias("src"), cust.alias("dst"))
     )

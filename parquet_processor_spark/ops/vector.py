@@ -338,6 +338,96 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# nprobe>1 IVF: a real ANN serves more than the query's own cell —
+# the nearest-centroid boundary cuts true neighbors off (the classic
+# IVF recall cliff), and probing the nprobe closest cells buys recall
+# for nprobe/n_cells extra candidate mass. Probe list = the query's
+# top-nprobe cells by centroid cosine; base vectors keep their single
+# argmax cell assignment.
+_IVF_NPROBE = 2
+
+
+@query(
+    "sim_topk_ivf_nprobe",
+    oracle=f"""
+    with centroids as (
+      select vec_id as cid, embedding from embeddings where vec_id between 1 and 8
+    ),
+    scored as (
+      select e.vec_id, e.embedding, c.cid,
+             row_number() over (partition by e.vec_id
+                                order by {_cos_sql('e', 'c')} desc, c.cid) as rn
+      from embeddings e cross join centroids c
+    ),
+    assign as (select vec_id, embedding, cid as cell from scored where rn = 1),
+    probe as (select cid as q_cell from scored where vec_id = 0 and rn <= {_IVF_NPROBE}),
+    q as (select embedding from embeddings where vec_id = 0)
+    select b.vec_id, cast(b.cell as bigint) as cell, {_cos_sql('a', 'b')} as cos_sim
+    from q a
+    cross join (select s.vec_id, s.embedding, s.cell
+                from assign s join probe p on s.cell = p.q_cell) b
+    where b.vec_id <> 0
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """,
+    tags=("vector", "ivf"),
+)
+def sim_topk_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with nprobe=2: the query probes its 2 closest cells
+    instead of only its own (``sim_topk_ivf``), recovering neighbors
+    that the hard cell boundary assigns elsewhere. Hash-checked: both
+    engines run the identical argmax assignment, probe ranking, and
+    fold-order cosine.
+
+    100 TB shape: identical to single-probe IVF — assignment is one
+    map stage against broadcast centroids, and the candidate join
+    broadcasts an nprobe-row probe list, so the cost multiplier is
+    exactly the probed fraction (nprobe/n_cells of the corpus scanned
+    per query), never a second shuffle. The recall/cost knob is the
+    gate-verified ``recall_sim_topk_ivf_nprobe`` (see its docstring
+    for the measured recall-vs-nprobe curve on this fixture)."""
+    return _ivf_topk_nprobe(spark, sf, _IVF_NPROBE)
+
+
+def _ivf_topk_nprobe(spark: SparkSession, sf: str, nprobe: int) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.max_by(
+                "cid", F.struct(cell_cos.alias("s"), (-F.col("cid")).cast("double").alias("t"))
+            ).alias("cell")
+        )
+    )
+    probe = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(F.col("cid").alias("q_cell"), cell_cos.alias("s"))
+        .orderBy(F.desc("s"), F.asc("q_cell"))
+        .limit(nprobe)
+        .select("q_cell")
+    )
+    q_emb = (
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
+    )
+    cand = assign.where(F.col("vec_id") != 0).join(
+        F.broadcast(probe), F.col("cell") == F.col("q_cell")
+    )
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        cand.crossJoin(F.broadcast(q_emb))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cell", F.col("cos_raw").alias("cos_sim"))
+    )
+
+
 def _sim_topk_lsh_oracle(n_bands: int) -> str:
     keys = ", ".join(_band_key_sql("e", b) for b in range(n_bands))
     return f"""

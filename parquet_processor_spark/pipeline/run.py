@@ -38,20 +38,28 @@ def global_index(urls: DataFrame, segment_size: int = 5000) -> DataFrame:
     part = urls.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
     local = part.withColumn("_local_rn", F.row_number().over(w) - 1)
+    # Cumulative offsets re-enter the plan as a BROADCAST JOIN on a
+    # (pid, offset) DataFrame — one row per partition. The previous
+    # shape (a coalesce(when(_pid==k, off)...) chain with one branch
+    # per partition) was a pathological Catalyst expression tree at
+    # 10^4-10^5 tasks; a 2-column broadcast table is O(1) in the plan
+    # regardless of partition count.
     counts = {
         r["_pid"]: r["cnt"]
         for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_col = F.coalesce(
-        *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()]
-    ) if offsets else F.lit(0)
+    spark = urls.sparkSession
+    offset_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    local = local.join(F.broadcast(offset_df), "_pid", "left").withColumn(
+        "_offset", F.coalesce(F.col("_offset"), F.lit(0))
+    )
     seg = F.floor(F.col("batch_index") / segment_size)
     return (
-        local.withColumn("batch_index", (F.col("_local_rn") + offset_col).cast("long"))
+        local.withColumn("batch_index", (F.col("_local_rn") + F.col("_offset")).cast("long"))
         .withColumn(
             "segment",
             F.concat(
@@ -61,7 +69,7 @@ def global_index(urls: DataFrame, segment_size: int = 5000) -> DataFrame:
                 F.lit("k"),
             ),
         )
-        .drop("_pid", "_local_rn")
+        .drop("_pid", "_local_rn", "_offset")
     )
 
 

@@ -45,28 +45,106 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
 # catalog deliberately: queries whose external verification status is
-# stale-or-missing first, well-covered evergreens last. Round 5: the
-# first 50 slots are exactly the 49 queries with no driver row yet
-# (the round-4 stragglers fn_try_arith/agg_mode/agg_corr plus every
-# round-5 addition) and the two upgraded this round
-# (quality_unigram_rarity: empty-token + HUGEINT-sum fix;
-# sim_topk_lsh: gained a real hash-checked oracle via literal
-# hyperplanes), with sink_zorder_roundtrip demoted to slot 51 as the
-# one candidate with strong alternate evidence (footer gates + CI
-# parity). After the stale round-1 tail comes the round-2 era, then
-# evergreens.
+# stale-or-missing first, well-covered evergreens last. Round 6: slots
+# 1-6 are the only six queries with no driver row ever; slots 7-10 the
+# stale rows-only family (last driver rows r1-r3); then this round's
+# new queries, then the stale round-1/round-2 tails. The 50 queries
+# freshly checked green in round 5 go to the very back. The slot
+# window is enforced by an automated assertion
+# (tests/test_harness_safety.py::test_check_priority_window), not by
+# this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # round-4 stragglers — never driver-checked
+    # never driver-checked — the last catalog gap (r5 verdict item 1)
+    "sink_zorder_roundtrip",
+    "streaming_sliding",
+    "embedding_quantize",
+    "error_minhash_estimate",
+    "table_checksum",
+    "window_percent_rank",
+    # stale rows-only family: last driver rows r1-r3 (r5 verdict item 3)
+    "dedup_near",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "agg_approx_distinct",
+    # new round-6 operators: MinHash incremental dedup + its recall
+    # gate, nprobe-parameterized IVF + its recall gate
+    "dedup_incremental_minhash",
+    "recall_dedup_incremental_minhash",
+    "sim_topk_ivf_nprobe",
+    "recall_sim_topk_ivf_nprobe",
+    # stalest driver evidence (last row: round 1)
+    "multimodal_bytes",
+    "multimodal_resize",
+    "filter_prefix",
+    "filter_temporal",
+    "filter_compound",
+    "fn_regexp_extract",
+    "fn_date_format",
+    "fn_ts_diff",
+    "sink_parquet",
+    "sink_csv_roundtrip",
+    "scan_range",
+    "join_cross",
+    "fn_concat",
+    "fn_least_cast",
+    # round-2-era evidence, approximate/rows-only members first
+    "sim_pairs_blocked",
+    "sim_topk",
+    "sim_topk_ivf",
+    "agg_count_if",
+    "agg_ratio",
+    "agg_groupby_count",
+    "agg_cube",
+    "join_range",
+    "multimodal_features",
+    "scan_json",
+    "fn_json_extract",
+    "case_when_dispatch",
+    "filter_error_rows",
+    "sample_hash",
+    "sample_stratified",
+    "split_train_test",
+    "sample_weighted_mix",
+    "filter_by_quantile",
+    "pack_sequences",
+    "fn_array_ops",
+    "fn_map_ops",
+    "join_skew_salted",
+    # ---- 50-slot boundary (join_skew_salted is slot 50) ----
+    "join_bucketed",
+    "union_by_name",
+    "distinct_dedup",
+    "set_intersect",
+    "agg_grouping_sets",
+    "sql_cte",
+    "window_session",
+    "window_sliding",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "fn_edit_distance",
+    "q22_idle_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "bucket_range",
+    "window_running_sum",
+    "window_rank",
+    "window_lag",
+    "window_tumbling",
+    "limit_offset",
+    "topk_order_limit",
+    "streaming_stateful",
+    "dedup_embedding",
+    # round-5 driver-checked 50/50 green (CORRECTNESS_r05) — freshest
+    # evidence in the catalog, so they re-verify last
     "fn_try_arith",
     "agg_mode",
     "agg_corr",
-    # repaired this round (wrong answer r4: empty tokens + HUGEINT sum)
     "quality_unigram_rarity",
-    # gained a hash-checked oracle this round (was rows-only):
-    # engine-neutral literal hyperplanes made the banding SQL-spellable
     "sim_topk_lsh",
-    # new this round — canonical selection, containment dedup, passage
-    # chunking, GK-quantile error gate
     "dedup_keep_best",
     "dedup_containment",
     "doc_chunk_windows",
@@ -76,8 +154,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "quality_tfidf",
     "vocab_coverage",
     "streaming_upsert",
-    # round-5 second wave — analytics quartet, tokenizer-apply,
-    # integer PageRank, p99 anomaly flagging
     "graph_pagerank",
     "tokenize_to_ids",
     "agg_count_distinct_multi",
@@ -87,9 +163,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_anomaly_p99",
     "events_retention",
     "join_asof_tolerance",
-    # round-5 third wave — SCD2 build, interval-overlap join, column
-    # profiler, group z-score, heavy hitters, bigram LM, bloom-pruned
-    # join evidence
     "scd2_intervals",
     "join_interval_overlap",
     "profile_columns",
@@ -117,96 +190,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_budget_mix",
     "join_asof_nearest",
     "dedup_incremental",
-    # demoted below the window (56 candidates, 50 slots): these six
-    # carry the strongest alternate evidence — zorder has parquet-footer
-    # gates in test_plan_quality, streaming_sliding shares its exact
-    # machinery with the r4-green tumbling/session/stream-join rows,
-    # table_checksum and embedding_quantize are bitwise-pinned by CI
-    # parity, error_minhash_estimate's MinHash machinery is driver-rowed
-    # via recall_dedup_near, window_percent_rank's siblings
-    # (ntile/first_last) carry r4 rows on identical machinery — and
-    # every query still runs the identical DuckDB comparison at
-    # sf0.001 in CI (test_oracle_parity).
-    "sink_zorder_roundtrip",
-    "streaming_sliding",
-    "table_checksum",
-    "error_minhash_estimate",
-    "embedding_quantize",
-    "window_percent_rank",
-    # stalest driver evidence (last row: round 1) — includes the
-    # rows-only tail the verdict wants re-run on current testdata
-    "dedup_near",
-    "dedup_simhash",
-    "multimodal_bytes",
-    "multimodal_resize",
-    "filter_prefix",
-    "filter_temporal",
-    "filter_compound",
-    "fn_regexp_extract",
-    "fn_date_format",
-    "fn_ts_diff",
-    "sink_parquet",
-    "sink_csv_roundtrip",
-    "scan_range",
-    "join_cross",
-    "fn_concat",
-    "fn_least_cast",
-    # round-2-era evidence, approximate/rows-only members first
-    "agg_approx_distinct",
-    "dedup_embedding_lsh",
-    "sim_pairs_blocked",
-    "sim_topk",
-    "sim_topk_ivf",
-    "agg_count_if",
-    "agg_ratio",
-    "agg_groupby_count",
-    "agg_cube",
-    "join_range",
-    "multimodal_features",
-    "scan_json",
-    "fn_json_extract",
-    "case_when_dispatch",
-    "filter_error_rows",
-    "sample_hash",
-    "sample_stratified",
-    "split_train_test",
-    "sample_weighted_mix",
-    "filter_by_quantile",
-    "pack_sequences",
-    "fn_array_ops",
-    "fn_map_ops",
-    "join_skew_salted",
-    "join_bucketed",
-    "union_by_name",
-    "distinct_dedup",
-    "set_intersect",
-    "agg_grouping_sets",
-    "sql_cte",
-    # (the 50-slot boundary sits after orders_open_over_time above;
-    # everything from sink_zorder_roundtrip down re-verifies only when
-    # the harness widens its sample — all have prior driver rows or
-    # alternate gates)
-    "window_session",
-    "window_sliding",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "fn_edit_distance",
-    "q22_idle_customers",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q20_part_promotion",
-    "bucket_range",
-    "window_running_sum",
-    "window_rank",
-    "window_lag",
-    "window_tumbling",
-    "limit_offset",
-    "topk_order_limit",
-    "streaming_stateful",
-    "dedup_embedding",
 )
 
 

@@ -287,3 +287,71 @@ def test_kmeans_ivf_train_improves_and_covers_cells(spark, sf_dir):
     assert row["k"] == 8
     assert row["n_assigned"] > 0
     assert row["inertia_improved"] is True
+
+
+def test_ivf_nprobe_recall_curve(spark, sf_dir):
+    # Monotonicity is a theorem (a superset candidate set cannot lose
+    # top-10 overlap: a global-top-10 member can be displaced only by
+    # the <=9 globally better items), and full probe IS brute force —
+    # both must hold exactly. nprobe=2 must clear the driver gate's
+    # 0.55 threshold (measured 0.7 at sf0.001).
+    from parquet_processor_spark.ops.vector import _ivf_topk_nprobe, sim_topk
+
+    brute = {r["vec_id"] for r in sim_topk(spark, sf_dir).collect()}
+    overlaps = []
+    for nprobe in (1, 2, 8):
+        top = {r["vec_id"] for r in _ivf_topk_nprobe(spark, sf_dir, nprobe).collect()}
+        overlaps.append(len(brute & top) / len(brute))
+    assert overlaps == sorted(overlaps), f"recall not monotone in nprobe: {overlaps}"
+    assert overlaps[-1] == 1.0, "full probe must recover brute force exactly"
+    assert overlaps[1] >= 0.55, f"nprobe=2 overlap {overlaps[1]} under the gate threshold"
+
+
+def test_incremental_minhash_pairs_match_batch(spark, sf_dir):
+    # Splitting the corpus at the cutoff must LOSE NOTHING: banding is
+    # per-document, so the incremental candidate stream (corpus-probe
+    # hits + within-delta blocks) must equal the batch dedup_near pair
+    # set restricted to pairs involving a delta doc.
+    from parquet_processor_spark.ops.dedup import (
+        _INCR_DEDUP_CUTOFF_FRAC,
+        _incremental_minhash_pairs,
+        dedup_near,
+    )
+    from parquet_processor_spark.tables import t
+
+    ids = t(spark, sf_dir, "documents").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    c = int(ids["lo"] + _INCR_DEDUP_CUTOFF_FRAC * (ids["hi"] - ids["lo"]))
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_near(spark, sf_dir).collect()
+        if r["doc_b"] >= c
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in _incremental_minhash_pairs(spark, sf_dir).collect()
+    }
+    assert inc == batch
+
+
+def test_incremental_minhash_classification(spark, sf_dir):
+    # Exact duplicates of corpus docs must flag near_dup_of_corpus
+    # (signature identity => est 1.0 >= tau), and every delta doc
+    # appears exactly once.
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["dedup_incremental_minhash"](spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    exact = {
+        r["doc_id"]: (r["dup_of_corpus"], r["dup_within_delta"])
+        for r in all_queries()["dedup_incremental"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        ec, ew = exact[r["doc_id"]]
+        if ec:  # byte-identical to a corpus doc => near-dup of corpus
+            assert r["near_dup_of_corpus"]
+        if ew:  # byte-identical to an earlier delta doc => near-dup within delta
+            assert r["near_dup_within_delta"]
+        if r["is_new_unique"]:
+            assert not (ec or ew)

@@ -540,3 +540,29 @@ def test_abc_and_gini_window_collapsed_keys_only(spark):
         assert any("Aggregate" in ln for ln in between), (
             f"{name}: fact rows reach the Window before collapsing:\n{plan}"
         )
+
+
+def test_global_index_offsets_join_not_casewhen(spark, tmp_path):
+    # The per-partition offset table must re-enter the index plan as a
+    # BROADCAST JOIN on (_pid, _offset) — the old shape (one
+    # coalesce(when(_pid==k, off), ...) branch per partition) is a
+    # pathological Catalyst expression tree at 10^4-10^5 tasks.
+    import json
+
+    from parquet_processor_spark.pipeline.run import global_index, read_manifest
+
+    mpath = tmp_path / "manifest.json"
+    with open(mpath, "w") as f:
+        for i in range(64):
+            f.write(json.dumps({"url": f"https://example.org/{i}"}) + "\n")
+    urls = read_manifest(spark, str(mpath)).select("url").repartition(8)
+    idx = global_index(urls, segment_size=10)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    n_when = plan.count("CASE WHEN")
+    assert n_when <= 2, f"offset chain leaked back as CaseWhen branches:\n{plan}"
+    # and the index itself must still be a dense 0..N-1 sequence
+    got = sorted(r["batch_index"] for r in idx.collect())
+    assert got == list(range(64))

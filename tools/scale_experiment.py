@@ -51,7 +51,13 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "scd2_intervals", "events_gap_fill", "join_bloom_filtered",
          "quality_bigram_lm", "agg_copurchase_pairs", "join_range_bucketed",
          "feature_zscore", "profile_columns", "events_rolling_distinct",
-         "dedup_repeated_ngrams", "sample_temperature_mix", "events_markov"]
+         "dedup_repeated_ngrams", "sample_temperature_mix", "events_markov",
+         # round-5 wave-4/5 operators (r5 verdict item 7)
+         "join_scd2_pointintime", "join_asof_nearest", "dedup_incremental",
+         "sample_budget_mix", "agg_gini", "agg_abc_analysis",
+         "events_funnel_windowed", "window_rolling_median",
+         # round-6 additions
+         "dedup_incremental_minhash", "sim_topk_ivf_nprobe"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
