@@ -122,6 +122,10 @@ EXTENDED = [
     "dedup_incremental",
     "dedup_incremental_minhash",
     "sim_topk_ivf_nprobe",
+    "quality_diversity",
+    "agg_heavy_hitters_grouped",
+    "table_diff",
+    "sink_mergeschema_roundtrip",
 ]
 
 

@@ -185,3 +185,49 @@ def sink_sorted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
     )
+
+
+# S-family: schema evolution across parquet batches. A long-lived
+# corpus directory accumulates files written under different schema
+# versions (columns added over time); mergeSchema reads must unify
+# them with nulls for the columns a batch predates — the storage-level
+# twin of the U1 unionByName semantics.
+@query(
+    "sink_mergeschema_roundtrip",
+    oracle="""
+    select l_orderkey, l_linenumber, l_quantity,
+           cast(null as varchar) as l_returnflag
+    from lineitem where l_quantity >= 40 and l_linenumber % 2 = 0
+    union all
+    select l_orderkey, l_linenumber, l_quantity, l_returnflag
+    from lineitem where l_quantity >= 40 and l_linenumber % 2 = 1
+    """,
+    tags=("sink", "source", "schema"),
+)
+def sink_mergeschema_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write two parquet batches under different schema versions (v1
+    lacks l_returnflag), read the directory back with mergeSchema,
+    and return the unified rows — v1 rows carry null in the evolved
+    column.
+
+    100 TB shape: schema merge happens at PLANNING time over file
+    footers (the driver unions the file schemas; at many-thousand-file
+    scale Spark samples footers in a distributed job), not by
+    rewriting data — old batches are never touched when a column
+    lands, which is the point: an append-only corpus evolves for free
+    and every reader sees one logical schema.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_mergeschema_")
+    base = _subset(spark, sf)
+    v1 = base.where(F.col("l_linenumber") % 2 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    v2 = base.where(F.col("l_linenumber") % 2 == 1)
+    v1.write.mode("overwrite").parquet(f"{out}/batch=v1")
+    v2.write.mode("overwrite").parquet(f"{out}/batch=v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )

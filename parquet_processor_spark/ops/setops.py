@@ -119,3 +119,61 @@ def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select("l_quantity")
     r = li.where(F.col("l_returnflag") == "R").select("l_quantity")
     return a.exceptAll(r)
+
+
+# N67: snapshot diff — the corpus-versioning primitive: which docs
+# were added, removed, or changed between two ingestion runs. The two
+# snapshots are carved deterministically out of the fixture (old =
+# doc_id%10 != 7, new = doc_id%10 != 3 with text mutated at %10 == 5)
+# so both engines derive identical versions from one table.
+@query(
+    "table_diff",
+    oracle="""
+    with v_old as (
+      select doc_id, md5(text) as fp_old from documents where doc_id % 10 <> 7
+    ),
+    v_new as (
+      select doc_id,
+             md5(case when doc_id % 10 = 5 then upper(text) else text end) as fp_new
+      from documents where doc_id % 10 <> 3
+    )
+    select coalesce(o.doc_id, n.doc_id) as doc_id,
+           case when o.fp_old is null then 'added'
+                when n.fp_new is null then 'removed'
+                when o.fp_old <> n.fp_new then 'changed'
+                else 'unchanged' end as status
+    from v_old o full outer join v_new n on o.doc_id = n.doc_id
+    """,
+    tags=("setop", "pipeline"),
+)
+def table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level diff of two corpus snapshots keyed by doc_id:
+    added / removed / changed / unchanged.
+
+    100 TB shape: each side collapses to (key, 128-bit fingerprint)
+    AT THE SCAN (projection — the text never leaves the mapper), so
+    the full-outer hash join shuffles 24-byte rows; with both
+    snapshots bucketed by key (how a real pipeline stores them) the
+    join is co-located and shuffle-free. This is the idempotent-
+    reingestion check the reference's resume contract implies
+    (test_parquet_processor.py:377-385): a re-run's diff against the
+    previous snapshot must be empty.
+    """
+    d = t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    new = d.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 10 == 5, F.upper("text")).otherwise(F.col("text"))
+        ).alias("fp_new"),
+    )
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

@@ -658,3 +658,101 @@ def quality_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("n_big").cast("double") / F.count(F.lit(1))).alias("avg_freq"),
         )
     )
+
+
+# N65: lexical diversity — the repetitiveness/diversity quality signal
+# (the Gopher-rules family) WITHOUT transcendentals: Shannon entropy
+# needs log2 (last-ulp divergence risk between libm builds — see the
+# quality_tfidf linear-idf note), but the Simpson repeat probability
+# Σc_i²/n² and the type-token ratio carry the same ranking signal with
+# INTEGER sums and a single fixed-order IEEE division each, so the
+# doubles match the oracle bitwise.
+@query(
+    "quality_diversity",
+    oracle=rf"""
+    with {_TOK_CTE},
+    tf as (select doc_id, tok, count(*) as c from tok group by doc_id, tok)
+    select doc_id,
+           cast(sum(c) as bigint) as n_tokens,
+           cast(count(*) as bigint) as n_distinct,
+           cast(count(*) as double) / cast(sum(c) as double) as type_token_ratio,
+           cast(sum(c * c) as bigint) as sum_sq,
+           cast(sum(c * c) as double)
+             / (cast(sum(c) as double) * cast(sum(c) as double)) as repeat_prob
+    from tf group by doc_id
+    """,
+    tags=("text", "curation"),
+)
+def quality_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc lexical diversity: type-token ratio (distinct/total)
+    and Simpson repeat probability (Σc² / n² — the chance two random
+    token draws coincide; high = boilerplate/repetition, the signal a
+    curation filter thresholds).
+
+    100 TB shape: two nested map-side-combined aggregates over the
+    token explode — (doc, tok) counts shuffle once on the doc+token
+    key, then collapse per doc; no joins, no windows, nothing but
+    integers through the shuffles. The divisions happen once per doc
+    on the final aggregate row.
+    """
+    tf = _corpus_tokens(spark, sf).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    sq = F.sum(F.col("c") * F.col("c"))
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / n.cast("double")).alias("type_token_ratio"),
+        sq.alias("sum_sq"),
+        (sq.cast("double") / (n.cast("double") * n.cast("double"))).alias("repeat_prob"),
+    )
+
+
+# N66: group-wise heavy hitters — the per-source top-terms table a
+# corpus report shows beside the global top-k. The window ranks the
+# COLLAPSED (source, token) aggregate, never the token stream, and
+# Spark plans the rank<=k filter as WindowGroupLimit (per-partition
+# top-k retained map-side before the window shuffle).
+_HH_GROUP_K = 3
+
+
+@query(
+    "agg_heavy_hitters_grouped",
+    oracle=rf"""
+    with {_TOK_CTE},
+    src as (select s.source, k.tok
+            from tok k join documents s on k.doc_id = s.doc_id),
+    tf as (select source, tok, count(*) as n from src group by source, tok)
+    select source, tok, cast(n as bigint) as n, cast(rk as bigint) as rk from (
+      select source, tok, n,
+             row_number() over (partition by source order by n desc, tok) as rk
+      from tf
+    ) where rk <= {_HH_GROUP_K}
+    """,
+    tags=("text", "agg", "topk"),
+)
+def agg_heavy_hitters_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K tokens per source (deterministic tiebreak: count desc,
+    token asc).
+
+    100 TB shape: the token stream joins the doc→source map on
+    doc_id (at corpus scale the doc table side is pre-bucketed or the
+    explode carries source along — here a join keeps the shared
+    tokenizer), collapses to (source, token) counts map-side, and
+    only the collapsed Zipf-small table reaches the per-source
+    window, which Spark executes as WindowGroupLimit — each task
+    keeps K rows per source before the source-keyed exchange.
+    """
+    from pyspark.sql import Window
+
+    src = _corpus_tokens(spark, sf).join(
+        t(spark, sf, "documents").select("doc_id", "source"), "doc_id"
+    )
+    tf = src.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _HH_GROUP_K)
+        .select("source", "tok", "n", F.col("rk").cast("long").alias("rk"))
+    )

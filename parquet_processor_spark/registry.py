@@ -72,6 +72,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_dedup_incremental_minhash",
     "sim_topk_ivf_nprobe",
     "recall_sim_topk_ivf_nprobe",
+    "quality_diversity",
+    "agg_heavy_hitters_grouped",
+    "table_diff",
+    "sink_mergeschema_roundtrip",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

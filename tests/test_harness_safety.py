@@ -55,6 +55,8 @@ def test_check_priority_window():
         # new in round 6
         "dedup_incremental_minhash", "recall_dedup_incremental_minhash",
         "sim_topk_ivf_nprobe", "recall_sim_topk_ivf_nprobe",
+        "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
+        "sink_mergeschema_roundtrip",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

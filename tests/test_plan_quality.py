@@ -566,3 +566,28 @@ def test_global_index_offsets_join_not_casewhen(spark, tmp_path):
     # and the index itself must still be a dense 0..N-1 sequence
     got = sorted(r["batch_index"] for r in idx.collect())
     assert got == list(range(64))
+
+
+def test_grouped_heavy_hitters_uses_window_group_limit(spark):
+    # The per-source rank<=K filter must plan as WindowGroupLimit
+    # (partial + final: each task keeps K rows per source before the
+    # source exchange) over the COLLAPSED (source, token) aggregate,
+    # and the doc->source map must broadcast.
+    plan = plan_of(spark, "agg_heavy_hitters_grouped")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_table_diff_joins_fingerprints_not_text(spark):
+    # The snapshot diff must collapse each side to (key, md5) BEFORE
+    # the full-outer join: the join's projection carries fingerprints,
+    # and the text column never appears above the join.
+    plan = plan_of(spark, "table_diff")
+    assert re.search(r"SortMergeJoin FullOuter|ShuffledHashJoin FullOuter", plan), plan
+    # the join keys section references the fingerprint projections,
+    # i.e. md5 is computed below the join, and the join output schema
+    # (the detail block) carries fp columns — not the text column
+    assert "md5" in plan, plan
+    detail = plan[plan.index("SortMergeJoin") :] if "SortMergeJoin" in plan else plan
+    join_block = detail.split("\n\n")[0]
+    assert "text" not in join_block, f"text column reaches the join:\n{join_block}"
