@@ -126,6 +126,7 @@ EXTENDED = [
     "agg_heavy_hitters_grouped",
     "table_diff",
     "sink_mergeschema_roundtrip",
+    "agg_weighted_median",
 ]
 
 

@@ -1154,3 +1154,65 @@ def agg_gini(spark: SparkSession, sf: str) -> DataFrame:
         - (F.max("n") + F.lit(1)).cast("double") / F.max("n")
     )
     return ranked.agg(F.max("n").alias("n_keys"), gini.alias("gini"))
+
+
+# Weighted median — the weighted-quantile primitive (e.g. the median
+# document quality weighted by token count when curating a corpus, or
+# the median price weighted by units moved). Exact, not sketched: the
+# (group, value) domain collapses first, so the window runs over the
+# distinct-value table and the returned median IS a stored input value
+# (no float arithmetic to diverge).
+@query(
+    "agg_weighted_median",
+    oracle="""
+    with vw as (
+      select l_returnflag as flag, l_extendedprice as v,
+             cast(sum(cast(l_quantity as bigint)) as bigint) as w
+      from lineitem group by l_returnflag, l_extendedprice
+    ),
+    c as (
+      select flag, v, w,
+             sum(w) over (partition by flag order by v
+                          rows between unbounded preceding and current row) as cw,
+             sum(w) over (partition by flag) as tw
+      from vw
+    )
+    select flag, min(v) as weighted_median, cast(min(tw) as bigint) as total_weight
+    from c where 2 * cw >= tw
+    group by flag
+    """,
+    tags=("agg", "quantile"),
+)
+def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total (lower weighted median —
+    deterministic, an actual input value).
+
+    100 TB shape: the fact stream collapses to (group, value, Σweight)
+    in ONE map-side-combined aggregate — the window then ranks the
+    collapsed value domain (distinct prices per flag, orders of
+    magnitude smaller than the facts), not the fact rows; weights stay
+    integer through every shuffle. For unbounded value domains the
+    same plan applies after value bucketing (bucket_range), trading
+    exactness for a bounded domain — this operator is the exact end
+    of that dial.
+    """
+    from pyspark.sql import Window
+
+    vw = (
+        t(spark, sf, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("flag")
+    c = vw.select(
+        "flag", "v", F.sum("w").over(wcum).alias("cw"), F.sum("w").over(wtot).alias("tw")
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("v").alias("weighted_median"), F.min("tw").alias("total_weight"))
+    )

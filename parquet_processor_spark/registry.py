@@ -76,6 +76,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters_grouped",
     "table_diff",
     "sink_mergeschema_roundtrip",
+    "agg_weighted_median",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -56,7 +56,7 @@ def test_check_priority_window():
         "dedup_incremental_minhash", "recall_dedup_incremental_minhash",
         "sim_topk_ivf_nprobe", "recall_sim_topk_ivf_nprobe",
         "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
-        "sink_mergeschema_roundtrip",
+        "sink_mergeschema_roundtrip", "agg_weighted_median",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
@@ -124,3 +124,18 @@ def test_survey_inventory_matches_registry():
     registered = set(all_queries())
     missing = sorted(cited - registered)
     assert not missing, f"SURVEY §2 cites unregistered queries: {missing}"
+
+
+def test_bench_lists_are_registered():
+    # bench.py's HEADLINE/EXTENDED name lists are maintained by hand;
+    # a renamed query must fail here, not as a silent null in the
+    # recorded benchmark.
+    import bench
+
+    from parquet_processor_spark.registry import all_queries
+
+    names = all_queries()
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in names]
+    assert not missing, f"bench lists name unregistered queries: {missing}"
+    dupes = [n for n in set(bench.HEADLINE) & set(bench.EXTENDED)]
+    assert not dupes, f"queries timed twice: {dupes}"
