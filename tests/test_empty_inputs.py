@@ -51,8 +51,16 @@ REPRESENTATIVE = [
     "sample_budget_mix",       # weight/budget aggs + stratum cumsum
     "join_asof_nearest",       # tag-union + two shared window passes
     "dedup_incremental",       # corpus fp set + delta window
+    "dedup_incremental_minhash",  # posting-list probe over empty index
+    "sim_topk_ivf_nprobe",     # empty probe list + empty candidates
+    "quality_diversity",       # nested token aggregates
+    "agg_heavy_hitters_grouped",  # WindowGroupLimit over empty aggregate
+    "table_diff",              # full-outer fingerprint join, both sides empty
+    "sink_mergeschema_roundtrip",  # two empty batches, merged read
+    "agg_weighted_median",     # cumulative window over empty value domain
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
-    # summary row on empty input by SQL semantics — covered below)
+    # summary row on empty input by SQL semantics — covered below;
+    # recall_* gates likewise emit one vacuously-true row)
 ]
 
 
