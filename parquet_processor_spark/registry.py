@@ -115,7 +115,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_array_ops",
     "fn_map_ops",
     "join_skew_salted",
-    # ---- 50-slot boundary (join_skew_salted is slot 50) ----
+    # (the 50-slot boundary falls somewhere in this r2-era run and
+    # moves as round additions are inserted above — deliberately NOT
+    # named here; test_check_priority_window pins what matters: every
+    # must-check query sits inside the window)
     "join_bucketed",
     "union_by_name",
     "distinct_dedup",
