@@ -259,3 +259,48 @@ def test_copurchase_pairs_match_naive_self_join(spark, baskets):
         for a, b in combinations(sorted(parts), 2):
             exp[(a, b)] += 1
     assert got == dict(exp)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=-1000, max_value=1000),  # value
+            st.integers(min_value=1, max_value=9),      # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@prop
+def test_weighted_median_matches_expansion(spark, vals):
+    # The weighted median of (v, w) must equal the ordinary lower
+    # median of the multiset where each v repeats w times — the
+    # defining property, checked against a plain python expansion.
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(g=g, v=float(v), w=w) for g, v, w in vals], "g long, v double, w long"
+    )
+    vw = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    wcum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("g")
+    c = vw.select("g", "v", F.sum("w").over(wcum).alias("cw"), F.sum("w").over(wtot).alias("tw"))
+    got = {
+        r["g"]: r["m"]
+        for r in c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    }
+    expanded: dict[int, list[float]] = {}
+    for g, v, w in vals:
+        expanded.setdefault(g, []).extend([float(v)] * w)
+    for g, xs in expanded.items():
+        xs.sort()
+        # lower median: smallest x with cumulative count >= half the total
+        n = len(xs)
+        want = xs[(n - 1) // 2] if n % 2 else xs[n // 2 - 1]
+        assert got[g] == want, (g, xs, got[g], want)
