@@ -1204,12 +1204,15 @@ def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v"))
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
     )
+    # Group totals come in as a BROADCAST join (one row per group),
+    # not a second whole-partition window pass — the cumulative window
+    # is then the only sort over the value domain.
+    tot = vw.groupBy("flag").agg(F.sum("w").alias("tw"))
     wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wtot = Window.partitionBy("flag")
-    c = vw.select(
-        "flag", "v", F.sum("w").over(wcum).alias("cw"), F.sum("w").over(wtot).alias("tw")
+    c = vw.join(F.broadcast(tot), "flag").select(
+        "flag", "v", F.sum("w").over(wcum).alias("cw"), "tw"
     )
     return (
         c.where(2 * F.col("cw") >= F.col("tw"))
