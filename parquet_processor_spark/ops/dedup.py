@@ -1076,15 +1076,14 @@ def _sig_est(a: str, b: str) -> F.Column:
     ) / F.lit(float(_K))
 
 
-def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b, est_jaccard) where
-    doc_b is a delta document: corpus-probe hits plus within-delta
-    block pairs. Shared by the classification query and its recall
-    gate. Because corpus ids all precede the cutoff and delta ids
-    follow it, normalizing corpus-probe pairs as (corpus, delta) and
-    delta pairs as (min, max) yields doc_a < doc_b everywhere."""
-    d = t(spark, sf, "documents")
-    cutoff = d.agg(
+def _incr_cutoff(id_frame: DataFrame) -> DataFrame:
+    """1-row (c) cutoff frame: min + frac·range of doc_id, exact
+    integer floor. Derive it from the CACHED signature table where one
+    is in scope — the scalar subtree re-enters the plan once per
+    consumer, and reading it off the cache avoids repeated parquet
+    column scans (5 consumers at one point; at corpus scale each was a
+    full doc_id pass)."""
+    return id_frame.agg(
         F.floor(
             F.min("doc_id")
             + F.lit(_INCR_DEDUP_CUTOFF_FRAC) * (F.max("doc_id") - F.min("doc_id"))
@@ -1092,9 +1091,17 @@ def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("c")
     )
-    bands = _band_rows(
-        _minhash_sig_cached(spark, sf).crossJoin(F.broadcast(cutoff))
-    )
+
+
+def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b, est_jaccard) where
+    doc_b is a delta document: corpus-probe hits plus within-delta
+    block pairs. Shared by the classification query and its recall
+    gate. Because corpus ids all precede the cutoff and delta ids
+    follow it, normalizing corpus-probe pairs as (corpus, delta) and
+    delta pairs as (min, max) yields doc_a < doc_b everywhere."""
+    sig = _minhash_sig_cached(spark, sf)
+    bands = _band_rows(sig.crossJoin(F.broadcast(_incr_cutoff(sig))))
     corpus_bands = bands.where(F.col("doc_id") < F.col("c")).select(
         "doc_id", "sig", "band", "band_sig"
     )
@@ -1165,17 +1172,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     the standing corpus is re-read or re-hashed. Pair expansion
     streams through chained generators exactly as ``dedup_near``.
     """
-    d = t(spark, sf, "documents")
-    cutoff = d.agg(
-        F.floor(
-            F.min("doc_id")
-            + F.lit(_INCR_DEDUP_CUTOFF_FRAC) * (F.max("doc_id") - F.min("doc_id"))
-        )
-        .cast("long")
-        .alias("c")
-    )
+    sig = _minhash_sig_cached(spark, sf)
+    cutoff = _incr_cutoff(sig)
     delta_docs = (
-        d.crossJoin(F.broadcast(cutoff))
+        sig.select("doc_id")
+        .crossJoin(F.broadcast(cutoff))
         .where(F.col("doc_id") >= F.col("c"))
         .select("doc_id", "c")
     )

@@ -268,15 +268,7 @@ def recall_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     within-delta block pairs (>= 0.95; the banding is identical to the
     batch ``dedup_near``, so a found pair cannot be lost by splitting
     the corpus, and the measured recall is 1.0)."""
-    d = t(spark, sf, "documents")
-    cutoff = d.agg(
-        F.floor(
-            F.min("doc_id")
-            + F.lit(dedup._INCR_DEDUP_CUTOFF_FRAC) * (F.max("doc_id") - F.min("doc_id"))
-        )
-        .cast("long")
-        .alias("c")
-    )
+    cutoff = dedup._incr_cutoff(dedup._minhash_sig_cached(spark, sf))
     truth = (
         dedup.dedup_ngram_jaccard(spark, sf)
         .crossJoin(F.broadcast(cutoff))

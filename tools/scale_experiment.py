@@ -57,7 +57,9 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "sample_budget_mix", "agg_gini", "agg_abc_analysis",
          "events_funnel_windowed", "window_rolling_median",
          # round-6 additions
-         "dedup_incremental_minhash", "sim_topk_ivf_nprobe"]
+         "dedup_incremental_minhash", "sim_topk_ivf_nprobe",
+         "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
+         "sink_mergeschema_roundtrip", "agg_weighted_median"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
