@@ -127,6 +127,7 @@ EXTENDED = [
     "table_diff",
     "sink_mergeschema_roundtrip",
     "agg_weighted_median",
+    "sink_compacted_roundtrip",
 ]
 
 

@@ -231,3 +231,41 @@ def sink_mergeschema_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(out)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
+
+
+# K-family: small-file compaction — the table-maintenance pass every
+# long-lived corpus needs. Streaming sinks and per-batch appends leave
+# directories of tiny files whose per-file open/footer cost dominates
+# reads at scale; compaction rewrites the directory into size-targeted
+# files without changing a row.
+_COMPACT_TARGET_ROWS = 50_000  # stand-in for a bytes target (fixture rows are fixed-width)
+
+
+@query(
+    "sink_compacted_roundtrip",
+    oracle=_SELECT,
+    tags=("sink", "layout", "maintenance"),
+)
+def sink_compacted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Fragment the subset into many tiny files, compact the directory
+    to row-count-targeted files, and return the compacted rows — the
+    oracle proves compaction is content-preserving; the file-count
+    assertion lives in tests/test_plan_quality.py.
+
+    100 TB shape: the file count comes from one count() over footer
+    metadata (cheap), the rewrite is ONE round-robin repartition (no
+    key shuffle — compaction has no keys to preserve unless the table
+    is also sorted, which sink_sorted/zorder cover); a real deployment
+    compacts per partition-directory so each rewrite is independent
+    and incremental. Row-count stands in for the byte target the
+    fixture cannot exercise (fixed-width rows).
+    """
+    frag = tempfile.mkdtemp(prefix="ppspark_frag_")
+    out = tempfile.mkdtemp(prefix="ppspark_compact_")
+    _subset(spark, sf).repartition(64).write.mode("overwrite").parquet(frag)
+    small = spark.read.parquet(frag)
+    n_files = max(1, -(-small.count() // _COMPACT_TARGET_ROWS))  # ceil
+    small.repartition(n_files).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )

@@ -77,6 +77,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "table_diff",
     "sink_mergeschema_roundtrip",
     "agg_weighted_median",
+    "sink_compacted_roundtrip",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

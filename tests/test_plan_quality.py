@@ -591,3 +591,27 @@ def test_table_diff_joins_fingerprints_not_text(spark):
     detail = plan[plan.index("SortMergeJoin") :] if "SortMergeJoin" in plan else plan
     join_block = detail.split("\n\n")[0]
     assert "text" not in join_block, f"text column reaches the join:\n{join_block}"
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    # Compaction must actually consolidate: 64 fragment files at the
+    # test SF collapse to ceil(rows/target) parquet files (1 here),
+    # with every row preserved (the oracle covers content; this covers
+    # the layout claim).
+    import glob
+
+    from parquet_processor_spark.ops.roundtrip import _COMPACT_TARGET_ROWS, _subset
+
+    frag = tmp_path / "frag"
+    out = tmp_path / "out"
+    base = _subset(spark, SF_SMALL)
+    base.repartition(64).write.mode("overwrite").parquet(str(frag))
+    small = spark.read.parquet(str(frag))
+    n = small.count()
+    n_files = max(1, -(-n // _COMPACT_TARGET_ROWS))
+    small.repartition(n_files).write.mode("overwrite").parquet(str(out))
+    frag_files = glob.glob(f"{frag}/part-*.parquet")
+    out_files = glob.glob(f"{out}/part-*.parquet")
+    assert len(frag_files) == 64
+    assert len(out_files) == n_files < 64
+    assert spark.read.parquet(str(out)).count() == n
