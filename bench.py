@@ -128,6 +128,7 @@ EXTENDED = [
     "sink_mergeschema_roundtrip",
     "agg_weighted_median",
     "sink_compacted_roundtrip",
+    "sample_negative_pairs",
 ]
 
 

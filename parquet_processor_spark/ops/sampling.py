@@ -348,3 +348,71 @@ def sample_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("cum_chars") <= F.col("budget"))
         .select("doc_id", "lang", "n_chars", "cum_chars")
     )
+
+
+# Negative-pair mining for contrastive training data: each anchor doc
+# gets K deterministic pseudo-random partners (hash of (id, slot) mod
+# the id range), validated against the corpus by one semi join —
+# never a cross join, never an RNG. The same shape mines negatives
+# for embedding training at any corpus size.
+_NEG_K = 2
+
+
+@query(
+    "sample_negative_pairs",
+    oracle=f"""
+    with ids as (select doc_id from documents),
+    nn as (select max(doc_id) + 1 as n from documents),
+    cand as (
+      select i.doc_id, s.j,
+             (('0x' || substr(md5(i.doc_id || ':' || s.j), 1, 13))::bigint
+               % (select n from nn)) as neg_id
+      from ids i, unnest(generate_series(0, {_NEG_K - 1})) as s(j)
+    )
+    select c.doc_id, cast(c.j as bigint) as j, c.neg_id
+    from cand c semi join ids p on c.neg_id = p.doc_id
+    where c.neg_id <> c.doc_id
+    """,
+    tags=("sampling", "vector", "pairs"),
+)
+def sample_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """K deterministic negative partners per anchor document
+    (contrastive-pairs generator): partner id = md5(id:slot) folded to
+    52 bits, mod the id range; self-pairs dropped; ids that miss a
+    real document drop out via the existence join (with dense ids —
+    how a training corpus is usually materialized — nothing misses).
+
+    100 TB shape: candidate generation is a narrow map (K rows per
+    anchor, no shuffle); the only exchange is the existence semi join
+    on the partner id — and when ids are dense 0..N-1 even that
+    collapses to a range filter. Determinism makes the pairing
+    reproducible across runs and resumable mid-corpus, the properties
+    an RNG-based sampler loses on retry.
+    """
+    d = t(spark, sf, "documents").select("doc_id")
+    nn = d.agg((F.max("doc_id") + 1).alias("n"))
+    cand = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("doc_id"))
+    )
+    partners = d.select(F.col("doc_id").alias("neg_id"))
+    return cand.join(partners, "neg_id", "left_semi").select("doc_id", "j", "neg_id")

@@ -78,6 +78,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_mergeschema_roundtrip",
     "agg_weighted_median",
     "sink_compacted_roundtrip",
+    "sample_negative_pairs",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -57,7 +57,7 @@ def test_check_priority_window():
         "sim_topk_ivf_nprobe", "recall_sim_topk_ivf_nprobe",
         "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
         "sink_mergeschema_roundtrip", "agg_weighted_median",
-        "sink_compacted_roundtrip",
+        "sink_compacted_roundtrip", "sample_negative_pairs",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
