@@ -129,6 +129,7 @@ EXTENDED = [
     "agg_weighted_median",
     "sink_compacted_roundtrip",
     "sample_negative_pairs",
+    "scan_csv_badrecords",
 ]
 
 

@@ -269,3 +269,67 @@ def sink_compacted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
+
+
+# S/X-family: parser-level dead-letter. The reference routes fetch
+# failures to skipped_records_*.json (T4); the same contract one layer
+# down is PERMISSIVE parsing with a corrupt-record column — malformed
+# rows land in a quarantine column instead of failing the job or
+# silently vanishing. Corruption is injected deterministically (every
+# l_linenumber%7==0 row re-emitted with a non-numeric quantity), so
+# the oracle derives the expected good/bad split from the clean table.
+@query(
+    "scan_csv_badrecords",
+    oracle="""
+    with sub as (
+      select l_orderkey, l_linenumber, l_quantity from lineitem where l_quantity >= 40
+    )
+    select cast(count(*) as bigint) as n_good,
+           (select cast(count(*) as bigint) from sub where l_linenumber % 7 = 0) as n_bad,
+           cast(sum(cast(l_quantity as bigint)) as bigint) as qty_sum
+    from sub
+    """,
+    tags=("source", "robustness"),
+)
+def scan_csv_badrecords(spark: SparkSession, sf: str) -> DataFrame:
+    """Write a CSV containing both clean rows and injected malformed
+    rows (non-numeric quantity), read it back PERMISSIVE with a
+    corrupt-record column, and report the split: every clean row
+    parses, every malformed row is quarantined, nothing is dropped.
+
+    100 TB shape: PERMISSIVE + columnNameOfCorruptRecord is a pure
+    map-side property of the scan — bad rows cost one extra string
+    column only where they occur, and the quarantine split is the
+    same filter-fanout as the fetch stage's dead-letter (T4). The
+    FAILFAST/DROPMALFORMED modes are the same reader one option away.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_badcsv_")
+    sub = (
+        t(spark, sf, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    good_lines = sub.select(
+        F.concat_ws(",", "l_orderkey", "l_linenumber", "l_quantity").alias("value")
+    )
+    bad_lines = sub.where(F.col("l_linenumber") % 7 == 0).select(
+        F.concat_ws(
+            ",", "l_orderkey", "l_linenumber", F.concat(F.lit("x"), F.col("l_quantity"))
+        ).alias("value")
+    )
+    good_lines.unionAll(bad_lines).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_linenumber int, l_quantity double, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_bad"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("l_quantity").cast("bigint"))
+        ).alias("qty_sum"),
+    )

@@ -79,6 +79,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_weighted_median",
     "sink_compacted_roundtrip",
     "sample_negative_pairs",
+    "scan_csv_badrecords",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -58,6 +58,7 @@ def test_check_priority_window():
         "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
         "sink_mergeschema_roundtrip", "agg_weighted_median",
         "sink_compacted_roundtrip", "sample_negative_pairs",
+        "scan_csv_badrecords",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
