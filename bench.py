@@ -130,6 +130,10 @@ EXTENDED = [
     "sink_compacted_roundtrip",
     "sample_negative_pairs",
     "scan_csv_badrecords",
+    "split_leakage_safe",
+    "sample_downweight_dups",
+    "doc_novelty",
+    "window_ewma",
 ]
 
 

@@ -1208,3 +1208,61 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
             (F.coalesce(F.col("w"), F.lit(0)) == 1).alias("near_dup_within_delta"),
         )
     )
+
+
+# N-family: first-occurrence shingle novelty — per document, the
+# fraction of its distinct shingles that no EARLIER document (smaller
+# doc_id = earlier in corpus order) contains. The marginal-new-content
+# score a crawl/ingestion pipeline uses to rank sources ("this feed is
+# 90% boilerplate we already have") and to cut off scraping when
+# novelty collapses; near-dups score ~0 without any pair expansion.
+@query(
+    "doc_novelty",
+    oracle=r"""
+    with sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    ),
+    first_occ as (select shingle, min(doc_id) as doc_id from sh group by shingle),
+    novel as (select doc_id, cast(count(*) as bigint) as n_novel from first_occ group by doc_id),
+    sizes as (select doc_id, cast(count(*) as bigint) as n_sh from sh group by doc_id)
+    select s.doc_id, s.n_sh, coalesce(n.n_novel, cast(0 as bigint)) as n_novel,
+           cast(coalesce(n.n_novel, cast(0 as bigint)) as double) / s.n_sh as novelty
+    from sizes s left join novel n on s.doc_id = n.doc_id
+    """,
+    tags=("dedup", "text", "curation"),
+)
+def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc novelty = |shingles first seen in this doc| / |shingles|.
+
+    Unlike the pair-based dedup family this never expands pairs at
+    all: ONE shingle-keyed map-side-combined aggregate takes each
+    shingle to its minimum doc_id (the shuffle carries one row per
+    distinct shingle per task — hot boilerplate shingles COMBINE
+    instead of exploding, so no df cap is needed), then one doc-keyed
+    count of that first-occurrence stream, joined against the per-doc
+    shingle counts (both doc-keyed, co-partitioned). Cost is linear in
+    corpus shingle mass at any scale.
+
+    Shingles are hashed to longs (:func:`shingle_hashes`) while the
+    oracle keeps strings — identical counts absent 64-bit collisions,
+    same argument as :func:`dedup_ngram_jaccard`.
+    """
+    d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
+    sh = _explode_shingles(d)
+    first_occ = sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    novel = first_occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_novel"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).cast("double")
+            / F.col("n_sh")
+        ).alias("novelty"),
+    )

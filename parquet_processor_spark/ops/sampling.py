@@ -416,3 +416,100 @@ def sample_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     partners = d.select(F.col("doc_id").alias("neg_id"))
     return cand.join(partners, "neg_id", "left_semi").select("doc_id", "j", "neg_id")
+
+
+# Leakage-safe train/test split + duplicate down-weighting: the two
+# split-hygiene passes a pretraining pipeline runs AFTER near-dup
+# clustering. A doc-keyed hash split (split_train_test) puts near-
+# duplicate documents on opposite sides of the split — the test set
+# then "contains" paraphrases of training docs and eval scores are
+# contaminated. Keying the split hash by the dedup CLUSTER id instead
+# guarantees every near-dup cluster lands whole on one side.
+def _cc_labels_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    return _ORACLES["dedup_connected"]
+
+
+def _cluster_nibble_sql() -> str:
+    return "substr(md5(cast(cluster_id as varchar)), 1, 1)"
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    with labels as ( {_cc_labels_oracle()} )
+    select doc_id, cluster_id,
+           case when {_cluster_nibble_sql()} in
+                ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                then 'train' else 'test' end as split
+    from labels
+    """,
+    tags=("sampling", "dedup", "graph"),
+)
+def split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-aware 13/16-train hash split: the split key is the
+    transitive-closure dedup cluster id (:func:`...ops.dedup.
+    dedup_connected`), so two near-duplicate documents can never
+    straddle the train/test boundary — the contamination mode a plain
+    per-doc hash split (:func:`split_train_test`) cannot prevent.
+
+    100 TB shape: the closure labels are the expensive part and are
+    computed anyway by the dedup pass (here the iteration runs only
+    over the dup-graph nodes, singletons label themselves via one
+    left join); the split assignment itself is a narrow md5 projection
+    on the label column — no additional shuffle, stable under corpus
+    growth (a cluster keeps its side forever unless its minimum
+    member changes).
+    """
+    from parquet_processor_spark.ops import dedup
+
+    labels = dedup.dedup_connected(spark, sf).select("doc_id", "cluster_id")
+    nib = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(nib.isin(*"0123456789abc"), "train").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "sample_downweight_dups",
+    oracle=f"""
+    with labels as ( {_cc_labels_oracle()} ),
+    sizes as (
+      select cluster_id, cast(count(*) as bigint) as cluster_size
+      from labels group by cluster_id
+    )
+    select l.doc_id, l.cluster_id, s.cluster_size,
+           cast(1.0 as double) / s.cluster_size as weight
+    from labels l join sizes s on l.cluster_id = s.cluster_id
+    """,
+    tags=("sampling", "dedup", "graph"),
+)
+def sample_downweight_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft dedup: keep every document but weight it 1/cluster_size so
+    each near-dup cluster contributes one document's worth of training
+    mass — the standard alternative to hard keep-one dedup when the
+    duplicates carry distribution signal (repeated docs ARE more
+    important, just not linearly so).
+
+    100 TB shape: cluster sizes are one map-side-combined count on the
+    label table (two longs per row), and the size join back is
+    cluster-keyed — co-partitioned with the agg output, so AQE plans
+    it shuffle-free on the already-exchanged side; the corpus itself
+    is never re-shuffled. The weight is a single IEEE division
+    (1.0/bigint), bitwise identical across engines.
+    """
+    from parquet_processor_spark.ops import dedup
+
+    labels = dedup.dedup_connected(spark, sf).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )

@@ -179,3 +179,79 @@ def window_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "events").select(
         "event_id", "user_id", "ts", med.alias("roll_median")
     )
+
+
+# Exponentially-weighted moving average (alpha=0.5, 8-term adjusted
+# form) — the standard time-series smoother feeding anomaly detection
+# and rate-limit controllers. The textbook recursive form
+# y_t = a*x_t + (1-a)*y_{t-1} is a sequential dependency no engine
+# parallelizes; the ADJUSTED form is a finite weighted sum over the
+# trailing frame (weights (1-a)^k, renormalized over the terms that
+# exist), which IS expressible as a fixed lag combination — and the
+# 8-term truncation error is bounded by (1-a)^8 < 0.4% of total
+# weight, below any detection threshold the smoother feeds.
+_EWMA_TERMS = 8
+_EWMA_COEFS = [0.5**k for k in range(_EWMA_TERMS)]  # exact binary doubles
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"(case when lag(value, {k}) over w is not null "
+        f"then cast({c!r} as double) * lag(value, {k}) over w "
+        f"else cast(0 as double) end)"
+        for k, c in enumerate(_EWMA_COEFS)
+    )
+    den = " + ".join(
+        f"(case when lag(value, {k}) over w is not null "
+        f"then cast({c!r} as double) else cast(0 as double) end)"
+        for k, c in enumerate(_EWMA_COEFS)
+    )
+    return f"""
+    select event_id, user_id,
+           case when ({den}) > 0 then ({num}) / ({den}) end as ewma
+    from events
+    window w as (partition by user_id order by ts, event_id)
+    """
+
+
+@query("window_ewma", oracle=_ewma_oracle(), tags=("window", "timeseries"))
+def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjusted EWMA of ``value`` per user in event-time order:
+    ewma_t = sum_k (1-a)^k x_{t-k} / sum_k (1-a)^k over the trailing
+    8 observations that exist (missing lags and null values drop out
+    of numerator AND denominator together).
+
+    100 TB shape: one hash shuffle on user_id, then all 8 lag columns
+    share ONE window sort — Spark collapses same-spec window
+    expressions into a single WindowExec pass, so the cost equals the
+    rolling-median frame scan, not 8 sorts. The weighted sum is a
+    fixed left-to-right chain of IEEE multiply-adds mirrored
+    literally in the oracle, so the doubles match bitwise. Truncating
+    at 8 terms is what makes the operator embarrassingly windowed —
+    the infinite-memory recursive form would serialize each user's
+    timeline.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def lagv(k: int) -> F.Column:
+        return F.lag("value", k).over(w) if k else F.col("value")
+
+    num_terms = [
+        F.when(lagv(k).isNotNull(), F.lit(c) * lagv(k)).otherwise(F.lit(0.0))
+        for k, c in enumerate(_EWMA_COEFS)
+    ]
+    den_terms = [
+        F.when(lagv(k).isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
+        for k, c in enumerate(_EWMA_COEFS)
+    ]
+    num = num_terms[0]
+    for term in num_terms[1:]:
+        num = num + term
+    den = den_terms[0]
+    for term in den_terms[1:]:
+        den = den + term
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.when(den > 0, num / den).alias("ewma"),
+    )

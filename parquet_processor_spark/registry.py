@@ -80,6 +80,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_compacted_roundtrip",
     "sample_negative_pairs",
     "scan_csv_badrecords",
+    "split_leakage_safe",
+    "sample_downweight_dups",
+    "doc_novelty",
+    "window_ewma",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -58,6 +58,10 @@ REPRESENTATIVE = [
     "table_diff",              # full-outer fingerprint join, both sides empty
     "sink_mergeschema_roundtrip",  # two empty batches, merged read
     "agg_weighted_median",     # cumulative window over empty value domain
+    "split_leakage_safe",      # closure labels over empty corpus
+    "sample_downweight_dups",  # cluster-size join over empty labels
+    "doc_novelty",             # first-occurrence aggregate, no shingles
+    "window_ewma",             # 8-lag shared window, empty partitions
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -58,7 +58,8 @@ def test_check_priority_window():
         "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
         "sink_mergeschema_roundtrip", "agg_weighted_median",
         "sink_compacted_roundtrip", "sample_negative_pairs",
-        "scan_csv_badrecords",
+        "scan_csv_badrecords", "split_leakage_safe", "sample_downweight_dups",
+        "doc_novelty", "window_ewma",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

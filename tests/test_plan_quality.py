@@ -615,3 +615,36 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert len(frag_files) == 64
     assert len(out_files) == n_files < 64
     assert spark.read.parquet(str(out)).count() == n
+
+
+def test_ewma_lags_share_one_window_pass(spark):
+    # All 16 lag expressions (8 numerator + 8 denominator terms) use
+    # the same window spec, so they must collapse into ONE Window node
+    # over one sort — the property that makes the truncated EWMA cost
+    # a single frame scan instead of 16.
+    plan = plan_of(spark, "window_ewma")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1, plan
+
+
+def test_doc_novelty_has_no_joins_before_aggregates(spark):
+    # Novelty is aggregate-only until the final doc-keyed size join:
+    # exactly one join (sizes ⋈ novel, both already doc-keyed), and
+    # NO generate-side self-join — the shape that keeps it linear in
+    # shingle mass with no pair expansion and no hot-shingle cap.
+    plan = plan_of(spark, "doc_novelty")
+    joins = re.findall(r"^\(\d+\) \w*Join\w*", plan, re.M)
+    assert len(joins) == 1, f"expected exactly one size join:\n{plan}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_downweight_sizes_join_reuses_cluster_exchange(spark):
+    # The 1/cluster_size join keys on cluster_id — the same key the
+    # size aggregate just exchanged on — so the labels side must not
+    # pick up a second exchange for the join beyond the aggregate's
+    # own shuffle (modulo the closure's internal exchanges, which are
+    # bounded by round count, not by this join).
+    plan = plan_of(spark, "sample_downweight_dups")
+    assert "CartesianProduct" not in plan, plan
+    # the weight division happens post-join in one Project, not a UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
