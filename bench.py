@@ -134,6 +134,9 @@ EXTENDED = [
     "sample_downweight_dups",
     "doc_novelty",
     "window_ewma",
+    "events_attribution",
+    "feature_mad_outliers",
+    "cdc_apply_tombstones",
 ]
 
 

@@ -1206,3 +1206,237 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         F.when(prior_wins, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_view_event_id"),
         F.when(prior_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias("nearest_view_ts"),
     )
+
+
+# Marketing attribution: for every conversion (purchase), which
+# marketing touch (view/click/signup) opened the path and which one
+# closed it — first-touch / last-touch attribution, the analytics
+# query behind every "which channel drives conversions" dashboard.
+# A conversion path = the events between two purchases of one user;
+# path_id = number of purchases STRICTLY BEFORE the row, so each
+# (user, path) partition holds at most one purchase and it is the
+# partition's last row by construction.
+_TOUCH_TYPES = ("view", "click", "signup")
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    with s as (
+      select event_id, user_id, ts, event_type,
+             count(case when event_type = 'purchase' then 1 end)
+               over (partition by user_id order by ts, event_id
+                     rows between unbounded preceding and 1 preceding) as path_id
+      from events
+    ),
+    p as (
+      select event_id, user_id, ts, event_type,
+             first_value(case when event_type in {_TOUCH_TYPES} then event_type end ignore nulls)
+               over w as first_touch,
+             last_value(case when event_type in {_TOUCH_TYPES} then event_type end ignore nulls)
+               over w as last_touch,
+             count(case when event_type in {_TOUCH_TYPES} then 1 end)
+               over w as n_touches
+      from s
+      window w as (partition by user_id, coalesce(path_id, 0)
+                   order by ts, event_id
+                   rows between unbounded preceding and current row)
+    )
+    select event_id, user_id, first_touch, last_touch, cast(n_touches as bigint) as n_touches
+    from p where event_type = 'purchase'
+    """,
+    tags=("events", "window", "funnel"),
+)
+def events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First/last-touch attribution per conversion: for each purchase,
+    the earliest and latest marketing event (view/click/signup) since
+    the user's previous purchase, plus the touch count on the path.
+
+    100 TB shape: both window passes partition on the user key — ONE
+    hash exchange feeds the path-numbering window and the
+    (user, path) attribution window (the second partitions on a
+    superset key already clustered by the first sort, so no second
+    exchange, only a sort within partitions). No joins, no event
+    fan-out: attribution is pure window arithmetic over each user's
+    timeline, and skewed users are bounded by their own event count,
+    not the corpus.
+    """
+    touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    wpath = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).over(wpath),
+            F.lit(0),
+        ).alias("path_id"),
+    )
+    w = (
+        Window.partitionBy("user_id", "path_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_type = F.when(touch, F.col("event_type"))
+    p = s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first(touch_type, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("last_touch"),
+        F.count(F.when(touch, 1)).over(w).alias("n_touches"),
+    )
+    return p.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "first_touch", "last_touch", "n_touches"
+    )
+
+
+# Robust per-group outlier detection: median absolute deviation (MAD),
+# the robust-statistics replacement for z-scores when the data itself
+# contains the outliers you are hunting (mean and stddev are corrupted
+# by the very anomalies they are supposed to flag; the median and MAD
+# are not). Both medians are DISCRETE (rank-selected stored values,
+# agg_percentile_disc's integer rank arithmetic) so no interpolation
+# formula has to match across engines.
+@query(
+    "feature_mad_outliers",
+    oracle="""
+    with r1 as (
+      select event_id, user_id, value,
+             row_number() over (partition by user_id order by value) as rn,
+             count(*) over (partition by user_id) as n
+      from events
+    ),
+    med as (
+      select user_id, max(case when rn = (n + 1) // 2 then value end) as med
+      from r1 group by user_id
+    ),
+    r2 as (
+      select r.event_id, r.user_id, r.value, m.med,
+             abs(r.value - m.med) as dev,
+             row_number() over (partition by r.user_id
+                                order by abs(r.value - m.med)) as rn,
+             count(*) over (partition by r.user_id) as n
+      from r1 r join med m on r.user_id = m.user_id
+    ),
+    mad as (
+      select user_id, max(case when rn = (n + 1) // 2 then dev end) as mad
+      from r2 group by user_id
+    )
+    select r.event_id, r.user_id, r.value, r.med, d.mad,
+           (r.dev > cast(3 as double) * d.mad) as is_outlier
+    from r2 r join mad d on r.user_id = d.user_id
+    """,
+    tags=("feature", "agg", "robustness"),
+)
+def feature_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user robust outliers: |value - median| > 3 * MAD, with both
+    the median and the MAD selected by exact discrete rank — stored
+    input values, bit-identical across engines, no interpolation.
+
+    100 TB shape: everything is keyed on user_id — one hash exchange
+    feeds the first rank window, the per-user median aggregate, the
+    deviation rank window, and the MAD aggregate (the med/mad tables
+    are one row per user and join back co-partitioned). Same
+    collapsed-key discipline as agg_percentile_disc: windows sort
+    within user partitions, never globally. A pathological single-user
+    corpus would sub-salt the rank the way the two-phase global index
+    does; at real fan-outs the user partition IS the parallelism.
+    """
+    ev = t(spark, sf, "events").select("event_id", "user_id", "value")
+    wv = Window.partitionBy("user_id").orderBy("value")
+    wn = Window.partitionBy("user_id")
+    r1 = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))).alias("med")
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    wd = Window.partitionBy("user_id").orderBy(dev)
+    r2 = r1.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        dev.alias("dev"),
+        F.row_number().over(wd).alias("rn"),
+        F.col("n"),
+    )
+    mad = r2.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias("mad")
+    )
+    return r2.join(mad, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        "mad",
+        (F.col("dev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+# Change-log compaction with tombstones: apply a keyed I/U/D change
+# stream and emit the final state — latest op per key wins, a delete
+# leaves the key dead (what Kafka compacted topics, CDC MERGE targets,
+# and LSM compactions all compute). The events stream stands in as the
+# change log: 'error' rows are the tombstones, everything else upserts.
+@query(
+    "cdc_apply_tombstones",
+    oracle="""
+    with ranked as (
+      select user_id, event_id, event_type, value,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rk,
+             count(*) over (partition by user_id) as n_versions
+      from events
+    )
+    select user_id, cast(n_versions as bigint) as n_versions,
+           event_id as last_event_id,
+           (event_type = 'error') as is_deleted,
+           case when event_type <> 'error' then value end as live_value
+    from ranked where rk = 1
+    """,
+    tags=("cdc", "maintenance", "agg"),
+)
+def cdc_apply_tombstones(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-wins changelog apply: one row per key with its version
+    count, the winning change, and tombstone state (deleted keys keep
+    a row with is_deleted=true so downstream MERGE can drop them —
+    filtering them here would silently resurrect on re-insert).
+
+    100 TB shape: ONE map-side-combined max_by aggregate — each task
+    reduces its slice of the log to one candidate row per key before
+    the exchange (struct-ordered (ts, event_id) argmax, the same
+    retry-safe pattern as agg_max_by/dedup_keep_best), so the shuffle
+    carries |keys| rows, not |log| rows. No window: the oracle's
+    row_number spelling is the SQL mirror, not the plan. Struct agg
+    buffers aren't hash-aggregable, so the pair runs as partial/final
+    SortAggregate — per-task sorts of the already-scanned slice, never
+    a global sort (tests/test_plan_quality.py pins the shape).
+    """
+    ev = t(spark, sf, "events")
+    last = F.max_by(
+        F.struct("event_id", "event_type", "value"), F.struct("ts", "event_id")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"), last.alias("last")
+    )
+    return agg.select(
+        "user_id",
+        "n_versions",
+        F.col("last.event_id").alias("last_event_id"),
+        (F.col("last.event_type") == "error").alias("is_deleted"),
+        F.when(F.col("last.event_type") != "error", F.col("last.value")).alias(
+            "live_value"
+        ),
+    )

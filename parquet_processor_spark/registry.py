@@ -84,6 +84,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_downweight_dups",
     "doc_novelty",
     "window_ewma",
+    "events_attribution",
+    "feature_mad_outliers",
+    "cdc_apply_tombstones",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

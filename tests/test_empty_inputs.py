@@ -62,6 +62,9 @@ REPRESENTATIVE = [
     "sample_downweight_dups",  # cluster-size join over empty labels
     "doc_novelty",             # first-occurrence aggregate, no shingles
     "window_ewma",             # 8-lag shared window, empty partitions
+    "events_attribution",      # path windows over empty timeline
+    "feature_mad_outliers",    # two-pass rank medians, empty groups
+    "cdc_apply_tombstones",    # argmax compaction of an empty log
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

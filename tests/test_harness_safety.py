@@ -59,7 +59,8 @@ def test_check_priority_window():
         "sink_mergeschema_roundtrip", "agg_weighted_median",
         "sink_compacted_roundtrip", "sample_negative_pairs",
         "scan_csv_badrecords", "split_leakage_safe", "sample_downweight_dups",
-        "doc_novelty", "window_ewma",
+        "doc_novelty", "window_ewma", "events_attribution",
+        "feature_mad_outliers", "cdc_apply_tombstones",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

@@ -648,3 +648,39 @@ def test_downweight_sizes_join_reuses_cluster_exchange(spark):
     assert "CartesianProduct" not in plan, plan
     # the weight division happens post-join in one Project, not a UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_attribution_single_user_exchange(spark):
+    # Path numbering + path-scoped attribution: two Window passes, but
+    # the second partitions on (user_id, path_id) — a superset of the
+    # first sort's clustering — so exactly ONE exchange feeds both.
+    plan = plan_of(spark, "events_attribution")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+
+
+def test_cdc_compaction_is_map_side_argmax_not_window(spark):
+    # Latest-wins compaction must be the map-side-combined argmax, not
+    # the oracle's row_number spelling: no Window anywhere, and the
+    # exchange must sit BETWEEN a partial and a final aggregate (the
+    # log collapses to one candidate row per key per task before it
+    # crosses the wire). Struct argmax buffers aren't hash-aggregable,
+    # so the pair materializes as SortAggregate — the in-partition
+    # sorts are the buffer-format cost, not a global sort.
+    plan = plan_of(spark, "cdc_apply_tombstones")
+    assert not re.findall(r"^\(\d+\) Window", plan, re.M), plan
+    tree = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)\s*$", ln)]
+    agg_i = [i for i, ln in enumerate(tree) if "Aggregate" in ln]
+    exch_i = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+    assert len(agg_i) == 2 and len(exch_i) == 1, plan
+    assert agg_i[0] < exch_i[0] < agg_i[1], f"exchange not between partial/final:\n{plan}"
+
+
+def test_mad_outliers_all_keyed_on_group(spark):
+    # Robust MAD: every join is a user-keyed equi-join (med/mad tables
+    # join back onto user-partitioned rows) — no cartesian, no
+    # broadcast-nested-loop, no Python.
+    plan = plan_of(spark, "feature_mad_outliers")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -59,7 +59,13 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          # round-6 additions
          "dedup_incremental_minhash", "sim_topk_ivf_nprobe",
          "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
-         "sink_mergeschema_roundtrip", "agg_weighted_median"]
+         "sink_mergeschema_roundtrip", "agg_weighted_median",
+         # round-6 second-wave operators
+         "sink_compacted_roundtrip", "sample_negative_pairs",
+         "scan_csv_badrecords", "split_leakage_safe",
+         "sample_downweight_dups", "doc_novelty", "window_ewma",
+         # round-6 third-wave operators
+         "events_attribution", "feature_mad_outliers", "cdc_apply_tombstones"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
