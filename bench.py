@@ -137,6 +137,8 @@ EXTENDED = [
     "events_attribution",
     "feature_mad_outliers",
     "cdc_apply_tombstones",
+    "graph_triangles",
+    "scan_binary_files",
 ]
 
 

@@ -159,3 +159,100 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     for _ in range(_ROUNDS):
         masses = _mass_step(masses, edges)
     return masses.select("node", "deg", "mass")
+
+
+# Triangle counting — the graph-analytics staple behind clustering
+# coefficients, community strength, and spam/bot detection. Runs over
+# the co-purchase part graph (parts sharing an order, support >= 2 —
+# the same edge set as agg_copurchase_pairs; the customer-supplier
+# trade graph is bipartite and triangle-free by construction).
+def _triangles_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    und as (select u, v from e union all select v as u, u as v from e),
+    deg as (select u as node, cast(count(*) as bigint) as d from und group by u),
+    o as (
+      select case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then e.u else e.v end as s,
+             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then e.v else e.u end as t,
+             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then dv.d else du.d end as dt
+      from e join deg du on e.u = du.node join deg dv on e.v = dv.node
+    ),
+    w as (
+      select o1.t as b, o2.t as c
+      from o o1 join o o2
+        on o1.s = o2.s
+       and ((o1.dt < o2.dt) or (o1.dt = o2.dt and o1.t < o2.t))
+    ),
+    tri as (
+      select 1 from w join o on w.b = o.s and w.c = o.t
+    )
+    select (select cast(count(*) as bigint) from tri) as n_triangles,
+           (select cast(count(*) as bigint) from e) as n_edges,
+           (select cast(count(*) as bigint) from deg) as n_nodes
+    """
+
+
+@query("graph_triangles", oracle=_triangles_oracle(), tags=("graph", "pairs"))
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count by degree-ordered orientation: every edge
+    points from its lower-(degree, id) endpoint to the higher one, so
+    each triangle is counted exactly once as a wedge (a->b, a->c with
+    ord(b) < ord(c)) closed by the oriented edge b->c.
+
+    100 TB shape: orientation is THE classical bound — wedges are
+    enumerated only at each edge's lower-degree endpoint, so the
+    wedge join's output is O(sum of out-degree²) with out-degree
+    <= sqrt(2m) for every node, instead of the unbounded hub fan-out
+    of a naive adjacency self-join (one celebrity node of degree 1M
+    would otherwise emit 5*10^11 wedges; oriented, it emits none —
+    its edges all point INTO it). Both the wedge join (on the wedge
+    apex) and the closing semi join (on the (b,c) pair) are plain
+    equi-joins; the closing check moves 16-byte pairs. Degrees come
+    from one map-side-combined count, and the orientation tiebreak by
+    (degree, id) is a total order, so the count is deterministic on
+    both engines.
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    e = agg_copurchase_pairs(spark, sf).select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    )
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    o2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_tri.crossJoin(F.broadcast(n_e)).crossJoin(F.broadcast(n_n))

@@ -264,7 +264,7 @@ def sink_compacted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ppspark_compact_")
     _subset(spark, sf).repartition(64).write.mode("overwrite").parquet(frag)
     small = spark.read.parquet(frag)
-    n_files = max(1, -(-small.count() // _COMPACT_TARGET_ROWS))  # ceil
+    n_files = max(1, -(-small.count() // _COMPACT_TARGET_ROWS))  # ceil; eager-by-design: footer-metadata count sizes the rewrite
     small.repartition(n_files).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
@@ -332,4 +332,60 @@ def scan_csv_badrecords(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(
             F.when(F.col("_bad").isNull(), F.col("l_quantity").cast("bigint"))
         ).alias("qty_sum"),
+    )
+
+
+# S-family: binaryFile source — the ingest path for opaque media
+# blobs (ops/multimodal.py consumes binary columns; this is where
+# those columns COME FROM when the corpus arrives as raw files on
+# object storage). The roundtrip writes the documents corpus as text
+# part-files, re-reads them as whole-file binary records, and proves
+# byte-lossless ingest: total binary bytes == total UTF-8 text bytes
+# plus one newline per document.
+_BINARY_PARTS = 8
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+    select cast({_BINARY_PARTS} as bigint) as n_files,
+           cast(sum(octet_length(encode(text)) + 1) as bigint) as total_bytes
+    from documents
+    """,
+    tags=("source", "multimodal"),
+)
+def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Write documents as {_BINARY_PARTS} text part-files, scan them
+    back with the ``binaryFile`` source (path, modificationTime,
+    length, content per file), and aggregate file count + content
+    bytes. The oracle recomputes the expected byte total from the
+    table (UTF-8 octets + the writer's newline per doc), so the check
+    proves the whole-file binary read is lossless — the property the
+    multimodal decode stages rely on.
+
+    100 TB shape: binaryFile is a real FileFormat — discovery and
+    pathGlobFilter run at planning, each file is one task's row, and
+    ONLY the length/path columns are materialized when content isn't
+    selected (here content feeds the byte count, so it streams
+    through one map-side-combined sum). A 100 TB image corpus reads
+    with scan parallelism = file count, no driver listing loop;
+    oversized blobs are the ONE caveat (a single file must fit in a
+    task), which is inherent to whole-file semantics.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_binscan_")
+    (
+        t(spark, sf, "documents")
+        .select(F.coalesce(F.col("text"), F.lit("")).alias("value"))
+        .repartition(_BINARY_PARTS)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+    )
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
     )

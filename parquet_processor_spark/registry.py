@@ -87,6 +87,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_attribution",
     "feature_mad_outliers",
     "cdc_apply_tombstones",
+    "graph_triangles",
+    "scan_binary_files",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

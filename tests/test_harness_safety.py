@@ -61,6 +61,7 @@ def test_check_priority_window():
         "scan_csv_badrecords", "split_leakage_safe", "sample_downweight_dups",
         "doc_novelty", "window_ewma", "events_attribution",
         "feature_mad_outliers", "cdc_apply_tombstones",
+        "graph_triangles", "scan_binary_files",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

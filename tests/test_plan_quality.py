@@ -684,3 +684,14 @@ def test_mad_outliers_all_keyed_on_group(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_triangles_no_cartesian_and_closing_is_semi(spark):
+    # The wedge join and the closing check must both plan as hash
+    # equi-joins — any BroadcastNestedLoop/Cartesian here means the
+    # orientation predicate leaked out of the join keys and the hub
+    # bound is gone. (The two 1-row count joins at the top are the
+    # usual broadcast scalar joins.)
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, f"closing check should be a semi join:\n{plan}"
