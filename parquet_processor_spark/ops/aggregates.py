@@ -1219,3 +1219,79 @@ def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("flag")
         .agg(F.min("v").alias("weighted_median"), F.min("tw").alias("total_weight"))
     )
+
+
+# Per-group OLS regression (slope/intercept/R²) — the trend primitive
+# behind drift detection and forecasting dashboards. Spark ships
+# regr_slope/regr_intercept, but their double-sum accumulation is
+# partitioning-dependent; spelling the moments as exact decimal sums
+# (the agg_corr recipe, see the digit-budget note above it) makes the
+# result bitwise reproducible across retries, partitionings, and
+# engines — the property a drift ALERT needs (a last-ulp flip must
+# never toggle a threshold).
+@query(
+    "agg_regression",
+    oracle="""
+    with s as (
+      select l_returnflag,
+             count(*) as n,
+             cast(sum(cast(l_quantity as decimal(18,1))) as double) as sx,
+             cast(sum(cast(l_discount as decimal(18,2))) as double) as sy,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_discount as decimal(18,2))) as double) as sxy,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_quantity as decimal(18,1))) as double) as sxx,
+             cast(sum(cast(l_discount as decimal(18,2))
+                      * cast(l_discount as decimal(18,2))) as double) as syy
+      from lineitem group by l_returnflag
+    )
+    select l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) as slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n as intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) as r2
+    from s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """OLS of discount on quantity per return flag: slope, intercept,
+    R², all derived from the five exact decimal moments in ONE
+    map-side-combined aggregate (3 rows cross the wire per task).
+
+    100 TB shape: identical to agg_corr — the moments are the whole
+    shuffle; slope/intercept/R² are per-group scalar arithmetic in the
+    final projection, written as the same IEEE expression tree in both
+    engines so the doubles hash-match. The same five moments serve
+    corr, regression, AND incremental maintenance (they are mergeable
+    partial state — agg_incremental_merge's pattern applies verbatim
+    when the corpus arrives in batches).
+    """
+    x = F.col("l_quantity").cast("decimal(18,1)")
+    y = F.col("l_discount").cast("decimal(18,2)")
+    g = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

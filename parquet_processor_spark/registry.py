@@ -89,6 +89,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cdc_apply_tombstones",
     "graph_triangles",
     "scan_binary_files",
+    "agg_regression",
+    "streaming_cdc_tombstones",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -309,3 +309,77 @@ def stream_stream_view_purchase(events: DataFrame, horizon: str = "30 minutes") 
         "purchase_event_id", F.col("p_user").alias("user_id"), "purchase_ts", "value",
         "view_event_id", "view_ts",
     )
+
+
+def _cdc_reduce(rows: DataFrame) -> DataFrame:
+    """Reduce CDC state rows (user_id, n_versions, ts, event_id,
+    event_type, value) to one row per user: version counts SUM,
+    the newest (ts, event_id) change wins. Associative and
+    commutative, so any micro-batch split of the log converges to
+    the same state."""
+    win = F.max_by(
+        F.struct("ts", "event_id", "event_type", "value"), F.struct("ts", "event_id")
+    )
+    return rows.groupBy("user_id").agg(
+        F.sum("n_versions").alias("n_versions"), win.alias("w")
+    ).select(
+        "user_id",
+        "n_versions",
+        F.col("w.ts").alias("ts"),
+        F.col("w.event_id").alias("event_id"),
+        F.col("w.event_type").alias("event_type"),
+        F.col("w.value").alias("value"),
+    )
+
+
+def run_with_tombstones(events: DataFrame, state_dir: str, checkpoint: str) -> StreamingQuery:
+    """Streaming CDC apply: the continuously-maintained twin of
+    ops/temporal.cdc_apply_tombstones. Each micro-batch reduces to one
+    candidate row per key PLUS its version count, merges with current
+    state under (sum counts, newest-wins change), and swaps the state
+    directory atomically (same commit protocol as run_with_upsert).
+    Tombstones ('error' ops) stay IN the state as dead keys — dropping
+    them would resurrect a key if an older batch replayed after the
+    delete.
+
+    100 TB shape: merge cost O(|state| + |batch|) with one shuffle on
+    the key; the batch side collapses map-side before touching state.
+    The (count, argmax) state is mergeable partial state — the same
+    algebra that makes the batch operator's shuffle carry one row per
+    key makes the streaming merge correct under any batch split.
+    """
+    import shutil
+
+    def as_state(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            "user_id",
+            F.lit(1).cast("long").alias("n_versions"),
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = _cdc_reduce(as_state(batch))
+        if os.path.isdir(state_dir):
+            cur = spark.read.parquet(state_dir)
+            merged = _cdc_reduce(cur.unionByName(delta))
+        else:
+            merged = delta
+        tmp = f"{state_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{state_dir}.old-{batch_id}"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -237,3 +237,48 @@ def streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
     q = run_with_upsert(events, f"{base}/state", f"{base}/ckpt")
     q.awaitTermination(120)
     return spark.read.parquet(f"{base}/state")
+
+
+@query(
+    "streaming_cdc_tombstones",
+    oracle="""
+    with ranked as (
+      select user_id, event_id, event_type, value,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rk,
+             count(*) over (partition by user_id) as n_versions
+      from events
+    )
+    select user_id, cast(n_versions as bigint) as n_versions,
+           event_id as last_event_id,
+           (event_type = 'error') as is_deleted,
+           case when event_type <> 'error' then value end as live_value
+    from ranked where rk = 1
+    """,
+    tags=("streaming", "cdc", "upsert"),
+)
+def streaming_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of ops/temporal.cdc_apply_tombstones: stream the
+    events change log through the foreachBatch CDC merge
+    (streaming/jobs.run_with_tombstones — version counts sum, newest
+    (ts, event_id) change wins, 'error' tombstones persist as dead
+    keys) and return the final state projected to the batch operator's
+    exact output columns. The (count, argmax) state algebra is
+    associative/commutative, so the result is independent of how
+    micro-batches split the log — which is why the batch-mode SQL twin
+    is a valid oracle."""
+    from parquet_processor_spark.streaming.jobs import run_with_tombstones
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    base = tempfile.mkdtemp(prefix="ppspark_cdc_")
+    q = run_with_tombstones(events, f"{base}/state", f"{base}/ckpt")
+    q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{base}/state").select(
+        "user_id",
+        "n_versions",
+        F.col("event_id").alias("last_event_id"),
+        (F.col("event_type") == "error").alias("is_deleted"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("live_value"),
+    )

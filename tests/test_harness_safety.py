@@ -62,6 +62,7 @@ def test_check_priority_window():
         "doc_novelty", "window_ewma", "events_attribution",
         "feature_mad_outliers", "cdc_apply_tombstones",
         "graph_triangles", "scan_binary_files",
+        "agg_regression", "streaming_cdc_tombstones",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

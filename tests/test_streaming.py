@@ -261,3 +261,29 @@ def test_foreachbatch_upsert_maintains_latest_state(spark, events_dir, tmp_path)
 
         files = sorted(_glob.glob(f"{events_dir}/*.parquet"), key=_os.path.getmtime)
         _os.remove(files[-1])
+
+
+def test_foreachbatch_cdc_tombstones_matches_batch_operator(spark, events_dir, tmp_path):
+    # Streaming CDC apply over a MULTI-batch split (two part-files,
+    # maxFilesPerTrigger=1) must converge to exactly the batch
+    # operator's output — version counts included — proving the
+    # (sum, newest-wins) state algebra is split-invariant; and the
+    # tombstone rows must be present as dead keys, not dropped.
+    from parquet_processor_spark.ops.temporal import cdc_apply_tombstones
+    from parquet_processor_spark.streaming.jobs import run_with_tombstones
+
+    state = str(tmp_path / "cdc_state")
+    ck = str(tmp_path / "ck_cdc")
+    q = run_with_tombstones(read_event_stream(spark, events_dir), state, ck)
+    q.awaitTermination(120)
+    got_df = spark.read.parquet(state).select(
+        "user_id",
+        "n_versions",
+        F.col("event_id").alias("last_event_id"),
+        (F.col("event_type") == "error").alias("is_deleted"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("live_value"),
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in cdc_apply_tombstones(spark, SF_SMALL).collect()}
+    assert got == want
+    assert any(r[3] for r in got), "corpus contains 'error' ops: some key must be dead"
