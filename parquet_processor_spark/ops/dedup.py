@@ -1266,3 +1266,73 @@ def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
             / F.col("n_sh")
         ).alias("novelty"),
     )
+
+
+# Cross-corpus boilerplate scoring: the complement of the hot-shingle
+# DF CAP. Dedup DROPS high-document-frequency shingles as noise; a
+# curation pipeline also wants to MEASURE them — per document, how
+# much of its content is corpus boilerplate (nav bars, license
+# footers, templated headers) — because a doc that is mostly
+# boilerplate is a removal candidate even when it duplicates nothing.
+_BOILER_DF = 5
+
+
+@query(
+    "text_boilerplate",
+    oracle=rf"""
+    with sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    ),
+    boiler as (
+      select shingle from sh group by shingle having count(*) >= {_BOILER_DF}
+    ),
+    per_doc as (
+      select s.doc_id,
+             cast(count(*) as bigint) as n_sh,
+             cast(count(*) filter (where b.shingle is not null) as bigint) as n_boiler
+      from sh s left join boiler b on s.shingle = b.shingle
+      group by s.doc_id
+    )
+    select doc_id, n_sh, n_boiler,
+           cast(n_boiler as double) / n_sh as boiler_frac
+    from per_doc
+    """,
+    tags=("dedup", "text", "curation"),
+)
+def text_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc boilerplate fraction: share of distinct shingles whose
+    corpus document frequency >= {df} (shared templated content).
+
+    100 TB shape: the DF statistic is the same map-side-combined
+    aggregate drop_hot_shingles runs; the boilerplate shingle set is
+    TINY by construction (<= total_occurrences/df rows), so the
+    per-doc attribution is a BROADCAST semi-flag join against the
+    exploded rows — the corpus shingle stream never shuffles for it —
+    followed by one doc-keyed count. Linear, two aggregates, zero
+    wide shuffles. Shingles are hashed longs (oracle keeps strings —
+    same collision argument as dedup_ngram_jaccard).
+    """
+    d = split_words(spark, sf).select("doc_id", shingle_hashes().alias("shingles"))
+    sh = _explode_shingles(d)
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _BOILER_DF)
+        .select("shingle", F.lit(True).alias("is_boiler"))
+    )
+    flagged = sh.join(F.broadcast(boiler), "shingle", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_sh",
+        "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_sh")).alias("boiler_frac"),
+    )

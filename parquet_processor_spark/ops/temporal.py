@@ -1440,3 +1440,64 @@ def cdc_apply_tombstones(spark: SparkSession, sf: str) -> DataFrame:
             "live_value"
         ),
     )
+
+
+# Winsorization — clamp a feature to its per-group [p05, p95] band,
+# the standard tail-taming transform before training on heavy-tailed
+# metrics (clipping, not dropping: rows stay, extremes saturate).
+# Percentiles are DISCRETE rank selections (agg_percentile_disc's
+# integer spelling), so the clamp bounds are stored input values and
+# the result is bitwise identical across engines.
+@query(
+    "feature_winsorize",
+    oracle="""
+    with r as (
+      select event_id, event_type, value,
+             row_number() over (partition by event_type order by value) as rn,
+             count(*) over (partition by event_type) as n
+      from events
+    ),
+    b as (
+      select event_type,
+             max(case when rn = (n + 19) // 20 then value end) as p05,
+             max(case when rn = (19 * n + 19) // 20 then value end) as p95
+      from r group by event_type
+    )
+    select r.event_id, r.event_type, r.value,
+           least(greatest(r.value, b.p05), b.p95) as value_wins,
+           (r.value < b.p05 or r.value > b.p95) as clipped
+    from r join b on r.event_type = b.event_type
+    """,
+    tags=("feature", "agg", "robustness"),
+)
+def feature_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type winsorized value: clamp to the discrete
+    [p05, p95] band, flagging clipped rows.
+
+    100 TB shape: one rank window per group key feeds a 1-row-per-
+    group bounds table; the bounds join back BROADCAST (|groups| rows)
+    so the fact side never re-shuffles — the clamp is a codegen
+    projection beside the scan output. Same collapsed-bounds
+    discipline as feature_zscore (broadcast stats, no second window).
+    """
+    ev = t(spark, sf, "events").select("event_id", "event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("value"))).alias("p95"),
+    )
+    return r.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("value_wins"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clipped"),
+    )

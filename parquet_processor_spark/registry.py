@@ -91,6 +91,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_binary_files",
     "agg_regression",
     "streaming_cdc_tombstones",
+    "feature_winsorize",
+    "text_boilerplate",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -67,3 +67,24 @@ def test_contamination_broadcast_guard_rejects_oversized_bench(spark, sf_dir):
     _assert_broadcastable(docs, max_docs=10_000_000)  # under the cap: fine
     with pytest.raises(ValueError, match="too large to broadcast"):
         _assert_broadcastable(docs, max_docs=5)
+
+
+def test_boilerplate_has_signal_and_valid_fractions(spark, sf_dir):
+    # Guard against threshold drift making the operator vacuous: the
+    # fixture corpus must actually contain shingles at df >= _BOILER_DF
+    # (if the fixture generator changes, fail HERE with a pointer to
+    # the threshold, not as a silently-all-zero score column), and
+    # fractions must be well-formed.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.dedup import text_boilerplate
+
+    out = text_boilerplate(spark, sf_dir)
+    row = out.agg(
+        F.sum("n_boiler").alias("total"),
+        F.min("boiler_frac").alias("lo"),
+        F.max("boiler_frac").alias("hi"),
+        F.sum(F.when(F.col("n_boiler") > F.col("n_sh"), 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+    assert row["total"] > 0, "no boilerplate shingles at current _BOILER_DF — threshold vacuous for this fixture"
+    assert 0.0 <= row["lo"] and row["hi"] <= 1.0 and row["bad"] == 0

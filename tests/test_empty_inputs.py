@@ -65,6 +65,9 @@ REPRESENTATIVE = [
     "events_attribution",      # path windows over empty timeline
     "feature_mad_outliers",    # two-pass rank medians, empty groups
     "cdc_apply_tombstones",    # argmax compaction of an empty log
+    "feature_winsorize",       # broadcast bounds over empty groups
+    "text_boilerplate",        # broadcast boiler set, no shingles
+    "agg_regression",          # exact moments over empty groups
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
