@@ -694,3 +694,118 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
             F.col("errs"), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
         ).alias("max_abs_err"),
     )
+
+
+# N3d: product quantization (PQ) training — the vector-compression
+# step real ANN indexes (FAISS IVF-PQ) apply at corpus scale: split
+# each D-dim vector into M subvectors, k-means each subspace
+# independently, store M one-byte codes per vector (here 64 floats →
+# 4 codes: 64x). Scalar quantization (embedding_quantize) compresses
+# per dimension; PQ compresses per SUBSPACE, capturing cross-dim
+# structure — the standard at-rest format for billion-vector search.
+_PQ_M = 4
+_PQ_K = 8
+_PQ_ITERS = 2
+
+
+def _l2sq(a, b) -> F.Column:
+    """Sequential-fold squared L2 distance between two float arrays
+    (fixed fold order — the _DOT_SQL determinism policy)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "embedding_pq_train",
+    oracle=f"""
+    select cast({_PQ_M} as int) as m,
+           cast({_PQ_K} as int) as k,
+           cast(count(*) as bigint) as n_vectors,
+           cast({_PQ_M} * count(*) as bigint) as n_codes,
+           true as sse_improved
+    from embeddings
+    """,
+    tags=("vector", "pq", "iterative", "evidence"),
+)
+def embedding_pq_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Train PQ codebooks (M={m} subspaces × K={k} codes, Lloyd
+    iterations on squared L2 per subspace) and emit the checkable
+    facts: corpus size, code count (every vector got all M codes),
+    and SSE(final) <= SSE(init) — Lloyd's monotonicity, the same gate
+    policy as kmeans_ivf_train (exact centroid floats are partial-sum-
+    order dependent; the BOOLEAN is not).
+
+    100 TB shape: ALL M subspaces train in ONE plan per round — the
+    corpus explodes to (vec_id, m, subvector) map-side, the M*K-row
+    codebook broadcasts, assignment is a per-row argmin (no shuffle),
+    and the centroid update aggregates per (m, cell, dim) — tiny,
+    map-side combined. One corpus scan per Lloyd round, localCheckpoint
+    cuts the per-round lineage exactly like k-means/PageRank/CC. Codes
+    for the full corpus would then be written 4 bytes/vector — the
+    compression that lets an IVF-PQ probe scan codes instead of floats.
+    Deterministic: init codebook = subvectors of vec_id 1..K, argmin
+    ties break to the lowest code id, fixed iteration count.
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    subdim = (F.size("embedding") / _PQ_M).cast("int")
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"), F.slice("embedding", m * subdim + 1, subdim).alias("sub")
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+    def assign(cb: DataFrame) -> DataFrame:
+        d = _l2sq(F.col("sub"), F.col("c_sub"))
+        return (
+            subs.join(F.broadcast(cb), "m")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("cid").alias("cid"))).alias("best"),
+                F.first("sub").alias("sub"),
+            )
+            .select("vec_id", "m", F.col("best.cid").alias("cell"),
+                    F.col("best.d").alias("d"), "sub")
+        )
+
+    cb = subs.where(F.col("vec_id").between(1, _PQ_K)).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sub").alias("c_sub")
+    )
+    assigned = assign(cb)
+    sse0 = assigned.agg(F.sum("d").alias("sse_init"))
+    for _ in range(_PQ_ITERS):
+        cb = (
+            assigned.select("m", "cell", F.posexplode("sub").alias("i", "x"))
+            .groupBy("m", "cell", "i")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("m", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda s: s["c"].cast("float"),
+                ).alias("c_sub")
+            )
+            .select("m", F.col("cell").alias("cid"), "c_sub")
+            .localCheckpoint()  # eager-by-design: M*K-row codebook; cuts per-round lineage
+        )
+        assigned = assign(cb)
+    final = assigned.agg(
+        F.count_distinct(F.col("vec_id")).alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_codes"),
+        F.sum("d").alias("sse_final"),
+    )
+    return final.crossJoin(F.broadcast(sse0)).select(
+        F.lit(_PQ_M).cast("int").alias("m"),
+        F.lit(_PQ_K).cast("int").alias("k"),
+        "n_vectors",
+        "n_codes",
+        (F.col("sse_final") <= F.col("sse_init") + 1e-9).alias("sse_improved"),
+    )

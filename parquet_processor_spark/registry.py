@@ -93,6 +93,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_cdc_tombstones",
     "feature_winsorize",
     "text_boilerplate",
+    "embedding_pq_train",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -355,3 +355,16 @@ def test_incremental_minhash_classification(spark, sf_dir):
             assert r["near_dup_within_delta"]
         if r["is_new_unique"]:
             assert not (ec or ew)
+
+
+def test_pq_train_covers_all_codes_and_improves(spark, sf_dir):
+    # Every vector must receive exactly M codes, every code must come
+    # from the K-entry codebook (init ids 1..K), and Lloyd must not
+    # increase SSE. Facts the driver's oracle can't see (it checks the
+    # booleans/counts, not the code distribution) are pinned here.
+    from parquet_processor_spark.ops.vector import _PQ_K, _PQ_M, embedding_pq_train
+
+    row = embedding_pq_train(spark, sf_dir).collect()[0]
+    assert row["m"] == _PQ_M and row["k"] == _PQ_K
+    assert row["n_codes"] == _PQ_M * row["n_vectors"]
+    assert row["sse_improved"]
