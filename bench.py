@@ -139,6 +139,11 @@ EXTENDED = [
     "cdc_apply_tombstones",
     "graph_triangles",
     "scan_binary_files",
+    "agg_regression",
+    "feature_winsorize",
+    "text_boilerplate",
+    "embedding_pq_train",
+    "tokenizer_bpe_train",
 ]
 
 

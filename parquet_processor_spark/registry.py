@@ -94,6 +94,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "feature_winsorize",
     "text_boilerplate",
     "embedding_pq_train",
+    "tokenizer_bpe_train",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

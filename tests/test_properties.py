@@ -304,3 +304,25 @@ def test_weighted_median_matches_expansion(spark, vals):
         n = len(xs)
         want = xs[(n - 1) // 2] if n % 2 else xs[n // 2 - 1]
         assert got[g] == want, (g, xs, got[g], want)
+
+
+def test_bpe_merge_round_is_overlap_safe(spark):
+    # 'a b a b' must merge BOTH occurrences of the top pair (a,b) in
+    # one round — naive single-space replace misses the second
+    # occurrence because consecutive matches share a separator (the
+    # double-space surgery exists exactly for this). Also: the merged
+    # pair must vanish from the next round's pair counts.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.text import _bpe_merge_round, _bpe_pairs
+
+    texts = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x a b")], "doc_id long, text string"
+    )
+    top, merged = _bpe_merge_round(texts)
+    [(pa, pb, n)] = top.collect()
+    assert (pa, pb, n) == ("a", "b", 4)
+    got = {r["doc_id"]: r["text"] for r in merged.collect()}
+    assert got == {1: "a+b a+b", 2: "a+b c", 3: "x a+b"}
+    nxt = {r["pair"]: r["n"] for r in _bpe_pairs(merged).collect()}
+    assert "a b" not in nxt and nxt.get("a+b a+b") == 1

@@ -66,7 +66,9 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "sample_downweight_dups", "doc_novelty", "window_ewma",
          # round-6 third-wave operators
          "events_attribution", "feature_mad_outliers", "cdc_apply_tombstones",
-         "graph_triangles", "scan_binary_files"]
+         "graph_triangles", "scan_binary_files", "agg_regression",
+         "streaming_cdc_tombstones", "feature_winsorize",
+         "text_boilerplate", "embedding_pq_train", "tokenizer_bpe_train"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
