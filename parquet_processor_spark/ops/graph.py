@@ -202,7 +202,10 @@ def _triangles_oracle() -> str:
     )
     select (select cast(count(*) as bigint) from tri) as n_triangles,
            (select cast(count(*) as bigint) from e) as n_edges,
-           (select cast(count(*) as bigint) from deg) as n_nodes
+           (select cast(count(*) as bigint) from deg) as n_nodes,
+           (select cast(sum(d * (d - 1) // 2) as bigint) from deg) as n_wedges,
+           cast(3 as double) * (select count(*) from tri)
+             / (select sum(d * (d - 1) // 2) from deg) as clustering_coeff
     """
 
 
@@ -254,5 +257,22 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     tri = wedges.join(closing, ["b", "c"], "left_semi")
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    return n_tri.crossJoin(F.broadcast(n_e)).crossJoin(F.broadcast(n_n))
+    n_n = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        n_tri.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_n))
+        .select(
+            "n_triangles",
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            # global clustering coefficient: closed wedges / all wedges
+            # (each triangle closes 3 wedges) — one IEEE division.
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

@@ -513,3 +513,86 @@ def sample_downweight_dups(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
     )
+
+
+# End-to-end curation manifest: the single artifact a pretraining run
+# consumes — per document: its near-dup cluster, soft-dedup weight,
+# leakage-safe split side, keep-one canonical flag, quality gate, and
+# the final selection bit. Composes N17 (closure) + N24 (keep-best) +
+# N71 (cluster split) + N72 (down-weight) + the quantile quality
+# cutoff in ONE plan with the closure computed ONCE (each piece is
+# individually oracle-checked; this query proves the composition).
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    with labels as ( {_cc_labels_oracle()} ),
+    enriched as (
+      select l.doc_id, l.cluster_id, d.n_chars
+      from labels l join documents d on l.doc_id = d.doc_id
+    ),
+    ranked as (
+      select doc_id, cluster_id, n_chars,
+             row_number() over (partition by cluster_id
+                                order by n_chars desc, doc_id) as rk,
+             cast(count(*) over (partition by cluster_id) as bigint) as cluster_size
+      from enriched
+    ),
+    keep as (select cluster_id, doc_id as keep_id from ranked where rk = 1),
+    q as (select quantile_cont(n_chars, 0.25) as q25 from documents)
+    select r.doc_id, r.cluster_id, r.cluster_size,
+           cast(1.0 as double) / r.cluster_size as weight,
+           case when {_cluster_nibble_sql().replace('cluster_id', 'r.cluster_id')} in
+                ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                then 'train' else 'test' end as split,
+           k.keep_id,
+           (r.doc_id = k.keep_id) as is_kept,
+           (r.n_chars >= q.q25) as quality_ok,
+           ((r.doc_id = k.keep_id) and r.n_chars >= q.q25) as selected
+    from ranked r join keep k on r.cluster_id = k.cluster_id, q
+    """,
+    tags=("sampling", "dedup", "curation", "pipeline"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full curation pipeline as one query: closure labels →
+    (cluster size, keep-best canonical, 1/size weight, cluster-keyed
+    split) → quality cutoff (n_chars ≥ corpus p25) → final selection.
+
+    100 TB shape: the expensive closure runs ONCE and everything else
+    is keyed on its outputs — one cluster-keyed aggregate computes
+    size AND the keep-best argmax together (map-side combined), joins
+    back co-partitioned; the quality threshold is a 1-row broadcast;
+    the split/weight columns are narrow projections. Integer-valued
+    n_chars keeps the p25 interpolation bitwise cross-engine
+    (numeric.py policy). This is the plan a real corpus-prep job
+    submits nightly — the per-operator queries are its unit tests.
+    """
+    from parquet_processor_spark.ops import dedup
+
+    labels = dedup.dedup_connected(spark, sf).select("doc_id", "cluster_id")
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    enriched = labels.join(docs, "doc_id")
+    agg = enriched.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t"))
+        ).alias("keep_id"),
+    )
+    q25 = docs.agg(F.expr("percentile(n_chars, 0.25)").alias("q25"))
+    nib = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    return (
+        enriched.join(agg, "cluster_id")
+        .crossJoin(F.broadcast(q25))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+            F.when(nib.isin(*"0123456789abc"), "train").otherwise("test").alias("split"),
+            "keep_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+            (F.col("n_chars") >= F.col("q25")).alias("quality_ok"),
+            (
+                (F.col("doc_id") == F.col("keep_id")) & (F.col("n_chars") >= F.col("q25"))
+            ).alias("selected"),
+        )
+    )

@@ -95,6 +95,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_boilerplate",
     "embedding_pq_train",
     "tokenizer_bpe_train",
+    "pipeline_curate_corpus",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",
