@@ -909,3 +909,68 @@ def tokenizer_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# HTML strip + entity unescape — the FIRST transform every web-corpus
+# pipeline runs (raw crawl HTML → clean text before quality scoring,
+# dedup, or tokenization). The fixture corpus is plain text, so the
+# operator INJECTS deterministic markup (the scan_csv_badrecords
+# pattern: corruption derived from the data itself, so the oracle can
+# replay it), then proves strip(inject(text)) is text-preserving and
+# reports per-doc tag/entity counts.
+@query(
+    "text_html_strip",
+    oracle=r"""
+    with wrapped as (
+      select doc_id,
+             '<html><body><p id="' || doc_id || '">'
+               || replace(coalesce(text, ''), ' ', ' &amp; ')
+               || '</p></body></html>' as html,
+             coalesce(text, '') as text
+      from documents
+    ),
+    stripped as (
+      select doc_id, text, html,
+             replace(regexp_replace(html, '<[^>]*>', '', 'g'), ' &amp; ', ' ') as clean
+      from wrapped
+    )
+    select doc_id,
+           cast(len(html) - len(regexp_replace(html, '<[^>]*>', '', 'g'))
+                as bigint) as markup_chars,
+           (clean = text) as roundtrip_ok
+    from stripped
+    """,
+    tags=("text", "curation", "robustness"),
+)
+def text_html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Strip tags and unescape entities from deterministically
+    injected HTML, verifying the cleanup recovers the original text
+    exactly (roundtrip_ok) and counting the markup overhead removed.
+
+    100 TB shape: pure narrow projection — tag stripping is one
+    codegen regexp_replace beside the scan, the entity pass a literal
+    replace; no shuffle anywhere, scan parallelism preserved. On a
+    real crawl the same two expressions run ahead of every other
+    operator in this repo; the injection wrapper exists only so the
+    oracle can verify text-preservation end-to-end. (DuckDB's
+    regexp_replace needs the 'g' flag for replace-all; Spark's is
+    global by default — the oracle spells both.)
+    """
+    texts = t(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    html = F.concat(
+        F.lit('<html><body><p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.replace(F.col("text"), F.lit(" "), F.lit(" &amp; ")),
+        F.lit("</p></body></html>"),
+    )
+    w = texts.select("doc_id", "text", html.alias("html"))
+    no_tags = F.regexp_replace(F.col("html"), "<[^>]*>", "")
+    clean = F.replace(no_tags, F.lit(" &amp; "), F.lit(" "))
+    return w.select(
+        "doc_id",
+        (F.length("html") - F.length(no_tags)).alias("markup_chars"),
+        (clean == F.col("text")).alias("roundtrip_ok"),
+    )

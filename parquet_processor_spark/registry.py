@@ -96,6 +96,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_pq_train",
     "tokenizer_bpe_train",
     "pipeline_curate_corpus",
+    "text_html_strip",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -69,6 +69,7 @@ REPRESENTATIVE = [
     "text_boilerplate",        # broadcast boiler set, no shingles
     "agg_regression",          # exact moments over empty groups
     "pipeline_curate_corpus",  # full curation composition, empty corpus
+    "text_html_strip",         # narrow strip projection, no rows
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

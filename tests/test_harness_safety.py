@@ -64,7 +64,7 @@ def test_check_priority_window():
         "graph_triangles", "scan_binary_files",
         "agg_regression", "streaming_cdc_tombstones",
         "feature_winsorize", "text_boilerplate", "embedding_pq_train",
-        "tokenizer_bpe_train", "pipeline_curate_corpus",
+        "tokenizer_bpe_train", "pipeline_curate_corpus", "text_html_strip",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
