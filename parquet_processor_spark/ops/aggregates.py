@@ -1295,3 +1295,44 @@ def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+# Leading-digit (Benford) audit — the data-quality screen for
+# fabricated or truncated numeric columns: natural multiplicative
+# data concentrates on low leading digits; uniform or capped data
+# does not. Reported as exact digit counts + shares (no log10 in the
+# gate — transcendentals aren't bitwise cross-engine; the CONSUMER
+# compares shares against Benford's curve with its own tolerance).
+@query(
+    "agg_benford",
+    oracle="""
+    select cast(substr(cast(o_totalprice as varchar), 1, 1) as int) as digit,
+           cast(count(*) as bigint) as n,
+           cast(count(*) as double)
+             / (select count(*) from orders where o_totalprice > 0) as share
+    from orders where o_totalprice > 0
+    group by 1 order by 1
+    """,
+    tags=("agg", "audit", "quality"),
+)
+def agg_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """First-significant-digit distribution of order totals.
+
+    The digit comes from the decimal STRING rendering's first char —
+    exact, locale-free, and identical across engines (o_totalprice is
+    decimal-rendered the same way in both; no float formatting
+    involved). One map-side-combined 9-group aggregate plus a 1-row
+    broadcast total for the share — the audit costs one scan at any
+    corpus size.
+    """
+    o = t(spark, sf, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.groupBy(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = o.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select("digit", "n", (F.col("n").cast("double") / F.col("tot")).alias("share"))
+    )

@@ -164,3 +164,52 @@ def join_cross(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(t(spark, sf, "nation"))
         .select("r_name", "n_name")
     )
+
+
+# Null-safe equi join (<=> / IS NOT DISTINCT FROM) — the join
+# semantic ETL needs when the key legitimately contains NULL (a
+# "no value" bucket that must match itself, which plain = never
+# does). Nulls are injected deterministically (priority bucket for
+# every 7th order) so the fixture exercises the semantic.
+@query(
+    "join_null_safe",
+    oracle="""
+    with o as (
+      select o_orderkey,
+             case when o_orderkey % 7 = 0 then null else o_orderpriority end as prio
+      from orders
+    ),
+    c as (
+      select case when o_orderkey % 7 = 0 then null else o_orderpriority end as prio,
+             count(*) as n_orders
+      from orders group by 1
+    )
+    select o.o_orderkey, o.prio, c.n_orders
+    from o join c on o.prio is not distinct from c.prio
+    """,
+    tags=("join", "nulls"),
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Join orders to per-priority counts with NULL keys matching NULL
+    (eqNullSafe / IS NOT DISTINCT FROM) — every row survives,
+    including the injected null-priority bucket, which a plain equi-join
+    silently drops.
+
+    100 TB shape: null-safe equality is still HASH-able (null hashes
+    to a single bucket), so this plans as an ordinary broadcast/
+    shuffled hash join — NOT a nested-loop — with the null bucket
+    behaving like one (possibly hot) key; a production pipeline salts
+    it like any other skewed key if "unknown" dominates.
+    """
+    bucket = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", bucket.alias("prio")).alias("o")
+    c = (
+        o.groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(F.col("prio").alias("c_prio"), "n_orders")
+    )
+    return o.join(F.broadcast(c), F.col("o.prio").eqNullSafe(F.col("c_prio"))).select(
+        "o_orderkey", F.col("o.prio").alias("prio"), "n_orders"
+    )

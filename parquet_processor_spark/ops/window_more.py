@@ -255,3 +255,42 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.when(den > 0, num / den).alias("ewma"),
     )
+
+
+# Running-peak drawdown — the cumulative-extreme window member
+# (running_sum covers cumulative TOTALS; this is cumulative MAX and
+# distance below it): per user, the running peak of `value` in event
+# time and the current drawdown from that peak. The alerting primitive
+# for "metric fell X below its high-water mark".
+@query(
+    "window_drawdown",
+    oracle="""
+    select event_id, user_id,
+           max(value) over w as running_peak,
+           max(value) over w - value as drawdown
+    from events
+    window w as (partition by user_id order by ts, event_id
+                 rows between unbounded preceding and current row)
+    """,
+    tags=("window", "timeseries"),
+)
+def window_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user running peak and drawdown (peak − current value).
+
+    100 TB shape: one hash shuffle on user_id, one window pass — the
+    running max is O(1) state per row (frame-extending max needs no
+    frame buffer), and the drawdown subtraction is one IEEE op on two
+    values from the same row scan, so both engines agree bitwise.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        peak.alias("running_peak"),
+        (peak - F.col("value")).alias("drawdown"),
+    )

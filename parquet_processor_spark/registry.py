@@ -97,6 +97,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "tokenizer_bpe_train",
     "pipeline_curate_corpus",
     "text_html_strip",
+    "window_drawdown",
+    "agg_benford",
+    "join_null_safe",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

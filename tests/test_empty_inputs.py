@@ -70,6 +70,8 @@ REPRESENTATIVE = [
     "agg_regression",          # exact moments over empty groups
     "pipeline_curate_corpus",  # full curation composition, empty corpus
     "text_html_strip",         # narrow strip projection, no rows
+    "window_drawdown",         # running max over empty partitions
+    "join_null_safe",          # null-safe hash join, both sides empty
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

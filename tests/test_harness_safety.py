@@ -65,6 +65,7 @@ def test_check_priority_window():
         "agg_regression", "streaming_cdc_tombstones",
         "feature_winsorize", "text_boilerplate", "embedding_pq_train",
         "tokenizer_bpe_train", "pipeline_curate_corpus", "text_html_strip",
+        "window_drawdown", "agg_benford", "join_null_safe",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

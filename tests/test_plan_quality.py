@@ -695,3 +695,12 @@ def test_triangles_no_cartesian_and_closing_is_semi(spark):
     plan = plan_of(spark, "graph_triangles")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, f"closing check should be a semi join:\n{plan}"
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    # The N89 claim: <=> keys hash (null -> one bucket), so the plan
+    # must be a hash join — BroadcastNestedLoopJoin here means the
+    # null-safe predicate fell out of the join keys.
+    plan = plan_of(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
