@@ -166,6 +166,43 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # the co-purchase part graph (parts sharing an order, support >= 2 —
 # the same edge set as agg_copurchase_pairs; the customer-supplier
 # trade graph is bipartite and triangle-free by construction).
+
+def _triangle_rows(spark: SparkSession, sf: str):
+    """(tri, e, deg): closed-wedge rows (s, b, c — the triangle's three
+    vertices, apex s = lowest (degree, id) endpoint), the edge list,
+    and the degree table — shared by the global count and the
+    per-node coefficient queries."""
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    e = (
+        agg_copurchase_pairs(spark, sf)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .localCheckpoint()  # eager-by-design: the basket pair expansion feeds degree, orientation, AND closing — pay it once (36 scans → 2 without this)
+    )
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).localCheckpoint()  # eager-by-design: oriented edges feed both wedge sides and the closing semi join — the standard materialized adjacency
+    o1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    o2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi").select("s", "b", "c")
+    return tri, e, deg
+
+
 def _triangles_oracle() -> str:
     from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
 
@@ -229,34 +266,7 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     (degree, id) is a total order, so the count is deterministic on
     both engines.
     """
-    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
-
-    e = (
-        agg_copurchase_pairs(spark, sf)
-        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
-        .localCheckpoint()  # eager-by-design: the basket pair expansion feeds degree, orientation, AND closing — pay it once (36 scans → 2 without this)
-    )
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ed = e.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    ).localCheckpoint()  # eager-by-design: oriented edges feed both wedge sides and the closing semi join — the standard materialized adjacency
-    o1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
-    o2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
-    wedges = o1.join(o2, "s").where(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    tri, e, deg = _triangle_rows(spark, sf)
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_n = deg.agg(
@@ -277,4 +287,96 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
                 "clustering_coeff"
             ),
         )
+    )
+
+
+# Per-node (local) clustering coefficient — the node-level community
+# signal (how interconnected each node's neighborhood is): top-K nodes
+# by coefficient among those with >= _LCC_MIN_DEG neighbors. Fraud and
+# bot rings score near 1.0; organic hubs score low.
+_LCC_TOP_K = 20
+_LCC_MIN_DEG = 3
+
+
+def _local_clustering_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    und as (select u, v from e union all select v as u, u as v from e),
+    deg as (select u as node, cast(count(*) as bigint) as d from und group by u),
+    o as (
+      select case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then e.u else e.v end as s,
+             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then e.v else e.u end as t,
+             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then dv.d else du.d end as dt
+      from e join deg du on e.u = du.node join deg dv on e.v = dv.node
+    ),
+    w as (
+      select o1.s, o1.t as b, o2.t as c
+      from o o1 join o o2
+        on o1.s = o2.s
+       and ((o1.dt < o2.dt) or (o1.dt = o2.dt and o1.t < o2.t))
+    ),
+    tri as (
+      select w.s, w.b, w.c from w join o on w.b = o.s and w.c = o.t
+    ),
+    pern as (
+      select node, cast(count(*) as bigint) as n_tri
+      from (select unnest(list_value(s, b, c)) as node from tri)
+      group by node
+    )
+    select d.node, d.d as deg, coalesce(p.n_tri, cast(0 as bigint)) as n_tri,
+           cast(coalesce(p.n_tri, 0) as double) / (d.d * (d.d - 1) // 2) as local_coeff
+    from deg d left join pern p on d.node = p.node
+    where d.d >= {_LCC_MIN_DEG}
+    order by local_coeff desc, d.node
+    limit {_LCC_TOP_K}
+    """
+
+
+@query("graph_local_clustering", oracle=_local_clustering_oracle(), tags=("graph", "pairs"))
+def graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} nodes by local clustering coefficient
+    (triangles_at_node / C(deg, 2)), among nodes with deg >= {mind}.
+
+    100 TB shape: reuses the oriented-wedge triangle rows (each
+    triangle attributed to its three vertices by ONE generator — no
+    extra joins), one node-keyed count, a degree-keyed join of two
+    already-collapsed tables, and TakeOrdered(K) — no global sort.
+    The coefficient is one IEEE division of integer-derived values.
+    """
+    tri, _e, deg = _triangle_rows(spark, sf)
+    pern = (
+        tri.select(
+            F.explode(F.array(F.col("s"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.where(F.col("d") >= _LCC_MIN_DEG)
+        .join(pern, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("deg"),
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+            (
+                F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                / F.expr("d * (d - 1) div 2")
+            ).alias("local_coeff"),
+        )
+        .orderBy(F.col("local_coeff").desc(), "node")
+        .limit(_LCC_TOP_K)
     )

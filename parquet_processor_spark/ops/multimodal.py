@@ -313,3 +313,49 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         "n_bytes",
         F.hex(F.substring("frame", 1, 4)).alias("head"),
     )
+
+
+# Exact media dedup by content hash — the FIRST dedup pass an image/
+# audio corpus runs (byte-identical payloads under different ids:
+# re-crawls, mirrors, re-uploads). The fixture has no duplicate
+# payloads, so the operator INJECTS them deterministically (every
+# 10th payload re-keyed +1e9 — the scan_csv_badrecords pattern) and
+# the oracle replays the injection; the dedup logic itself is the
+# production md5-of-bytes groupBy.
+@query(
+    "multimodal_dedup_bytes",
+    oracle="""
+    with media as (
+      select doc_id as media_id, text as content from documents
+      union all
+      select doc_id + 1000000000 as media_id, text as content
+      from documents where doc_id % 10 = 0
+    )
+    -- DuckDB md5 is VARCHAR-only; the payload bytes ARE the utf8 text
+    -- bytes, so md5(text) equals Spark's md5 over the binary column.
+    select md5(content) as fp,
+           min(media_id) as keep_id,
+           cast(count(*) as bigint) as n_copies
+    from media group by 1
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """Group binary payloads by md5(bytes), keep the lowest media_id.
+
+    100 TB shape: identical to dedup_exact but over the binary column
+    — ONE map-side-combined groupBy on a 128-bit key; payload bytes
+    never shuffle (the hash is computed beside the scan and only
+    (fp, id) pairs cross the wire). For petabyte media at rest you'd
+    hash at INGEST and store fp as a column; this operator is then a
+    pure metadata aggregate.
+    """
+    base = documents_as_media(spark, sf.rstrip("/")).select("media_id", "content")
+    dup = base.where(F.col("media_id") % 10 == 0).select(
+        (F.col("media_id") + 1_000_000_000).alias("media_id"), "content"
+    )
+    media = base.unionByName(dup)
+    return media.groupBy(F.md5("content").alias("fp")).agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -974,3 +974,77 @@ def text_html_strip(spark: SparkSession, sf: str) -> DataFrame:
         (F.length("html") - F.length(no_tags)).alias("markup_chars"),
         (clean == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+# Gopher-style quality rules (Rae et al. 2021, published filter set):
+# the rule-based document filter pretraining pipelines run before any
+# model-based scoring. Deterministic subset — word-count bounds, mean
+# word length bounds, alphabetic-word fraction, stopword presence —
+# each exposed as its own boolean so downstream can audit WHICH rule
+# rejected a document (the published pipelines log exactly that).
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPS = "the|and|of|to|a"
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=rf"""
+    with s as (
+      select doc_id,
+             len(regexp_split_to_array(text, '\s+')) as n_words,
+             cast(length(replace(text, ' ', '')) as double)
+               / len(regexp_split_to_array(text, '\s+')) as mean_word_len,
+             cast(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> regexp_matches(w, '[A-Za-z]'))) as double)
+               / len(regexp_split_to_array(text, '\s+')) as alpha_frac,
+             cast(len(regexp_extract_all(text, '\b({_GOPHER_STOPS})\b')) as bigint) as n_stop
+      from documents
+    )
+    select doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+           (n_words >= {_GOPHER_MIN_WORDS} and n_words <= {_GOPHER_MAX_WORDS}) as ok_word_count,
+           (mean_word_len >= 3.0 and mean_word_len <= 10.0) as ok_word_len,
+           (alpha_frac >= 0.8) as ok_alpha,
+           (n_stop >= 2) as ok_stopwords,
+           (n_words >= {_GOPHER_MIN_WORDS} and n_words <= {_GOPHER_MAX_WORDS}
+            and mean_word_len >= 3.0 and mean_word_len <= 10.0
+            and alpha_frac >= 0.8 and n_stop >= 2) as pass_gopher
+    from s
+    """,
+    tags=("text", "quality", "curation"),
+)
+def quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Gopher rule booleans + the combined gate.
+
+    100 TB shape: a pure narrow projection — every rule is counting
+    arithmetic over the words array computed ONCE per row beside the
+    scan (CollapseProject keeps the split bound to a column), zero
+    shuffles, codegen end to end. Divisions are single IEEE ops on
+    integer-derived values, so the doubles hash-match the oracle.
+    """
+    ws = F.split(F.col("text"), r"\s+")
+    d = t(spark, sf, "documents").select("doc_id", "text", ws.alias("ws"))
+    n_words = F.size("ws")
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    n_stop = F.regexp_count("text", F.lit(rf"\b({_GOPHER_STOPS})\b")).cast("long")
+    ok_wc = (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+    ok_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_alpha & ok_stop).alias("pass_gopher"),
+    )

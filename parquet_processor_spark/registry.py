@@ -100,6 +100,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_drawdown",
     "agg_benford",
     "join_null_safe",
+    "quality_gopher_rules",
+    "multimodal_dedup_bytes",
+    "graph_local_clustering",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

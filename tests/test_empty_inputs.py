@@ -72,6 +72,9 @@ REPRESENTATIVE = [
     "text_html_strip",         # narrow strip projection, no rows
     "window_drawdown",         # running max over empty partitions
     "join_null_safe",          # null-safe hash join, both sides empty
+    "quality_gopher_rules",    # narrow rule projection, no rows
+    "multimodal_dedup_bytes",  # content-hash groupBy over empty media
+    "graph_local_clustering",  # wedge pipeline over empty edge set
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -66,6 +66,8 @@ def test_check_priority_window():
         "feature_winsorize", "text_boilerplate", "embedding_pq_train",
         "tokenizer_bpe_train", "pipeline_curate_corpus", "text_html_strip",
         "window_drawdown", "agg_benford", "join_null_safe",
+        "quality_gopher_rules", "multimodal_dedup_bytes",
+        "graph_local_clustering",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
