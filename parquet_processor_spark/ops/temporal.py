@@ -1501,3 +1501,184 @@ def feature_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("value_wins"),
         ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clipped"),
     )
+
+
+# SCD2 WRITE path: apply a change-log delta to a standing SCD2
+# dimension without rebuilding unaffected keys — the nightly MERGE a
+# warehouse runs against its dimension tables. The oracle is the FULL
+# rebuild over all events: merge(current, delta) must equal
+# rebuild(everything) row-for-row (versions included) — the
+# idempotence contract that makes incremental dimension maintenance
+# trustworthy.
+_SCD2_CUTOFF_FRAC = 4, 5  # delta = last 1/5 of the event-time range
+
+
+def _scd2_change_rows(rows: DataFrame) -> DataFrame:
+    """Consecutive-distinct state-change rows from (user_id, state,
+    ts, event_id) input — the SCD2 builder's first pass, event_id kept
+    so a re-detection over (changes ∪ delta) reproduces the full
+    detection's (ts, event_id) tie-breaks exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        rows.select("user_id", "state", "ts", "event_id")
+        .withColumn("prev_state", F.lag("state").over(w))
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+
+
+def _scd2_finish(changes: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "state")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "scd2_apply_changes",
+    oracle="""
+    with ordered as (
+      select user_id, event_type as state, ts,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_state
+      from events
+    ),
+    changes as (
+      select user_id, state, ts from ordered
+      where prev_state is null or state <> prev_state
+    )
+    select user_id, state,
+           ts as valid_from,
+           lead(ts) over w as valid_to,
+           row_number() over w as version,
+           (lead(ts) over w is null) as is_current
+    from changes
+    window w as (partition by user_id order by ts, state)
+    """,
+    tags=("temporal", "scd", "cdc", "maintenance"),
+)
+def scd2_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SCD2 merge: split the log at a data-derived cutoff
+    (last fifth of the event-time range = the delta), build the
+    standing dimension from the older events, then MERGE the delta in:
+    only users present in the delta are re-derived (from their compact
+    change rows ∪ their delta events — never their full history's raw
+    rows), everyone else's intervals pass through untouched. The
+    oracle is the FULL rebuild — equality proves merge == rebuild.
+
+    Why equality holds: change rows are consecutive-distinct, so
+    re-running change detection over (change rows ∪ delta) drops
+    exactly the boundary duplicate the full detection would drop (the
+    last pre-cutoff raw event's state IS the last change row's state),
+    and version numbers re-derive from the identical change set.
+
+    100 TB shape: the delta's user set is a semi/anti join key —
+    untouched users cost a pass-through of their interval rows
+    (metadata-sized), affected users re-window over |changes| +
+    |delta| rows, not their raw history; everything is user-keyed (no
+    global operation). This is the plain-parquet statement of what a
+    MERGE INTO does against a Delta/Iceberg dimension.
+    """
+    ev = t(spark, sf, "events")
+    num, den = _SCD2_CUTOFF_FRAC
+    bounds = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) * num / den
+        )
+        .cast("long")
+        .alias("cut_us")
+    )
+    ev_b = ev.crossJoin(F.broadcast(bounds))
+    older = ev_b.where(F.unix_micros("ts") <= F.col("cut_us")).drop("cut_us")
+    delta = ev_b.where(F.unix_micros("ts") > F.col("cut_us")).drop("cut_us")
+    as_state = lambda d: d.select(  # noqa: E731
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    )
+    cur_changes = _scd2_change_rows(as_state(older))
+    delta_users = delta.select("user_id").distinct()
+    untouched = _scd2_finish(
+        cur_changes.join(F.broadcast(delta_users), "user_id", "left_anti")
+    )
+    merged_input = cur_changes.join(
+        F.broadcast(delta_users), "user_id", "left_semi"
+    ).unionByName(as_state(delta))
+    merged = _scd2_finish(_scd2_change_rows(merged_input))
+    return untouched.unionByName(merged)
+
+
+# Cohort LTV curves — cumulative value per signup cohort by week
+# offset (the revenue complement of events_retention's user counts):
+# "how much value has the week-W cohort produced by week W+k". The
+# growth dashboard query behind every LTV payback analysis.
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    with first_seen as (
+      select user_id, date_trunc('week', min(ts)) as cohort_week
+      from events group by user_id
+    ),
+    contrib as (
+      select f.cohort_week,
+             cast(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7) as bigint) as week_offset,
+             cast(e.value as decimal(18,2)) as v,
+             e.user_id
+      from events e join first_seen f on e.user_id = f.user_id
+    ),
+    cell as (
+      select cohort_week, week_offset,
+             cast(count(distinct user_id) as bigint) as n_active,
+             sum(v) as val
+      from contrib group by 1, 2
+    )
+    select cohort_week, week_offset, n_active,
+           cast(val as double) as period_value,
+           cast(sum(val) over (partition by cohort_week order by week_offset)
+                as double) as cum_value
+    from cell
+    """,
+    tags=("temporal", "cohort", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (signup-week cohort, week offset): active users, period
+    value, and the cohort's running cumulative value.
+
+    100 TB shape: first-touch is one map-side-combined min per user;
+    the cohort join is user-keyed (broadcast at dimension sizes,
+    co-partitioned otherwise); the cell aggregate collapses the fact
+    stream to |cohorts|x|offsets| rows BEFORE the cumulative window,
+    so the running sum ranks a tiny table — the collapsed-keys window
+    discipline (orders_open_over_time / agg_abc_analysis). Value sums
+    ride decimal(18,2) end-to-end (exact, order-independent) and cast
+    to double only in the final projection, so the doubles hash-match.
+    """
+    ev = t(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    contrib = ev.join(F.broadcast(first_seen), "user_id").select(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+        ).alias("week_offset"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "user_id",
+    )
+    cell = contrib.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active"),
+        F.sum("v").alias("val"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.col("val").cast("double").alias("period_value"),
+        F.sum("val").over(w).cast("double").alias("cum_value"),
+    )

@@ -103,6 +103,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "quality_gopher_rules",
     "multimodal_dedup_bytes",
     "graph_local_clustering",
+    "scd2_apply_changes",
+    "events_cohort_ltv",
     # stalest driver evidence (last row: round 1)
     "multimodal_bytes",
     "multimodal_resize",

@@ -75,6 +75,8 @@ REPRESENTATIVE = [
     "quality_gopher_rules",    # narrow rule projection, no rows
     "multimodal_dedup_bytes",  # content-hash groupBy over empty media
     "graph_local_clustering",  # wedge pipeline over empty edge set
+    "scd2_apply_changes",      # merge path with empty current + delta
+    "events_cohort_ltv",       # cohort window over empty cells
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

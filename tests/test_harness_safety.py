@@ -67,7 +67,7 @@ def test_check_priority_window():
         "tokenizer_bpe_train", "pipeline_curate_corpus", "text_html_strip",
         "window_drawdown", "agg_benford", "join_null_safe",
         "quality_gopher_rules", "multimodal_dedup_bytes",
-        "graph_local_clustering",
+        "graph_local_clustering", "scd2_apply_changes", "events_cohort_ltv",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
