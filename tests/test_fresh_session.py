@@ -44,7 +44,15 @@ def test_numeric_results_independent_of_partitioning(spark, sf_dir):
     # and require identical values.
     from parquet_processor_spark.registry import all_queries
 
-    sensitive = ["agg_corr", "feature_zscore", "agg_gini", "quality_bigram_lm"]
+    sensitive = [
+        "agg_corr", "feature_zscore", "agg_gini", "quality_bigram_lm",
+        # round-6 numerically sensitive additions: exact-moment OLS,
+        # EWMA lag chains, discrete-rank MAD/winsorize, 1/size weights,
+        # decimal cohort LTV cumsum, Benford shares
+        "agg_regression", "window_ewma", "feature_mad_outliers",
+        "feature_winsorize", "sample_downweight_dups", "events_cohort_ltv",
+        "agg_benford",
+    ]
     qs = all_queries()
     wide = spark.newSession()
     narrow = spark.newSession()
