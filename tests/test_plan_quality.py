@@ -704,3 +704,41 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
     plan = plan_of(spark, "join_null_safe")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    # N90 claim: the rule filter is a pure narrow projection — no
+    # Exchange at any scale.
+    plan = plan_of(spark, "quality_gopher_rules")
+    assert "Exchange" not in plan, f"rule projection shuffles:\n{plan}"
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    # N81 claim: the per-group [p05, p95] bounds table joins back
+    # BROADCAST — the fact side must not pick up a second hash
+    # exchange for the clamp.
+    plan = plan_of(spark, "feature_winsorize")
+    assert "BroadcastHashJoin" in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning", plan)
+    assert len(exchanges) <= 1, f"clamp join re-shuffles the facts:\n{plan}"
+
+
+def test_cohort_ltv_window_runs_over_collapsed_cells(spark):
+    # N94 claim: the cumulative window ranks the cohort-by-offset cell
+    # table, never the fact stream — an Aggregate sits between the
+    # scan and the Window in the plan tree.
+    plan = plan_of(spark, "events_cohort_ltv")
+    tree = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)\s*$", ln)]
+    win_i = next(i for i, ln in enumerate(tree) if "Window (" in ln)
+    scan_i = next(i for i, ln in enumerate(tree) if "Scan parquet" in ln)
+    assert win_i < scan_i, plan
+    assert any("Aggregate" in ln for ln in tree[win_i + 1 : scan_i]), (
+        f"fact rows reach the cumulative window uncollapsed:\n{plan}"
+    )
+
+
+def test_scd2_merge_never_sorts_globally(spark):
+    # N93 claim: the merge is user-keyed end to end — no
+    # SinglePartition exchange ever feeds a Sort/Window.
+    plan = plan_of(spark, "scd2_apply_changes")
+    assert not _single_partition_sorts(plan), plan
