@@ -68,7 +68,12 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "events_attribution", "feature_mad_outliers", "cdc_apply_tombstones",
          "graph_triangles", "scan_binary_files", "agg_regression",
          "streaming_cdc_tombstones", "feature_winsorize",
-         "text_boilerplate", "embedding_pq_train", "tokenizer_bpe_train"]
+         "text_boilerplate", "embedding_pq_train", "tokenizer_bpe_train",
+         # round-6 fourth-wave operators
+         "pipeline_curate_corpus", "text_html_strip", "window_drawdown",
+         "agg_benford", "join_null_safe", "quality_gopher_rules",
+         "multimodal_dedup_bytes", "graph_local_clustering",
+         "scd2_apply_changes", "events_cohort_ltv"]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
