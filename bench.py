@@ -144,6 +144,16 @@ EXTENDED = [
     "text_boilerplate",
     "embedding_pq_train",
     "tokenizer_bpe_train",
+    "pipeline_curate_corpus",
+    "text_html_strip",
+    "window_drawdown",
+    "agg_benford",
+    "join_null_safe",
+    "quality_gopher_rules",
+    "multimodal_dedup_bytes",
+    "graph_local_clustering",
+    "scd2_apply_changes",
+    "events_cohort_ltv",
 ]
 
 
