@@ -770,12 +770,23 @@ _BPE_JOIN = "+"  # joiner char; fixture words are [A-Za-z0-9_-] so it cannot col
 
 
 def _bpe_pairs(texts: DataFrame) -> DataFrame:
-    """(pair, n) counts of adjacent token pairs over 'text' rows."""
+    """(pair, n) counts of adjacent token pairs over 'text' rows.
+
+    One-token docs contribute no pairs. The n>=2 guard matters:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0] — feeding the
+    transform an index 0 (element_at error) and a phantom 1-token
+    "pair" — while DuckDB's generate_series(1, 0) is empty; guarding
+    to an empty array makes both engines agree (and explode_outer
+    turns it into one null row the filter drops).
+    """
     ws = F.split(F.col("text"), " ")
-    pair_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
+    pair_arr = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         texts.select(F.explode_outer(pair_arr).alias("pair"))
         .where(F.col("pair").isNotNull())

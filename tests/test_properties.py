@@ -326,3 +326,18 @@ def test_bpe_merge_round_is_overlap_safe(spark):
     assert got == {1: "a+b a+b", 2: "a+b c", 3: "x a+b"}
     nxt = {r["pair"]: r["n"] for r in _bpe_pairs(merged).collect()}
     assert "a b" not in nxt and nxt.get("a+b a+b") == 1
+
+
+def test_bpe_pairs_single_token_docs_contribute_nothing(spark):
+    # Spark's sequence(1, 0) is DESCENDING [1, 0] — without the n>=2
+    # guard a one-token doc crashes on element_at(ws, 0) and would
+    # emit a phantom single-token "pair" where DuckDB emits none.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.text import _bpe_pairs
+
+    texts = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in _bpe_pairs(texts).collect()}
+    assert got == {"a b": 1}
