@@ -1602,11 +1602,12 @@ def scd2_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
     )
     cur_changes = _scd2_change_rows(as_state(older))
     delta_users = delta.select("user_id").distinct()
-    untouched = _scd2_finish(
-        cur_changes.join(F.broadcast(delta_users), "user_id", "left_anti")
-    )
+    # delta_users is UNHINTED: a day's delta can touch a corpus-scale
+    # user set — the semi/anti joins are user-keyed shuffles that AQE
+    # downgrades to broadcast only when the delta is actually small.
+    untouched = _scd2_finish(cur_changes.join(delta_users, "user_id", "left_anti"))
     merged_input = cur_changes.join(
-        F.broadcast(delta_users), "user_id", "left_semi"
+        delta_users, "user_id", "left_semi"
     ).unionByName(as_state(delta))
     merged = _scd2_finish(_scd2_change_rows(merged_input))
     return untouched.unionByName(merged)
@@ -1650,8 +1651,9 @@ def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
     value, and the cohort's running cumulative value.
 
     100 TB shape: first-touch is one map-side-combined min per user;
-    the cohort join is user-keyed (broadcast at dimension sizes,
-    co-partitioned otherwise); the cell aggregate collapses the fact
+    the cohort join is user-keyed and UNHINTED — first_seen is one row
+    per user (corpus-sized, never force-broadcast; AQE broadcasts it
+    only when actually small); the cell aggregate collapses the fact
     stream to |cohorts|x|offsets| rows BEFORE the cumulative window,
     so the running sum ranks a tiny table — the collapsed-keys window
     discipline (orders_open_over_time / agg_abc_analysis). Value sums
@@ -1662,7 +1664,11 @@ def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
-    contrib = ev.join(F.broadcast(first_seen), "user_id").select(
+    # NOT F.broadcast: first_seen is one row PER USER — corpus-sized,
+    # not dimension-sized. The join is user-keyed on both sides, so at
+    # scale it's a co-partitioned shuffle join; AQE still broadcasts it
+    # when the user set is actually small (as at test SFs).
+    contrib = ev.join(first_seen, "user_id").select(
         "cohort_week",
         F.floor(
             F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
