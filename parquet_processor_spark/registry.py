@@ -44,71 +44,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately: queries whose external verification status is
-# stale-or-missing first, well-covered evergreens last. Round 6: slots
-# 1-6 are the only six queries with no driver row ever; slots 7-10 the
-# stale rows-only family (last driver rows r1-r3); then this round's
-# new queries, then the stale round-1/round-2 tails. The 50 queries
-# freshly checked green in round 5 go to the very back. The slot
-# window is enforced by an automated assertion
+# catalog deliberately: queries whose external driver evidence is
+# oldest come first, freshest last. Round 7: the full catalog is listed
+# stalest-first (computed from the union of CORRECTNESS_r01-r06 latest
+# rows): the r1/r2 cohort fills the 50-slot window, with this round's
+# new queries inserted at the very front as they land. The window
+# contents are enforced by an automated assertion
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # never driver-checked — the last catalog gap (r5 verdict item 1)
-    "sink_zorder_roundtrip",
-    "streaming_sliding",
-    "embedding_quantize",
-    "error_minhash_estimate",
-    "table_checksum",
-    "window_percent_rank",
-    # stale rows-only family: last driver rows r1-r3 (r5 verdict item 3)
-    "dedup_near",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "agg_approx_distinct",
-    # new round-6 operators: MinHash incremental dedup + its recall
-    # gate, nprobe-parameterized IVF + its recall gate
-    "dedup_incremental_minhash",
-    "recall_dedup_incremental_minhash",
-    "sim_topk_ivf_nprobe",
-    "recall_sim_topk_ivf_nprobe",
-    "quality_diversity",
-    "agg_heavy_hitters_grouped",
-    "table_diff",
-    "sink_mergeschema_roundtrip",
-    "agg_weighted_median",
-    "sink_compacted_roundtrip",
-    "sample_negative_pairs",
-    "scan_csv_badrecords",
-    "split_leakage_safe",
-    "sample_downweight_dups",
-    "doc_novelty",
-    "window_ewma",
-    "events_attribution",
-    "feature_mad_outliers",
-    "cdc_apply_tombstones",
-    "graph_triangles",
-    "scan_binary_files",
-    "agg_regression",
-    "streaming_cdc_tombstones",
-    "feature_winsorize",
-    "text_boilerplate",
-    "embedding_pq_train",
-    "tokenizer_bpe_train",
-    "pipeline_curate_corpus",
-    "text_html_strip",
-    "window_drawdown",
-    "agg_benford",
-    "join_null_safe",
-    "quality_gopher_rules",
-    "multimodal_dedup_bytes",
-    "graph_local_clustering",
-    "scd2_apply_changes",
-    "events_cohort_ltv",
-    # stalest driver evidence (last row: round 1)
-    "multimodal_bytes",
-    "multimodal_resize",
-    "filter_prefix",
+    # round-7 additions go HERE (front of the window) as they land
+    # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",
     "fn_regexp_extract",
@@ -120,7 +66,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_cross",
     "fn_concat",
     "fn_least_cast",
-    # round-2-era evidence, approximate/rows-only members first
+    # last driver row: round 2 (47 queries)
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
@@ -143,10 +89,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_array_ops",
     "fn_map_ops",
     "join_skew_salted",
-    # (the 50-slot boundary falls somewhere in this r2-era run and
-    # moves as round additions are inserted above — deliberately NOT
-    # named here; test_check_priority_window pins what matters: every
-    # must-check query sits inside the window)
     "join_bucketed",
     "union_by_name",
     "distinct_dedup",
@@ -172,10 +114,102 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_tumbling",
     "limit_offset",
     "topk_order_limit",
+    # last driver row: round 3 (45 queries)
     "streaming_stateful",
     "dedup_embedding",
-    # round-5 driver-checked 50/50 green (CORRECTNESS_r05) — freshest
-    # evidence in the catalog, so they re-verify last
+    "sink_json_roundtrip",
+    "sink_orc_roundtrip",
+    "fn_string_funcs",
+    "fn_date_parts",
+    "fn_date_arith",
+    "fn_null_funcs",
+    "fn_url_parse",
+    "agg_string_concat",
+    "agg_stats_manual",
+    "explode_positional",
+    "fn_struct_ops",
+    "window_range_frame",
+    "agg_bool_bit",
+    "set_except",
+    "subquery_scalar",
+    "subquery_correlated",
+    "agg_pivot",
+    "sql_recursive_cte",
+    "join_lateral",
+    "join_asof",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_brand_bands",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q16_part_supplier_types",
+    "q21_waiting_suppliers",
+    "window_ntile",
+    "window_moving_avg",
+    "window_row_number",
+    "pipeline_fetch",
+    "pipeline_media_dispatch",
+    # last driver row: round 4 (48 queries)
+    "agg_count",
+    "agg_avg",
+    "agg_median",
+    "agg_max",
+    "agg_sum",
+    "agg_multi",
+    "agg_max_by",
+    "agg_having",
+    "agg_rollup",
+    "agg_unpivot",
+    "agg_percentiles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_connected",
+    "dedup_connected_lsh",
+    "curation_cap_per_source",
+    "curation_contamination",
+    "curation_pii_scrub",
+    "curation_repetition",
+    "join_broadcast_equi",
+    "join_left_anti",
+    "join_left_semi",
+    "join_left_outer",
+    "join_full_outer",
+    "multimodal_frames",
+    "kmeans_ivf_train",
+    "recall_sim_topk_lsh",
+    "recall_dedup_embedding_lsh",
+    "recall_dedup_near",
+    "recall_dedup_simhash",
+    "error_approx_distinct",
+    "recall_dedup_connected_lsh",
+    "scan_parquet",
+    "project_filter_notnull",
+    "fn_string_normalize",
+    "fn_string_firstline",
+    "sink_sorted_roundtrip",
+    "fn_math",
+    "set_intersect_all",
+    "set_except_all",
+    "events_funnel",
+    "window_first_last",
+    "limit_n",
+    "streaming_tumbling",
+    "streaming_session",
+    "streaming_dedup",
+    "streaming_stream_join",
+    "streaming_static_join",
+    # last driver row: round 5 (50 queries)
     "fn_try_arith",
     "agg_mode",
     "agg_corr",
@@ -226,6 +260,57 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_budget_mix",
     "join_asof_nearest",
     "dedup_incremental",
+    # last driver row: round 6 (50 queries)
+    "sink_zorder_roundtrip",
+    "streaming_sliding",
+    "embedding_quantize",
+    "error_minhash_estimate",
+    "table_checksum",
+    "window_percent_rank",
+    "dedup_near",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "agg_approx_distinct",
+    "dedup_incremental_minhash",
+    "recall_dedup_incremental_minhash",
+    "sim_topk_ivf_nprobe",
+    "recall_sim_topk_ivf_nprobe",
+    "quality_diversity",
+    "agg_heavy_hitters_grouped",
+    "table_diff",
+    "sink_mergeschema_roundtrip",
+    "agg_weighted_median",
+    "sink_compacted_roundtrip",
+    "sample_negative_pairs",
+    "scan_csv_badrecords",
+    "split_leakage_safe",
+    "sample_downweight_dups",
+    "doc_novelty",
+    "window_ewma",
+    "events_attribution",
+    "feature_mad_outliers",
+    "cdc_apply_tombstones",
+    "graph_triangles",
+    "scan_binary_files",
+    "agg_regression",
+    "streaming_cdc_tombstones",
+    "feature_winsorize",
+    "text_boilerplate",
+    "embedding_pq_train",
+    "tokenizer_bpe_train",
+    "pipeline_curate_corpus",
+    "text_html_strip",
+    "window_drawdown",
+    "agg_benford",
+    "join_null_safe",
+    "quality_gopher_rules",
+    "multimodal_dedup_bytes",
+    "graph_local_clustering",
+    "scd2_apply_changes",
+    "events_cohort_ltv",
+    "multimodal_bytes",
+    "multimodal_resize",
+    "filter_prefix",
 )
 
 

@@ -42,32 +42,27 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # the never-driver-checked six, the stale rows-only four, and the
-    # round-6 additions.
+    # the round-7 rotation cohort — all 11 queries whose latest driver
+    # row is round 1, plus the 30 stalest round-2 rows (the remaining
+    # 9 slots are headroom for round-7 additions, which must be added
+    # to this set as they land).
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # never driver-checked before round 6
-        "sink_zorder_roundtrip", "streaming_sliding", "embedding_quantize",
-        "error_minhash_estimate", "table_checksum", "window_percent_rank",
-        # stale rows-only family (last driver rows r1-r3)
-        "dedup_near", "dedup_simhash", "dedup_embedding_lsh", "agg_approx_distinct",
-        # new in round 6
-        "dedup_incremental_minhash", "recall_dedup_incremental_minhash",
-        "sim_topk_ivf_nprobe", "recall_sim_topk_ivf_nprobe",
-        "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
-        "sink_mergeschema_roundtrip", "agg_weighted_median",
-        "sink_compacted_roundtrip", "sample_negative_pairs",
-        "scan_csv_badrecords", "split_leakage_safe", "sample_downweight_dups",
-        "doc_novelty", "window_ewma", "events_attribution",
-        "feature_mad_outliers", "cdc_apply_tombstones",
-        "graph_triangles", "scan_binary_files",
-        "agg_regression", "streaming_cdc_tombstones",
-        "feature_winsorize", "text_boilerplate", "embedding_pq_train",
-        "tokenizer_bpe_train", "pipeline_curate_corpus", "text_html_strip",
-        "window_drawdown", "agg_benford", "join_null_safe",
-        "quality_gopher_rules", "multimodal_dedup_bytes",
-        "graph_local_clustering", "scd2_apply_changes", "events_cohort_ltv",
+        # latest driver row: round 1
+        "filter_temporal", "filter_compound", "fn_regexp_extract",
+        "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
+        "scan_range", "join_cross", "fn_concat", "fn_least_cast",
+        # latest driver row: round 2 (30 stalest)
+        "sim_pairs_blocked", "sim_topk", "sim_topk_ivf", "agg_count_if",
+        "agg_ratio", "agg_groupby_count", "agg_cube", "join_range",
+        "multimodal_features", "scan_json", "fn_json_extract",
+        "case_when_dispatch", "filter_error_rows", "sample_hash",
+        "sample_stratified", "split_train_test", "sample_weighted_mix",
+        "filter_by_quantile", "pack_sequences", "fn_array_ops", "fn_map_ops",
+        "join_skew_salted", "join_bucketed", "union_by_name",
+        "distinct_dedup", "set_intersect", "agg_grouping_sets", "sql_cte",
+        "window_session", "window_sliding",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
