@@ -144,6 +144,7 @@ EXTENDED = [
     "text_boilerplate",
     "embedding_pq_train",
     "tokenizer_bpe_train",
+    "tokenizer_bpe_apply",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
+    "tokenizer_bpe_apply",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -49,6 +49,8 @@ def test_check_priority_window():
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
+        # round-7 additions
+        "tokenizer_bpe_apply",
         # latest driver row: round 1
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",

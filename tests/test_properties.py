@@ -307,37 +307,34 @@ def test_weighted_median_matches_expansion(spark, vals):
 
 
 def test_bpe_merge_round_is_overlap_safe(spark):
-    # 'a b a b' must merge BOTH occurrences of the top pair (a,b) in
+    # 'a b a b' must fuse BOTH occurrences of the top pair (a,b) in
     # one round — naive single-space replace misses the second
     # occurrence because consecutive matches share a separator (the
-    # double-space surgery exists exactly for this). Also: the merged
-    # pair must vanish from the next round's pair counts.
-    from pyspark.sql import functions as F
-
+    # double-space surgery exists exactly for this). Counts are
+    # weighted by cnt; the fused pair must vanish from the next
+    # round's pair counts.
     from parquet_processor_spark.ops.text import _bpe_merge_round, _bpe_pairs
 
-    texts = spark.createDataFrame(
-        [(1, "a b a b"), (2, "a b c"), (3, "x a b")], "doc_id long, text string"
+    syms = spark.createDataFrame(
+        [("a b a b", 2), ("a b c", 1), ("x a b", 1)], "sym string, cnt long"
     )
-    top, merged = _bpe_merge_round(texts)
+    top, merged = _bpe_merge_round(syms, weight="cnt")
     [(pa, pb, n)] = top.collect()
-    assert (pa, pb, n) == ("a", "b", 4)
-    got = {r["doc_id"]: r["text"] for r in merged.collect()}
-    assert got == {1: "a+b a+b", 2: "a+b c", 3: "x a+b"}
-    nxt = {r["pair"]: r["n"] for r in _bpe_pairs(merged).collect()}
-    assert "a b" not in nxt and nxt.get("a+b a+b") == 1
+    assert (pa, pb, n) == ("a", "b", 6)
+    got = {r["sym"]: r["cnt"] for r in merged.collect()}
+    assert got == {"ab ab": 2, "ab c": 1, "x ab": 1}
+    nxt = {r["pair"]: r["n"] for r in _bpe_pairs(merged, "cnt").collect()}
+    assert "a b" not in nxt and nxt.get("ab ab") == 2
 
 
-def test_bpe_pairs_single_token_docs_contribute_nothing(spark):
+def test_bpe_pairs_single_symbol_rows_contribute_nothing(spark):
     # Spark's sequence(1, 0) is DESCENDING [1, 0] — without the n>=2
-    # guard a one-token doc crashes on element_at(ws, 0) and would
-    # emit a phantom single-token "pair" where DuckDB emits none.
-    from pyspark.sql import functions as F
-
+    # guard a one-symbol row crashes on element_at(ws, 0) and would
+    # emit a phantom single-symbol "pair" where DuckDB emits none.
     from parquet_processor_spark.ops.text import _bpe_pairs
 
-    texts = spark.createDataFrame(
-        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    syms = spark.createDataFrame(
+        [("solo",), ("",), ("a b",)], "sym string"
     )
-    got = {r["pair"]: r["n"] for r in _bpe_pairs(texts).collect()}
+    got = {r["pair"]: r["n"] for r in _bpe_pairs(syms).collect()}
     assert got == {"a b": 1}
