@@ -145,6 +145,7 @@ EXTENDED = [
     "embedding_pq_train",
     "tokenizer_bpe_train",
     "tokenizer_bpe_apply",
+    "sink_partitioned_roundtrip",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -38,6 +38,69 @@ def sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# K4 proper: the reference's two-level {segment}/{timestamp}/ output
+# layout (test_parquet_processor.yml:76,82 — data/processed_parquet/
+# <segment_name>/<run timestamp>/) as a hierarchical partitionBy
+# write, read back through a filter on BOTH partition levels. The
+# oracle replays the filtered SELECT on the source table, proving the
+# partitioned write+pruned read is lossless; partition PRUNING (the
+# point of the layout at 100 TB — a segment/day predicate skips whole
+# directories without listing their files) is plan-asserted in
+# tests/test_plan_quality.py. The batch value carries a 'b' prefix so
+# partition-column type inference can never re-type it on read-back.
+_PART_SELECT = """
+    select o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+           'b' || strftime(o_orderdate, '%Y-%m') as o_batch
+    from orders
+    where o_orderpriority = '1-URGENT'
+      and strftime(o_orderdate, '%Y-%m') between '1995-01' and '1995-12'
+"""
+
+
+@query("sink_partitioned_roundtrip", oracle=_PART_SELECT, tags=("sink", "layout"))
+def sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write orders partitioned by (priority, month-batch) — the
+    reference's {segment}/{timestamp}/ directory contract — and read
+    back one segment x one year through the partition columns.
+
+    100 TB shape: the frame is repartitioned ON the partition columns
+    before the write, so each directory gets one writer task and one
+    file instead of num-shuffle-partitions small files (the classic
+    partitionBy small-file explosion); the read-back filter touches
+    only matching directories (PartitionFilters in the scan — whole
+    segments/months are skipped without opening a footer).
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_sink_part_")
+    src = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.concat(F.lit("b"), F.date_format("o_orderdate", "yyyy-MM")).alias("o_batch"),
+    )
+    pio.write_parquet(
+        src.repartition("o_orderpriority", "o_batch"),
+        out,
+        mode="overwrite",
+        partition_by=("o_orderpriority", "o_batch"),
+    )
+    # explicit schema: an all-empty layout has no footer to infer from
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string, o_batch string"
+    ).parquet(out)
+    return back.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & F.col("o_batch").between("b1995-01", "b1995-12")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        F.col("o_batch").cast("string").alias("o_batch"),
+    )
+
+
 # K2: CSV round trip with explicit read schema (no inference drift).
 @query("sink_csv_roundtrip", oracle=_SELECT, tags=("sink",))
 def sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:

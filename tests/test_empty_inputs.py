@@ -77,6 +77,8 @@ REPRESENTATIVE = [
     "graph_local_clustering",  # wedge pipeline over empty edge set
     "scd2_apply_changes",      # merge path with empty current + delta
     "events_cohort_ltv",       # cohort window over empty cells
+    "tokenizer_bpe_apply",     # train+encode over empty vocab and corpus
+    "sink_partitioned_roundtrip",  # two-level partitionBy write of zero rows
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -50,7 +50,7 @@ def test_check_priority_window():
 
     must_check = {
         # round-7 additions
-        "tokenizer_bpe_apply",
+        "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
         # latest driver row: round 1
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",

@@ -300,6 +300,17 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert pf and any("l_returnflag" in ln for ln in pf), plan
 
 
+def test_sink_partitioned_roundtrip_prunes_both_levels(spark):
+    # The K4 oracle query's read-back scan must prune on BOTH
+    # partition levels ({segment}/{batch}) — PartitionFilters naming
+    # each column, no full-layout scan.
+    plan = plan_of(spark, "sink_partitioned_roundtrip")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any(
+        "o_orderpriority" in ln and "o_batch" in ln for ln in pf
+    ), plan
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     # Join on a partition column with a selective filter on the other
     # side: the fact scan must carry a dynamicpruning PartitionFilter
