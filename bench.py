@@ -146,6 +146,7 @@ EXTENDED = [
     "tokenizer_bpe_train",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
+    "multimodal_dedup_perceptual",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

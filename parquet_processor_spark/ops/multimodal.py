@@ -359,3 +359,209 @@ def multimodal_dedup_bytes(spark: SparkSession, sf: str) -> DataFrame:
         F.min("media_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# Perceptual near-dup for media — the dedup pass that catches what
+# md5-of-bytes (multimodal_dedup_bytes) cannot: RE-ENCODED duplicates
+# whose payload bytes differ but whose decoded content is nearly
+# identical (the reference's media pages, test_parquet_processor.py:
+# 218-266, are exactly where re-encodes defeat exact hashing). The
+# fixture has no re-encodes, so the operator INJECTS them
+# deterministically (every 10th payload re-keyed +1e9 with an
+# in-place byte substitution — a lossy re-encode changes sample
+# values WITHOUT moving them, like JPEG quality loss) and the oracle
+# replays the injection; the detection logic is the production
+# dHash + Hamming multi-index.
+_PHASH_PIX = 65       # 64 gradient bits from 65 "resized" samples
+_PHASH_BANDS = 8      # 8 bands x 8 bits
+_PHASH_MAX_HAM = 6    # <=6 flips -> >=2 clean bands -> shared pair-key (pigeonhole)
+_PHASH_COMBOS = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (2, 3), (2, 4), (2, 5), (2, 6), (2, 7), (3, 4), (3, 5), (3, 6), (3, 7), (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
+
+
+def _phash_oracle() -> str:
+    duck_structs = ",\n        ".join(
+        f"{{'band': {k}, 'bval': chunks[{i + 1}] * 256 + chunks[{j + 1}]}}"
+        for k, (i, j) in enumerate(_PHASH_COMBOS)
+    )
+    ham = " + ".join(
+        f"bit_count(cast(xor(a.chunks[{c + 1}], b.chunks[{c + 1}]) as bigint))"
+        for c in range(_PHASH_BANDS)
+    )
+    return f"""
+    with media as (
+      select doc_id as media_id, coalesce(text, '') as content from documents
+      union all
+      select doc_id + 1000000000 as media_id,
+             replace(coalesce(text, ''), ' the ', ' THE ') as content
+      from documents where doc_id % 10 = 0
+    ),
+    px as (
+      select media_id,
+        list_transform(range(0, {_PHASH_PIX}), i ->
+          case when len(content) = 0 then 0
+            else cast(floor(
+              list_aggregate(list_transform(
+                regexp_split_to_array(substr(content,
+                  cast(floor(i * len(content) / {_PHASH_PIX}) as int) + 1,
+                  cast(floor((i + 1) * len(content) / {_PHASH_PIX})
+                       - floor(i * len(content) / {_PHASH_PIX}) as int)), ''),
+                c -> ascii(c)), 'sum')
+              / greatest(floor((i + 1) * len(content) / {_PHASH_PIX})
+                         - floor(i * len(content) / {_PHASH_PIX}), 1)) as int) end
+        ) as pix
+      from media
+    ),
+    h as (
+      select media_id,
+        list_transform(range(0, {_PHASH_BANDS}), c ->
+          list_aggregate(list_transform(range(0, 8), j ->
+            case when pix[c * 8 + j + 1] > pix[c * 8 + j + 2]
+                 then cast(pow(2, j) as bigint) else 0 end), 'sum')
+        ) as chunks
+      from px
+    ),
+    keys as (
+      select media_id, chunks, unnest([
+        {duck_structs}
+      ], recursive := true)
+      from h
+    ),
+    cand as (
+      select distinct a.media_id as ida, b.media_id as idb
+      from keys a join keys b
+        on a.band = b.band and a.bval = b.bval and a.media_id < b.media_id
+    ),
+    pairs as (
+      select ida, idb
+      from cand
+      join h a on a.media_id = cand.ida
+      join h b on b.media_id = cand.idb
+      where {ham} <= {_PHASH_MAX_HAM}
+    )
+    select m.media_id,
+           min(p.ida) as dup_of,
+           (min(p.ida) is not null) as is_dup
+    from media m left join pairs p on p.idb = m.media_id
+    group by m.media_id
+    """
+
+
+def _phash_bands(media: DataFrame) -> DataFrame:
+    """(media_id, b0..b7): the 64-bit dHash of each payload as 8
+    band values — 'resize' the byte stream to {_PHASH_PIX} block-mean
+    samples (block averaging IS the resize: robust to small in-place
+    value changes), then one gradient bit per adjacent sample pair."""
+    n = F.length("content")
+    npx = F.lit(_PHASH_PIX)
+
+    def block_mean(i):
+        start = (F.floor(i * n / npx) + 1).cast("int")
+        ln = (F.floor((i + 1) * n / npx) - F.floor(i * n / npx)).cast("int")
+        ssum = F.aggregate(
+            F.split(F.col("content").substr(start, ln), ""),
+            F.lit(0),
+            lambda acc, c: acc + F.ascii(c),
+        )
+        return F.when(n == 0, F.lit(0)).otherwise(
+            F.floor(ssum / F.greatest(ln.cast("long"), F.lit(1))).cast("int")
+        )
+
+    pix = F.transform(F.sequence(F.lit(0), F.lit(_PHASH_PIX - 1)), block_mean)
+    px = media.select("media_id", pix.alias("pix"))
+    bands = [
+        sum(
+            (
+                F.when(
+                    F.element_at("pix", c * 8 + j + 1) > F.element_at("pix", c * 8 + j + 2),
+                    F.lit(1 << j).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(8)
+            ),
+            start=F.lit(0).cast("long"),
+        ).alias(f"b{c}")
+        for c in range(_PHASH_BANDS)
+    ]
+    return px.select("media_id", *bands)
+
+
+@query(
+    "multimodal_dedup_perceptual",
+    oracle=_phash_oracle(),
+    tags=("multimodal", "dedup", "perceptual"),
+)
+def multimodal_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual (dHash) near-dup detection over media payloads:
+    resize each payload to {_PHASH_PIX} block-mean samples, take the
+    64 adjacent-sample gradient bits, block on BAND-PAIR keys, verify
+    full Hamming <= {_PHASH_MAX_HAM} within blocks, and label each
+    media row with its lowest-id near-duplicate.
+
+    Guaranteed recall, not probabilistic: with 8 bands of 8 bits, any
+    pair within Hamming {_PHASH_MAX_HAM} has >= 2 clean bands
+    (pigeonhole), so at least one of the C(8,2)=28 concatenated
+    band-pair keys collides — the classic multi-index Hamming search.
+    Injected re-encodes measure <= 5 flips; unrelated fixture pairs
+    sit at median 32 (min 12 at sf0.01), so the verify filter
+    separates cleanly.
+
+    100 TB shape: the mirror of dedup_simhash's banding, tuned for
+    Hamming radius — single 8-bit bands guarantee radius 7 but have
+    256-value buckets (bucket size N/256: quadratic blow-up at 1e9
+    media); 16-bit PAIR keys keep the radius-6 guarantee with 65536x
+    better selectivity. Only (media_id, band, 16-bit key) longs
+    shuffle — payload bytes never leave the scan stage, and the
+    dHash itself is codegen arithmetic beside the scan (the decode
+    seam for real images is extract_features' mapInPandas; the fake
+    decode here is the same block-mean resize a real pipeline runs
+    after the codec). Candidates dedupe before the verify join, and
+    the verify moves 8 longs per side.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    reenc = docs.where(F.col("media_id") % 10 == 0).select(
+        (F.col("media_id") + 1_000_000_000).alias("media_id"),
+        F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
+    )
+    media = docs.unionByName(reenc)
+    sig = _phash_bands(media)
+    key_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                (F.col(f"b{i}") * 256 + F.col(f"b{j}")).alias("bval"),
+            )
+            for k, (i, j) in enumerate(_PHASH_COMBOS)
+        ]
+    )
+    keys = sig.select("media_id", F.explode(key_structs).alias("kb")).select(
+        "media_id", F.col("kb.band").alias("band"), F.col("kb.bval").alias("bval")
+    )
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(F.col("a.media_id").alias("ida"), F.col("b.media_id").alias("idb"))
+        .distinct()
+    )
+    sa = sig.select(F.col("media_id").alias("ida"), *[F.col(f"b{c}").alias(f"ab{c}") for c in range(_PHASH_BANDS)])
+    sb = sig.select(F.col("media_id").alias("idb"), *[F.col(f"b{c}").alias(f"bb{c}") for c in range(_PHASH_BANDS)])
+    ham = sum(
+        (F.bit_count(F.col(f"ab{c}").bitwiseXOR(F.col(f"bb{c}"))) for c in range(_PHASH_BANDS)),
+        start=F.lit(0),
+    )
+    pairs = (
+        cand.join(sa, "ida").join(sb, "idb").where(ham <= _PHASH_MAX_HAM).select("ida", "idb")
+    )
+    return (
+        media.select("media_id")
+        .join(pairs, media["media_id"] == pairs["idb"], "left")
+        .groupBy("media_id")
+        .agg(F.min("ida").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )

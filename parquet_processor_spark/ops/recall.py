@@ -429,3 +429,29 @@ def error_approx_topk(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("topk_valid"),
         )
     )
+
+
+@query(
+    "recall_dedup_perceptual",
+    oracle=(
+        "select cast(count(*) as bigint) as n_true_pairs, true as recall_ok "
+        "from documents where doc_id % 10 = 0"
+    ),
+    tags=("multimodal", "dedup", "perceptual", "evidence"),
+)
+def recall_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
+    """Every injected re-encode must be flagged by the perceptual
+    detector: the multi-index guarantees a shared band-pair key within
+    Hamming 6 and the injection measures <= 5 flips, so recall is
+    EXACTLY 1.0 by construction (pigeonhole), not a tuned 0.9x —
+    the gate still goes through _gate so an empty fixture stays
+    vacuously green."""
+    from parquet_processor_spark.ops import multimodal as mm
+
+    out = mm.multimodal_dedup_perceptual(spark, sf)
+    injected = out.where(F.col("media_id") >= 1_000_000_000)
+    hit = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return injected.agg(
+        n.alias("n_true_pairs"), _gate(hit, n, 1.0).alias("recall_ok")
+    )

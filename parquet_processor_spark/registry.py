@@ -56,6 +56,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
+    "multimodal_dedup_perceptual",
+    "recall_dedup_perceptual",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -79,6 +79,7 @@ REPRESENTATIVE = [
     "events_cohort_ltv",       # cohort window over empty cells
     "tokenizer_bpe_apply",     # train+encode over empty vocab and corpus
     "sink_partitioned_roundtrip",  # two-level partitionBy write of zero rows
+    "multimodal_dedup_perceptual",  # dHash banding over an empty media set
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -51,6 +51,7 @@ def test_check_priority_window():
     must_check = {
         # round-7 additions
         "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
+        "multimodal_dedup_perceptual", "recall_dedup_perceptual",
         # latest driver row: round 1
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
@@ -147,3 +148,28 @@ def test_bench_lists_are_registered():
     assert not missing, f"bench lists name unregistered queries: {missing}"
     dupes = [n for n in set(bench.HEADLINE) & set(bench.EXTENDED)]
     assert not dupes, f"queries timed twice: {dupes}"
+
+
+def test_injected_id_offset_clears_fixture_ids(spark):
+    # multimodal_dedup_bytes and multimodal_dedup_perceptual re-key
+    # injected duplicates as media_id + 1_000_000_000; if the fixture
+    # ever grows doc_ids past 1e9 the injected ids would collide with
+    # real ones (both engines mirror the injection, so parity would
+    # still pass and the semantic drift would be invisible — r6
+    # ADVICE item). Fail HERE with a pointer instead.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.tables import t
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        try:
+            docs = t(spark, sf, "documents")
+        except Exception:  # noqa: BLE001 — driver SF dirs may be absent locally
+            pytest.skip(f"{sf} unavailable")
+        top = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        assert top < 1_000_000_000, (
+            f"documents doc_id at {sf} reaches {top}: the +1e9 injected-id "
+            "offset in ops/multimodal.py (dedup_bytes / dedup_perceptual) "
+            "would collide — raise the offset in BOTH engines"
+        )
