@@ -147,6 +147,7 @@ EXTENDED = [
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
     "multimodal_dedup_perceptual",
+    "sim_topk_ivfpq",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

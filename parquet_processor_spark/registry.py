@@ -58,6 +58,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_partitioned_roundtrip",
     "multimodal_dedup_perceptual",
     "recall_dedup_perceptual",
+    "sim_topk_ivfpq",
+    "recall_sim_topk_ivfpq",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

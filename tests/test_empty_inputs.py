@@ -80,6 +80,7 @@ REPRESENTATIVE = [
     "tokenizer_bpe_apply",     # train+encode over empty vocab and corpus
     "sink_partitioned_roundtrip",  # two-level partitionBy write of zero rows
     "multimodal_dedup_perceptual",  # dHash banding over an empty media set
+    "sim_topk_ivfpq",          # empty probe list, empty codes, empty shortlist
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

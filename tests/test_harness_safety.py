@@ -52,6 +52,7 @@ def test_check_priority_window():
         # round-7 additions
         "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
         "multimodal_dedup_perceptual", "recall_dedup_perceptual",
+        "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
         # latest driver row: round 1
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",

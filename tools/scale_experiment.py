@@ -59,7 +59,7 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          # round-6 additions
          "dedup_incremental_minhash", "sim_topk_ivf_nprobe",
          # round-7 additions
-         "tokenizer_bpe_apply", "multimodal_dedup_perceptual",
+         "tokenizer_bpe_apply", "multimodal_dedup_perceptual", "sim_topk_ivfpq",
          "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
          "sink_mergeschema_roundtrip", "agg_weighted_median",
          # round-6 second-wave operators
