@@ -130,11 +130,13 @@ def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
     "table_diff",
     oracle="""
     with v_old as (
-      select doc_id, md5(text) as fp_old from documents where doc_id % 10 <> 7
+      select doc_id, md5(coalesce(text, '')) as fp_old
+      from documents where doc_id % 10 <> 7
     ),
     v_new as (
       select doc_id,
-             md5(case when doc_id % 10 = 5 then upper(text) else text end) as fp_new
+             md5(case when doc_id % 10 = 5 then upper(coalesce(text, ''))
+                      else coalesce(text, '') end) as fp_new
       from documents where doc_id % 10 <> 3
     )
     select coalesce(o.doc_id, n.doc_id) as doc_id,
@@ -159,14 +161,19 @@ def table_diff(spark: SparkSession, sf: str) -> DataFrame:
     (test_parquet_processor.py:377-385): a re-run's diff against the
     previous snapshot must be empty.
     """
+    # coalesce to '' BEFORE fingerprinting: md5(null) is null, which
+    # would classify a null-text doc present in BOTH snapshots as
+    # 'added' — presence must key on the row, not on text nullability
+    # (r6 ADVICE item).
     d = t(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
     old = d.where(F.col("doc_id") % 10 != 7).select(
-        "doc_id", F.md5("text").alias("fp_old")
+        "doc_id", F.md5(txt).alias("fp_old")
     )
     new = d.where(F.col("doc_id") % 10 != 3).select(
         "doc_id",
         F.md5(
-            F.when(F.col("doc_id") % 10 == 5, F.upper("text")).otherwise(F.col("text"))
+            F.when(F.col("doc_id") % 10 == 5, F.upper(txt)).otherwise(txt)
         ).alias("fp_new"),
     )
     return old.join(new, "doc_id", "full_outer").select(

@@ -77,3 +77,32 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def stop_streams(spark: SparkSession, timeout_sec: float = 30.0) -> int:
+    """C6 (streams): stop every active StructuredStreaming query on the
+    session; returns how many were stopped. Mirrors the reference's
+    global cancellation sweep (cancel_workflows.yml:21-61 — iterate
+    active runs, cancel each, tolerate per-run failures)."""
+    stopped = 0
+    for q in list(spark.streams.active):
+        try:
+            q.stop()
+            q.awaitTermination(timeout_sec)
+            stopped += 1
+        except Exception:  # noqa: BLE001 — cancellation is best-effort per run
+            pass
+    return stopped
+
+
+def cancel_all(spark: SparkSession) -> int:
+    """C6: global cancellation — abort every running Spark job AND stop
+    every active stream (reference cancel_workflows.yml:21-61, the
+    cancel-everything red button). Safe to call from any thread; batch
+    actions in flight raise SparkException in their callers, exactly
+    like a workflow run observing its cancellation. Returns the number
+    of streams stopped (batch jobs report only through their callers).
+    """
+    n = stop_streams(spark)
+    spark.sparkContext.cancelAllJobs()
+    return n

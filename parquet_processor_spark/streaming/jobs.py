@@ -222,6 +222,67 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
     )
 
 
+def _recover_state(state_dir: str) -> None:
+    """Make the swap protocol crash-safe: heal any interrupted
+    write-new -> rename-old -> rename-new -> drop-old sequence before
+    the next merge reads state.
+
+    A crash between rename(state_dir, old) and rename(tmp, state_dir)
+    leaves NO state_dir while the streaming checkpoint already marks
+    the batch committed (availableNow will not replay it), so without
+    recovery a restart silently rebuilds from empty (r6 ADVICE item).
+    Policy: if state_dir is missing, promote the newest COMPLETE
+    .tmp-* (parquet _SUCCESS marker — it holds the post-merge state of
+    the committed batch); else restore the newest .old-*; then drop
+    every remaining leftover.
+    """
+    import shutil
+
+    parent = os.path.dirname(state_dir) or "."
+    base = os.path.basename(state_dir)
+    if not os.path.isdir(parent):
+        return
+    leftovers = {"tmp": [], "old": []}
+    for name in os.listdir(parent):
+        for kind in ("tmp", "old"):
+            prefix = f"{base}.{kind}-"
+            if name.startswith(prefix):
+                try:
+                    leftovers[kind].append((int(name[len(prefix):]), os.path.join(parent, name)))
+                except ValueError:
+                    pass
+    if not os.path.isdir(state_dir):
+        complete_tmps = [
+            (b, p) for b, p in leftovers["tmp"] if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if complete_tmps:
+            _, newest = max(complete_tmps)
+            os.rename(newest, state_dir)
+            leftovers = {k: [(b, p) for b, p in v if p != newest] for k, v in leftovers.items()}
+        elif leftovers["old"]:
+            _, newest = max(leftovers["old"])
+            os.rename(newest, state_dir)
+            leftovers = {k: [(b, p) for b, p in v if p != newest] for k, v in leftovers.items()}
+    for _, p in leftovers["tmp"] + leftovers["old"]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _swap_state(merged: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Commit ``merged`` as the new state directory: write-new ->
+    rename-old -> rename-new -> drop-old. Readers never see a
+    half-written table; _recover_state heals any crash mid-sequence."""
+    import shutil
+
+    tmp = f"{state_dir}.tmp-{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{state_dir}.old-{batch_id}"
+    if os.path.isdir(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def run_with_upsert(events: DataFrame, state_dir: str, checkpoint: str) -> StreamingQuery:
     """T3 as a continuously-maintained sink: a keyed latest-state table
     upserted by ``foreachBatch`` merge. Each micro-batch reduces to one
@@ -240,24 +301,16 @@ def run_with_upsert(events: DataFrame, state_dir: str, checkpoint: str) -> Strea
     parquet, exactly as the reference supersedes its snapshot files
     (flush-every-10 rewrite, test_parquet_processor.py:362-364).
     """
-    import shutil
-
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_state(state_dir)
         delta = _latest_per_user(batch)
         if os.path.isdir(state_dir):
             cur = spark.read.parquet(state_dir)
             merged = _latest_per_user(cur.unionByName(delta))
         else:
             merged = delta
-        tmp = f"{state_dir}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{state_dir}.old-{batch_id}"
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        _swap_state(merged, state_dir, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge)
@@ -348,7 +401,6 @@ def run_with_tombstones(events: DataFrame, state_dir: str, checkpoint: str) -> S
     algebra that makes the batch operator's shuffle carry one row per
     key makes the streaming merge correct under any batch split.
     """
-    import shutil
 
     def as_state(rows: DataFrame) -> DataFrame:
         return rows.select(
@@ -362,20 +414,14 @@ def run_with_tombstones(events: DataFrame, state_dir: str, checkpoint: str) -> S
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_state(state_dir)
         delta = _cdc_reduce(as_state(batch))
         if os.path.isdir(state_dir):
             cur = spark.read.parquet(state_dir)
             merged = _cdc_reduce(cur.unionByName(delta))
         else:
             merged = delta
-        tmp = f"{state_dir}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{state_dir}.old-{batch_id}"
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        _swap_state(merged, state_dir, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge)

@@ -287,3 +287,66 @@ def test_foreachbatch_cdc_tombstones_matches_batch_operator(spark, events_dir, t
     want = {tuple(r) for r in cdc_apply_tombstones(spark, SF_SMALL).collect()}
     assert got == want
     assert any(r[3] for r in got), "corpus contains 'error' ops: some key must be dead"
+
+
+def test_state_swap_recovers_from_crash_between_renames(spark, tmp_path):
+    # Simulate a crash BETWEEN rename(state_dir, old) and
+    # rename(tmp, state_dir): state_dir is gone, the committed batch's
+    # complete .tmp-* (with _SUCCESS) and the prior .old-* both linger.
+    # _recover_state must promote the COMPLETE tmp (the post-merge
+    # state of the batch the checkpoint already marked committed), not
+    # silently rebuild from empty — and must clean the leftovers.
+    import os
+
+    from parquet_processor_spark.streaming.jobs import _recover_state
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "old")], "user_id long, v string").write.parquet(
+        str(tmp_path / "state.old-3")
+    )
+    spark.createDataFrame([(1, "new"), (2, "new")], "user_id long, v string").write.parquet(
+        str(tmp_path / "state.tmp-4")
+    )
+    _recover_state(state)
+    assert os.path.isdir(state)
+    assert spark.read.parquet(state).count() == 2  # tmp-4 promoted
+    assert not os.path.exists(str(tmp_path / "state.old-3"))
+    assert not os.path.exists(str(tmp_path / "state.tmp-4"))
+
+
+def test_state_swap_recovers_from_crash_mid_write(spark, tmp_path):
+    # Crash DURING merged.write: tmp has no _SUCCESS marker -> the old
+    # state must come back (the batch will NOT replay, but the standing
+    # state survives instead of vanishing).
+    import os
+
+    from parquet_processor_spark.streaming.jobs import _recover_state
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "old")], "user_id long, v string").write.parquet(
+        str(tmp_path / "state.old-3")
+    )
+    incomplete = tmp_path / "state.tmp-4"
+    incomplete.mkdir()
+    (incomplete / "part-00000.parquet").write_bytes(b"partial")
+    _recover_state(state)
+    assert os.path.isdir(state)
+    assert spark.read.parquet(state).collect()[0]["v"] == "old"
+    assert not os.path.exists(str(incomplete))
+
+
+def test_state_swap_recovery_noop_after_clean_commit(spark, tmp_path):
+    # After a clean swap (state_dir present), recovery must only sweep
+    # stray leftovers and never touch the committed state.
+    import os
+
+    from parquet_processor_spark.streaming.jobs import _recover_state
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "cur")], "user_id long, v string").write.parquet(state)
+    spark.createDataFrame([(1, "old")], "user_id long, v string").write.parquet(
+        str(tmp_path / "state.old-7")
+    )
+    _recover_state(state)
+    assert spark.read.parquet(state).collect()[0]["v"] == "cur"
+    assert not os.path.exists(str(tmp_path / "state.old-7"))
