@@ -148,6 +148,8 @@ EXTENDED = [
     "sink_partitioned_roundtrip",
     "multimodal_dedup_perceptual",
     "sim_topk_ivfpq",
+    "dedup_verbatim_spans",
+    "sink_versioned_snapshots",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -1336,3 +1336,130 @@ def text_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
         "n_boiler",
         (F.col("n_boiler").cast("double") / F.col("n_sh")).alias("boiler_frac"),
     )
+
+
+# Cross-doc VERBATIM span detection — the exact-substring dedup of
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better"): near-dup scoring (Jaccard/MinHash above) measures bag
+# overlap, but memorization risk comes from long VERBATIM runs, which
+# survive even when overall similarity is low. Anchor on rare 8-gram
+# matches, then grow each match diagonal into its maximal common run.
+_SPAN_GRAM = 8
+_SPAN_MIN_TOKENS = 12   # report runs strictly longer than the anchor
+_SPAN_DF_CAP = 1000     # posting-list cap, same policy as ngram_jaccard
+
+
+@query(
+    "dedup_verbatim_spans",
+    oracle=f"""
+    with toks as (
+      select doc_id, regexp_split_to_array(coalesce(text, ''), ' ') as ws
+      from documents
+    ),
+    grams as (
+      select doc_id, i as pos,
+             md5(array_to_string(ws[i:i+{_SPAN_GRAM - 1}], ' ')) as g
+      from toks,
+           unnest(generate_series(1, greatest(len(ws) - {_SPAN_GRAM - 1}, 0))) as t(i)
+    ),
+    df as (
+      select g from grams
+      group by g having count(distinct doc_id) between 2 and {_SPAN_DF_CAP}
+    ),
+    posting as (select doc_id, pos, grams.g from grams join df using (g)),
+    matches as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b, a.pos as pa, b.pos as pb
+      from posting a join posting b on a.g = b.g and a.doc_id < b.doc_id
+    ),
+    islands as (
+      select doc_a, doc_b, pa,
+             pa - row_number() over (partition by doc_a, doc_b, pa - pb
+                                     order by pa) as isl,
+             pa - pb as diag
+      from matches
+    ),
+    runs as (
+      select doc_a, doc_b,
+             cast(count(*) + {_SPAN_GRAM - 1} as bigint) as span_tokens
+      from islands group by doc_a, doc_b, diag, isl
+    )
+    select doc_a, doc_b, max(span_tokens) as max_span_tokens,
+           cast(count(*) as bigint) as n_spans
+    from runs group by doc_a, doc_b
+    having max(span_tokens) >= {_SPAN_MIN_TOKENS}
+    """,
+    tags=("dedup", "text", "spans"),
+)
+def dedup_verbatim_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest verbatim token run per document pair: hash every
+    {gram}-gram, keep grams shared by 2..{cap} docs (rare-anchor
+    posting lists — hot boilerplate grams are capped exactly like the
+    Jaccard family), join postings into (pair, pos_a, pos_b) matches,
+    and collapse each match DIAGONAL (pa - pb constant) into maximal
+    consecutive runs with the gaps-and-islands trick: within a
+    diagonal, pa - row_number() is constant exactly on consecutive
+    anchors. A run of L anchors is a verbatim span of L + {gram} - 1
+    tokens; pairs report their longest span and span count.
+
+    100 TB shape: linear in corpus tokens up to the posting join,
+    whose fan-out is bounded by the df cap (no N^2 — unrelated docs
+    never pair); the islands windows run on MATCH rows (pair-anchor
+    tuples, tiny next to the corpus) partitioned by pair+diagonal, so
+    no single-partition sort anywhere. At petabyte scale the md5
+    anchor would be xxhash64 (8 bytes vs 32 on the wire); md5 here
+    keeps the oracle engine-exact. This is the suffix-array
+    exact-substring dedup result computed with joins: anchors find
+    every shared window >= {gram} tokens, and run-growing recovers the
+    full span without materializing suffixes.
+    """
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ws")
+    )
+    n = F.size("ws")
+    gram_structs = F.when(
+        n >= _SPAN_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (_SPAN_GRAM - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("ws", i, _SPAN_GRAM))).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    grams = (
+        toks.select("doc_id", F.explode_outer(gram_structs).alias("s"))
+        .where(F.col("s").isNotNull())
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    df = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndoc"))
+        .where(F.col("ndoc").between(2, _SPAN_DF_CAP))
+        .select("g")
+    )
+    posting = grams.join(df, "g")
+    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    matches = (
+        a.join(b, (a["g"] == b["g"]) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = matches.select("doc_a", "doc_b", "pa", diag).withColumn(
+        "isl", F.col("pa") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + (_SPAN_GRAM - 1)).cast("long").alias("span_tokens")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").alias("max_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .where(F.col("max_span_tokens") >= _SPAN_MIN_TOKENS)
+    )

@@ -6,12 +6,14 @@ K1/K2/K3/K4 with a real correctness check rather than a rows-only pass.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_processor_spark import io as pio
+from parquet_processor_spark.numeric import dsum, dsum_sql
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -456,3 +458,74 @@ def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum(F.length("content")).alias("total_bytes"),
     )
+
+
+# Versioned-snapshot layout with a pointer-file commit — the
+# poor-man's table format (what Delta's _last_checkpoint / Iceberg's
+# version-hint encode): every writer publishes a NEW immutable
+# snap-<v>/ directory and flips one tiny pointer file last (atomic
+# os.replace), so readers always resolve a complete snapshot, a crash
+# mid-write strands only an unreferenced directory, and old versions
+# stay queryable (time travel). This is also the protocol the
+# streaming state swap's recovery path approximates
+# (streaming/jobs.py:_recover_state) — here it is the queryable
+# at-rest variant. Reference analog: the supersede-snapshot rewrite,
+# test_parquet_processor.py:362-364.
+_SNAP_CUT = "1996-01-01"
+
+
+@query(
+    "sink_versioned_snapshots",
+    oracle=f"""
+    select 1 as version, cast(count(*) as bigint) as n_rows,
+           {{dsum}}
+    from orders where o_orderdate < timestamp '{_SNAP_CUT} 00:00:00'
+    union all
+    select 2 as version, cast(count(*) as bigint) as n_rows,
+           {{dsum}}
+    from orders
+    order by version
+    """.format(dsum=dsum_sql("o_totalprice", "total_price")),
+    tags=("sink", "layout", "versioning"),
+)
+def sink_versioned_snapshots(spark: SparkSession, sf: str) -> DataFrame:
+    """Publish two successive snapshots of orders under snap-1/ and
+    snap-2/ with a _CURRENT pointer file flipped atomically after
+    each write, then read BOTH the current snapshot (via the pointer)
+    and version 1 (time travel) and report per-version row count +
+    exact total. The oracle recomputes both versions from the source
+    table, proving each published snapshot is complete and exact.
+
+    100 TB shape: the commit is O(1) regardless of table size — the
+    data write is the same partitioned parquet write as any sink, and
+    atomicity lives entirely in the one-block pointer replace (the
+    reader-side contract every table format reduces to). Readers of
+    version N are never blocked or torn by the writer of N+1; vacuum
+    = delete unreferenced snap-*/ directories older than a horizon.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_snapshots_")
+    orders = t(spark, sf, "orders")
+    v1 = orders.where(F.col("o_orderdate") < F.lit(f"{_SNAP_CUT} 00:00:00").cast("timestamp"))
+    pointer = os.path.join(out, "_CURRENT")
+
+    def publish(df: DataFrame, version: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out, f"snap-{version}"))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, pointer)  # the atomic commit: flip the pointer LAST
+
+    publish(v1, 1)
+    publish(orders, 2)
+    with open(pointer) as fh:
+        current = int(fh.read().strip())
+
+    def summarize(version: int) -> DataFrame:
+        snap = spark.read.parquet(os.path.join(out, f"snap-{version}"))
+        return snap.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        ).select("version", "n_rows", "total_price")
+
+    return summarize(1).unionByName(summarize(current)).orderBy("version")

@@ -54,6 +54,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
+    "dedup_verbatim_spans",
+    "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
     "multimodal_dedup_perceptual",

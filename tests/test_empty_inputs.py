@@ -81,10 +81,19 @@ REPRESENTATIVE = [
     "sink_partitioned_roundtrip",  # two-level partitionBy write of zero rows
     "multimodal_dedup_perceptual",  # dHash banding over an empty media set
     "sim_topk_ivfpq",          # empty probe list, empty codes, empty shortlist
+    "dedup_verbatim_spans",    # anchor posting lists over an empty corpus
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
 ]
+
+
+def test_versioned_snapshots_summary_rows_on_empty_input(spark, empty_sf):
+    # global-aggregate semantics: one summary row PER VERSION even when
+    # both published snapshots are empty
+    rows = all_queries()["sink_versioned_snapshots"](spark, empty_sf).collect()
+    assert [r["version"] for r in rows] == [1, 2]
+    assert all(r["n_rows"] == 0 for r in rows)
 
 
 def test_kmeans_summary_row_on_empty_input(spark, empty_sf):

@@ -50,6 +50,7 @@ def test_check_priority_window():
 
     must_check = {
         # round-7 additions
+        "dedup_verbatim_spans", "sink_versioned_snapshots",
         "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
         "multimodal_dedup_perceptual", "recall_dedup_perceptual",
         "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
