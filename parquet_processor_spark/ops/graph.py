@@ -112,7 +112,11 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     per-round inflow shuffle on fixed-width 8-byte keys (the previous
     'c<key>'/'s<key>' string encoding shipped variable-width keys
     through the hottest shuffle in the bench, roughly doubling key
-    bytes). Edges are the distinct trade pairs from orders ⋈
+    bytes). NOTE — output-schema break (round 6): ``node`` changed
+    from string to bigint; external consumers of the old format can
+    recover it as ``concat(if(node % 2 = 0, 'c', 's'), node div 2)``.
+    Driver rows before r6 hash the string schema and are not
+    comparable to r6+ rows. Edges are the distinct trade pairs from orders ⋈
     lineitem, undirected (both directions materialized), so every
     node has deg >= 1 and there are no dangling nodes. Each round:
     share = mass div deg flows along every edge, the floor-division

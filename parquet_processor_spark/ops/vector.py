@@ -57,6 +57,49 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Map-side IVF cell assignment: collapse the (cid, c_emb) centroid
+    table to ONE broadcast array row, then pick each vector's best cell
+    with a per-row struct argmax — pure codegen arithmetic beside the
+    scan, zero shuffle.
+
+    The naive shape (crossJoin + groupBy + max_by) funnels the FULL
+    float vectors through an Exchange just to pick a winner — at 100 TB
+    that is a corpus-wide shuffle of the widest column for what is
+    per-row arithmetic (FAISS assigns cells map-side for the same
+    reason). Ties are impossible (the -cid tiebreak field is distinct
+    per centroid) and struct max is order-independent, so the
+    collect_list order doesn't matter. The cosine expression is
+    evaluated per (row, centroid) exactly as in the aggregate form, so
+    results are bit-identical.
+
+    Returns e's columns plus ``cell`` (winning centroid id) and
+    ``best_cos`` (its cosine score).
+    """
+    cent_arr = cent.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("c_emb"))).alias("_cents")
+    )
+    scored = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c["c_emb"]).alias("s"),
+                (-c["cid"]).cast("double").alias("t"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", scored)
+        .select(
+            *e.columns,
+            F.col("_best.cid").alias("cell"),
+            F.col("_best.s").alias("best_cos"),
+        )
+    )
+
+
 # N3 baseline: brute-force cosine top-k against a fixed query vector
 # (the embedding of vec_id=0), query side broadcast.
 @query(
@@ -313,16 +356,7 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     cent = e.where(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.max_by(
-                "cid", F.struct(cell_cos.alias("s"), (-F.col("cid")).cast("double").alias("t"))
-            ).alias("cell")
-        )
-    )
+    assign = assign_cells(e, cent)
     q = assign.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
     )
@@ -395,15 +429,7 @@ def _ivf_topk_nprobe(spark: SparkSession, sf: str, nprobe: int) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.max_by(
-                "cid", F.struct(cell_cos.alias("s"), (-F.col("cid")).cast("double").alias("t"))
-            ).alias("cell")
-        )
-    )
+    assign = assign_cells(e, cent)
     probe = (
         e.where(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(cent))
@@ -538,18 +564,9 @@ def kmeans_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
 
     def assign(cent: DataFrame) -> DataFrame:
-        cc = cosine(F.col("embedding"), F.col("c_emb"))
-        return (
-            e.crossJoin(F.broadcast(cent))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    "cid", F.struct(cc.alias("s"), (-F.col("cid")).cast("double").alias("t"))
-                ).alias("cell"),
-                F.max(cc).alias("best_cos"),
-                F.first("embedding").alias("embedding"),
-            )
-        )
+        # map-side argmax over the broadcast centroid array: the corpus
+        # never shuffles for assignment (see assign_cells)
+        return assign_cells(e, cent)
 
     def inertia(assigned: DataFrame) -> DataFrame:
         return assigned.agg(F.sum(1 - F.col("best_cos")).alias("inertia"))
@@ -854,6 +871,67 @@ def _unit(e: DataFrame) -> DataFrame:
     )
 
 
+def _ivfpq_build(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
+    """Build the IVF-PQ index parts: cell assignment, PQ codes, the
+    trained codebook, plus the query-side frames (probe list, query
+    subvectors, query embedding)."""
+    e = _unit(t(spark, sf, "embeddings").select("vec_id", "embedding"))
+    cent = e.where(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    assign = assign_cells(e, cent).select("vec_id", "cell")
+    probe = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(F.col("cid").alias("q_cell"), cell_cos.alias("s"))
+        .orderBy(F.desc("s"), F.asc("q_cell"))
+        .limit(_IVF_NPROBE)
+        .select("q_cell")
+    )
+    subs = _pq_subvectors(e, _IVFPQ_M)
+    cb, _, enc = _pq_train(subs, _IVFPQ_K)
+    codes = enc.select("vec_id", F.col("m").alias("cm"), F.col("cell").alias("code"))
+    qsub = subs.where(F.col("vec_id") == 0).select("m", F.col("sub").alias("q_sub"))
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return {"e": e, "assign": assign, "probe": probe, "cb": cb,
+            "codes": codes, "qsub": qsub, "q_emb": q_emb}
+
+
+def _ivfpq_serve(ix: dict[str, DataFrame]) -> DataFrame:
+    """Serve one query from index parts: ADC shortlist over codes in
+    the probed cells, exact-cosine refine of the top-R."""
+    dtab = ix["qsub"].join(F.broadcast(ix["cb"]), "m").select(
+        F.col("m").alias("dm"),
+        F.col("cid").alias("dcid"),
+        _l2sq(F.col("q_sub"), F.col("c_sub")).alias("dq"),
+    )
+    cand = (
+        ix["assign"].where(F.col("vec_id") != 0)
+        .join(F.broadcast(ix["probe"]), F.col("cell") == F.col("q_cell"))
+        .select("vec_id", "cell")
+    )
+    shortlist = (
+        cand.join(ix["codes"], "vec_id")
+        .join(F.broadcast(dtab), (F.col("cm") == F.col("dm")) & (F.col("code") == F.col("dcid")))
+        .groupBy("vec_id")
+        .agg(F.sum("dq").alias("adc_dist"), F.first("cell").alias("cell"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_IVFPQ_R)
+    )
+    return (
+        shortlist.join(ix["e"], "vec_id")
+        .crossJoin(F.broadcast(ix["q_emb"]))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query("sim_topk_ivfpq", tags=("vector", "ivf", "pq"))
 def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ ANN: nprobe=2 cell probe -> PQ asymmetric-distance
@@ -873,59 +951,4 @@ def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     back to full embeddings. Nothing in the query path shuffles the
     corpus.
     """
-    e = _unit(t(spark, sf, "embeddings").select("vec_id", "embedding"))
-    cent = e.where(F.col("vec_id").between(1, 8)).select(
-        F.col("vec_id").alias("cid2"), F.col("embedding").alias("c_emb")
-    )
-    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.max_by(
-                "cid2", F.struct(cell_cos.alias("s"), (-F.col("cid2")).cast("double").alias("t"))
-            ).alias("cell")
-        )
-    )
-    probe = (
-        e.where(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(cent))
-        .select(F.col("cid2").alias("q_cell"), cell_cos.alias("s"))
-        .orderBy(F.desc("s"), F.asc("q_cell"))
-        .limit(_IVF_NPROBE)
-        .select("q_cell")
-    )
-    subs = _pq_subvectors(e, _IVFPQ_M)
-    cb, _, enc = _pq_train(subs, _IVFPQ_K)
-    codes = enc.select("vec_id", F.col("m").alias("cm"), F.col("cell").alias("code"))
-    qsub = subs.where(F.col("vec_id") == 0).select("m", F.col("sub").alias("q_sub"))
-    dtab = qsub.join(F.broadcast(cb), "m").select(
-        F.col("m").alias("dm"),
-        F.col("cid").alias("dcid"),
-        _l2sq(F.col("q_sub"), F.col("c_sub")).alias("dq"),
-    )
-    cand = (
-        assign.where(F.col("vec_id") != 0)
-        .join(F.broadcast(probe), F.col("cell") == F.col("q_cell"))
-        .select("vec_id", "cell")
-    )
-    shortlist = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(dtab), (F.col("cm") == F.col("dm")) & (F.col("code") == F.col("dcid")))
-        .groupBy("vec_id")
-        .agg(F.sum("dq").alias("adc_dist"), F.first("cell").alias("cell"))
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(_IVFPQ_R)
-    )
-    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    return (
-        shortlist.join(e, "vec_id")
-        .crossJoin(F.broadcast(q_emb))
-        .select(
-            "vec_id",
-            F.col("cell").cast("long").alias("cell"),
-            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return _ivfpq_serve(_ivfpq_build(spark, sf))

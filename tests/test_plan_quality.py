@@ -753,3 +753,57 @@ def test_scd2_merge_never_sorts_globally(spark):
     # SinglePartition exchange ever feeds a Sort/Window.
     plan = plan_of(spark, "scd2_apply_changes")
     assert not _single_partition_sorts(plan), plan
+
+
+# --- round-7 wave pins ----------------------------------------------------
+
+
+def _exchange_blocks(plan: str) -> list[str]:
+    """Detail blocks of shuffle Exchanges (BroadcastExchange excluded —
+    broadcasting a small frame is the design, not a shuffle)."""
+    return re.findall(r"\(\d+\) Exchange\b[^\n]*\n(?:[^\n]+\n)*", plan)
+
+
+def test_bpe_apply_merges_broadcast_no_corpus_hash_shuffle(spark):
+    # N95 claim: the encode is chained broadcast 1-row joins beside the
+    # ONE documents scan — the corpus never hash-shuffles (the only
+    # Exchange is the final orderBy's rangepartitioning).
+    plan = plan_of(spark, "tokenizer_bpe_apply")
+    assert "hashpartitioning" not in plan, f"corpus hash-shuffled:\n{plan}"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_perceptual_dedup_payload_never_shuffles(spark):
+    # N96 claim: only (media_id, band, key) longs shuffle — the payload
+    # bytes never leave the scan stage, and no blocking step degenerates
+    # to a cartesian pair-join.
+    plan = plan_of(spark, "multimodal_dedup_perceptual")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    for b in _exchange_blocks(plan):
+        assert not re.search(r"\bcontent\b", b), f"payload crosses a shuffle:\n{b}"
+
+
+def test_verbatim_spans_windows_keyed_no_cartesian(spark):
+    # N98 claim: anchors pair only through the df-capped posting join
+    # (hash equi, never cartesian) and the islands window is keyed by
+    # (pair, diagonal) — no corpus-wide single-partition sort.
+    plan = plan_of(spark, "dedup_verbatim_spans")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert not _single_partition_sorts(plan), plan
+    for b in _exchange_blocks(plan):
+        assert not re.search(r"\btext\b|\bws\b", b), f"raw text crosses a shuffle:\n{b}"
+
+
+@pytest.mark.parametrize("name", ["sim_topk_ivf", "sim_topk_ivfpq", "kmeans_ivf_train"])
+def test_ivf_cell_assignment_is_map_side(spark, name):
+    # assign_cells claim (r7): cell assignment is a per-row argmax over
+    # the broadcast centroid array — the embedding floats never cross a
+    # shuffle Exchange anywhere in the IVF/k-means family. (The old
+    # crossJoin+groupBy(vec_id, embedding)+max_by shape funneled the
+    # full corpus floats through hashpartitioning just to pick a
+    # winner — a corpus-wide shuffle of the widest column at 100 TB.)
+    plan = plan_of(spark, name)
+    for b in _exchange_blocks(plan):
+        assert not re.search(r"\bembedding\b|\bc_emb\b", b), (
+            f"{name}: embedding floats cross a shuffle:\n{b}"
+        )
