@@ -149,6 +149,7 @@ EXTENDED = [
     "multimodal_dedup_perceptual",
     "sim_topk_ivfpq",
     "dedup_verbatim_spans",
+    "dedup_span_removal",
     "sink_versioned_snapshots",
     "pipeline_curate_corpus",
     "text_html_strip",

@@ -1349,10 +1349,11 @@ _SPAN_MIN_TOKENS = 12   # report runs strictly longer than the anchor
 _SPAN_DF_CAP = 1000     # posting-list cap, same policy as ngram_jaccard
 
 
-@query(
-    "dedup_verbatim_spans",
-    oracle=f"""
-    with toks as (
+# Shared CTE chain for the span family: tokenize -> anchor grams ->
+# df-capped posting lists -> pair matches -> diagonal islands -> runs
+# (with each run's start position on BOTH sides).
+_SPAN_CTES = f"""
+    toks as (
       select doc_id, regexp_split_to_array(coalesce(text, ''), ' ') as ws
       from documents
     ),
@@ -1379,10 +1380,18 @@ _SPAN_DF_CAP = 1000     # posting-list cap, same policy as ngram_jaccard
       from matches
     ),
     runs as (
-      select doc_a, doc_b,
-             cast(count(*) + {_SPAN_GRAM - 1} as bigint) as span_tokens
+      select doc_a, doc_b, diag,
+             cast(count(*) + {_SPAN_GRAM - 1} as bigint) as span_tokens,
+             min(pa) as start_a
       from islands group by doc_a, doc_b, diag, isl
     )
+"""
+
+
+@query(
+    "dedup_verbatim_spans",
+    oracle=f"""
+    with {_SPAN_CTES}
     select doc_a, doc_b, max(span_tokens) as max_span_tokens,
            cast(count(*) as bigint) as n_spans
     from runs group by doc_a, doc_b
@@ -1412,6 +1421,22 @@ def dedup_verbatim_spans(spark: SparkSession, sf: str) -> DataFrame:
     every shared window >= {gram} tokens, and run-growing recovers the
     full span without materializing suffixes.
     """
+    _, runs = _span_runs(spark, sf)
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").alias("max_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .where(F.col("max_span_tokens") >= _SPAN_MIN_TOKENS)
+    )
+
+
+def _span_runs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(toks, runs): tokenized documents and the maximal verbatim runs
+    per pair-diagonal — runs carry span_tokens and start_a (the run's
+    first token position in doc_a; doc_b's start is start_a - diag).
+    See dedup_verbatim_spans for the shape argument."""
     toks = t(spark, sf, "documents").select(
         "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ws")
     )
@@ -1453,13 +1478,82 @@ def dedup_verbatim_spans(spark: SparkSession, sf: str) -> DataFrame:
         "isl", F.col("pa") - F.row_number().over(w)
     )
     runs = islands.groupBy("doc_a", "doc_b", "diag", "isl").agg(
-        (F.count(F.lit(1)) + (_SPAN_GRAM - 1)).cast("long").alias("span_tokens")
+        (F.count(F.lit(1)) + (_SPAN_GRAM - 1)).cast("long").alias("span_tokens"),
+        F.min("pa").alias("start_a"),
     )
-    return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("span_tokens").alias("max_span_tokens"),
-            F.count(F.lit(1)).alias("n_spans"),
+    return toks, runs
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    with {_SPAN_CTES},
+    cov as (
+      select distinct doc_b as doc_id, pos
+      from runs,
+           unnest(generate_series(start_a - diag,
+                                  start_a - diag + span_tokens - 1)) as c(pos)
+      where span_tokens >= {_SPAN_MIN_TOKENS}
+    ),
+    positions as (
+      select doc_id, i as pos, ws[i] as tok
+      from toks, unnest(generate_series(1, len(ws))) as t(i)
+    ),
+    kept as (
+      select p.doc_id, p.pos, p.tok
+      from positions p left join cov c on c.doc_id = p.doc_id and c.pos = p.pos
+      where c.pos is null
+    )
+    select t.doc_id,
+           cast(len(t.ws) as bigint) as n_tokens,
+           cast(len(t.ws) - count(k.pos) as bigint) as n_removed,
+           md5(coalesce(string_agg(k.tok, ' ' order by k.pos), '')) as fingerprint
+    from toks t left join kept k on k.doc_id = t.doc_id
+    group by t.doc_id, len(t.ws)
+    """,
+    tags=("dedup", "text", "spans", "curation"),
+)
+def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022):
+    strip every verbatim run of >= {min} tokens from the HIGHER-id
+    document of each pair (the lower id stays canonical, exactly the
+    keep-lowest policy of the exact/MinHash family), and fingerprint
+    the cleaned text. Detection is dedup_verbatim_spans' run table;
+    removal is interval masking: collect each doc's covered intervals,
+    then keep tokens whose position falls in none of them.
+
+    100 TB shape: the run table is pair-sized (tiny next to the
+    corpus) and collapses to per-doc interval LISTS before touching
+    documents again, so the rewrite is ONE doc-keyed join plus a
+    per-row filter over the token array — the corpus text crosses no
+    extra shuffle and the mask is codegen lambda arithmetic. The
+    per-token exists() scan over a doc's intervals is O(tokens x
+    intervals) with intervals per doc small by construction (spans
+    are >= {min} tokens, so a doc holds at most len/{min} disjoint
+    covered regions).
+    """
+    toks, runs = _span_runs(spark, sf)
+    start_b = F.col("start_a") - F.col("diag")
+    intervals = (
+        runs.where(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.struct(
+                start_b.cast("long").alias("s"),
+                (start_b + F.col("span_tokens") - 1).cast("long").alias("e"),
+            ).alias("iv"),
         )
-        .where(F.col("max_span_tokens") >= _SPAN_MIN_TOKENS)
+        .groupBy("doc_id")
+        .agg(F.collect_list("iv").alias("ivs"))
+    )
+    ivs = F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    covered = lambda i: F.exists(  # noqa: E731 — position i is 1-based
+        ivs, lambda r: (i >= r["s"]) & (i <= r["e"])
+    )
+    kept = F.filter(F.col("ws"), lambda x, i: ~covered(i + 1))
+    return toks.join(intervals, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("fingerprint"),
     )

@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
     "dedup_verbatim_spans",
+    "dedup_span_removal",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",

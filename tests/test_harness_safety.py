@@ -50,7 +50,8 @@ def test_check_priority_window():
 
     must_check = {
         # round-7 additions
-        "dedup_verbatim_spans", "sink_versioned_snapshots",
+        "dedup_verbatim_spans", "dedup_span_removal",
+        "sink_versioned_snapshots",
         "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
         "multimodal_dedup_perceptual", "recall_dedup_perceptual",
         "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
