@@ -151,6 +151,7 @@ EXTENDED = [
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_versioned_snapshots",
+    "sink_ann_index_roundtrip",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -952,3 +952,50 @@ def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     corpus.
     """
     return _ivfpq_serve(_ivfpq_build(spark, sf))
+
+
+@query(
+    "sink_ann_index_roundtrip",
+    oracle="select cast(10 as bigint) as n_results, true as parity_ok",
+    tags=("vector", "ivf", "pq", "sink", "evidence"),
+)
+def sink_ann_index_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Persist the IVF-PQ index AT REST (cell assignments, PQ codes,
+    trained codebook — the parts a FAISS index file holds) to parquet,
+    reload them, serve the query from the reloaded index, and gate on
+    BIT-EXACT parity with serving from the in-memory build: all 10
+    result rows must match on (vec_id, cell, cos_sim) including the
+    float score. Parity is exact by construction — the codebook is
+    localCheckpointed (one materialization feeds both serves), parquet
+    roundtrips doubles/floats losslessly, and everything downstream of
+    the codebook is per-row deterministic arithmetic.
+
+    100 TB shape: this is the production ANN serving story — train
+    once, persist codes (10 bytes/vector) + M*K codebook, serve
+    queries against the at-rest index without retraining or touching
+    corpus floats beyond the R-row refine. The index write is an
+    ordinary parquet sink; a serving fleet reads it like any table.
+    """
+    import tempfile
+
+    ix = _ivfpq_build(spark, sf)
+    out = tempfile.mkdtemp(prefix="ppspark_annindex_")
+    for part in ("assign", "codes", "cb"):
+        ix[part].write.mode("overwrite").parquet(f"{out}/{part}")
+    fresh = _ivfpq_serve(ix)
+    at_rest = dict(ix)
+    for part in ("assign", "codes", "cb"):
+        at_rest[part] = spark.read.parquet(f"{out}/{part}")
+    served = _ivfpq_serve(at_rest)
+    j = fresh.alias("f").join(
+        served.alias("s"),
+        (F.col("f.vec_id") == F.col("s.vec_id"))
+        & (F.col("f.cell") == F.col("s.cell"))
+        & (F.col("f.cos_sim") == F.col("s.cos_sim")),
+        "left",
+    )
+    hits = F.coalesce(  # sum over zero rows is null -> vacuously-true parity
+        F.sum(F.when(F.col("s.vec_id").isNotNull(), 1).otherwise(0)), F.lit(0)
+    )
+    n = F.count(F.lit(1))
+    return j.agg(n.alias("n_results"), (hits == n).alias("parity_ok"))

@@ -56,6 +56,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
     "dedup_verbatim_spans",
     "dedup_span_removal",
+    "sink_ann_index_roundtrip",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",

@@ -89,6 +89,13 @@ REPRESENTATIVE = [
 ]
 
 
+def test_ann_index_roundtrip_vacuous_parity_on_empty_input(spark, empty_sf):
+    # global-aggregate semantics: zero served rows -> parity vacuously true
+    rows = all_queries()["sink_ann_index_roundtrip"](spark, empty_sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_results"] == 0 and rows[0]["parity_ok"] is True
+
+
 def test_versioned_snapshots_summary_rows_on_empty_input(spark, empty_sf):
     # global-aggregate semantics: one summary row PER VERSION even when
     # both published snapshots are empty
