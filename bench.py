@@ -152,6 +152,7 @@ EXTENDED = [
     "dedup_span_removal",
     "sink_versioned_snapshots",
     "sink_ann_index_roundtrip",
+    "graph_label_propagation",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -384,3 +384,109 @@ def graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("local_coeff").desc(), "node")
         .limit(_LCC_TOP_K)
     )
+
+
+# Label propagation (synchronous LPA, Raghavan et al. 2007) — the
+# cheap community detector: every node adopts its neighbors' most
+# frequent label each round. Runs over the co-purchase part graph
+# (same edge set as graph_triangles; the trade graph is bipartite,
+# where synchronous LPA degenerates to side-swapping oscillation).
+# Ties break to the SMALLEST label, making every round — and thus the
+# oracle — fully deterministic.
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    c{r} as (
+      select e.src, l.label, cast(count(*) as bigint) as cnt
+      from edges e join {prev} l on e.dst = l.node
+      group by e.src, l.label
+    ),
+    l{r} as (
+      select src as node, label from (
+        select src, label,
+               row_number() over (partition by src
+                                  order by cnt desc, label asc) as rn
+        from c{r}
+      ) x where rn = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    edges as (
+      select cast(u as bigint) as src, cast(v as bigint) as dst from e
+      union all
+      select cast(v as bigint) as src, cast(u as bigint) as dst from e
+    ),
+    l0 as (select distinct src as node, src as label from edges),
+    {",".join(rounds)}
+    select node, label from {prev}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative", "community"))
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """{rounds}-round synchronous label propagation over the
+    co-purchase part graph: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors (ties to
+    the smallest label — deterministic, so the unrolled-CTE oracle
+    hash-matches). The resulting label is the node's community — the
+    grouping signal behind "products bought together" collections.
+
+    100 TB shape: the edge list is built once (the basket pair
+    expansion, shared with graph_triangles), hash-partitioned on dst,
+    and localCheckpointed, so each round's neighbor-label join reuses
+    the at-rest partitioning and only the node-sized label table
+    moves; the per-round vote is two map-side-combined aggregates over
+    (src, label) longs — integer counts, no float accumulation, every
+    round bit-exact on both engines (the pagerank policy). Rounds are
+    a fixed shallow unroll ({rounds}); an open-ended variant would
+    localCheckpoint labels per round like connected components.
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    e = agg_copurchase_pairs(spark, sf).select(
+        F.col("p1").cast("long").alias("u"), F.col("p2").cast("long").alias("v")
+    )
+    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    # eager-by-design: every round joins edges on dst — pay the basket
+    # expansion once and pin the dst partitioning for all rounds
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels

@@ -57,6 +57,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",
+    "graph_label_propagation",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
