@@ -153,6 +153,7 @@ EXTENDED = [
     "sink_versioned_snapshots",
     "sink_ann_index_roundtrip",
     "graph_label_propagation",
+    "table_expectations",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -1336,3 +1336,134 @@ def agg_benford(spark: SparkSession, sf: str) -> DataFrame:
         digits.crossJoin(F.broadcast(total))
         .select("digit", "n", (F.col("n").cast("double") / F.col("tot")).alias("share"))
     )
+
+
+# Constraint-suite data-quality gate — the Great-Expectations / dbt-test
+# analog a pipeline runs on every new drop before trusting it
+# downstream (the engine-level generalization of the reference's
+# schema-contract check, evaluate_test_run.py:24-32): primary-key
+# uniqueness, foreign-key integrity, domain/range rules, and one
+# cross-table temporal rule. Tall output, one row per constraint, so
+# new rules append without schema changes. The fixture intentionally
+# fails ship_after_order (the synthetic dates are independent), so the
+# suite demonstrates both passing and failing verdicts.
+@query(
+    "table_expectations",
+    oracle="""
+    with o as (
+      select count(*) as n,
+             count(*) - count(distinct o_orderkey) as pk_dup,
+             coalesce(sum(case when o_totalprice <= 0 then 1 else 0 end), 0) as neg_price,
+             count(*) - count(o_orderdate) as null_date
+      from orders
+    ),
+    ofk as (
+      select count(*) as n,
+             coalesce(sum(case when c.c_custkey is null then 1 else 0 end), 0) as viol
+      from orders o left join (select distinct c_custkey from customer) c
+        on o.o_custkey = c.c_custkey
+    ),
+    l as (
+      select count(*) as n,
+             coalesce(sum(case when l_quantity < 1 or l_quantity > 50 then 1 else 0 end), 0) as range_viol
+      from lineitem
+    ),
+    lo as (
+      select count(*) as n,
+             coalesce(sum(case when o.o_orderkey is null then 1 else 0 end), 0) as fk_viol,
+             coalesce(sum(case when l.l_shipdate < o.o_orderdate then 1 else 0 end), 0) as date_viol
+      from lineitem l left join (select o_orderkey, o_orderdate from orders) o
+        on l.l_orderkey = o.o_orderkey
+    )
+    select constraint_name, n_checked, n_violations,
+           n_violations = 0 as ok
+    from (
+      select 'orders_pk_unique' as constraint_name,
+             cast(n as bigint) as n_checked, cast(pk_dup as bigint) as n_violations from o
+      union all
+      select 'orders_totalprice_positive', cast(n as bigint), cast(neg_price as bigint) from o
+      union all
+      select 'orders_orderdate_not_null', cast(n as bigint), cast(null_date as bigint) from o
+      union all
+      select 'orders_custkey_fk', cast(n as bigint), cast(viol as bigint) from ofk
+      union all
+      select 'lineitem_quantity_range', cast(n as bigint), cast(range_viol as bigint) from l
+      union all
+      select 'lineitem_orderkey_fk', cast(n as bigint), cast(fk_viol as bigint) from lo
+      union all
+      select 'lineitem_ship_after_order', cast(n as bigint), cast(date_viol as bigint) from lo
+    )
+    """,
+    tags=("agg", "quality", "constraints", "diagnostic"),
+)
+def table_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality constraint suite: PK uniqueness, FK integrity,
+    null/range/domain rules, and the cross-table ship-after-order
+    temporal rule, each reported as (constraint, n_checked,
+    n_violations, ok). The run that gates a new data drop.
+
+    100 TB shape: three orders rules share ONE single-pass aggregate;
+    the two lineitem⋈orders rules (FK + temporal) share ONE join pass
+    keyed on the natural join key, so the suite costs two table scans
+    + one dim lookup + one fact join — not one pass per rule. Counts
+    are integers end to end (hash-exact); adding a rule appends a row,
+    never a column.
+    """
+    orders = t(spark, sf, "orders")
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.coalesce(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)).alias("neg_price"),
+        F.coalesce(F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)), F.lit(0)).alias("null_date"),
+    )
+    cust = t(spark, sf, "customer").select("c_custkey").distinct()
+    ofk = (
+        orders.select("o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)), F.lit(0)).alias("viol"),
+        )
+    )
+    li = t(spark, sf, "lineitem")
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("range_viol"),
+    )
+    lo = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)), F.lit(0)).alias("fk_viol"),
+            F.coalesce(
+                F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("date_viol"),
+        )
+    )
+
+    def row(src: DataFrame, name: str, n_col: str, v_col: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(n_col).cast("long").alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+        )
+
+    out = (
+        row(o, "orders_pk_unique", "n", "pk_dup")
+        .unionByName(row(o, "orders_totalprice_positive", "n", "neg_price"))
+        .unionByName(row(o, "orders_orderdate_not_null", "n", "null_date"))
+        .unionByName(row(ofk, "orders_custkey_fk", "n", "viol"))
+        .unionByName(row(l_agg, "lineitem_quantity_range", "n", "range_viol"))
+        .unionByName(row(lo, "lineitem_orderkey_fk", "n", "fk_viol"))
+        .unionByName(row(lo, "lineitem_ship_after_order", "n", "date_viol"))
+    )
+    return out.withColumn("ok", F.col("n_violations") == 0)

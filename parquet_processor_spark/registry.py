@@ -58,6 +58,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_span_removal",
     "sink_ann_index_roundtrip",
     "graph_label_propagation",
+    "table_expectations",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",

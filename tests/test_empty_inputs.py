@@ -90,6 +90,13 @@ REPRESENTATIVE = [
 ]
 
 
+def test_expectations_all_pass_on_empty_input(spark, empty_sf):
+    # global-aggregate semantics: 7 constraint rows, all vacuously ok
+    rows = all_queries()["table_expectations"](spark, empty_sf).collect()
+    assert len(rows) == 7
+    assert all(r["n_checked"] == 0 and r["n_violations"] == 0 and r["ok"] for r in rows)
+
+
 def test_ann_index_roundtrip_vacuous_parity_on_empty_input(spark, empty_sf):
     # global-aggregate semantics: zero served rows -> parity vacuously true
     rows = all_queries()["sink_ann_index_roundtrip"](spark, empty_sf).collect()
