@@ -88,3 +88,29 @@ def test_boilerplate_has_signal_and_valid_fractions(spark, sf_dir):
     ).collect()[0]
     assert row["total"] > 0, "no boilerplate shingles at current _BOILER_DF — threshold vacuous for this fixture"
     assert 0.0 <= row["lo"] and row["hi"] <= 1.0 and row["bad"] == 0
+
+
+def test_label_propagation_forms_real_communities(spark, sf_dir):
+    # Labels must come from the node-id space, and the fixture's
+    # co-purchase graph must actually coalesce: at least one community
+    # with >1 member, and fewer communities than nodes.
+    from parquet_processor_spark.ops.graph import graph_label_propagation
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    nodes = {r["node"] for r in rows}
+    labels = [r["label"] for r in rows]
+    assert set(labels) <= nodes
+    assert len(set(labels)) < len(nodes)
+
+
+def test_expectations_fixture_fails_only_the_temporal_rule(spark, sf_dir):
+    # The synthetic fixture satisfies the structural constraints but
+    # draws ship/order dates independently — exactly one failing rule,
+    # with a real violation count.
+    from parquet_processor_spark.ops.aggregates import table_expectations
+
+    rows = {r["constraint_name"]: r for r in table_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    failing = {k for k, r in rows.items() if not r["ok"]}
+    assert failing == {"lineitem_ship_after_order"}
+    assert rows["lineitem_ship_after_order"]["n_violations"] > 0

@@ -368,3 +368,45 @@ def test_pq_train_covers_all_codes_and_improves(spark, sf_dir):
     assert row["m"] == _PQ_M and row["k"] == _PQ_K
     assert row["n_codes"] == _PQ_M * row["n_vectors"]
     assert row["sse_improved"]
+
+
+def test_span_removal_targets_exactly_the_span_destinations(spark, sf_dir):
+    # Cross-check detection vs apply: the docs that lose tokens are
+    # EXACTLY the doc_b sides of qualifying runs (span >= threshold) —
+    # removal never touches a canonical (doc_a-only) or unpaired doc.
+    from parquet_processor_spark.ops import dedup
+
+    _, runs = dedup._span_runs(spark, sf_dir)
+    expect = {
+        r["doc_b"]
+        for r in runs.where(F.col("span_tokens") >= dedup._SPAN_MIN_TOKENS)
+        .select("doc_b")
+        .distinct()
+        .collect()
+    }
+    removed = {
+        r["doc_id"]
+        for r in dedup.dedup_span_removal(spark, sf_dir)
+        .where(F.col("n_removed") > 0)
+        .collect()
+    }
+    assert removed == expect
+    assert removed, "fixture should contain qualifying verbatim spans"
+
+
+def test_span_removal_never_exceeds_doc_length(spark, sf_dir):
+    from parquet_processor_spark.ops import dedup
+
+    bad = (
+        dedup.dedup_span_removal(spark, sf_dir)
+        .where((F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_tokens")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ann_index_at_rest_parity(spark, sf_dir):
+    from parquet_processor_spark.ops import vector
+
+    row = vector.sink_ann_index_roundtrip(spark, sf_dir).collect()[0]
+    assert row["n_results"] == 10 and row["parity_ok"] is True
