@@ -1405,9 +1405,13 @@ def table_expectations(spark: SparkSession, sf: str) -> DataFrame:
     100 TB shape: three orders rules share ONE single-pass aggregate;
     the two lineitem⋈orders rules (FK + temporal) share ONE join pass
     keyed on the natural join key, so the suite costs two table scans
-    + one dim lookup + one fact join — not one pass per rule. Counts
-    are integers end to end (hash-exact); adding a rule appends a row,
-    never a column.
+    + one dim lookup + one fact join — not one pass per rule. Each
+    1-row summary localCheckpoints eagerly (the 1-row-winner policy):
+    WITHOUT it, every union branch below re-evaluates its source
+    aggregate — Catalyst does no cross-branch subtree sharing, so the
+    plan held 20 scans (7 of them full table passes) for 7 rows.
+    Counts are integers end to end (hash-exact); adding a rule appends
+    a row, never a column.
     """
     orders = t(spark, sf, "orders")
     o = orders.agg(
@@ -1449,6 +1453,13 @@ def table_expectations(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("date_viol"),
         )
     )
+
+    # eager-by-design: four 1-row summaries, materialized once each so
+    # the 7 union branches read them instead of re-running the scans
+    o = o.localCheckpoint(eager=True)
+    ofk = ofk.localCheckpoint(eager=True)
+    l_agg = l_agg.localCheckpoint(eager=True)
+    lo = lo.localCheckpoint(eager=True)
 
     def row(src: DataFrame, name: str, n_col: str, v_col: str) -> DataFrame:
         return src.select(

@@ -1525,12 +1525,17 @@ def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     100 TB shape: the run table is pair-sized (tiny next to the
     corpus) and collapses to per-doc interval LISTS before touching
     documents again, so the rewrite is ONE doc-keyed join plus a
-    per-row filter over the token array — the corpus text crosses no
-    extra shuffle and the mask is codegen lambda arithmetic. The
-    per-token exists() scan over a doc's intervals is O(tokens x
-    intervals) with intervals per doc small by construction (spans
-    are >= {min} tokens, so a doc holds at most len/{min} disjoint
-    covered regions).
+    codegen lambda mask over the token array. That join is the one
+    place the corpus text moves: the interval side is doc-bounded (too
+    big to broadcast safely at corpus scale), so the plan is a doc-
+    keyed shuffle join — with the corpus at rest bucketed by doc_id
+    (the layout the incremental-dedup family already assumes) it
+    becomes co-located and the text never crosses the wire; unbucketed
+    it costs one corpus shuffle, the same order as the rewrite's own
+    output write. The per-token exists() scan over a doc's intervals
+    is O(tokens x intervals) with intervals per doc small by
+    construction (spans are >= {min} tokens, so a doc holds at most
+    len/{min} disjoint covered regions).
     """
     toks, runs = _span_runs(spark, sf)
     start_b = F.col("start_a") - F.col("diag")

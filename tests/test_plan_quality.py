@@ -807,3 +807,11 @@ def test_ivf_cell_assignment_is_map_side(spark, name):
         assert not re.search(r"\bembedding\b|\bc_emb\b", b), (
             f"{name}: embedding floats cross a shuffle:\n{b}"
         )
+
+
+def test_expectations_branches_read_checkpointed_summaries(spark):
+    # N103 claim: the 7 constraint rows read four eagerly-materialized
+    # 1-row summaries — without the checkpoints every union branch
+    # re-evaluated its source aggregate (20 scans for 7 rows).
+    plan = plan_of(spark, "table_expectations")
+    assert "Scan parquet" not in plan, f"union branches re-scan the tables:\n{plan}"
