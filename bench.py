@@ -154,6 +154,7 @@ EXTENDED = [
     "sink_ann_index_roundtrip",
     "graph_label_propagation",
     "table_expectations",
+    "streaming_expectations",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

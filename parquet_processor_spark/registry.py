@@ -59,6 +59,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_ann_index_roundtrip",
     "graph_label_propagation",
     "table_expectations",
+    "streaming_expectations",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",

@@ -282,3 +282,89 @@ def streaming_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_type") == "error").alias("is_deleted"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("live_value"),
     )
+
+
+@query(
+    "streaming_expectations",
+    oracle="""
+    with s as (
+      select count(*) as n,
+             coalesce(sum(case when value < 0 then 1 else 0 end), 0) as neg,
+             coalesce(sum(case when event_type not in
+               ('click','error','purchase','signup','view') then 1 else 0 end), 0) as dom,
+             count(*) - count(ts) as nullts,
+             coalesce(sum(case when event_type = 'error' then 1 else 0 end), 0) as errs
+      from events
+    )
+    select constraint_name, n_checked, n_violations, ok from (
+      select 'value_non_negative' as constraint_name,
+             cast(n as bigint) as n_checked,
+             cast(neg as bigint) as n_violations, neg = 0 as ok from s
+      union all
+      select 'event_type_in_domain', cast(n as bigint), cast(dom as bigint), dom = 0 from s
+      union all
+      select 'ts_not_null', cast(n as bigint), cast(nullts as bigint), nullts = 0 from s
+      union all
+      select 'error_rate_le_5pct', cast(n as bigint), cast(errs as bigint),
+             errs * 20 <= n from s
+    )
+    """,
+    tags=("streaming", "quality", "constraints"),
+)
+def streaming_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of the table_expectations gate: the event stream
+    is monitored per micro-batch (value sign, event-type domain,
+    ts nullability, and an error-RATE budget of 5%), with violation
+    counters aggregated across all batches in complete mode. Counter
+    sums are associative/commutative, so totals are independent of how
+    micro-batches split the input and the batch-mode SQL twin is a
+    valid oracle. The fixture's error share (~1/5 of events) blows the
+    5% budget, so the monitor demonstrates a firing alert alongside
+    passing rules — the shape of a production data-quality stream
+    (alert when ok flips false; counters ride the checkpoint for
+    exactly-once accounting).
+
+    100 TB shape: the per-batch work is a map-side partial aggregate
+    of four integer counters — no state store beyond the single global
+    row, no shuffle of event payloads.
+    """
+    from pyspark.sql import functions as F
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    domain = ("click", "error", "purchase", "signup", "view")
+    counters = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.when(F.col("value") < 0, 1).otherwise(0)), F.lit(0)).alias("neg"),
+        F.coalesce(
+            F.sum(F.when(~F.col("event_type").isin(*domain), 1).otherwise(0)), F.lit(0)
+        ).alias("dom"),
+        F.coalesce(F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)), F.lit(0)).alias("nullts"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)), F.lit(0)
+        ).alias("errs"),
+    )
+    mem = _run_stream(counters, "complete")
+    # collapse the memory table to exactly one row (robust to an empty
+    # source emitting no batch) — sums over <=1 row are the values
+    s = mem.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("neg"),
+        F.coalesce(F.sum("dom"), F.lit(0)).cast("long").alias("dom"),
+        F.coalesce(F.sum("nullts"), F.lit(0)).cast("long").alias("nullts"),
+        F.coalesce(F.sum("errs"), F.lit(0)).cast("long").alias("errs"),
+    ).localCheckpoint(eager=True)  # eager-by-design: 1-row summary feeds 4 union branches
+
+    def row(name: str, v_col: str, ok: F.Column) -> DataFrame:
+        return s.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n").alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+            ok.alias("ok"),
+        )
+
+    return (
+        row("value_non_negative", "neg", F.col("neg") == 0)
+        .unionByName(row("event_type_in_domain", "dom", F.col("dom") == 0))
+        .unionByName(row("ts_not_null", "nullts", F.col("nullts") == 0))
+        .unionByName(row("error_rate_le_5pct", "errs", F.col("errs") * 20 <= F.col("n")))
+    )
