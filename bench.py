@@ -155,6 +155,7 @@ EXTENDED = [
     "graph_label_propagation",
     "table_expectations",
     "streaming_expectations",
+    "sink_training_shards",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

@@ -529,3 +529,84 @@ def sink_versioned_snapshots(spark: SparkSession, sf: str) -> DataFrame:
         ).select("version", "n_rows", "total_price")
 
     return summarize(1).unionByName(summarize(current)).orderBy("version")
+
+
+# Training-shard writer — the LAST mile of a training-data pipeline:
+# deterministically scatter the curated corpus into N shards (the
+# WebDataset / tfrecord-shard layout trainers stream), with a
+# reproducible pseudo-shuffle inside each shard. Hash-based, so shard
+# membership and order are stable across retries, cluster sizes, and
+# re-runs — no rand() anywhere (the sample_hash policy).
+_SHARD_HEX = "0123456789abcdef"
+
+
+@query(
+    "sink_training_shards",
+    oracle=f"""
+    with h as (
+      select doc_id, md5(cast(doc_id as varchar)) as hh from documents
+    ),
+    s as (
+      select doc_id, hh,
+             strpos('{_SHARD_HEX}', substr(hh, 1, 1)) - 1 as shard
+      from h
+    )
+    select cast(shard as int) as shard,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(doc_id) as bigint) as sum_doc_ids,
+           min(hh) as min_hash, max(hh) as max_hash,
+           arg_min(doc_id, hh) as first_doc
+    from s group by shard
+    """,
+    tags=("sink", "sampling", "shards"),
+)
+def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Scatter documents into 16 hash-assigned shards, write them
+    partitioned by shard with a deterministic within-shard shuffle
+    order (sort by the doc hash), read the layout back, and emit a
+    per-shard manifest (count, id sum, hash range, and the first doc
+    in shuffle order). The oracle recomputes the manifest straight
+    from the source table, proving the sharded layout lost and
+    duplicated nothing and that shard membership is the pure function
+    of doc_id it claims to be.
+
+    100 TB shape: shard assignment is a codegen hash beside the scan
+    (no shuffle to ASSIGN); the write's repartition on shard is the
+    one corpus move — the same move the trainer's reader needs
+    physically materialized; within-shard order comes from
+    sortWithinPartitions (no global sort). first_doc is recomputed
+    from content (min_by over the hash), not file order, so the check
+    is independent of parquet read order. Real deployments raise the
+    shard count by taking more hex chars (16^k shards).
+    """
+    import tempfile
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hh"),
+        F.coalesce(F.col("text"), F.lit("")).alias("payload"),
+    ).withColumn(
+        # shard = index of the first hash nibble (16 shards, identical
+        # arithmetic in both engines)
+        "shard",
+        (F.expr(f"instr('{_SHARD_HEX}', substring(hh, 1, 1))") - 1).cast("int"),
+    )
+    out = tempfile.mkdtemp(prefix="ppspark_shards_")
+    (
+        docs.repartition("shard")
+        .sortWithinPartitions("hh")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    # explicit schema: a zero-doc corpus writes no partition dirs, and
+    # schema inference over an empty layout fails — the reader contract
+    # should come from the writer, not the files
+    back = spark.read.schema(docs.schema).parquet(out)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        F.min("hh").alias("min_hash"),
+        F.max("hh").alias("max_hash"),
+        F.min_by("doc_id", "hh").alias("first_doc"),
+    )

@@ -60,6 +60,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "table_expectations",
     "streaming_expectations",
+    "sink_training_shards",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
