@@ -156,6 +156,7 @@ EXTENDED = [
     "table_expectations",
     "streaming_expectations",
     "sink_training_shards",
+    "error_approx_intersection",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

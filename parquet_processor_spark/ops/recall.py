@@ -481,3 +481,52 @@ def recall_sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return exact.join(got, F.col("evid") == F.col("vec_id"), "left").agg(
         n.alias("n_exact"), _gate(hit, n, 0.5).alias("overlap_ok")
     )
+
+
+@query(
+    "error_approx_intersection",
+    oracle="""
+    select cast(count(distinct case when event_type = 'click' then user_id end)
+              + count(distinct case when event_type = 'purchase' then user_id end)
+              - count(distinct case when event_type in ('click', 'purchase')
+                               then user_id end) as bigint) as n_exact,
+           true as within_err
+    from events
+    """,
+    tags=("agg", "approx", "evidence"),
+)
+def error_approx_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based set-INTERSECTION estimate gate: |clickers ∩ buyers|
+    via inclusion-exclusion over three HLL++ sketches (|A| + |B| -
+    |A∪B| — the standard trick, since HLLs union natively but cannot
+    intersect), checked against the exact intersection computed by the
+    same identity over exact distincts. Gate: relative error <= 0.15
+    (3x the 5% rsd; the identity compounds the union's error into the
+    intersection, which is why real systems bound intersection
+    estimates by the JACCARD-scaled union error — at the fixture's
+    full overlap the compounding is benign, and HLL++ is deterministic
+    for a fixed input so the boolean is a stable fact).
+
+    100 TB shape: ONE aggregate pass computes all six counters
+    (Spark's multi-countDistinct plans a single Expand); sketches are
+    mergeable, so the same plan runs partition-incremental exactly
+    like agg_sketch_merge."""
+    ev = t(spark, sf, "events")
+    click = F.when(F.col("event_type") == "click", F.col("user_id"))
+    buy = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    either = F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
+    agg = ev.agg(
+        (F.countDistinct(click) + F.countDistinct(buy) - F.countDistinct(either)).alias(
+            "n_exact"
+        ),
+        (
+            F.approx_count_distinct(click, rsd=0.05)
+            + F.approx_count_distinct(buy, rsd=0.05)
+            - F.approx_count_distinct(either, rsd=0.05)
+        ).alias("n_est"),
+    )
+    err = F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.coalesce(err <= 0.15, F.lit(True)).alias("within_err"),
+    )

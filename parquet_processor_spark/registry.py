@@ -61,6 +61,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "table_expectations",
     "streaming_expectations",
     "sink_training_shards",
+    "error_approx_intersection",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
