@@ -157,6 +157,7 @@ EXTENDED = [
     "streaming_expectations",
     "sink_training_shards",
     "error_approx_intersection",
+    "join_fuzzy_names",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

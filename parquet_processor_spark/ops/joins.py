@@ -213,3 +213,70 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
     return o.join(F.broadcast(c), F.col("o.prio").eqNullSafe(F.col("c_prio"))).select(
         "o_orderkey", F.col("o.prio").alias("prio"), "n_orders"
     )
+
+
+# Fuzzy entity-resolution join — match near-identical names without
+# the N^2 product: collapse to the distinct-name dictionary first (the
+# entity-resolution move: at corpus scale the dictionary is orders of
+# magnitude smaller than the rows), block on shared words (union of
+# first-word and last-word blockers — multi-pass blocking), verify
+# edit distance inside blocks only. Both engines share the unit-cost
+# levenshtein definition (parity established by fn_edit_distance).
+_FUZZY_MAX_EDIT = 3
+
+
+@query(
+    "join_fuzzy_names",
+    oracle=f"""
+    with names as (select distinct p_name as nm from part),
+    words as (
+      select nm,
+             string_split(nm, ' ')[1] as w1,
+             string_split(nm, ' ')[-1] as w2
+      from names
+    ),
+    keys as (
+      select nm, w1 as k from words union select nm, w2 from words
+    ),
+    cand as (
+      select distinct a.nm as name_a, b.nm as name_b
+      from keys a join keys b on a.k = b.k and a.nm < b.nm
+    )
+    select name_a, name_b,
+           cast(levenshtein(name_a, name_b) as bigint) as dist
+    from cand
+    where levenshtein(name_a, name_b) <= {_FUZZY_MAX_EDIT}
+    """,
+    tags=("join", "fuzzy", "dedup"),
+)
+def join_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy self-join of part names within edit distance
+    {max_edit}: collapse rows to the distinct-name dictionary, emit
+    (name, blocker) keys for the first AND last word, pair names
+    sharing any blocker, and keep pairs whose full edit distance
+    clears the threshold — entity resolution's candidate-pair stage.
+
+    100 TB shape: the expensive quadratic lives on the DICTIONARY
+    (distinct names), not the rows — the dictionary collapse is one
+    map-side-combined distinct; blocking bounds comparisons to shared-
+    word buckets exactly like shingle/LSH blocking bounds near-dup
+    (never N^2 across blocks); levenshtein runs codegen inside the
+    block join. Hot blockers (a stopword surname) would get the same
+    df-cap as hot shingles; the fixture's vocabulary has none.
+    """
+    names = t(spark, sf, "part").select(F.col("p_name").alias("nm")).distinct()
+    ws = F.split(F.col("nm"), " ")
+    keys = names.select("nm", F.element_at(ws, 1).alias("k")).union(
+        names.select("nm", F.element_at(ws, -1).alias("k"))
+    )
+    a = keys.select(F.col("nm").alias("name_a"), "k")
+    b = keys.select(F.col("nm").alias("name_b"), "k")
+    cand = (
+        a.join(b, (a["k"] == b["k"]) & (F.col("name_a") < F.col("name_b")))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.where(dist <= _FUZZY_MAX_EDIT).select(
+        "name_a", "name_b", dist.cast("long").alias("dist")
+    )

@@ -62,6 +62,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_expectations",
     "sink_training_shards",
     "error_approx_intersection",
+    "join_fuzzy_names",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
