@@ -474,6 +474,24 @@ def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
 _SNAP_CUT = "1996-01-01"
 
 
+def publish_snapshot(df: DataFrame, root: str, version: int) -> None:
+    """Write an immutable snap-<version>/ directory, then flip the
+    _CURRENT pointer atomically LAST — the commit protocol. A crash
+    before the flip strands only an unreferenced directory; readers of
+    the previous version are never torn."""
+    df.write.mode("overwrite").parquet(os.path.join(root, f"snap-{version}"))
+    pointer = os.path.join(root, "_CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, pointer)  # the atomic commit: flip the pointer LAST
+
+
+def current_snapshot_version(root: str) -> int:
+    with open(os.path.join(root, "_CURRENT")) as fh:
+        return int(fh.read().strip())
+
+
 @query(
     "sink_versioned_snapshots",
     oracle=f"""
@@ -506,19 +524,9 @@ def sink_versioned_snapshots(spark: SparkSession, sf: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ppspark_snapshots_")
     orders = t(spark, sf, "orders")
     v1 = orders.where(F.col("o_orderdate") < F.lit(f"{_SNAP_CUT} 00:00:00").cast("timestamp"))
-    pointer = os.path.join(out, "_CURRENT")
-
-    def publish(df: DataFrame, version: int) -> None:
-        df.write.mode("overwrite").parquet(os.path.join(out, f"snap-{version}"))
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, pointer)  # the atomic commit: flip the pointer LAST
-
-    publish(v1, 1)
-    publish(orders, 2)
-    with open(pointer) as fh:
-        current = int(fh.read().strip())
+    publish_snapshot(v1, out, 1)
+    publish_snapshot(orders, out, 2)
+    current = current_snapshot_version(out)
 
     def summarize(version: int) -> DataFrame:
         snap = spark.read.parquet(os.path.join(out, f"snap-{version}"))
