@@ -815,3 +815,29 @@ def test_expectations_branches_read_checkpointed_summaries(spark):
     # re-evaluated its source aggregate (20 scans for 7 rows).
     plan = plan_of(spark, "table_expectations")
     assert "Scan parquet" not in plan, f"union branches re-scan the tables:\n{plan}"
+
+
+def test_label_propagation_rounds_stay_keyed(spark):
+    # N102 claim: every vote round is keyed aggregation over (src,
+    # label) longs — no cartesian pairing and no single-partition
+    # sort/window anywhere in the 3-round unroll.
+    plan = plan_of(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan, plan
+    assert not _single_partition_sorts(plan), plan
+
+
+def test_fuzzy_join_pairs_on_dictionary_blocks(spark):
+    # N107 claim: candidates pair through the shared-word equi join —
+    # never a nested-loop over the dictionary product.
+    plan = plan_of(spark, "join_fuzzy_names")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "levenshtein" in plan, plan  # verify runs inside the block join
+
+
+def test_training_shards_single_corpus_move(spark):
+    # N105 claim: shard assignment is computed beside the scan; the
+    # manifest aggregation shuffles 16 keys with map-side combine and
+    # never funnels docs through one partition.
+    plan = plan_of(spark, "sink_training_shards")
+    assert not _single_partition_sorts(plan), plan
+    assert "CartesianProduct" not in plan, plan
