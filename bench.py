@@ -158,6 +158,7 @@ EXTENDED = [
     "sink_training_shards",
     "error_approx_intersection",
     "join_fuzzy_names",
+    "dedup_semdedup",
     "pipeline_curate_corpus",
     "text_html_strip",
     "window_drawdown",

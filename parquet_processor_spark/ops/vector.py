@@ -999,3 +999,83 @@ def sink_ann_index_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     return j.agg(n.alias("n_results"), (hits == n).alias("parity_ok"))
+
+
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embedding space, then remove near-duplicate pairs WITHIN each
+# cluster — the cluster is the blocking key, so the quadratic is per-
+# cell, never corpus-wide. The published method's exact shape: cheap
+# global structure (clustering) bounds the expensive pairwise check.
+_SEMDEDUP_TAU = 0.18  # same fixture-calibrated threshold as sim_pairs_blocked
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+    with centroids as (
+      select vec_id as cid, embedding from embeddings where vec_id between 1 and 8
+    ),
+    assign as (
+      select vec_id, embedding, cid as cell from (
+        select e.vec_id, e.embedding, c.cid,
+               row_number() over (partition by e.vec_id
+                                  order by {_cos_sql('e', 'c')} desc, c.cid) as rn
+        from embeddings e cross join centroids c
+      ) where rn = 1
+    ),
+    pairs as (
+      select a.vec_id as va, b.vec_id as vb
+      from assign a join assign b on a.cell = b.cell and a.vec_id < b.vec_id
+      where {_cos_sql('a', 'b')} >= {_SEMDEDUP_TAU}
+    )
+    select s.vec_id, cast(s.cell as bigint) as cell,
+           min(p.va) as dup_of, (min(p.va) is not null) as is_dup
+    from assign s left join pairs p on p.vb = s.vec_id
+    group by s.vec_id, s.cell
+    """,
+    tags=("vector", "dedup", "semdedup"),
+)
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest centroid
+    (map-side argmax — zero shuffle), pair vectors only WITHIN a cell,
+    and mark each vector a semantic duplicate of its lowest-id
+    within-cell neighbor with cosine >= {tau} (keep-lowest canonical,
+    the exact/MinHash family's policy). This is the published
+    web-scale semantic dedup recipe: clustering is the blocking key.
+
+    100 TB shape: the only quadratic is per-cell (sum of cell sizes
+    squared, the IVF/LSH bound — never N^2 across cells); norms are
+    computed once per SIDE of the pair join, not per pair; the
+    dup-label collapse is one vec-keyed aggregate. With real web-scale
+    data the centroid count scales to sqrt(N) (the paper uses ~10k
+    clusters for ~100M docs) and assignment stays map-side.
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cent = e.where(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assign = assign_cells(e, cent).select(
+        "vec_id", "embedding", "cell", norm(F.col("embedding")).alias("nrm")
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= _SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    return (
+        assign.select("vec_id", "cell")
+        .join(pairs, F.col("vec_id") == F.col("vb"), "left")
+        .groupBy("vec_id", F.col("cell").cast("long").alias("cell"))
+        .agg(F.min("va").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .select("vec_id", "cell", "dup_of", "is_dup")
+    )

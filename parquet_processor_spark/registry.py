@@ -63,6 +63,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_training_shards",
     "error_approx_intersection",
     "join_fuzzy_names",
+    "dedup_semdedup",
     "sink_versioned_snapshots",
     "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",

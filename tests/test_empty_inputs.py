@@ -86,6 +86,7 @@ REPRESENTATIVE = [
     "graph_label_propagation", # vote rounds over an empty edge list
     "sink_training_shards",    # partitioned shard write of zero docs
     "join_fuzzy_names",        # blocked fuzzy join over an empty dictionary
+    "dedup_semdedup",          # cell-blocked pairs over empty embeddings
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

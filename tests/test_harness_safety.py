@@ -55,6 +55,7 @@ def test_check_priority_window():
         "graph_label_propagation", "table_expectations",
         "streaming_expectations", "sink_training_shards",
         "error_approx_intersection", "join_fuzzy_names",
+        "dedup_semdedup",
         "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
         "multimodal_dedup_perceptual", "recall_dedup_perceptual",
         "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
@@ -69,8 +70,8 @@ def test_check_priority_window():
         "case_when_dispatch", "filter_error_rows", "sample_hash",
         "sample_stratified", "split_train_test", "sample_weighted_mix",
         "filter_by_quantile", "pack_sequences", "fn_array_ops", "fn_map_ops",
-        "join_skew_salted", "join_bucketed",
-        # union_by_name / distinct_dedup / set_intersect /
+        "join_skew_salted",
+        # join_bucketed / union_by_name / distinct_dedup / set_intersect /
         # agg_grouping_sets / sql_cte / window_session / window_sliding
         # un-pinned as the r7 additions grew past the window (all still
         # pass locally; they rotate back in round 8)

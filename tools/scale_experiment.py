@@ -64,7 +64,7 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "sink_ann_index_roundtrip", "graph_label_propagation",
          "table_expectations", "streaming_expectations",
          "sink_training_shards", "error_approx_intersection",
-         "join_fuzzy_names",
+         "join_fuzzy_names", "dedup_semdedup",
          "quality_diversity", "agg_heavy_hitters_grouped", "table_diff",
          "sink_mergeschema_roundtrip", "agg_weighted_median",
          # round-6 second-wave operators
