@@ -1478,3 +1478,106 @@ def table_expectations(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(row(lo, "lineitem_ship_after_order", "n", "date_viol"))
     )
     return out.withColumn("ok", F.col("n_violations") == 0)
+
+
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the fixed-memory
+# frequency sketch streaming systems keep per key-domain when the
+# domain is too big for an exact count map. d hash rows x w buckets of
+# integer counters; every counter is an upper bound on every key
+# hashed into it, so est(key) = min over rows of its bucket's counter
+# never underestimates. Buckets come from md5 (the engine's standard
+# cross-engine hash), so the sketch is deterministic and the DuckDB
+# oracle rebuilds it bit-for-bit — the estimate is a checkable fact,
+# not a flaky measurement. w is sized SMALL (16) against the fixture's
+# 31-token vocab so collisions actually occur and the min actually
+# earns its keep; error_count_min gates the measured overestimate.
+_CMS_D = 3
+_CMS_W = 16
+
+# One collapse of the corpus to (tok, cnt) — everything downstream is
+# vocab-sized. Shared by the estimate query and the error gate.
+_CMS_SQL = rf"""
+    tok as (
+      select tok from (
+        select unnest(regexp_split_to_array(text, '\s+')) as tok
+        from documents
+      ) where tok <> ''
+    ),
+    vocab as (select tok, count(*) as cnt from tok group by tok),
+    cms_rows as (
+      select tok, cnt, j,
+             ('0x' || substr(md5('cms' || cast(j as varchar) || '|' || tok), 1, 8))::bigint
+               % {_CMS_W} as bucket
+      from vocab cross join (select unnest([0, 1, 2]) as j)
+    ),
+    sketch as (
+      select j, bucket, cast(sum(cnt) as bigint) as cell
+      from cms_rows group by j, bucket
+    ),
+    cms_est as (
+      select r.tok,
+             cast(min(r.cnt) as bigint) as n_exact,
+             cast(min(s.cell) as bigint) as n_est
+      from cms_rows r join sketch s on r.j = s.j and r.bucket = s.bucket
+      group by r.tok
+    )
+"""
+
+
+def cms_from_tokens(tok: DataFrame) -> DataFrame:
+    """(tok, n_exact, n_est) for every distinct value of ``tok.tok``,
+    via the d x w count-min sketch.
+
+    100 TB shape: the ONLY corpus-mass stage is the map-side-combined
+    (tok, cnt) collapse; the sketch build, the bucket join, and the min
+    all run on vocab-sized rows (and the d*w=48-cell sketch is
+    broadcast). In a true streaming deployment the (j, bucket) cells
+    are the persistent state and merge by addition across partitions /
+    batches — the same counters this batch twin materializes.
+    """
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def bucket(j: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"cms{j}|"), F.col("tok")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W).alias(f"b{j}")
+
+    rows = vocab.select(
+        "tok",
+        "cnt",
+        F.posexplode(F.array(*[bucket(j) for j in range(_CMS_D)])).alias("j", "bucket"),
+    )
+    sketch = rows.groupBy("j", "bucket").agg(F.sum("cnt").alias("cell"))
+    return (
+        rows.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("cnt").cast("long").alias("n_exact"),
+            F.min("cell").cast("long").alias("n_est"),
+        )
+    )
+
+
+def _cms_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    return cms_from_tokens(tok)
+
+
+@query(
+    "agg_count_min",
+    oracle=f"""
+    with {_CMS_SQL}
+    select tok, n_exact, n_est,
+           cast(n_est - n_exact as bigint) as n_over
+    from cms_est
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-token CMS estimate vs exact count (overestimate visible)."""
+    est = _cms_estimates(spark, sf)
+    return est.select(
+        "tok", "n_exact", "n_est", (F.col("n_est") - F.col("n_exact")).cast("long").alias("n_over")
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_processor_spark.ops import dedup, vector
+from parquet_processor_spark.ops.aggregates import _CMS_SQL, _CMS_W
 from parquet_processor_spark.registry import _ORACLES, query
 from parquet_processor_spark.tables import t
 
@@ -529,4 +530,57 @@ def error_approx_intersection(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(
         F.col("n_exact").cast("long").alias("n_exact"),
         F.coalesce(err <= 0.15, F.lit(True)).alias("within_err"),
+    )
+
+
+# CMS error gate: the published guarantee is one-sided (never
+# underestimates) with overestimate <= e*N/w at confidence 1 - e^-d.
+# Both facts are measured here over the deterministic sketch and
+# emitted as oracle-checkable booleans: the fixture's w=16 is sized so
+# collisions are real (max_over is thousands, not zero) and the bound
+# still holds — the gate that would catch a broken bucket hash or a
+# lost counter merge at any scale.
+@query(
+    "error_count_min",
+    oracle=f"""
+    with {_CMS_SQL},
+    n as (select cast(sum(cnt) as bigint) as n_tokens from vocab),
+    o as (
+      select cast(min(n_est - n_exact) as bigint) as min_over,
+             cast(max(n_est - n_exact) as bigint) as max_over
+      from cms_est
+    )
+    select n.n_tokens, o.min_over, o.max_over,
+           o.min_over >= 0 as never_under,
+           cast(o.max_over as double)
+             <= 2.718281828459045 * cast(n.n_tokens as double) / {_CMS_W} as within_bound
+    from n cross join o
+    """,
+    tags=("sketch", "gate", "approx"),
+)
+def error_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_processor_spark.ops.aggregates import _cms_estimates
+
+    est = _cms_estimates(spark, sf).withColumn(
+        "over", (F.col("n_est") - F.col("n_exact")).cast("long")
+    )
+    n = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    o = est.agg(F.min("over").alias("min_over"), F.max("over").alias("max_over"))
+    return (
+        n.crossJoin(F.broadcast(o))
+        .select(
+            "n_tokens",
+            "min_over",
+            "max_over",
+            (F.col("min_over") >= 0).alias("never_under"),
+            (
+                F.col("max_over").cast("double")
+                <= F.lit(2.718281828459045) * F.col("n_tokens").cast("double") / F.lit(_CMS_W)
+            ).alias("within_bound"),
+        )
     )

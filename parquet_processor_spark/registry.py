@@ -54,6 +54,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
+    "agg_count_min",
+    "error_count_min",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

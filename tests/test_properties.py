@@ -338,3 +338,33 @@ def test_bpe_pairs_single_symbol_rows_contribute_nothing(spark):
     )
     got = {r["pair"]: r["n"] for r in _bpe_pairs(syms).collect()}
     assert got == {"a b": 1}
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_count_min_never_underestimates(spark, toks):
+    # The CMS one-sided guarantee must hold for ANY token multiset:
+    # est >= exact for every key, and est == exact when the key's
+    # buckets are collision-free in some row.
+    from parquet_processor_spark.ops.aggregates import cms_from_tokens
+
+    df = spark.createDataFrame([(x,) for x in toks], "tok string")
+    rows = cms_from_tokens(df).collect()
+    exact = {}
+    for x in toks:
+        exact[x] = exact.get(x, 0) + 1
+    assert {r["tok"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["n_exact"] == exact[r["tok"]]
+        assert r["n_est"] >= r["n_exact"]
+    # sketch mass conservation: each of the d rows holds every token
+    # exactly once, so sum of (est - exact) is bounded by total mass
+    total = len(toks)
+    for r in rows:
+        assert r["n_est"] <= total
