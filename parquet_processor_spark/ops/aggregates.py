@@ -1581,3 +1581,47 @@ def agg_count_min(spark: SparkSession, sf: str) -> DataFrame:
     return est.select(
         "tok", "n_exact", "n_est", (F.col("n_est") - F.col("n_exact")).cast("long").alias("n_over")
     )
+
+
+# Bitmap-index aggregate — the roaring-bitmap/BITMAP_OR pattern OLAP
+# engines (Doris, ClickHouse, Druid) use for set-membership rollups:
+# collapse each group's member set to a fixed-width bit vector with a
+# bitwise-OR aggregate, then answer "how many / which buckets are
+# active" with popcount instead of count(distinct). Here: per order
+# priority x year, the bitmap of calendar months with at least one
+# order. bit_or is associative/commutative, so the aggregate is
+# map-side combinable and partition-count invariant; a real deployment
+# keeps the bitmaps as the stored rollup and merges them incrementally.
+@query(
+    "agg_bitmap_index",
+    oracle="""
+    select o_orderpriority,
+           cast(year(o_orderdate) as int) as yr,
+           cast(bit_or(cast(1 as bigint) << (month(o_orderdate) - 1)) as bigint)
+             as month_bitmap,
+           cast(bit_count(bit_or(cast(1 as bigint) << (month(o_orderdate) - 1))) as int)
+             as n_active_months,
+           bit_or(cast(1 as bigint) << (month(o_orderdate) - 1)) = 4095 as full_year
+    from orders
+    group by 1, 2
+    """,
+    tags=("agg", "bitmap", "rollup"),
+)
+def agg_bitmap_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-activity bitmaps per (priority, year) via bit_or rollup.
+
+    100 TB shape: ONE map-side-combined aggregate; the shuffled state
+    is an 8-byte bitmap per group (vs a count-distinct set), and the
+    popcount/coverage answers are per-row arithmetic on the result.
+    """
+    o = t(spark, sf, "orders")
+    bit = F.expr("shiftleft(cast(1 as bigint), month(o_orderdate) - 1)")
+    bm = F.bit_or(bit)
+    return (
+        o.groupBy("o_orderpriority", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            bm.cast("bigint").alias("month_bitmap"),
+            F.bit_count(bm).cast("int").alias("n_active_months"),
+            (bm == 4095).alias("full_year"),
+        )
+    )

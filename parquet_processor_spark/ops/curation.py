@@ -259,3 +259,57 @@ def curation_repetition(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("max_n").cast("double") / F.col("n_words")).alias("top_word_frac"),
         (F.col("max_n") * _REP_DENOM > F.col("n_words")).alias("is_repetitive"),
     )
+
+
+# k-anonymity suppression (Sweeney 2002) — the release-gate a
+# governance pipeline runs before training data or analytics extracts
+# leave the boundary: any combination of quasi-identifiers shared by
+# fewer than k individuals is re-identifiable by linkage, so those
+# groups' QI values are suppressed (nulled) while the population-sized
+# groups pass through. Output keeps every row (the consumer decides
+# drop-vs-generalize); `qi_group_n` makes the decision auditable.
+_K_ANON = 10
+
+
+@query(
+    "anonymize_k_anonymity",
+    oracle=f"""
+    with g as (
+      select c_mktsegment, c_nationkey, count(*) as n
+      from customer group by 1, 2
+    )
+    select c.c_custkey,
+           case when g.n >= {_K_ANON} then c.c_mktsegment end as qi_segment,
+           case when g.n >= {_K_ANON} then c.c_nationkey end as qi_nation,
+           g.n < {_K_ANON} as suppressed,
+           cast(g.n as bigint) as qi_group_n
+    from customer c
+    join g on c.c_mktsegment = g.c_mktsegment and c.c_nationkey = g.c_nationkey
+    """,
+    tags=("curation", "governance", "privacy"),
+)
+def anonymize_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppress quasi-identifier combos carried by fewer than k rows.
+
+    100 TB shape: group sizes come from ONE map-side-combined aggregate
+    whose result is |QI-domain|-sized (here 125 rows; bounded by the
+    attribute-domain product, not the corpus), broadcast back onto the
+    scan — the corpus itself never shuffles, unlike the naive
+    window-count spelling which sorts every row by QI key. The same
+    plan holds for any low-cardinality QI set; a high-cardinality QI
+    (e.g. zip+birthdate) keeps the identical algebra with the
+    broadcast replaced by a shuffle join, still one corpus pass.
+    """
+    c = t(spark, sf, "customer")
+    k = F.lit(_K_ANON)
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("qi_group_n"))
+    return (
+        c.join(F.broadcast(g), ["c_mktsegment", "c_nationkey"])
+        .select(
+            "c_custkey",
+            F.when(F.col("qi_group_n") >= k, F.col("c_mktsegment")).alias("qi_segment"),
+            F.when(F.col("qi_group_n") >= k, F.col("c_nationkey")).alias("qi_nation"),
+            (F.col("qi_group_n") < k).alias("suppressed"),
+            F.col("qi_group_n").cast("long").alias("qi_group_n"),
+        )
+    )

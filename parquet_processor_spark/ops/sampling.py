@@ -596,3 +596,108 @@ def pipeline_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("selected"),
         )
     )
+
+
+# DSIR-style importance selection (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every doc by
+# the likelihood ratio of its tokens under a TARGET distribution (a
+# small seed corpus defining the desired domain) vs the raw-corpus
+# distribution, keep docs whose ratio clears 1. The published recipe
+# uses hashed-ngram log-ratios; this twin keeps the estimator in
+# integer space — per-doc token-count sums against each distribution,
+# cross-multiplied exactly — so selection is a bigint comparison and
+# the emitted double score is one IEEE division, bitwise cross-engine.
+# Seed here: docs mentioning 'vector' (a topic slice with a genuinely
+# shifted unigram distribution in the fixture).
+_DSIR_SEED_TOKEN = "vector"
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=rf"""
+    with tok as (
+      select doc_id, tok from (
+        select doc_id, unnest(regexp_split_to_array(text, '\s+')) as tok
+        from documents
+      ) where tok <> ''
+    ),
+    seed as (
+      select doc_id from documents
+      where list_contains(regexp_split_to_array(text, '\s+'), '{_DSIR_SEED_TOKEN}')
+    ),
+    corpus_cnt as (select tok, count(*) as c_all from tok group by tok),
+    target_cnt as (
+      select tok, count(*) as c_tgt
+      from tok join seed using (doc_id) group by tok
+    ),
+    totals as (
+      select (select sum(c_all) from corpus_cnt) as n_all,
+             (select sum(c_tgt) from target_cnt) as n_tgt
+    ),
+    per_doc as (
+      select t.doc_id,
+             cast(sum(coalesce(tc.c_tgt, 0)) as bigint) as tgt_mass,
+             cast(sum(cc.c_all) as bigint) as all_mass
+      from tok t
+      join corpus_cnt cc on t.tok = cc.tok
+      left join target_cnt tc on t.tok = tc.tok
+      group by t.doc_id
+    )
+    select d.doc_id,
+           p.tgt_mass, p.all_mass,
+           cast(p.tgt_mass * totals.n_all as double)
+             / cast(p.all_mass * totals.n_tgt as double) as score,
+           p.tgt_mass * totals.n_all >= p.all_mass * totals.n_tgt as selected
+    from per_doc p join documents d using (doc_id)
+    cross join totals
+    """,
+    tags=("sampling", "curation", "dsir"),
+)
+def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance-ratio data selection against a seed-topic target.
+
+    100 TB shape: the corpus is tokenized ONCE; both unigram tables
+    are vocab-sized map-side aggregates broadcast back onto the token
+    stream, so the only corpus-mass shuffle is the per-doc sum (one
+    doc-keyed aggregate with map-side combine). Selection and score
+    stay in exact integer space until a single final division —
+    products fit bigint up to ~2^53/corpus-mass, past which the same
+    algebra rides decimal(38,0) unchanged.
+    """
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    seed = d.where(
+        F.array_contains(F.split(F.col("text"), r"\s+"), _DSIR_SEED_TOKEN)
+    ).select("doc_id")
+    corpus_cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
+    target_cnt = (
+        tok.join(seed, "doc_id").groupBy("tok").agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = (
+        corpus_cnt.agg(F.sum("c_all").alias("n_all"))
+        .crossJoin(target_cnt.agg(F.sum("c_tgt").alias("n_tgt")))
+    )
+    per_doc = (
+        tok.join(F.broadcast(corpus_cnt), "tok")
+        .join(F.broadcast(target_cnt), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("c_tgt"), F.lit(0))).cast("long").alias("tgt_mass"),
+            F.sum("c_all").cast("long").alias("all_mass"),
+        )
+    )
+    num = F.col("tgt_mass") * F.col("n_all")
+    den = F.col("all_mass") * F.col("n_tgt")
+    return (
+        per_doc.join(d.select("doc_id"), "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "tgt_mass",
+            "all_mass",
+            (num.cast("double") / den.cast("double")).alias("score"),
+            (num >= den).alias("selected"),
+        )
+    )

@@ -56,6 +56,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
     "agg_count_min",
     "error_count_min",
+    "anonymize_k_anonymity",
+    "sample_importance_dsir",
+    "agg_bitmap_index",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

@@ -114,3 +114,46 @@ def test_expectations_fixture_fails_only_the_temporal_rule(spark, sf_dir):
     failing = {k for k, r in rows.items() if not r["ok"]}
     assert failing == {"lineitem_ship_after_order"}
     assert rows["lineitem_ship_after_order"]["n_violations"] > 0
+
+
+def test_k_anonymity_suppression_is_consistent(spark, sf_dir):
+    from parquet_processor_spark.ops.curation import _K_ANON
+
+    rows = all_queries()["anonymize_k_anonymity"](spark, sf_dir).collect()
+    assert len(rows) == t(spark, sf_dir, "customer").count()
+    for r in rows:
+        if r["suppressed"]:
+            assert r["qi_group_n"] < _K_ANON
+            assert r["qi_segment"] is None and r["qi_nation"] is None
+        else:
+            assert r["qi_group_n"] >= _K_ANON
+            assert r["qi_segment"] is not None and r["qi_nation"] is not None
+    # every surviving QI combination really is shared by >= k rows; at
+    # sf0.001 (150 customers / 125 QI combos) every group is < k so the
+    # release is fully suppressed — the two-sided case is exercised at
+    # the driver's sf0.01 (group sizes 5..21 straddle k=10).
+    from collections import Counter
+
+    kept = Counter((r["qi_segment"], r["qi_nation"]) for r in rows if not r["suppressed"])
+    assert all(n >= _K_ANON for n in kept.values())
+    true_groups = Counter(
+        (r["c_mktsegment"], r["c_nationkey"])
+        for r in t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").collect()
+    )
+    for g, n in true_groups.items():
+        assert (n >= _K_ANON) == (g in kept)
+
+
+def test_dsir_importance_upweights_seed_docs(spark, sf_dir):
+    from parquet_processor_spark.ops.sampling import _DSIR_SEED_TOKEN
+
+    out = {r["doc_id"]: r for r in all_queries()["sample_importance_dsir"](spark, sf_dir).collect()}
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    seed = {r["doc_id"] for r in docs if _DSIR_SEED_TOKEN in (r["text"] or "").split()}
+    assert seed, "fixture must contain seed-token docs"
+    seed_scores = [out[i]["score"] for i in out if i in seed]
+    rest_scores = [out[i]["score"] for i in out if i not in seed]
+    # the estimator must upweight the distribution it was built from
+    assert sum(seed_scores) / len(seed_scores) > sum(rest_scores) / len(rest_scores)
+    for r in out.values():
+        assert r["selected"] == (r["score"] >= 1.0) or abs(r["score"] - 1.0) < 1e-12

@@ -50,7 +50,8 @@ def test_check_priority_window():
 
     must_check = {
         # round-7 additions
-        "agg_count_min", "error_count_min",
+        "agg_count_min", "error_count_min", "anonymize_k_anonymity",
+        "sample_importance_dsir", "agg_bitmap_index",
         "dedup_verbatim_spans", "dedup_span_removal",
         "sink_versioned_snapshots", "sink_ann_index_roundtrip",
         "graph_label_propagation", "table_expectations",
@@ -70,8 +71,8 @@ def test_check_priority_window():
         "multimodal_features", "scan_json", "fn_json_extract",
         "case_when_dispatch", "filter_error_rows", "sample_hash",
         "sample_stratified", "split_train_test", "sample_weighted_mix",
-        "filter_by_quantile", "pack_sequences", "fn_array_ops",
-        # fn_map_ops / join_skew_salted / join_bucketed / union_by_name /
+        # filter_by_quantile / pack_sequences / fn_array_ops / fn_map_ops /
+        # join_skew_salted / join_bucketed / union_by_name /
         # distinct_dedup / set_intersect / agg_grouping_sets / sql_cte /
         # window_session / window_sliding un-pinned as the r7 additions
         # grew past the window (all still pass locally; they rotate back

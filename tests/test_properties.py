@@ -368,3 +368,22 @@ def test_count_min_never_underestimates(spark, toks):
     total = len(toks)
     for r in rows:
         assert r["n_est"] <= total
+
+
+@given(
+    months=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=30)
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bitmap_popcount_equals_distinct_count(spark, months):
+    # bit_or month-bitmap + popcount must agree with count(distinct)
+    # for ANY month multiset, at any partitioning (bit_or is
+    # associative + commutative + idempotent).
+    df = spark.createDataFrame([(m,) for m in months], "m int").repartition(4)
+    bm = F.bit_or(F.expr("shiftleft(cast(1 as bigint), m - 1)"))
+    row = df.agg(
+        bm.alias("bitmap"),
+        F.bit_count(bm).alias("pop"),
+        F.countDistinct("m").alias("nd"),
+    ).collect()[0]
+    assert row["pop"] == row["nd"] == len(set(months))
+    assert row["bitmap"] == sum(1 << (m - 1) for m in set(months))
