@@ -59,6 +59,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "anonymize_k_anonymity",
     "sample_importance_dsir",
     "agg_bitmap_index",
+    "sim_range_search",
+    "recall_range_search",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",
