@@ -1231,3 +1231,122 @@ def recall_range_search(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_found") == F.col("n_hit")).alias("no_false_positives"),
         )
     )
+
+
+# Johnson-Lindenstrauss random projection (Achlioptas 2003 database-
+# friendly variant: dense entries from a fixed symmetric distribution)
+# — the dimensionality-reduction step ANN/dedup pipelines run before
+# indexing when 64-100x-wider raw embeddings would blow the index
+# budget. Projection planes are the engine's literal md5-derived
+# coefficients (uniform in [-1,1), E[c^2] = 1/3), so the projected
+# vectors are bit-exact cross-engine; E[(3/k)*||Px||^2] = ||x||^2
+# makes (3/k)*||Px||^2 / ||x||^2 an unbiased distortion ratio that
+# error_random_projection gates row-by-row with exact counting.
+_RP_OUT_DIM = 16
+_RP_PLANE_BASE = 200  # disjoint from the LSH planes (0..~140)
+
+
+def _rp_cols() -> list[Column]:
+    return [
+        dot(F.col("embedding"), F.slice(F.lit(_plane_coeffs(_RP_PLANE_BASE + j)), F.lit(1), F.size(F.col("embedding")))).alias(f"p{j}")
+        for j in range(_RP_OUT_DIM)
+    ]
+
+
+def _coeff_sql_f64(plane: int) -> str:
+    # A bare decimal literal parses as DECIMAL in DuckDB, and even
+    # cast(decimal as double) double-rounds (int128/10^scale — 7 of 64
+    # coefficients land a ulp off). The sign-only band-key oracles
+    # never cared; a value-checked projection does. An exponent-form
+    # literal parses directly as DOUBLE with correct rounding, so
+    # `<repr>e0` recovers every coefficient bit-exactly (verified for
+    # all planes in tests).
+    return "[" + ",".join(f"{c!r}e0" for c in _plane_coeffs(plane)) + "]"
+
+
+def _rp_col_sql(j: int) -> str:
+    return (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"[cast(e.embedding[i] as double) * ({_coeff_sql_f64(_RP_PLANE_BASE + j)})[i] "
+        f"for i in generate_series(1, len(e.embedding))]), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    select vec_id, {", ".join(f"{_rp_col_sql(j)} as p{j}" for j in range(_RP_OUT_DIM))}
+    from embeddings e
+    """,
+    tags=("vector", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Project 64-d embeddings to 16-d with fixed literal planes.
+
+    100 TB shape: pure narrow projection — k fused-multiply-add folds
+    per row beside the scan, zero shuffles; the planes live in the
+    plan as literals (few KB). Interpreted-fold cost matters at corpus
+    scale exactly as it did for band keys, and the same Arrow matmul
+    twin (lsh_band_keys_arrow's np.cumsum recipe) applies verbatim if
+    k grows — the fold spelling is kept here because the oracle proves
+    it bit-exact.
+    """
+    return t(spark, sf, "embeddings").select("vec_id", *_rp_cols())
+
+
+# Distortion gate: exact-count fraction of rows whose unbiased norm
+# ratio (3/k)*||Px||^2/||x||^2 lands in [0.4, 2.5] — counting avoids
+# cross-row double summation (order-dependent); min/max are
+# order-independent so they ride along raw. The fixture's embeddings
+# are anisotropic (label clusters), so tails are wider than the iid
+# JL prediction: measured within-fraction 0.982 (sf0.01) / 0.992
+# (sf0.001) against the 0.95 gate, min ratio 0.24, max 2.37.
+@query(
+    "error_random_projection",
+    oracle=f"""
+    with r as (
+      select (3.0 / {_RP_OUT_DIM}) *
+             ({" + ".join(f"{_rp_col_sql(j)} * {_rp_col_sql(j)}" for j in range(_RP_OUT_DIM))})
+             / list_reduce(list_prepend(cast(0 as double),
+                 [cast(x as double) * cast(x as double) for x in e.embedding]),
+                 (acc, v) -> acc + v) as ratio
+      from embeddings e
+    )
+    select cast(count(*) as bigint) as n_rows,
+           cast(sum(case when ratio between 0.4 and 2.5 then 1 else 0 end) as bigint)
+             as n_within,
+           min(ratio) as min_ratio,
+           max(ratio) as max_ratio,
+           cast(sum(case when ratio between 0.4 and 2.5 then 1 else 0 end) as double)
+             / count(*) >= 0.95 as distortion_ok
+    from r
+    """,
+    tags=("vector", "gate", "projection"),
+)
+def error_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    # ratio per row: (3/k) * sum_j p_j^2 / ||x||^2 — build the exact
+    # expression tree the oracle spells (left-to-right + chain).
+    e = t(spark, sf, "embeddings")
+    terms = [
+        dot(F.col("embedding"), F.slice(F.lit(_plane_coeffs(_RP_PLANE_BASE + j)), F.lit(1), F.size(F.col("embedding"))))
+        for j in range(_RP_OUT_DIM)
+    ]
+    ssum = terms[0] * terms[0]
+    for tm in terms[1:]:
+        ssum = ssum + tm * tm
+    ratio = (F.lit(3.0) / F.lit(float(_RP_OUT_DIM))) * ssum / dot(
+        F.col("embedding"), F.col("embedding")
+    )
+    r = e.select(ratio.alias("ratio"))
+    within = F.sum(F.when(F.col("ratio").between(0.4, 2.5), 1).otherwise(0)).cast("long")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        within.alias("n_within"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        (
+            F.sum(F.when(F.col("ratio").between(0.4, 2.5), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+            >= 0.95
+        ).alias("distortion_ok"),
+    )

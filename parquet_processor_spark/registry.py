@@ -61,6 +61,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_bitmap_index",
     "sim_range_search",
     "recall_range_search",
+    "embedding_random_projection",
+    "error_random_projection",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

@@ -410,3 +410,34 @@ def test_ann_index_at_rest_parity(spark, sf_dir):
 
     row = vector.sink_ann_index_roundtrip(spark, sf_dir).collect()[0]
     assert row["n_results"] == 10 and row["parity_ok"] is True
+
+
+def test_rp_coeff_literals_parse_bit_exact_in_duckdb():
+    # The e0 exponent-form spelling must recover every projection
+    # coefficient bit-exactly in DuckDB (bare decimals parse as
+    # DECIMAL, and cast(decimal as double) double-rounds — observed a
+    # ulp off on 7/64 coefficients of plane 200).
+    import duckdb
+
+    from parquet_processor_spark.ops.vector import (
+        _RP_OUT_DIM,
+        _RP_PLANE_BASE,
+        _coeff_sql_f64,
+        _plane_coeffs,
+    )
+
+    con = duckdb.connect()
+    for j in range(_RP_OUT_DIM):
+        plane = _RP_PLANE_BASE + j
+        got = con.sql(f"select {_coeff_sql_f64(plane)}").fetchone()[0]
+        assert got == _plane_coeffs(plane)
+
+
+def test_random_projection_distortion_gate(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+
+    [row] = all_queries()["error_random_projection"](spark, sf_dir).collect()
+    assert row["distortion_ok"]
+    assert 0 < row["n_within"] <= row["n_rows"]
+    assert row["n_within"] / row["n_rows"] >= 0.95
+    assert 0.1 < row["min_ratio"] <= row["max_ratio"] < 4.0
