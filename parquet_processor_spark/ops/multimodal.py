@@ -565,3 +565,84 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("ida").alias("dup_of"))
         .withColumn("is_dup", F.col("dup_of").isNotNull())
     )
+
+
+# Image-caption pair assembly — the contrastive-training last mile
+# (CLIP/ALIGN data prep): pick a quality-gated caption for every media
+# payload and emit the (payload, caption) manifest the trainer reads.
+# Caption gate mirrors published alt-text filters (language + token
+# bounds); pairing key is the page/source the media came from, ties
+# broken to the lowest caption id so the manifest is deterministic.
+_CLIP_CAP_MIN_TOK = 8
+_CLIP_CAP_MAX_TOK = 64
+
+
+@query(
+    "multimodal_clip_pairs",
+    oracle=rf"""
+    with caps as (
+      select doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               as n_tok
+      from documents
+      where lang = 'en'
+        and len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+              between {_CLIP_CAP_MIN_TOK} and {_CLIP_CAP_MAX_TOK}
+    ),
+    best as (
+      select source,
+             min(doc_id) as caption_doc,
+             cast(min_by(n_tok, doc_id) as bigint) as caption_n_tokens
+      from caps group by source
+    )
+    select m.doc_id as media_id,
+           case when m.doc_id % 2 = 0 then 'image' else 'audio' end as media_type,
+           cast(octet_length(encode(m.text)) as bigint) as n_bytes,
+           m.source,
+           b.caption_doc,
+           b.caption_n_tokens,
+           coalesce(b.caption_doc = m.doc_id, false) as is_self
+    from documents m
+    left join best b on m.source = b.source
+    """,
+    tags=("multimodal", "curation"),
+)
+def multimodal_clip_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair every media payload with its source's best gated caption.
+
+    100 TB shape: the caption side collapses to ONE row per source
+    (map-side-combined struct-min aggregate) before the join, so the
+    pairing is a broadcast hash join against a source-count-sized dim
+    — the media payloads never shuffle, and the caption quality gate
+    (token bounds + language) runs beside the caption scan. A
+    same-page URL key swaps in for `source` unchanged at web scale.
+    """
+    d = t(spark, sf, "documents")
+    media = documents_as_media(spark, sf).select(
+        F.col("media_id"),
+        F.col("media_type"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.element_at(F.col("meta"), "source").alias("source"),
+    )
+    n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    caps = (
+        d.where(F.col("lang") == "en")
+        .select("doc_id", "source", n_tok.alias("n_tok"))
+        .where(F.col("n_tok").between(_CLIP_CAP_MIN_TOK, _CLIP_CAP_MAX_TOK))
+    )
+    best = caps.groupBy("source").agg(
+        F.min(F.struct("doc_id", "n_tok")).alias("_b")
+    ).select(
+        "source",
+        F.col("_b.doc_id").alias("caption_doc"),
+        F.col("_b.n_tok").cast("long").alias("caption_n_tokens"),
+    )
+    return media.join(F.broadcast(best), "source", "left").select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "source",
+        "caption_doc",
+        "caption_n_tokens",
+        F.coalesce(F.col("caption_doc") == F.col("media_id"), F.lit(False)).alias("is_self"),
+    )

@@ -63,6 +63,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_range_search",
     "embedding_random_projection",
     "error_random_projection",
+    "multimodal_clip_pairs",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

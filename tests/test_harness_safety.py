@@ -54,6 +54,7 @@ def test_check_priority_window():
         "sample_importance_dsir", "agg_bitmap_index",
         "sim_range_search", "recall_range_search",
         "embedding_random_projection", "error_random_projection",
+        "multimodal_clip_pairs",
         "dedup_verbatim_spans", "dedup_span_removal",
         "sink_versioned_snapshots", "sink_ann_index_roundtrip",
         "graph_label_propagation", "table_expectations",
@@ -71,8 +72,9 @@ def test_check_priority_window():
         "sim_pairs_blocked", "sim_topk", "sim_topk_ivf", "agg_count_if",
         "agg_ratio", "agg_groupby_count", "agg_cube", "join_range",
         "multimodal_features", "scan_json", "fn_json_extract",
-        "case_when_dispatch", "filter_error_rows",
-        # sample_hash / sample_stratified / split_train_test / sample_weighted_mix /
+        "case_when_dispatch",
+        # filter_error_rows / sample_hash / sample_stratified /
+        # split_train_test / sample_weighted_mix /
         # filter_by_quantile / pack_sequences / fn_array_ops / fn_map_ops /
         # join_skew_salted / join_bucketed / union_by_name /
         # distinct_dedup / set_intersect / agg_grouping_sets / sql_cte /

@@ -65,3 +65,36 @@ def test_frame_sampling_fans_out(spark, sf_dir):
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
     assert all(r["n_bytes"] == len(r["frame"]) for r in rows)
+
+
+def test_clip_pairs_caption_gate_and_coverage(spark, sf_dir):
+    from parquet_processor_spark.ops.multimodal import (
+        _CLIP_CAP_MAX_TOK,
+        _CLIP_CAP_MIN_TOK,
+    )
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import t
+
+    rows = all_queries()["multimodal_clip_pairs"](spark, sf_dir).collect()
+    docs = {r["doc_id"]: r for r in t(spark, sf_dir, "documents").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        if r["caption_doc"] is not None:
+            cap = docs[r["caption_doc"]]
+            # the chosen caption must satisfy the gate and share the source
+            assert cap["lang"] == "en"
+            assert cap["source"] == r["source"]
+            n_tok = len([w for w in (cap["text"] or "").split() if w])
+            assert _CLIP_CAP_MIN_TOK <= n_tok <= _CLIP_CAP_MAX_TOK
+            assert r["caption_n_tokens"] == n_tok
+            assert r["is_self"] == (r["caption_doc"] == r["media_id"])
+            # determinism: lowest-id gated caption of the source wins
+            better = [
+                d for d in docs.values()
+                if d["source"] == r["source"] and d["lang"] == "en"
+                and d["doc_id"] < r["caption_doc"]
+                and _CLIP_CAP_MIN_TOK
+                <= len([w for w in (d["text"] or "").split() if w])
+                <= _CLIP_CAP_MAX_TOK
+            ]
+            assert not better
