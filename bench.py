@@ -169,6 +169,13 @@ EXTENDED = [
     "graph_local_clustering",
     "scd2_apply_changes",
     "events_cohort_ltv",
+    "agg_count_min",
+    "anonymize_k_anonymity",
+    "sample_importance_dsir",
+    "agg_bitmap_index",
+    "sim_range_search",
+    "embedding_random_projection",
+    "multimodal_clip_pairs",
 ]
 
 

@@ -656,8 +656,10 @@ _DSIR_SEED_TOKEN = "vector"
 def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """Importance-ratio data selection against a seed-topic target.
 
-    100 TB shape: the corpus is tokenized ONCE; both unigram tables
-    are vocab-sized map-side aggregates broadcast back onto the token
+    100 TB shape: the corpus is tokenized ONCE, with seed membership
+    computed INLINE beside the scan (array_contains — no corpus-mass
+    doc_id join against a seed list); both unigram tables are
+    vocab-sized map-side aggregates broadcast back onto the token
     stream, so the only corpus-mass shuffle is the per-doc sum (one
     doc-keyed aggregate with map-side combine). Selection and score
     stay in exact integer space until a single final division —
@@ -665,26 +667,28 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
     algebra rides decimal(38,0) unchanged.
     """
     d = t(spark, sf, "documents")
+    words = F.split(F.col("text"), r"\s+")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        "doc_id",
+        F.array_contains(words, _DSIR_SEED_TOKEN).alias("is_seed"),
+        F.explode(words).alias("tok"),
     ).where(F.col("tok") != "")
-    seed = d.where(
-        F.array_contains(F.split(F.col("text"), r"\s+"), _DSIR_SEED_TOKEN)
-    ).select("doc_id")
-    corpus_cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
-    target_cnt = (
-        tok.join(seed, "doc_id").groupBy("tok").agg(F.count(F.lit(1)).alias("c_tgt"))
+    # BOTH unigram tables in one map-side-combined pass (count +
+    # conditional count share the aggregate), so the token stream is
+    # materialized twice total: once for the vocab, once for the
+    # per-doc sums.
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("is_seed"), 1).otherwise(0)).alias("c_tgt"),
     )
-    totals = (
-        corpus_cnt.agg(F.sum("c_all").alias("n_all"))
-        .crossJoin(target_cnt.agg(F.sum("c_tgt").alias("n_tgt")))
+    totals = counts.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
     )
     per_doc = (
-        tok.join(F.broadcast(corpus_cnt), "tok")
-        .join(F.broadcast(target_cnt), "tok", "left")
+        tok.join(F.broadcast(counts), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.coalesce(F.col("c_tgt"), F.lit(0))).cast("long").alias("tgt_mass"),
+            F.sum("c_tgt").cast("long").alias("tgt_mass"),
             F.sum("c_all").cast("long").alias("all_mass"),
         )
     )

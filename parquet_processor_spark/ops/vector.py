@@ -1129,13 +1129,39 @@ def _range_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb_b = e.select(
         F.col("vec_id").alias("_idb"), F.col("embedding").alias("emb_b"), norm(F.col("embedding")).alias("nb")
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
     return (
         cand.join(emb_a, F.col("a_id") == F.col("_ida"))
         .join(emb_b, F.col("b_id") == F.col("_idb"))
         .select("a_id", "b_id", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= _RANGE_TAU)
     )
+
+
+def pair_cos_arrow():
+    """Arrow-vectorized pair cosine, bit-exact with ``dot()/(na*nb)``.
+
+    A radius query verifies MILLIONS of candidate pairs (r=3 toy bands
+    keep the fixture's buckets dense — measured 1.7M candidates from
+    2000 vectors at sf0.1), and the interpreted higher-order fold costs
+    ~30 us/pair — exactly the hot spot the engine's UDF policy reserves
+    Arrow kernels for (the lsh_band_keys_arrow precedent). np.cumsum is
+    a SEQUENTIAL left fold by specification over the identical float64
+    products, so every dot — and the one-IEEE-division cosine — matches
+    the JVM fold and the DuckDB oracle bitwise (asserted pair-for-pair
+    in tests/test_dedup_vector.py). ~25x warm speedup at sf0.1.
+    """
+
+    @F.pandas_udf("double")
+    def cos(ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in ea])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in eb])
+        d = np.cumsum(A * B, axis=1)[:, -1]
+        return pd.Series(d / (na.to_numpy() * nb.to_numpy()))
+
+    return cos
 
 
 def _range_keyed_sql() -> str:
@@ -1207,7 +1233,12 @@ def recall_range_search(spark: SparkSession, sf: str) -> DataFrame:
     sided = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     a = sided.alias("a")
     b = sided.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # exact all-pairs truth (check-SF-only construct) — Arrow kernel,
+    # bit-exact with the fold (N^2/2 interpreted folds would dominate
+    # the gate's wall-clock even at check SF)
+    cos = pair_cos_arrow()(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
     truth = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(cos >= _RANGE_TAU)

@@ -441,3 +441,24 @@ def test_random_projection_distortion_gate(spark, sf_dir):
     assert 0 < row["n_within"] <= row["n_rows"]
     assert row["n_within"] / row["n_rows"] >= 0.95
     assert 0.1 < row["min_ratio"] <= row["max_ratio"] < 4.0
+
+
+def test_pair_cos_arrow_bit_exact_with_jvm_fold(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.vector import dot, norm, pair_cos_arrow
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings").limit(60)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"), norm(F.col("embedding")).alias("na"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"), norm(F.col("embedding")).alias("nb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    jvm = pairs.select(
+        "ida", "idb", (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("c")
+    )
+    arrow = pairs.select(
+        "ida", "idb", pair_cos_arrow()(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("c")
+    )
+    jm = {(r["ida"], r["idb"]): r["c"] for r in jvm.collect()}
+    am = {(r["ida"], r["idb"]): r["c"] for r in arrow.collect()}
+    assert jm == am and len(jm) > 1000

@@ -841,3 +841,67 @@ def test_training_shards_single_corpus_move(spark):
     plan = plan_of(spark, "sink_training_shards")
     assert not _single_partition_sorts(plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_count_min_sketch_join_broadcasts_and_never_sorts(spark):
+    # N109 claim: everything past the vocab collapse is vocab-sized;
+    # the sketch-cell join must be a broadcast hash join, never a
+    # sort-merge shuffle of the token stream.
+    plan = plan_of(spark, "agg_count_min")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_k_anonymity_group_sizes_broadcast_no_window(spark):
+    # N110 claim: group sizes come from an aggregate broadcast back
+    # onto the scan — not from a window count that would sort the
+    # corpus by QI key.
+    plan = plan_of(spark, "anonymize_k_anonymity")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_unigram_tables_share_one_pass_and_broadcast(spark):
+    # N111 claim: corpus+target unigram counts fuse into ONE aggregate
+    # (count + conditional count), broadcast onto the token stream; no
+    # corpus-mass doc_id join against a seed list, no sort-merge join.
+    plan = plan_of(spark, "sample_importance_dsir")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the seed flag is computed beside the scan: array_contains in the
+    # scan-side project, not a join
+    assert "array_contains" in plan, plan
+
+
+def test_bitmap_rollup_is_one_partial_aggregate(spark):
+    # N112 claim: one map-side-combined aggregate; the shuffled state
+    # is the 8-byte bitmap (partial bit_or), nothing else.
+    plan = plan_of(spark, "agg_bitmap_index")
+    assert "partial_bit_or" in plan, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_range_search_pairs_only_band_keys(spark):
+    # N113 claim: the self-join never forms — candidates stream from
+    # band-key buckets (collect_list + generators), embeddings rejoin
+    # by id for surviving pairs only.
+    plan = plan_of(spark, "sim_range_search")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # bucket build groups by band_key; the embedding rejoin hashes ids
+    assert "band_key" in plan, plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    # N114 claim: pure narrow projection — literal-plane folds beside
+    # the scan, zero exchanges.
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "Exchange" not in plan, plan
+
+
+def test_clip_pairs_caption_dim_broadcasts(spark):
+    # N115 claim: captions collapse to one row per source before the
+    # join; the pairing is a broadcast hash join — media payloads
+    # never shuffle.
+    plan = plan_of(spark, "multimodal_clip_pairs")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -80,7 +80,16 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "pipeline_curate_corpus", "text_html_strip", "window_drawdown",
          "agg_benford", "join_null_safe", "quality_gopher_rules",
          "multimodal_dedup_bytes", "graph_local_clustering",
-         "scd2_apply_changes", "events_cohort_ltv"]
+         "scd2_apply_changes", "events_cohort_ltv",
+         # round-7 third-wave operators
+         "agg_count_min", "anonymize_k_anonymity", "sample_importance_dsir",
+         "agg_bitmap_index", "sim_range_search", "embedding_random_projection",
+         "multimodal_clip_pairs"]
+# optional argv filter: `python tools/scale_experiment.py name1 name2`
+# times only those queries (corpus build unchanged)
+if len(sys.argv) > 1:
+    sel = set(sys.argv[1:])
+    NAMES = [n for n in NAMES if n in sel]
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
