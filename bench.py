@@ -176,6 +176,9 @@ EXTENDED = [
     "sim_range_search",
     "embedding_random_projection",
     "multimodal_clip_pairs",
+    "streaming_count_min",
+    "monitor_feature_drift",
+    "quality_ccnet_buckets",
 ]
 
 

@@ -1688,3 +1688,86 @@ def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
         F.col("val").cast("double").alias("period_value"),
         F.sum("val").over(w).cast("double").alias("cum_value"),
     )
+
+
+# Distribution-drift monitor — the "did this week's data shift?" gate
+# every production pipeline runs between a reference window and the
+# current window (Evidently/whylogs territory). Metric: total
+# variation distance over the event-type distribution, held EXACT in
+# integer space — |n_i*M - m_i*N| numerators (bigint, cross-
+# multiplied) summed exactly, ONE final division by 2NM — because the
+# classical PSI's ln() is not bitwise cross-engine. TVD is in [0,1]
+# and 0.5*sum|p-q|; the alert threshold 0.05 is the metric's
+# conventional "investigate" line.
+_DRIFT_SPLIT = "2024-01-16"  # fixture midpoint; a real monitor slides this daily
+
+
+@query(
+    "monitor_feature_drift",
+    oracle=f"""
+    with buckets as (
+      select event_type,
+             cast(sum(case when ts < timestamp '{_DRIFT_SPLIT}' then 1 else 0 end)
+                  as bigint) as n_ref,
+             cast(sum(case when ts >= timestamp '{_DRIFT_SPLIT}' then 1 else 0 end)
+                  as bigint) as n_cur
+      from events group by event_type
+    ),
+    tot as (
+      select sum(n_ref) as n_tot, sum(n_cur) as m_tot,
+             sum(abs(n_ref * (select sum(n_cur) from buckets)
+                     - n_cur * (select sum(n_ref) from buckets))) as drift_sum
+      from buckets
+    )
+    select b.event_type, b.n_ref, b.n_cur,
+           cast(b.n_ref as double) / t.n_tot as share_ref,
+           cast(b.n_cur as double) / t.m_tot as share_cur,
+           cast(abs(b.n_ref * t.m_tot - b.n_cur * t.n_tot) as bigint) as drift_num,
+           cast(t.drift_sum as double) / (2.0 * t.n_tot * t.m_tot) as tvd,
+           cast(t.drift_sum as double) / (2.0 * t.n_tot * t.m_tot) > 0.05 as drift_alert
+    from buckets b cross join tot t
+    """,
+    tags=("events", "monitor", "quality"),
+)
+def monitor_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """TVD drift between reference and current windows, exactly.
+
+    100 TB shape: ONE map-side-combined aggregate produces both
+    windows' bucket counts (conditional sums share the pass); the
+    bucket table is category-sized, so the totals row and the final
+    projection are broadcast work. The same plan slides daily with the
+    split literal parameterized; N*M products fit bigint to ~3e9 rows
+    per window, then ride decimal(38,0) unchanged.
+    """
+    e = t(spark, sf, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    buckets = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).cast("long").alias("n_cur"),
+    ).localCheckpoint(eager=True)  # eager-by-design: the category-sized
+    # bucket table feeds three branches (totals, drift sum, projection)
+    # — without the cut each branch re-scans the corpus
+    tot = buckets.agg(
+        F.sum("n_ref").alias("n_tot"),
+        F.sum("n_cur").alias("m_tot"),
+    )
+    joined = buckets.crossJoin(F.broadcast(tot))
+    drift_num = F.abs(F.col("n_ref") * F.col("m_tot") - F.col("n_cur") * F.col("n_tot"))
+    with_num = joined.withColumn("drift_num", drift_num.cast("long"))
+    dsum = with_num.agg(F.sum("drift_num").alias("drift_sum"))
+    tvd = F.col("drift_sum").cast("double") / (
+        F.lit(2.0) * F.col("n_tot") * F.col("m_tot")
+    )
+    return (
+        with_num.crossJoin(F.broadcast(dsum))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (F.col("n_ref").cast("double") / F.col("n_tot")).alias("share_ref"),
+            (F.col("n_cur").cast("double") / F.col("m_tot")).alias("share_cur"),
+            "drift_num",
+            tvd.alias("tvd"),
+            (tvd > 0.05).alias("drift_alert"),
+        )
+    )

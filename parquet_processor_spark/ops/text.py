@@ -1175,3 +1175,70 @@ def quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_alpha & ok_stop).alias("pass_gopher"),
     )
+
+
+# CCNet quality buckets (Wenzek et al. 2020): split the corpus into
+# head / middle / tail terciles by language-model score — the
+# published pre-filter CommonCrawl pipelines apply before anything
+# expensive touches the tail. Score here is the bigram-LM avg_freq of
+# quality_bigram_lm (higher = more fluent under the corpus model, so
+# head = top tercile), ties broken by doc_id; docs too short to have
+# bigrams (<2 tokens) get the tail bucket by definition.
+@query(
+    "quality_ccnet_buckets",
+    oracle=r"""
+    with w as (
+      select doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') as words
+      from documents
+    ),
+    big as (
+      select doc_id,
+             ('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 15))::bigint as bk
+      from w, unnest(generate_series(1, len(words) - 1)) as s(i)
+    ),
+    model as (select bk, count(*) as n_big from big group by bk),
+    scored as (
+      select b.doc_id, cast(sum(m.n_big) as double) / count(*) as avg_freq
+      from big b join model m on b.bk = m.bk group by b.doc_id
+    ),
+    ranked as (
+      select d.doc_id, s.avg_freq,
+             ntile(3) over (order by s.avg_freq desc nulls last, d.doc_id) as tercile
+      from documents d left join scored s on d.doc_id = s.doc_id
+    )
+    select doc_id, avg_freq, cast(tercile as int) as tercile,
+           case tercile when 1 then 'head' when 2 then 'middle' else 'tail' end
+             as bucket
+    from ranked
+    """,
+    tags=("text", "curation", "quality"),
+)
+def quality_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Head/middle/tail corpus terciles by bigram-LM score.
+
+    100 TB shape: scoring is the quality_bigram_lm plan (map-only
+    bigram expansion, map-side-combined model, one score join); the
+    tercile assignment here is an exact ntile — a doc-granularity sort
+    CCNet itself performs — which at full scale swaps for two
+    approx-percentile cutoffs broadcast against the scores (same
+    bucket semantics, no global sort) when exact tie placement stops
+    mattering.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents").select("doc_id")
+    scored = quality_bigram_lm(spark, sf).select("doc_id", "avg_freq")
+    ranked = d.join(scored, "doc_id", "left").withColumn(
+        "tercile",
+        F.ntile(3).over(Window.orderBy(F.desc_nulls_last("avg_freq"), F.asc("doc_id"))),
+    )
+    return ranked.select(
+        "doc_id",
+        "avg_freq",
+        F.col("tercile").cast("int").alias("tercile"),
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1194,6 +1194,16 @@ def _range_keyed_sql() -> str:
     tags=("vector", "lsh", "range"),
 )
 def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius query: all pairs with cos >= tau via banded candidates.
+
+    Scale lever: r (planes per band). Band selectivity is p^r, so the
+    fixture's r=3 keeps 500-vector buckets dense enough to have
+    candidates at all, while a production radius runs r=16+ (2^16-key
+    bands) so candidate mass tracks the true ball instead of the
+    corpus square — measured honestly in SCALE.md (x10 corpus, ~100x
+    pair mass, 52x wall = per-pair cost falls 2x). recall_range_search
+    is the guard that any retuned r still clears 0.90 measured recall.
+    """
     return _range_pairs(spark, sf)
 
 

@@ -64,6 +64,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_random_projection",
     "error_random_projection",
     "multimodal_clip_pairs",
+    "streaming_count_min",
+    "monitor_feature_drift",
+    "quality_ccnet_buckets",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

@@ -368,3 +368,105 @@ def streaming_expectations(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(row("ts_not_null", "nullts", F.col("nullts") == 0))
         .unionByName(row("error_rate_le_5pct", "errs", F.col("errs") * 20 <= F.col("n")))
     )
+
+
+# Streaming count-min sketch: the N109 batch sketch maintained as
+# CONTINUOUS state — per micro-batch the (row, bucket) counters
+# accumulate by addition in complete mode, so the stream-end cells are
+# bit-identical to a batch build over the same file (split-invariance
+# is the CMS merge property, proven here by oracling against the pure
+# batch twin). Served: estimates for the top-20 users by exact count —
+# the classical sketch + heavy-hitter pairing a streaming frequency
+# monitor answers without keeping a per-key map.
+_SCM_D = 3
+_SCM_W = 16
+_SCM_TOPK = 20
+
+
+@query(
+    "streaming_count_min",
+    oracle=f"""
+    with cells as (
+      select j,
+             ('0x' || substr(md5('cms' || cast(j as varchar) || '|'
+                                 || cast(user_id as varchar)), 1, 8))::bigint
+               % {_SCM_W} as bucket,
+             count(*) as cell
+      from events cross join (select unnest([0, 1, 2]) as j)
+      group by 1, 2
+    ),
+    exact as (
+      select user_id, count(*) as n_exact from events group by user_id
+      order by n_exact desc, user_id limit {_SCM_TOPK}
+    )
+    select e.user_id,
+           cast(e.n_exact as bigint) as n_exact,
+           cast(min(c.cell) as bigint) as n_est,
+           cast(min(c.cell) - e.n_exact as bigint) as n_over
+    from exact e
+    join cells c
+      on c.bucket = ('0x' || substr(md5('cms' || cast(c.j as varchar) || '|'
+                                        || cast(e.user_id as varchar)), 1, 8))::bigint
+                    % {_SCM_W}
+    group by e.user_id, e.n_exact
+    """,
+    tags=("streaming", "sketch", "approx"),
+)
+def streaming_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-maintained CMS cells, served for the top-k user freqs.
+
+    100 TB shape: per-batch work is one map-side-combined aggregate
+    over d*w = 48 integer cells (the complete-mode state IS the
+    sketch); no event payload shuffles and no per-key state grows —
+    the whole point of sketching the stream. The serve step joins the
+    48-cell table (broadcast) against the exact top-k, which a real
+    monitor keeps separately (here derived from the same file batch-
+    side for the oracle's benefit).
+    """
+    from pyspark.sql import functions as F
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+
+    def bucket(j: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _SCM_W)
+
+    keyed = events.select(
+        F.posexplode(F.array(*[bucket(j) for j in range(_SCM_D)])).alias("j", "bucket")
+    )
+    cells = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    mem = _run_stream(cells, "complete")
+
+    from parquet_processor_spark.tables import t as _t
+
+    exact = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(_SCM_TOPK)
+    )
+
+    def user_bucket(j: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _SCM_W)
+
+    probes = exact.select(
+        "user_id",
+        "n_exact",
+        F.posexplode(F.array(*[user_bucket(j) for j in range(_SCM_D)])).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(mem), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("n_exact").cast("long").alias("n_exact"),
+            F.min("cell").cast("long").alias("n_est"),
+        )
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias("n_over"),
+        )
+    )

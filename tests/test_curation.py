@@ -157,3 +157,23 @@ def test_dsir_importance_upweights_seed_docs(spark, sf_dir):
     assert sum(seed_scores) / len(seed_scores) > sum(rest_scores) / len(rest_scores)
     for r in out.values():
         assert r["selected"] == (r["score"] >= 1.0) or abs(r["score"] - 1.0) < 1e-12
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark, sf_dir):
+    rows = all_queries()["quality_ccnet_buckets"](spark, sf_dir).collect()
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in rows)
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # every head score >= every tail score (ntile on a total order)
+    head_min = min(r["avg_freq"] for r in rows if r["bucket"] == "head")
+    tail_max = max(
+        (r["avg_freq"] for r in rows if r["bucket"] == "tail" and r["avg_freq"] is not None),
+        default=None,
+    )
+    assert tail_max is None or head_min >= tail_max
+    # short docs (no bigrams) must land in tail
+    for r in rows:
+        if r["avg_freq"] is None:
+            assert r["bucket"] == "tail"

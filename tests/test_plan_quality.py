@@ -905,3 +905,22 @@ def test_clip_pairs_caption_dim_broadcasts(spark):
     plan = plan_of(spark, "multimodal_clip_pairs")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_drift_monitor_single_pass_two_windows(spark):
+    # N117 claim: both comparison windows' bucket counts come from ONE
+    # map-side-combined aggregate (conditional sums share the pass),
+    # materialized eagerly into the category-sized checkpoint — the
+    # serving plan must contain NO parquet scan at all (the single
+    # corpus pass already happened), no sort-merge join, no window.
+    plan = plan_of(spark, "monitor_feature_drift")
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_ccnet_buckets_reuse_bigram_plan(spark):
+    # N118 claim: scoring is the quality_bigram_lm plan; the tercile
+    # ntile is the only window and runs at doc granularity.
+    plan = plan_of(spark, "quality_ccnet_buckets")
+    assert plan.count("ntile") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
