@@ -179,6 +179,9 @@ EXTENDED = [
     "streaming_count_min",
     "monitor_feature_drift",
     "quality_ccnet_buckets",
+    "dedup_cluster_report",
+    "tokenizer_bpe_eval",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -1562,3 +1562,64 @@ def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
         (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("fingerprint"),
     )
+
+
+def _cluster_report_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    return rf"""
+    with cs as (
+      select l.cluster_id,
+             count(*) as sz,
+             cast(sum(case when l.is_dup then d.n_chars else 0 end) as bigint)
+               as chars_rm
+      from ( {_ORACLES['dedup_connected']} ) l
+      join documents d on l.doc_id = d.doc_id
+      group by l.cluster_id
+    )
+    select cast(sz as bigint) as cluster_size,
+           cast(count(*) as bigint) as n_clusters,
+           cast(sum(sz) as bigint) as n_docs,
+           cast(sum(case when sz > 1 then sz - 1 else 0 end) as bigint) as n_dups,
+           cast(sum(chars_rm) as bigint) as chars_removed
+    from cs group by sz
+    """
+
+
+@query("dedup_cluster_report", oracle=_cluster_report_oracle(), tags=("dedup", "report"))
+def dedup_cluster_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup REPORT artifact
+    (what Dolma/RedPajama publish alongside the deduped corpus): one
+    row per cluster size with how many clusters, docs, removable dups,
+    and removable characters it accounts for. The "how much did dedup
+    buy" answer comes straight off this table.
+
+    100 TB shape: rides the dedup_connected closure unchanged (the
+    expensive part, already O(dup-graph) per round); the report itself
+    is two map-side-combined aggregates over doc-count rows — cluster
+    sizes, then the size histogram — nothing corpus-mass beyond the
+    closure's own single documents pass (n_chars joins by doc_id).
+    """
+    base = dedup_connected(spark, sf)
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    cs = (
+        base.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum(F.when(F.col("is_dup"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_rm"),
+        )
+    )
+    return (
+        cs.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+            F.sum("chars_rm").cast("long").alias("chars_removed"),
+        )
+    )

@@ -378,7 +378,16 @@ _PHASH_MAX_HAM = 6    # <=6 flips -> >=2 clean bands -> shared pair-key (pigeonh
 _PHASH_COMBOS = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (2, 3), (2, 4), (2, 5), (2, 6), (2, 7), (3, 4), (3, 5), (3, 6), (3, 7), (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
 
 
-def _phash_oracle() -> str:
+_PHASH_MEDIA_CTE = """
+      select doc_id as media_id, coalesce(text, '') as content from documents
+      union all
+      select doc_id + 1000000000 as media_id,
+             replace(coalesce(text, ''), ' the ', ' THE ') as content
+      from documents where doc_id % 10 = 0
+"""
+
+
+def _phash_oracle(media_cte: str = _PHASH_MEDIA_CTE) -> str:
     duck_structs = ",\n        ".join(
         f"{{'band': {k}, 'bval': chunks[{i + 1}] * 256 + chunks[{j + 1}]}}"
         for k, (i, j) in enumerate(_PHASH_COMBOS)
@@ -388,13 +397,7 @@ def _phash_oracle() -> str:
         for c in range(_PHASH_BANDS)
     )
     return f"""
-    with media as (
-      select doc_id as media_id, coalesce(text, '') as content from documents
-      union all
-      select doc_id + 1000000000 as media_id,
-             replace(coalesce(text, ''), ' the ', ' THE ') as content
-      from documents where doc_id % 10 = 0
-    ),
+    with media as ({media_cte}),
     px as (
       select media_id,
         list_transform(range(0, {_PHASH_PIX}), i ->
@@ -525,6 +528,14 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
         F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
     )
     media = docs.unionByName(reenc)
+    return _phash_dedup(media)
+
+
+def _phash_dedup(media: DataFrame) -> DataFrame:
+    """(media_id, dup_of, is_dup) by dHash + multi-index Hamming over
+    any (media_id, content) relation — shared by the payload-level and
+    frame-level perceptual dedups (identical keys, verify, survivor
+    rule)."""
     sig = _phash_bands(media)
     key_structs = F.array(
         *[
@@ -645,4 +656,76 @@ def multimodal_clip_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "caption_doc",
         "caption_n_tokens",
         F.coalesce(F.col("caption_doc") == F.col("media_id"), F.lit(False)).alias("is_self"),
+    )
+
+
+# Frame-level perceptual dedup — the video-pipeline granularity the
+# payload-level pass (multimodal_dedup_perceptual) cannot see: WHICH
+# segment of a near-duplicate stream actually matches (shared intros/
+# outros/logos across otherwise-different media, re-encoded segments
+# inside a stream). Frames come from the 1:4 deterministic sampler
+# (sample_frames); each frame gets its own dHash and enters the same
+# multi-index Hamming blocking keyed by a composite frame id
+# fid = media_id*4 + frame_idx (injective: frame_idx < 4).
+_FRAME_CTE = f"""
+      select m.media_id * 4 + i as media_id,
+             substr(m.content,
+                    cast(i * greatest(len(m.content) // 4, 1) + 1 as int),
+                    cast(greatest(len(m.content) // 4, 1) as int)) as content
+      from ({_PHASH_MEDIA_CTE}) m, generate_series(0, 3) t(i)
+"""
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    select fid,
+           fid // 4 as media_id,
+           cast(fid % 4 as int) as frame_idx,
+           dup_of, is_dup
+    from (
+      select media_id as fid, dup_of, is_dup
+      from ( {{inner}} ) r
+    )
+    """.format(inner=_phash_oracle(_FRAME_CTE)),
+    tags=("multimodal", "dedup", "perceptual", "frames"),
+)
+def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup FRAMES across the media corpus (dHash + Hamming).
+
+    The injected re-encodes substitute bytes IN PLACE, so each altered
+    stream's frames stay aligned with the original's — the frame-level
+    pass localizes the match per segment (clean frames pair exactly,
+    altered frames pair within the Hamming budget).
+
+    100 TB shape: identical to the payload-level pass per frame — the
+    sampler is the one mapInPandas 1:4 explode (frames ride the same
+    batch as their payload, no shuffle), the dHash is arithmetic
+    beside it, and only (fid, band, 16-bit key) longs shuffle. Frame
+    count multiplies rows x4 but DIVIDES per-item bytes by 4: total
+    blocking work is unchanged, which is why frame granularity is
+    affordable at scale.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    reenc = docs.where(F.col("media_id") % 10 == 0).select(
+        (F.col("media_id") + 1_000_000_000).alias("media_id"),
+        F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
+    )
+    media = docs.unionByName(reenc).select(
+        "media_id", F.col("content").cast("binary").alias("content")
+    )
+    frames = sample_frames(media, n_frames=4).select(
+        (F.col("media_id") * 4 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").cast("string").alias("content"),
+    )
+    out = _phash_dedup(frames)
+    return out.select(
+        F.col("media_id").alias("fid"),
+        (F.col("media_id") / 4).cast("long").alias("media_id"),
+        (F.col("media_id") % 4).cast("int").alias("frame_idx"),
+        "dup_of",
+        "is_dup",
     )

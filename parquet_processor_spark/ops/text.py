@@ -1242,3 +1242,63 @@ def quality_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def _bpe_eval_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    return rf"""
+    with enc as ( {_ORACLES['tokenizer_bpe_apply']} ),
+    ws as (
+      select doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               as n_ws
+      from documents
+    )
+    select d.lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(d.n_chars) as bigint) as total_chars,
+           cast(sum(e.n_tokens) as bigint) as total_bpe_tokens,
+           cast(sum(w.n_ws) as bigint) as total_ws_tokens,
+           cast(sum(d.n_chars) as double) / sum(e.n_tokens) as chars_per_token,
+           cast(sum(e.n_tokens) as double) / sum(w.n_ws) as bpe_per_ws
+    from enc e
+    join documents d on e.doc_id = d.doc_id
+    join ws w on e.doc_id = w.doc_id
+    group by d.lang
+    """
+
+
+@query("tokenizer_bpe_eval", oracle=_bpe_eval_oracle(), tags=("text", "tokenizer", "report"))
+def tokenizer_bpe_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer quality report — per-language compression of the
+    trained BPE encoding (chars/token, BPE-vs-whitespace fertility):
+    the number a tokenizer team actually tracks when deciding whether
+    the merge table is worth shipping. Completes the train -> apply ->
+    EVALUATE story; all ratios are exact integer sums with one final
+    IEEE division each.
+
+    100 TB shape: rides the tokenizer_bpe_apply encode unchanged (the
+    chained broadcast merges beside the one corpus scan); the eval is
+    a language-count-sized map-side aggregate over (doc, counts) rows
+    — nothing new is corpus-mass.
+    """
+    enc = tokenizer_bpe_apply(spark, sf).select("doc_id", "n_tokens")
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")).alias("n_ws"),
+    )
+    return (
+        enc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_bpe_tokens"),
+            F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+            (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
+            (F.sum("n_tokens").cast("double") / F.sum("n_ws")).alias("bpe_per_ws"),
+        )
+    )

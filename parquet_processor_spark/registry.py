@@ -67,6 +67,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_count_min",
     "monitor_feature_drift",
     "quality_ccnet_buckets",
+    "dedup_cluster_report",
+    "tokenizer_bpe_eval",
+    "multimodal_frame_dedup",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

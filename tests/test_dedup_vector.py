@@ -462,3 +462,35 @@ def test_pair_cos_arrow_bit_exact_with_jvm_fold(spark, sf_dir):
     jm = {(r["ida"], r["idb"]): r["c"] for r in jvm.collect()}
     am = {(r["ida"], r["idb"]): r["c"] for r in arrow.collect()}
     assert jm == am and len(jm) > 1000
+
+
+def test_cluster_report_accounts_for_every_doc(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import t
+
+    rows = all_queries()["dedup_cluster_report"](spark, sf_dir).collect()
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_clusters"] * r["cluster_size"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_dups"] == r["n_clusters"] * (r["cluster_size"] - 1)
+        if r["cluster_size"] == 1:
+            assert r["chars_removed"] == 0
+    # the fixture has real dup clusters: some size > 1 row must exist
+    assert any(r["cluster_size"] > 1 for r in rows)
+
+
+def test_bpe_eval_ratios_are_consistent(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["tokenizer_bpe_eval"](spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == {"en", "de", "es", "fr", "zh"}
+    for r in rows:
+        # BPE merges only ever SHRINK the symbol stream vs characters
+        # and can never beat one token per word here (word-boundary
+        # markers stop cross-word merges)
+        assert r["total_bpe_tokens"] >= r["total_ws_tokens"]
+        assert r["chars_per_token"] * r["total_bpe_tokens"] == r["total_chars"] or (
+            abs(r["chars_per_token"] - r["total_chars"] / r["total_bpe_tokens"]) < 1e-9
+        )
+        assert r["bpe_per_ws"] >= 1.0

@@ -98,3 +98,24 @@ def test_clip_pairs_caption_gate_and_coverage(spark, sf_dir):
                 <= _CLIP_CAP_MAX_TOK
             ]
             assert not better
+
+
+def test_frame_dedup_localizes_injected_reencodes(spark, sf_dir):
+    # Every injected re-encode stream (media_id >= 1e9) must have ALL
+    # FOUR frames either exactly matching or within the Hamming budget
+    # of the original stream's aligned frames — the in-place
+    # substitution keeps alignment, so frame-level dedup localizes
+    # every segment.
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_frame_dedup"](spark, sf_dir).collect()
+    inj = [r for r in rows if r["media_id"] >= 1_000_000_000]
+    assert inj, "fixture must inject re-encoded streams"
+    for r in inj:
+        assert r["is_dup"], f"injected frame not matched: {r}"
+        # the canonical match must be the aligned frame of the original
+        orig_fid = (r["media_id"] - 1_000_000_000) * 4 + r["frame_idx"]
+        assert r["dup_of"] <= orig_fid
+    # frame ids decompose consistently
+    for r in rows:
+        assert r["fid"] == r["media_id"] * 4 + r["frame_idx"]

@@ -85,7 +85,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "agg_count_min", "anonymize_k_anonymity", "sample_importance_dsir",
          "agg_bitmap_index", "sim_range_search", "embedding_random_projection",
          "multimodal_clip_pairs", "monitor_feature_drift",
-         "quality_ccnet_buckets"]
+         "quality_ccnet_buckets", "dedup_cluster_report",
+         "tokenizer_bpe_eval", "multimodal_frame_dedup"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
