@@ -182,6 +182,9 @@ EXTENDED = [
     "dedup_cluster_report",
     "tokenizer_bpe_eval",
     "multimodal_frame_dedup",
+    "events_survival_table",
+    "graph_link_prediction",
+    "events_bot_detection",
 ]
 
 

@@ -490,3 +490,125 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("src").alias("node"), "label")
         )
     return labels
+
+
+# Link prediction by common-neighbor Jaccard — "products likely to be
+# bought together NEXT" (the recommender/completion signal): for every
+# non-adjacent pair with at least one shared neighbor, score
+# |N(a) ∩ N(b)| / |N(a) ∪ N(b)| and emit the top-20 predicted edges.
+_LINKPRED_K = 20
+
+
+def _linkpred_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    und as (select u, v from e union all select v as u, u as v from e),
+    deg as (select u as node, cast(count(*) as bigint) as d from und group by u),
+    o as (
+      select case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then e.u else e.v end as s,
+             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then e.v else e.u end as t,
+             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
+                  then dv.d else du.d end as dt
+      from e join deg du on e.u = du.node join deg dv on e.v = dv.node
+    ),
+    w as (
+      select o1.t as a, o2.t as b
+      from o o1 join o o2
+        on o1.s = o2.s
+       and ((o1.dt < o2.dt) or (o1.dt = o2.dt and o1.t < o2.t))
+    ),
+    cn as (
+      select a, b, cast(count(*) as bigint) as n_common
+      from w
+      anti join o on w.a = o.s and w.b = o.t
+      group by a, b
+    )
+    select cn.a as p1, cn.b as p2, cn.n_common,
+           da.d as deg_a, db.d as deg_b,
+           cast(cn.n_common as double) / (da.d + db.d - cn.n_common) as jaccard
+    from cn join deg da on cn.a = da.node join deg db on cn.b = db.node
+    order by jaccard desc, p1, p2
+    limit {_LINKPRED_K}
+    """
+
+
+@query("graph_link_prediction", oracle=_linkpred_oracle(), tags=("graph", "recommend"))
+def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K predicted co-purchase links by neighbor-set Jaccard.
+
+    100 TB shape: reuses the triangle machinery's ORIENTED wedge
+    enumeration (each candidate pair appears once per common neighbor,
+    total output O(sum out-degree^2) with out-degree <= sqrt(2m) — a
+    celebrity hub emits no wedges), so the scorer inherits the same
+    worst-case bound as the triangle count; existing edges drop out
+    with one semi-structured anti join on normalized pairs; the final
+    top-K is a TakeOrdered, never a global sort.
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    # same edge/degree build as _triangle_rows, WITHOUT its closed-wedge
+    # orientation checkpoint (we orient once below for all-wedge rows;
+    # calling _triangle_rows would eagerly materialize a second,
+    # discarded oriented-edge table)
+    e = (
+        agg_copurchase_pairs(spark, sf)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .localCheckpoint()  # eager-by-design: feeds degree AND orientation
+    )
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).localCheckpoint(eager=True)  # eager-by-design: feeds both wedge sides and the anti join
+    o1 = o.select("s", F.col("t").alias("a"), F.col("dt").alias("da_o"))
+    o2 = o.select("s", F.col("t").alias("b"), F.col("dt").alias("db_o"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("da_o") < F.col("db_o"))
+        | ((F.col("da_o") == F.col("db_o")) & (F.col("a") < F.col("b")))
+    )
+    existing = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    cn = (
+        wedges.select("a", "b")
+        .join(existing, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    scored = cn.join(da, "a").join(db, "b")
+    jac = F.col("n_common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    )
+    return (
+        scored.select(
+            F.col("a").alias("p1"),
+            F.col("b").alias("p2"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("p1"), F.asc("p2"))
+        .limit(_LINKPRED_K)
+    )

@@ -1771,3 +1771,181 @@ def monitor_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
             (tvd > 0.05).alias("drift_alert"),
         )
     )
+
+
+# Survival life table (Kaplan-Meier input): per day-of-life d, how
+# many users were still at risk, how many churned at d, and the
+# discrete hazard churned/at_risk — the churn-analytics table whose
+# running product is the KM survival curve. The product itself is
+# left to the consumer (a cumulative double product is not bitwise
+# cross-engine; every INPUT here is exact integers + one division).
+# Users whose last event falls in the final week of the observation
+# window are CENSORED: they leave the risk set at their observed
+# lifetime without counting as churn (the standard right-censoring
+# rule — without it, everyone alive at the horizon looks churned).
+_SURV_CENSOR_DAYS = 7
+
+
+@query(
+    "events_survival_table",
+    oracle=f"""
+    with horizon as (select max(ts) as h from events),
+    users as (
+      select user_id,
+             date_diff('day', min(ts), max(ts)) as lifetime,
+             max(ts) >= (select h from horizon) - interval {_SURV_CENSOR_DAYS} day
+               as censored
+      from events group by user_id
+    ),
+    per_day as (
+      select lifetime as d,
+             cast(count(*) as bigint) as n_exit,
+             cast(sum(case when censored then 0 else 1 end) as bigint) as n_churn
+      from users group by lifetime
+    )
+    select d,
+           cast(sum(n_exit) over (order by d desc
+                rows between unbounded preceding and current row) as bigint)
+             as n_at_risk,
+           n_churn,
+           cast(n_churn as double) /
+             sum(n_exit) over (order by d desc
+                rows between unbounded preceding and current row) as hazard
+    from per_day
+    """,
+    tags=("events", "survival", "analytics"),
+)
+def events_survival_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete-time life table over user event lifetimes.
+
+    100 TB shape: ONE user-keyed aggregate collapses the event stream
+    to a per-user (lifetime, censored) row; everything after runs on
+    |distinct lifetimes| rows (collapsed-keys discipline — the
+    reverse-cumulative window sorts ~30 day-offsets, never users or
+    events); the horizon is a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    horizon = e.agg(F.max("ts").alias("h"))
+    users = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("last_ts"), F.col("first_ts")).alias("lifetime"),
+            (F.col("last_ts") >= F.col("h") - F.expr(f"interval {_SURV_CENSOR_DAYS} day")).alias(
+                "censored"
+            ),
+        )
+    )
+    per_day = users.groupBy(F.col("lifetime").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exit"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("n_churn"),
+    )
+    w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    at_risk = F.sum("n_exit").over(w)
+    return per_day.select(
+        "d",
+        at_risk.cast("long").alias("n_at_risk"),
+        "n_churn",
+        (F.col("n_churn").cast("double") / at_risk).alias("hazard"),
+    )
+
+
+# Metronomic-actor (bot) detection — the abuse/fraud screen over event
+# streams: humans arrive with jittered inter-event gaps, scripted
+# actors tick on a fixed period. Gap statistics are held in EXACT
+# epoch-microsecond integers (no float variance), so the verdict is a
+# bigint comparison. The fixture's users are all organic, so scripted
+# actors are INJECTED deterministically (the multimodal re-encode
+# pattern): every 25th user's events are replayed under user_id+1e6 on
+# a fixed 60 s grid — the detector must flag exactly the injected
+# cohort.
+_BOT_MIN_EVENTS = 5
+_BOT_JITTER_US = 1_000_000  # max-min gap under 1 s across >=5 events = scripted
+
+
+@query(
+    "events_bot_detection",
+    oracle=f"""
+    with base as (
+      select user_id, ts, event_id from events
+    ),
+    bots as (
+      select user_id + 1000000 as user_id,
+             (select min(ts) from events)
+               + interval 1 minute * row_number()
+                   over (partition by user_id order by ts, event_id) as ts,
+             event_id + 10000000 as event_id
+      from events where user_id % 25 = 0
+    ),
+    stream as (select * from base union all select * from bots),
+    gaps as (
+      select user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               over (partition by user_id order by ts, event_id) as gap_us
+      from stream
+    ),
+    stats as (
+      select user_id,
+             cast(count(*) + 1 as bigint) as n_events,
+             cast(min(gap_us) as bigint) as min_gap_us,
+             cast(max(gap_us) as bigint) as max_gap_us
+      from gaps where gap_us is not null
+      group by user_id
+    )
+    select user_id, n_events, min_gap_us, max_gap_us,
+           n_events >= {_BOT_MIN_EVENTS}
+             and max_gap_us - min_gap_us < {_BOT_JITTER_US} as is_bot
+    from stats
+    """,
+    tags=("events", "abuse", "monitor"),
+)
+def events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Flag users whose inter-event gaps are machine-regular.
+
+    100 TB shape: ONE user-keyed window pass computes the lag gaps
+    (the sessionize shape — partition by user, never a global sort),
+    then a map-side-combined per-user aggregate; gap arithmetic stays
+    in integer micros end to end, so there is no float state to merge
+    and the flag is split-invariant.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").select("user_id", "ts", "event_id")
+    gmin = e.agg(F.min("ts").alias("t0"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    )
+    bots = (
+        e.where(F.col("user_id") % 25 == 0)
+        .withColumn("rn", rn)
+        .crossJoin(F.broadcast(gmin))
+        .select(
+            (F.col("user_id") + 1_000_000).alias("user_id"),
+            (F.col("t0") + F.col("rn") * F.expr("interval 1 minute")).alias("ts"),
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+        )
+    )
+    stream = e.unionByName(bots)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(
+        Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    )
+    gaps = stream.select("user_id", gap.alias("gap_us")).where(F.col("gap_us").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    return stats.select(
+        "user_id",
+        "n_events",
+        "min_gap_us",
+        "max_gap_us",
+        (
+            (F.col("n_events") >= _BOT_MIN_EVENTS)
+            & (F.col("max_gap_us") - F.col("min_gap_us") < _BOT_JITTER_US)
+        ).alias("is_bot"),
+    )

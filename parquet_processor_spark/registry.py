@@ -70,6 +70,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_report",
     "tokenizer_bpe_eval",
     "multimodal_frame_dedup",
+    "events_survival_table",
+    "graph_link_prediction",
+    "events_bot_detection",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

@@ -177,3 +177,37 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark, sf_dir):
     for r in rows:
         if r["avg_freq"] is None:
             assert r["bucket"] == "tail"
+
+
+def test_bot_detection_flags_exactly_the_injected_cohort(spark, sf_dir):
+    rows = all_queries()["events_bot_detection"](spark, sf_dir).collect()
+    flagged = {r["user_id"] for r in rows if r["is_bot"]}
+    organic = {r["user_id"] for r in rows if r["user_id"] < 1_000_000}
+    injected = {r["user_id"] for r in rows if r["user_id"] >= 1_000_000}
+    assert injected, "fixture must inject scripted actors"
+    # every injected actor ticks on the fixed grid -> flagged; no
+    # organic user may trip the detector
+    assert flagged == injected
+    for r in rows:
+        if r["user_id"] in injected:
+            assert r["min_gap_us"] == r["max_gap_us"] == 60_000_000
+    assert organic and not (flagged & organic)
+
+
+def test_survival_table_is_a_valid_life_table(spark, sf_dir):
+    rows = sorted(
+        all_queries()["events_survival_table"](spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    # at-risk counts decrease as offsets grow (reverse cumulative),
+    # the largest offset's risk set equals its exits, and hazards are
+    # valid probabilities
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_at_risk"] >= b["n_at_risk"]
+    for r in rows:
+        assert 0 <= r["n_churn"] <= r["n_at_risk"]
+        assert 0.0 <= r["hazard"] <= 1.0
+    n_users = (
+        t(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[0]["n_at_risk"] == n_users

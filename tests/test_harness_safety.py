@@ -57,6 +57,7 @@ def test_check_priority_window():
         "multimodal_clip_pairs",
         "streaming_count_min", "monitor_feature_drift", "quality_ccnet_buckets",
         "dedup_cluster_report", "tokenizer_bpe_eval", "multimodal_frame_dedup",
+        "events_survival_table", "graph_link_prediction", "events_bot_detection",
         "dedup_verbatim_spans", "dedup_span_removal",
         "sink_versioned_snapshots", "sink_ann_index_roundtrip",
         "graph_label_propagation", "table_expectations",
@@ -71,8 +72,8 @@ def test_check_priority_window():
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
         "scan_range", "join_cross", "fn_concat", "fn_least_cast",
         # latest driver row: round 2 (30 stalest)
-        "sim_pairs_blocked", "sim_topk", "sim_topk_ivf", "agg_count_if",
-        "agg_ratio", "agg_groupby_count",
+        "sim_pairs_blocked", "sim_topk", "sim_topk_ivf",
+        # agg_count_if / agg_ratio / agg_groupby_count /
         # agg_cube / join_range / multimodal_features /
         # scan_json / fn_json_extract / case_when_dispatch /
         # filter_error_rows / sample_hash / sample_stratified /

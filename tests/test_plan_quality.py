@@ -924,3 +924,19 @@ def test_ccnet_buckets_reuse_bigram_plan(spark):
     plan = plan_of(spark, "quality_ccnet_buckets")
     assert plan.count("ntile") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_link_prediction_wedges_are_oriented(spark):
+    # N123 claim: candidate pairs enumerate through the degree-ordered
+    # orientation (sum out-deg^2 bound) — no cartesian pairing, no
+    # global sort before the TakeOrdered top-K.
+    plan = plan_of(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bot_detection_windows_stay_user_keyed(spark):
+    # N124 claim: the lag pass partitions by user — a window sort spec
+    # without partitioning would funnel the stream through ONE task.
+    plan = plan_of(spark, "events_bot_detection")
+    assert not _single_partition_sorts(plan), plan

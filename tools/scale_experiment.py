@@ -86,7 +86,9 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "agg_bitmap_index", "sim_range_search", "embedding_random_projection",
          "multimodal_clip_pairs", "monitor_feature_drift",
          "quality_ccnet_buckets", "dedup_cluster_report",
-         "tokenizer_bpe_eval", "multimodal_frame_dedup"]
+         "tokenizer_bpe_eval", "multimodal_frame_dedup",
+         "events_survival_table", "graph_link_prediction",
+         "events_bot_detection"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
