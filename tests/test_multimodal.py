@@ -119,3 +119,25 @@ def test_frame_dedup_localizes_injected_reencodes(spark, sf_dir):
     # frame ids decompose consistently
     for r in rows:
         assert r["fid"] == r["media_id"] * 4 + r["frame_idx"]
+
+
+def test_phash_bands_arrow_bit_exact_with_jvm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.multimodal import _phash_bands, _phash_bands_arrow
+    from parquet_processor_spark.tables import t
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    # include adversarial shapes: empty, 1-char, shorter than the 65
+    # sample blocks
+    extra = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, "a"), (10_000_003, "short text"), (10_000_004, "x" * 64)],
+        "media_id long, content string",
+    )
+    both = media.unionByName(extra)
+    jvm = {r["media_id"]: tuple(r[f"b{c}"] for c in range(8)) for r in _phash_bands(both).collect()}
+    arrow = {r["media_id"]: tuple(r[f"b{c}"] for c in range(8)) for r in _phash_bands_arrow(both).collect()}
+    assert jvm == arrow and len(jvm) > 100
