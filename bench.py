@@ -185,6 +185,9 @@ EXTENDED = [
     "events_survival_table",
     "graph_link_prediction",
     "events_bot_detection",
+    "curation_contamination_spans",
+    "events_seasonality",
+    "sink_codec_roundtrip",
 ]
 
 

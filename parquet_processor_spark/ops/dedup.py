@@ -1623,3 +1623,61 @@ def dedup_cluster_report(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("chars_rm").cast("long").alias("chars_removed"),
         )
     )
+
+
+# Span-level benchmark decontamination — the Lee et al. 2022 exact-
+# substring test applied the way labs actually decontaminate: a
+# training doc is flagged when it shares a verbatim token run >=
+# {_SPAN_MIN_TOKENS} with any held-out benchmark doc (the same %50
+# benchmark slice as curation_contamination, whose n-gram BAG overlap
+# misses reordered text and over-fires on topical overlap — the span
+# test is the memorization-faithful criterion).
+@query(
+    "curation_contamination_spans",
+    oracle=f"""
+    with {_SPAN_CTES},
+    pair_spans as (
+      select doc_a, doc_b, max(span_tokens) as max_span
+      from runs group by doc_a, doc_b
+      having max(span_tokens) >= {_SPAN_MIN_TOKENS}
+    ),
+    crossing as (
+      select case when doc_a % 50 = 0 then doc_b else doc_a end as train_id,
+             case when doc_a % 50 = 0 then doc_a else doc_b end as bench_id,
+             max_span
+      from pair_spans
+      where (doc_a % 50 = 0) <> (doc_b % 50 = 0)
+    )
+    select train_id,
+           cast(min(bench_id) as bigint) as bench_id,
+           cast(max(max_span) as bigint) as max_span_tokens,
+           cast(count(*) as bigint) as n_bench_matches
+    from crossing group by train_id
+    """,
+    tags=("curation", "contamination", "spans"),
+)
+def curation_contamination_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Training docs sharing a long verbatim run with the benchmark.
+
+    100 TB shape: rides the dedup_verbatim_spans pair machinery
+    unchanged (rare-anchor blocking, df-capped posting lists, islands
+    window on pair-diagonal keys); the bench/train split is a modulo
+    flag evaluated on the pair rows, so decontamination costs nothing
+    beyond the span scan a dedup pass already runs. In production the
+    benchmark side is a small fixed corpus: the anchor join's bench
+    side collapses to a broadcast and only training-side anchors probe
+    it.
+    """
+    pairs = dedup_verbatim_spans(spark, sf)
+    a_bench = F.col("doc_a") % 50 == 0
+    b_bench = F.col("doc_b") % 50 == 0
+    crossing = pairs.where(a_bench != b_bench).select(
+        F.when(a_bench, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_id"),
+        F.when(a_bench, F.col("doc_a")).otherwise(F.col("doc_b")).alias("bench_id"),
+        F.col("max_span_tokens").alias("max_span"),
+    )
+    return crossing.groupBy("train_id").agg(
+        F.min("bench_id").cast("long").alias("bench_id"),
+        F.max("max_span").cast("long").alias("max_span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+    )

@@ -618,3 +618,84 @@ def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
         F.max("hh").alias("max_hash"),
         F.min_by("doc_id", "hh").alias("first_doc"),
     )
+
+
+# Compression-codec roundtrip — the "which codec do we standardize on"
+# contract check a 100 TB lake runs before switching: the same slice
+# written under BOTH candidate codecs must read back logically
+# identical (codec choice is a physical property, never a semantic
+# one). The oracle recomputes the slice's per-group checksum straight
+# from source — equality proves BOTH codec paths are lossless; the
+# size/ratio numbers a real migration also wants are
+# environment-dependent and live in the test, not the oracle row.
+_CODECS = ("snappy", "zstd")
+
+
+@query(
+    "sink_codec_roundtrip",
+    oracle="""
+    select l_returnflag, l_linestatus,
+           cast(count(*) as bigint) as n,
+           cast(sum(l_quantity) as bigint) as sum_qty,
+           md5(string_agg(cast(l_orderkey as varchar) || ':' ||
+                          cast(l_linenumber as varchar), ','
+                          order by l_orderkey, l_linenumber)) as key_digest
+    from lineitem
+    where l_shipdate < date '1995-01-01'
+    group by 1, 2
+    """,
+    tags=("sink", "codec", "roundtrip"),
+)
+def sink_codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write under each codec, read back, return the per-group digest
+    of the (codec-agnostic) content — emitted once, only if every
+    codec's read-back agrees group-for-group with every other.
+
+    100 TB shape: each write is one scan + one parquet encode (codecs
+    differ only inside the column-chunk encoder); the verification
+    aggregate is map-side combined per codec and the cross-codec
+    equality check joins |groups| rows. Nothing here is quadratic in
+    data or codecs.
+    """
+    base = (
+        t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey", "l_linenumber")
+    )
+    digests = []
+    for codec in _CODECS:
+        out = tempfile.mkdtemp(prefix=f"ppspark_sink_codec_{codec}_")
+        base.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        digests.append(
+            back.groupBy("l_returnflag", "l_linestatus").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("l_orderkey", "l_linenumber"))
+                            ),
+                            lambda r: F.concat_ws(
+                                ":",
+                                r["l_orderkey"].cast("string"),
+                                r["l_linenumber"].cast("string"),
+                            ),
+                        ),
+                        ",",
+                    )
+                ).alias("key_digest_raw"),
+            )
+        )
+    # cross-codec equality gate: inner-join on ALL columns — a codec
+    # that corrupted anything drops rows here and the count mismatch
+    # surfaces as an oracle row-count failure.
+    a, b = digests
+    return a.join(b, ["l_returnflag", "l_linestatus", "n", "sum_qty", "key_digest_raw"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "sum_qty",
+        F.col("key_digest_raw").alias("key_digest"),
+    )

@@ -1949,3 +1949,70 @@ def events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("max_gap_us") - F.col("min_gap_us") < _BOT_JITTER_US)
         ).alias("is_bot"),
     )
+
+
+# Weekday seasonality decomposition — classical moving-average
+# detrending held ENTIRELY in scaled integers: trend*7 is the centered
+# 7-day rolling sum of daily counts, so detrended*7 = 7*n(d) -
+# rollsum(d) is exact bigint arithmetic, and the per-weekday seasonal
+# index needs only integer sums + one final division (a float MA would
+# accumulate cross-engine rounding). Edge days without a full +-3-day
+# window are excluded by an EXACT completeness check (date span == 6
+# inside the frame), not by row position — robust to calendar gaps.
+@query(
+    "events_seasonality",
+    oracle="""
+    with daily as (
+      select cast(ts as date) as d, count(*) as n
+      from events where ts is not null group by 1
+    ),
+    windowed as (
+      select d, n,
+             sum(n) over w as roll7,
+             count(*) over w as n_in_frame,
+             date_diff('day', min(d) over w, max(d) over w) as span_in_frame
+      from daily
+      window w as (order by d rows between 3 preceding and 3 following)
+    )
+    select cast(isodow(d) as int) as weekday,
+           cast(count(*) as bigint) as n_days,
+           cast(sum(7 * n - roll7) as bigint) as sum_detrended_x7,
+           cast(sum(7 * n - roll7) as double) / count(*) as mean_detrended_x7
+    from windowed
+    where n_in_frame = 7 and span_in_frame = 6
+    group by 1
+    """,
+    tags=("events", "timeseries", "seasonality"),
+)
+def events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-weekday seasonal index of event volume, exactly.
+
+    100 TB shape: the event stream collapses to ONE daily-count row
+    per date in a map-side-combined aggregate; the rolling window and
+    the weekday aggregate then run on |dates| rows (collapsed-keys —
+    the window sorts ~30 rows, never events). The ordered daily spine
+    is tiny at ANY corpus scale, so the single-partition window over
+    it is a non-issue; everything event-mass is one scan + one
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    windowed = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).alias("roll7"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        F.datediff(F.max("d").over(w), F.min("d").over(w)).alias("span_in_frame"),
+    ).where((F.col("n_in_frame") == 7) & (F.col("span_in_frame") == 6))
+    det = F.lit(7) * F.col("n") - F.col("roll7")
+    return (
+        windowed.groupBy((F.weekday("d") + 1).cast("int").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(det).cast("long").alias("sum_detrended_x7"),
+            (F.sum(det).cast("double") / F.count(F.lit(1))).alias("mean_detrended_x7"),
+        )
+    )

@@ -73,6 +73,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_survival_table",
     "graph_link_prediction",
     "events_bot_detection",
+    "curation_contamination_spans",
+    "events_seasonality",
+    "sink_codec_roundtrip",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

@@ -211,3 +211,30 @@ def test_survival_table_is_a_valid_life_table(spark, sf_dir):
         t(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert rows[0]["n_at_risk"] == n_users
+
+
+def test_span_contamination_sides_and_threshold(spark, sf_dir):
+    from parquet_processor_spark.ops.dedup import _SPAN_MIN_TOKENS
+
+    rows = all_queries()["curation_contamination_spans"](spark, sf_dir).collect()
+    assert rows, "fixture must contain a bench-crossing verbatim span"
+    for r in rows:
+        assert r["train_id"] % 50 != 0, "train side leaked a benchmark doc"
+        assert r["bench_id"] % 50 == 0, "bench side contains a train doc"
+        assert r["max_span_tokens"] >= _SPAN_MIN_TOKENS
+        assert r["n_bench_matches"] >= 1
+
+
+def test_seasonality_detrended_sums_are_window_exact(spark, sf_dir):
+    rows = all_queries()["events_seasonality"](spark, sf_dir).collect()
+    # the 30-day fixture gives full 7-day frames for >= 3 weeks: every
+    # weekday appears, and the x7-scaled integers match the emitted mean
+    assert {r["weekday"] for r in rows} == set(range(1, 8))
+    for r in rows:
+        assert r["n_days"] >= 3
+        assert abs(r["mean_detrended_x7"] - r["sum_detrended_x7"] / r["n_days"]) < 1e-9
+    # detrended residuals sum to ~zero across a balanced span: the
+    # total is bounded by the residual scale, not the count scale
+    total = sum(r["sum_detrended_x7"] for r in rows)
+    n_events = t(spark, sf_dir, "events").count()
+    assert abs(total) < 7 * n_events

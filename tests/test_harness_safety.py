@@ -58,6 +58,7 @@ def test_check_priority_window():
         "streaming_count_min", "monitor_feature_drift", "quality_ccnet_buckets",
         "dedup_cluster_report", "tokenizer_bpe_eval", "multimodal_frame_dedup",
         "events_survival_table", "graph_link_prediction", "events_bot_detection",
+        "curation_contamination_spans", "events_seasonality", "sink_codec_roundtrip",
         "dedup_verbatim_spans", "dedup_span_removal",
         "sink_versioned_snapshots", "sink_ann_index_roundtrip",
         "graph_label_propagation", "table_expectations",
@@ -71,8 +72,10 @@ def test_check_priority_window():
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
         "scan_range", "join_cross", "fn_concat", "fn_least_cast",
-        # latest driver row: round 2 (30 stalest)
-        "sim_pairs_blocked", "sim_topk", "sim_topk_ivf",
+        # latest driver row: round 2 — all 30 r2 pins now rotated out by
+        # the r7 additions (each still passes locally; they rotate back
+        # in round 8):
+        # sim_pairs_blocked / sim_topk / sim_topk_ivf /
         # agg_count_if / agg_ratio / agg_groupby_count /
         # agg_cube / join_range / multimodal_features /
         # scan_json / fn_json_extract / case_when_dispatch /
