@@ -188,6 +188,9 @@ EXTENDED = [
     "curation_contamination_spans",
     "events_seasonality",
     "sink_codec_roundtrip",
+    "sink_manifest_pruned_scan",
+    "sink_partition_overwrite_dynamic",
+    "agg_ab_test",
 ]
 
 

@@ -1625,3 +1625,111 @@ def agg_bitmap_index(spark: SparkSession, sf: str) -> DataFrame:
             (bm == 4095).alias("full_year"),
         )
     )
+
+
+# Welch A/B test — the experimentation-platform primitive: compare a
+# metric between two hash-split arms with unequal variances. All
+# sufficient statistics are EXACT integer cents (floor(v*100 + 0.5) —
+# explicit floor because double->bigint casts truncate in Spark but
+# round in DuckDB), so n, sums, and sums-of-squares are bitwise
+# cross-engine; the t statistic is then one fixed expression tree of
+# IEEE ops over those integers. No p-value: the t CDF is
+# transcendental — the large-sample |t| > 1.96 gate stands in, and
+# the sufficient statistics let any consumer compute an exact p.
+@query(
+    "agg_ab_test",
+    oracle="""
+    with m as (
+      select user_id % 2 as arm,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where event_type = 'purchase' and value is not null
+    ),
+    s as (
+      select arm,
+             cast(count(*) as bigint) as n,
+             cast(sum(cents) as bigint) as sum_cents,
+             cast(sum(cents * cents) as bigint) as ss_cents
+      from m group by arm
+    ),
+    w as (
+      select
+        (select n from s where arm = 0) as n_a,
+        (select sum_cents from s where arm = 0) as s_a,
+        (select ss_cents from s where arm = 0) as ss_a,
+        (select n from s where arm = 1) as n_b,
+        (select sum_cents from s where arm = 1) as s_b,
+        (select ss_cents from s where arm = 1) as ss_b
+    )
+    select n_a, n_b,
+           cast(s_a as double) / (100.0 * n_a) as mean_a,
+           cast(s_b as double) / (100.0 * n_b) as mean_b,
+           (cast(s_a as double) / (100.0 * n_a) - cast(s_b as double) / (100.0 * n_b))
+             / sqrt(
+                 ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                   / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
+               + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                   / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+             ) as t_stat,
+           abs((cast(s_a as double) / (100.0 * n_a) - cast(s_b as double) / (100.0 * n_b))
+             / sqrt(
+                 ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                   / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
+               + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                   / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+             )) > 1.96 as significant_95
+    from w
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch t statistic between hash-split arms over purchase value.
+
+    100 TB shape: ONE map-side-combined aggregate computes both arms'
+    integer sufficient statistics (n, sum, sum-of-squares); the test
+    itself is a 1-row expression. The same plan serves any number of
+    concurrent experiments with the arm key swapped for an
+    (experiment, arm) composite — still one pass over the fact table.
+    """
+    m = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    s = m.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    a = s.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = s.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("s_a").cast("double") / (F.lit(100.0) * F.col("n_a"))
+    mean_b = F.col("s_b").cast("double") / (F.lit(100.0) * F.col("n_b"))
+    var_a = (
+        F.col("n_a").cast("double") * F.col("ss_a")
+        - F.col("s_a").cast("double") * F.col("s_a")
+    ) / (
+        F.col("n_a").cast("double") * F.col("n_a") * (F.col("n_a") - 1) * F.lit(10000.0)
+    )
+    var_b = (
+        F.col("n_b").cast("double") * F.col("ss_b")
+        - F.col("s_b").cast("double") * F.col("s_b")
+    ) / (
+        F.col("n_b").cast("double") * F.col("n_b") * (F.col("n_b") - 1) * F.lit(10000.0)
+    )
+    tstat = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return w.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        tstat.alias("t_stat"),
+        (F.abs(tstat) > 1.96).alias("significant_95"),
+    )

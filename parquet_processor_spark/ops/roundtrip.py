@@ -699,3 +699,128 @@ def sink_codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "sum_qty",
         F.col("key_digest_raw").alias("key_digest"),
     )
+
+
+# Manifest-driven file pruning — the Iceberg/Delta min-max manifest
+# emulated on plain parquet: write range-clustered files, harvest a
+# per-file (min, max) stats manifest with one metadata-cheap pass,
+# then answer a range query by reading ONLY the manifest-selected
+# files. This is file skipping decided ABOVE the format (the lake
+# pattern), complementing sink_sorted_roundtrip's footer-level row-
+# group pruning below the format; the pruning factor is asserted in
+# tests, the oracle proves the pruned read misses nothing.
+_MANIFEST_FILES = 8
+_MANIFEST_LO = "1995-01-01"
+_MANIFEST_HI = "1995-12-31"
+
+
+@query(
+    "sink_manifest_pruned_scan",
+    oracle=f"""
+    select o_orderkey, o_orderdate, o_totalprice
+    from orders
+    where o_orderdate between date '{_MANIFEST_LO}' and date '{_MANIFEST_HI}'
+    """,
+    tags=("sink", "manifest", "pruning"),
+)
+def sink_manifest_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Range query served through a min-max file manifest.
+
+    100 TB shape: the clustered write is one range exchange; the
+    manifest harvest aggregates (file, min, max) — file-count rows —
+    and at lake scale is maintained INCREMENTALLY at write time
+    instead of re-derived; the query planner then opens overlap-
+    selected files only (here {_MANIFEST_FILES}-way clustering cuts a
+    1-year probe to ~1/4 of the files, asserted in tests). Correctness
+    never depends on the pruning: files are selected by stats that
+    BOUND their contents, and the residual filter still runs.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_sink_manifest_")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    (
+        o.repartitionByRange(_MANIFEST_FILES, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # manifest harvest: one pass, grouped by physical file
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()  # eager-by-design: the manifest IS driver/catalog state
+        # (file-count rows) — exactly what a table format stores
+    )
+    lo = F.lit(_MANIFEST_LO).cast("date")
+    hi = F.lit(_MANIFEST_HI).cast("date")
+    selected = [
+        r["file"]
+        for r in manifest
+        if not (str(r["hi"]) < _MANIFEST_LO or str(r["lo"]) > _MANIFEST_HI)
+    ]
+    assert selected, "manifest selected no files for a non-empty range"
+    return (
+        spark.read.parquet(*selected)
+        .where(F.col("o_orderdate").between(lo, hi))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# Dynamic partition overwrite — the nightly RESTATEMENT path: re-run
+# one day's partition in place without touching siblings (Spark's
+# partitionOverwriteMode=dynamic, the INSERT OVERWRITE contract).
+# The restated day rewrites values through a deterministic adjustment
+# so the proof is two-sided: the restated partition changed exactly as
+# specified AND every other partition is byte-identical to source.
+_RESTATE_DAY = "2024-01-15"
+
+
+@query(
+    "sink_partition_overwrite_dynamic",
+    oracle=f"""
+    select cast(ts as date) as event_date,
+           cast(count(*) as bigint) as n,
+           cast(round(sum(cast(
+             case when cast(ts as date) = date '{_RESTATE_DAY}'
+                  then value * 2 else value end as decimal(18,2))), 2) as double)
+             as sum_value
+    from events where ts is not null
+    group by 1
+    """,
+    tags=("sink", "partitioned", "restatement"),
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Write day-partitioned events, restate ONE day in place via
+    dynamic partition overwrite, and return the per-day summary of
+    what is actually on disk afterward.
+
+    100 TB shape: the restatement job writes exactly one partition's
+    rows (dynamic mode replaces only partitions present in the write
+    — the others are never opened); both writes are one exchange on
+    the partition key. The summary aggregate rides decimal so the
+    oracle hash is exact.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_sink_restate_")
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "ts", "value", F.to_date("ts").alias("event_date"))
+    )
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    day = F.lit(_RESTATE_DAY).cast("date")
+    restated = e.where(F.col("event_date") == day).withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

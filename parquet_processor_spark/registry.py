@@ -76,6 +76,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "curation_contamination_spans",
     "events_seasonality",
     "sink_codec_roundtrip",
+    "sink_manifest_pruned_scan",
+    "sink_partition_overwrite_dynamic",
+    "agg_ab_test",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

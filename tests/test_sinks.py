@@ -54,3 +54,80 @@ def test_shard_assignment_is_a_pure_function_of_doc_id(spark):
     a = {r["shard"]: (r["n_docs"], r["min_hash"], r["first_doc"]) for r in q(spark, SF_SMALL).collect()}
     b = {r["shard"]: (r["n_docs"], r["min_hash"], r["first_doc"]) for r in q(spark, SF_SMALL).collect()}
     assert a == b and len(a) == 16
+
+
+def test_manifest_pruning_selects_a_strict_file_subset(spark, sf_dir, tmp_path):
+    # The manifest must actually SKIP files for a sub-range probe —
+    # otherwise the op degenerates to a full scan with extra steps.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.roundtrip import (
+        _MANIFEST_FILES,
+        _MANIFEST_HI,
+        _MANIFEST_LO,
+    )
+    from parquet_processor_spark.tables import t
+
+    out = str(tmp_path / "clustered")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    (
+        o.repartitionByRange(_MANIFEST_FILES, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    assert len(manifest) == _MANIFEST_FILES
+    selected = [
+        r
+        for r in manifest
+        if not (str(r["hi"]) < _MANIFEST_LO or str(r["lo"]) > _MANIFEST_HI)
+    ]
+    # orders span 1992-1998; a one-year probe must skip most files
+    assert 0 < len(selected) < _MANIFEST_FILES / 2 + 1
+
+
+def test_dynamic_overwrite_touches_only_the_restated_day(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.roundtrip import _RESTATE_DAY
+    from parquet_processor_spark.tables import t
+
+    out = str(tmp_path / "days")
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "value", F.to_date("ts").alias("event_date"))
+    )
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    import os
+
+    before = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in os.listdir(out)
+        if d.startswith("event_date=")
+    }
+    day = F.lit(_RESTATE_DAY).cast("date")
+    (
+        e.where(F.col("event_date") == day)
+        .withColumn("value", F.col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    after = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in os.listdir(out)
+        if d.startswith("event_date=")
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert changed == [f"event_date={_RESTATE_DAY}"]
+    assert set(before) == set(after), "dynamic overwrite dropped sibling partitions"
