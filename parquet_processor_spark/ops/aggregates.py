@@ -1702,7 +1702,9 @@ def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
-    )
+    ).localCheckpoint(eager=True)  # eager-by-design: the 2-row arm table
+    # feeds both arm branches — without the cut each branch re-scans
+    # the fact table (plan-asserted single pass)
     a = s.where(F.col("arm") == 0).select(
         F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
     )

@@ -940,3 +940,22 @@ def test_bot_detection_windows_stay_user_keyed(spark):
     # without partitioning would funnel the stream through ONE task.
     plan = plan_of(spark, "events_bot_detection")
     assert not _single_partition_sorts(plan), plan
+
+
+def test_ab_test_single_fact_pass(spark):
+    # N130 claim: both arms' sufficient statistics come from ONE
+    # aggregate over the fact table, checkpointed into a 2-row arm
+    # table — the serving plan must contain no parquet scan, no
+    # sort-merge join, no window.
+    plan = plan_of(spark, "agg_ab_test")
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_seasonality_window_runs_on_the_daily_spine(spark):
+    # N126 claim: the rolling window sorts the ~30-row daily spine —
+    # the only SinglePartition exchange must carry the collapsed daily
+    # counts, and the corpus is scanned once.
+    plan = plan_of(spark, "events_seasonality")
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
+    assert "SortMergeJoin" not in plan, plan
