@@ -191,6 +191,7 @@ EXTENDED = [
     "sink_manifest_pruned_scan",
     "sink_partition_overwrite_dynamic",
     "agg_ab_test",
+    "pipeline_curate_media",
 ]
 
 

@@ -775,3 +775,156 @@ def _phash_bands_arrow(media: DataFrame) -> DataFrame:
     ).select(
         "media_id", *[F.element_at("_b", c + 1).alias(f"b{c}") for c in range(_PHASH_BANDS)]
     )
+
+
+# End-to-end media curation composite — the multimodal twin of
+# pipeline_curate_corpus: one auditable pass from raw payloads to a
+# training-ready manifest, composing the family's stages in their
+# production order with a per-item disposition (the "why was this
+# dropped" column reviewers actually ask for):
+#   ingest (+ injected re-encodes) -> exact byte dedup -> perceptual
+#   near-dup -> caption gating -> shard assignment.
+_MEDIA_SHARDS = 8
+
+
+def _media_sql() -> str:
+    return _PHASH_MEDIA_CTE
+
+
+def _survivors_sql() -> str:
+    return f"""
+      select m.media_id, m.content
+      from ({_PHASH_MEDIA_CTE}) m
+      join (
+        select md5(content) as fp, min(media_id) as keep_id
+        from ({_PHASH_MEDIA_CTE}) group by 1
+      ) k on md5(m.content) = k.fp and m.media_id = k.keep_id
+    """
+
+
+@query(
+    "pipeline_curate_media",
+    oracle=f"""
+    with media as ({_PHASH_MEDIA_CTE}),
+    exact_keep as (
+      select md5(content) as fp, min(media_id) as keep_id
+      from media group by 1
+    ),
+    exact as (
+      select m.media_id,
+             k.keep_id,
+             m.media_id <> k.keep_id as exact_dup
+      from media m join exact_keep k on md5(m.content) = k.fp
+    ),
+    perc as (
+      select media_id, dup_of, is_dup
+      from ( {_phash_oracle(_survivors_sql())} )
+    ),
+    caps as (
+      select doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               as n_tok
+      from documents
+      where lang = 'en'
+        and len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+              between {_CLIP_CAP_MIN_TOK} and {_CLIP_CAP_MAX_TOK}
+    ),
+    best as (
+      select source, min(doc_id) as caption_doc from caps group by source
+    ),
+    disp as (
+      select e.media_id,
+             case
+               when e.exact_dup then 'drop_exact_dup'
+               when p.is_dup then 'drop_near_dup'
+               when b.caption_doc is null then 'drop_no_caption'
+               when b.caption_doc = e.media_id then 'drop_self_caption'
+               else 'kept'
+             end as status,
+             case when not e.exact_dup and not coalesce(p.is_dup, false)
+                   and b.caption_doc is not null and b.caption_doc <> e.media_id
+                  then b.caption_doc end as caption_doc
+      from exact e
+      left join perc p on e.media_id = p.media_id
+      left join documents d on d.doc_id = e.media_id % 1000000000
+      left join best b on b.source = d.source
+    )
+    select media_id, status, caption_doc,
+           case when status = 'kept'
+                then ('0x' || substr(md5(cast(media_id as varchar)), 1, 8))::bigint
+                     % {_MEDIA_SHARDS} end as shard
+    from disp
+    """,
+    tags=("multimodal", "pipeline", "curation"),
+)
+def pipeline_curate_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw media payloads -> training manifest, with per-item audit.
+
+    100 TB shape: each stage keeps its own operator's plan — the exact
+    dedup is one md5 groupBy where payload bytes never shuffle, the
+    perceptual pass runs on byte-dedup SURVIVORS only (the production
+    ordering: cheap exact collapse first shrinks the expensive
+    near-dup input), captions collapse to one broadcast row per
+    source, and shard assignment is a codegen hash beside the final
+    projection. The composite adds no new shuffle class — it is the
+    family's stages in sequence with dispositions preserved.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    reenc = docs.where(F.col("media_id") % 10 == 0).select(
+        (F.col("media_id") + 1_000_000_000).alias("media_id"),
+        F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
+    )
+    media = docs.unionByName(reenc)
+    keep = media.groupBy(F.md5("content").alias("fp")).agg(
+        F.min("media_id").alias("keep_id")
+    )
+    exact = media.join(keep, F.md5(media["content"]) == keep["fp"]).select(
+        "media_id",
+        "content",
+        (F.col("media_id") != F.col("keep_id")).alias("exact_dup"),
+    )
+    survivors = exact.where(~F.col("exact_dup")).select("media_id", "content")
+    perc = _phash_dedup(survivors).select(
+        F.col("media_id").alias("p_id"), "is_dup"
+    )
+    d = t(spark, sf, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    caps = (
+        d.where(F.col("lang") == "en")
+        .select("doc_id", "source", n_tok.alias("n_tok"))
+        .where(F.col("n_tok").between(_CLIP_CAP_MIN_TOK, _CLIP_CAP_MAX_TOK))
+    )
+    best = caps.groupBy("source").agg(F.min("doc_id").alias("caption_doc"))
+    src = d.select(F.col("doc_id").alias("src_doc"), "source")
+    disp = (
+        exact.select("media_id", "exact_dup")
+        .join(perc, F.col("media_id") == F.col("p_id"), "left")
+        .join(src, F.col("media_id") % 1_000_000_000 == F.col("src_doc"), "left")
+        .join(F.broadcast(best), "source", "left")
+    )
+    clean = ~F.col("exact_dup") & ~F.coalesce(F.col("is_dup"), F.lit(False))
+    has_cap = F.col("caption_doc").isNotNull()
+    not_self = F.col("caption_doc") != F.col("media_id")
+    status = (
+        F.when(F.col("exact_dup"), "drop_exact_dup")
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), "drop_near_dup")
+        .when(~has_cap, "drop_no_caption")
+        .when(~not_self, "drop_self_caption")
+        .otherwise("kept")
+    )
+    kept_cap = F.when(clean & has_cap & not_self, F.col("caption_doc"))
+    shard = F.when(
+        status == "kept",
+        F.conv(F.substring(F.md5(F.col("media_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _MEDIA_SHARDS,
+    )
+    return disp.select(
+        "media_id",
+        status.alias("status"),
+        kept_cap.alias("caption_doc"),
+        shard.alias("shard"),
+    )

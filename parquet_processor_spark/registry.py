@@ -79,6 +79,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_manifest_pruned_scan",
     "sink_partition_overwrite_dynamic",
     "agg_ab_test",
+    "pipeline_curate_media",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

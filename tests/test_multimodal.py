@@ -141,3 +141,26 @@ def test_phash_bands_arrow_bit_exact_with_jvm(spark, sf_dir):
     jvm = {r["media_id"]: tuple(r[f"b{c}"] for c in range(8)) for r in _phash_bands(both).collect()}
     arrow = {r["media_id"]: tuple(r[f"b{c}"] for c in range(8)) for r in _phash_bands_arrow(both).collect()}
     assert jvm == arrow and len(jvm) > 100
+
+
+def test_media_curation_dispositions_are_exhaustive_and_consistent(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+
+    from parquet_processor_spark.tables import t
+
+    rows = all_queries()["pipeline_curate_media"](spark, sf_dir).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert set(by_status) <= {
+        "kept", "drop_exact_dup", "drop_near_dup", "drop_no_caption", "drop_self_caption",
+    }
+    assert "kept" in by_status and "drop_near_dup" in by_status
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs + n_docs // 10 + (1 if n_docs % 10 else 0) or len(rows) > n_docs
+    for r in rows:
+        if r["status"] == "kept":
+            assert r["caption_doc"] is not None and r["shard"] is not None
+            assert 0 <= r["shard"] < 8
+        else:
+            assert r["caption_doc"] is None and r["shard"] is None
