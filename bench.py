@@ -192,6 +192,7 @@ EXTENDED = [
     "sink_partition_overwrite_dynamic",
     "agg_ab_test",
     "pipeline_curate_media",
+    "report_lsh_tuning",
 ]
 
 

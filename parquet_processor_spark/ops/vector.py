@@ -1391,3 +1391,165 @@ def error_random_projection(spark: SparkSession, sf: str) -> DataFrame:
             >= 0.95
         ).alias("distortion_ok"),
     )
+
+
+# LSH banding-parameter tuning report — the design table behind every
+# (r, L) choice in this engine (range search, embedding dedup, topk):
+# for each grid cell, the EMPIRICALLY measured recall of "collides in
+# >= 1 of the first L bands of r hyperplanes" over the exact tau-ball
+# pair set. Published methodology (Indyk-Motwani banding analysis)
+# computes 1-(1-p^r)^L from per-plane agreement p; this report skips
+# the transcendental p (arccos is not bitwise cross-engine) and counts
+# collisions directly — exact integers, one division per row. The L
+# columns of a given r are PREFIXES of the same band family, so the
+# report reads as a proper recall-vs-cost curve.
+_TUNE_PLANE_BASE = 300  # disjoint from LSH (0..~140) and RP (200..215)
+_TUNE_GRID_R = (2, 3, 4)
+_TUNE_GRID_L = (4, 8, 16)
+
+
+def _tune_band_sign_cols(emb: Column, r: int) -> list[Column]:
+    base = _TUNE_PLANE_BASE + r * 100
+    keys = []
+    for band in range(max(_TUNE_GRID_L)):
+        sig = F.lit(0)
+        for j in range(r):
+            sig = sig + _plane_sign(emb, base + band * r + j) * F.lit(1 << j)
+        keys.append(sig.cast("long").alias(f"r{r}b{band}"))
+    return keys
+
+
+def _tune_band_sql(tbl: str, r: int, band: int) -> str:
+    base = _TUNE_PLANE_BASE + r * 100
+    bits = []
+    for j in range(r):
+        plane = base + band * r + j
+        proj = (
+            f"list_reduce(list_prepend(cast(0 as double), "
+            f"[cast({tbl}.embedding[i] as double) * ({_coeff_sql(plane)})[i] "
+            f"for i in generate_series(1, len({tbl}.embedding))]), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {proj} > 0 then {1 << j} else 0 end)")
+    return " + ".join(bits)
+
+
+@query(
+    "report_lsh_tuning",
+    oracle=f"""
+    with truth as (
+      select a.vec_id as a_id, b.vec_id as b_id,
+             a.embedding as ea, b.embedding as eb
+      from embeddings a join embeddings b on a.vec_id < b.vec_id
+      where {_cos_sql('a', 'b')} >= {_RANGE_TAU}
+    ),
+    matched as (
+      select a_id, b_id,
+        {", ".join(
+            ", ".join(
+                f"case when ({_tune_band_sql('a', r, band)}) = ({_tune_band_sql('b', r, band)}) "
+                f"then 1 else 0 end as m_r{r}_b{band}"
+                for band in range(max(_TUNE_GRID_L))
+            )
+            for r in _TUNE_GRID_R
+        )}
+      from truth
+      join embeddings a on a.vec_id = truth.a_id
+      join embeddings b on b.vec_id = truth.b_id
+    )
+    select r, l,
+           cast((select count(*) from truth) as bigint) as n_true,
+           cast(n_recalled as bigint) as n_recalled,
+           cast(n_recalled as double) / (select count(*) from truth) as recall
+    from (
+      {" union all ".join(
+          f'''select {r} as r, {l} as l,
+              (select count(*) from matched
+               where {" + ".join(f"m_r{r}_b{band}" for band in range(l))} >= 1)
+                as n_recalled'''
+          for r in _TUNE_GRID_R for l in _TUNE_GRID_L
+      )}
+    )
+    """,
+    tags=("vector", "lsh", "report"),
+)
+def report_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall for every (r, L) banding cell over the tau-ball.
+
+    100 TB shape: this is a DESIGN-TIME report run on a sample — the
+    exact all-pairs truth set is the check-SF construct every recall
+    gate here uses. The band signs for all grid cells come from ONE
+    pass over the (tiny) truth pair set with per-side sign columns; a
+    production retune samples pairs instead of enumerating them and
+    keeps the identical counting algebra.
+    """
+    e = t(spark, sf, "embeddings")
+    sided = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = sided.alias("a")
+    b = sided.alias("b")
+    cos = pair_cos_arrow()(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= _RANGE_TAU)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+        )
+    )
+    keyed = e.select(
+        "vec_id",
+        *[c for r in _TUNE_GRID_R for c in _tune_band_sign_cols(F.col("embedding"), r)],
+    )
+    ka = keyed.select(
+        F.col("vec_id").alias("_ka"),
+        *[
+            F.col(f"r{r}b{band}").alias(f"a_r{r}b{band}")
+            for r in _TUNE_GRID_R
+            for band in range(max(_TUNE_GRID_L))
+        ],
+    )
+    kb = keyed.select(
+        F.col("vec_id").alias("_kb"),
+        *[
+            F.col(f"r{r}b{band}").alias(f"b_r{r}b{band}")
+            for r in _TUNE_GRID_R
+            for band in range(max(_TUNE_GRID_L))
+        ],
+    )
+    m = truth.join(ka, F.col("a_id") == F.col("_ka")).join(
+        kb, F.col("b_id") == F.col("_kb")
+    )
+    matched = m.select(
+        *[
+            F.when(F.col(f"a_r{r}b{band}") == F.col(f"b_r{r}b{band}"), 1)
+            .otherwise(0)
+            .alias(f"m_r{r}_b{band}")
+            for r in _TUNE_GRID_R
+            for band in range(max(_TUNE_GRID_L))
+        ]
+    ).localCheckpoint(eager=True)  # eager-by-design: the truth-pair match
+    # matrix (a few hundred rows) feeds one aggregate per grid cell
+    n_true = matched.count()  # eager-by-design: truth-set size (a few hundred) parameterizes the 9 literal grid rows
+    rows = None
+    for r in _TUNE_GRID_R:
+        for l in _TUNE_GRID_L:
+            hit = F.sum(
+                F.when(
+                    sum(
+                        (F.col(f"m_r{r}_b{band}") for band in range(l)),
+                        start=F.lit(0),
+                    )
+                    >= 1,
+                    1,
+                ).otherwise(0)
+            ).cast("long")
+            cell = matched.agg(hit.alias("n_recalled")).select(
+                F.lit(r).cast("int").alias("r"),
+                F.lit(l).cast("int").alias("l"),
+                F.lit(n_true).cast("long").alias("n_true"),
+                "n_recalled",
+                (F.col("n_recalled").cast("double") / F.lit(n_true)).alias("recall"),
+            )
+            rows = cell if rows is None else rows.unionByName(cell)
+    return rows

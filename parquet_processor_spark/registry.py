@@ -80,6 +80,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_partition_overwrite_dynamic",
     "agg_ab_test",
     "pipeline_curate_media",
+    "report_lsh_tuning",
     "dedup_verbatim_spans",
     "dedup_span_removal",
     "sink_ann_index_roundtrip",

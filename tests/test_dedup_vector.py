@@ -494,3 +494,24 @@ def test_bpe_eval_ratios_are_consistent(spark, sf_dir):
             abs(r["chars_per_token"] - r["total_chars"] / r["total_bpe_tokens"]) < 1e-9
         )
         assert r["bpe_per_ws"] >= 1.0
+
+
+def test_lsh_tuning_report_is_monotone(spark, sf_dir):
+    # Banding theory: recall rises with L (more bands = more chances)
+    # and falls with r (stricter bands) — the measured table must obey
+    # both monotonicities, and every count must be bounded by n_true.
+    from parquet_processor_spark.registry import all_queries
+
+    rows = {(r["r"], r["l"]): r for r in all_queries()["report_lsh_tuning"](spark, sf_dir).collect()}
+    n_true = {v["n_true"] for v in rows.values()}
+    assert len(n_true) == 1 and n_true.pop() > 0
+    rs = sorted({k[0] for k in rows})
+    ls = sorted({k[1] for k in rows})
+    for r in rs:
+        for l1, l2 in zip(ls, ls[1:]):
+            assert rows[(r, l1)]["n_recalled"] <= rows[(r, l2)]["n_recalled"]
+    for l in ls:
+        for r1, r2 in zip(rs, rs[1:]):
+            assert rows[(r1, l)]["n_recalled"] >= rows[(r2, l)]["n_recalled"]
+    for v in rows.values():
+        assert 0 <= v["n_recalled"] <= v["n_true"]

@@ -60,7 +60,7 @@ def test_check_priority_window():
         "events_survival_table", "graph_link_prediction", "events_bot_detection",
         "curation_contamination_spans", "events_seasonality", "sink_codec_roundtrip",
         "sink_manifest_pruned_scan", "sink_partition_overwrite_dynamic",
-        "agg_ab_test", "pipeline_curate_media",
+        "agg_ab_test", "pipeline_curate_media", "report_lsh_tuning",
         "dedup_verbatim_spans", "dedup_span_removal",
         "sink_versioned_snapshots", "sink_ann_index_roundtrip",
         "graph_label_propagation", "table_expectations",
@@ -72,9 +72,9 @@ def test_check_priority_window():
         "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
         # latest driver row: round 1
         "filter_temporal", "filter_compound", "fn_regexp_extract",
-        "fn_date_format", "sink_parquet", "sink_csv_roundtrip",
-        # fn_ts_diff rotated out by the r7 additions (r1 row, passes
-        # locally; back in round 8)
+        "fn_date_format", "sink_parquet",
+        # sink_csv_roundtrip / fn_ts_diff rotated out by the r7
+        # additions (r1 rows, pass locally; back in round 8)
         # scan_range / join_cross / fn_concat / fn_least_cast rotated out by the r7
         # additions (r1 rows, still pass locally; back in round 8)
         # latest driver row: round 2 — all 30 r2 pins now rotated out by
