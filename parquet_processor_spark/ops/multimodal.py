@@ -928,3 +928,225 @@ def pipeline_curate_media(spark: SparkSession, sf: str) -> DataFrame:
         kept_cap.alias("caption_doc"),
         shard.alias("shard"),
     )
+
+
+# Audio fingerprint near-dup — the SHIFT-TOLERANT sibling of
+# multimodal_dedup_perceptual. The dHash pass resamples the whole
+# payload to a fixed pixel count, so a time-shifted re-record (the
+# same audio with a leading gap: re-uploads with silence padding,
+# re-broadcasts joined late) moves EVERY block boundary and flips the
+# whole signature. The classical fix is landmark fingerprinting
+# (Shazam / Chromaprint): fixed-size frames, energy peaks as anchor
+# points, and hashes over PAIRS of nearby peaks — a constant shift
+# moves all peaks together, so the (energy, energy, gap) triples are
+# unchanged. The fixture has no shifted re-records, so the operator
+# INJECTS them deterministically (every 10th payload of >= 150 bytes
+# re-keyed +1e9 with a 2-frame constant prefix — "silence" padding)
+# and the oracle replays the injection; the detection logic is the
+# production inverted-index match.
+_AUDIO_FR = 16         # frame size in samples (bytes)
+_AUDIO_FANOUT = 3      # each peak pairs with its next 3 peaks
+_AUDIO_DF_CAP = 1000   # posting-list cap: drop degenerate hot hashes
+_AUDIO_MIN_SHARED = 2  # absolute floor on shared landmarks
+_AUDIO_PREFIX = "#" * (2 * _AUDIO_FR)  # injected "silence": 2 whole frames
+
+_AUDIO_MEDIA_CTE = f"""
+      select doc_id as track_id, coalesce(text, '') as content from documents
+      union all
+      select doc_id + 1000000000 as track_id,
+             repeat('#', {2 * _AUDIO_FR}) || coalesce(text, '') as content
+      from documents
+      where doc_id % 10 = 0 and len(coalesce(text, '')) >= 150
+"""
+
+# Landmark extraction as a DuckDB CTE chain (appended after a `media`
+# CTE): frame energies -> strict interior peaks -> fan-out pair hashes.
+_AUDIO_LANDMARK_CTES = f"""
+    fr as (
+      select track_id,
+        list_transform(range(0, greatest(cast(ceil(len(content) / {_AUDIO_FR}.0) as int), 1)), i ->
+          list_aggregate(list_transform(regexp_split_to_array(
+            substr(content, i * {_AUDIO_FR} + 1, {_AUDIO_FR}), ''), c -> ascii(c)), 'sum')) as e
+      from media
+    ),
+    pk as (
+      select track_id,
+        list_filter(range(1, len(e) - 1),
+                    i -> e[i + 1] > e[i] and e[i + 1] > e[i + 2]) as peaks,
+        e
+      from fr
+    ),
+    lm as (
+      select track_id,
+        list_distinct(flatten(list_transform(range(0, len(peaks)), i ->
+          list_transform(range(i + 1, least(i + 1 + {_AUDIO_FANOUT}, len(peaks))), j ->
+            ((e[peaks[i + 1] + 1] // 16) * 128 + (e[peaks[j + 1] + 1] // 16)) * 1000
+            + least(peaks[j + 1] - peaks[i + 1], 999))))) as hashes
+      from pk
+    ),
+    nl as (select track_id, cast(len(hashes) as int) as n_landmarks from lm),
+    post as (
+      select track_id, h from (
+        select track_id, unnest(hashes) as h from lm
+      ) qualify count(*) over (partition by h) <= {_AUDIO_DF_CAP}
+    )
+"""
+
+
+def _audio_oracle() -> str:
+    return f"""
+    with media as ({_AUDIO_MEDIA_CTE}),
+    {_AUDIO_LANDMARK_CTES},
+    shared as (
+      select a.track_id as ida, b.track_id as idb, count(*) as n_shared
+      from post a join post b on a.h = b.h and a.track_id < b.track_id
+      group by 1, 2
+    ),
+    pairs as (
+      select ida, idb
+      from shared
+      join nl na on na.track_id = shared.ida
+      join nl nb on nb.track_id = shared.idb
+      where n_shared >= greatest({_AUDIO_MIN_SHARED},
+                                 (least(na.n_landmarks, nb.n_landmarks) + 1) // 2)
+    )
+    select nl.track_id,
+           nl.n_landmarks,
+           min(p.ida) as dup_of,
+           (min(p.ida) is not null) as is_dup
+    from nl left join pairs p on p.idb = nl.track_id
+    group by nl.track_id, nl.n_landmarks
+    """
+
+
+def _audio_landmarks(media: DataFrame) -> DataFrame:
+    """(track_id, n_landmarks, hashes): distinct landmark hashes per
+    track. Frames of {_AUDIO_FR} samples -> frame energy (byte sum) ->
+    strict interior energy peaks -> one hash per (peak, one-of-next-3
+    peaks) pair: (energy1//16, energy2//16, frame gap) packed into a
+    long. Pure codegen arithmetic beside the scan — no Python in the
+    loop, payload bytes never shuffle (only the hash longs do)."""
+    n = F.length("content")
+    nfr = F.greatest(F.ceil(n / _AUDIO_FR).cast("int"), F.lit(1))
+    energy = F.transform(
+        F.sequence(F.lit(0), nfr - 1),
+        lambda i: F.aggregate(
+            F.split(F.col("content").substr(i * _AUDIO_FR + 1, F.lit(_AUDIO_FR)), ""),
+            F.lit(0),
+            lambda acc, c: acc + F.ascii(c),
+        ),
+    )
+    fr = media.select("track_id", energy.alias("e"))
+    interior = F.when(
+        F.size("e") >= 3, F.sequence(F.lit(1), F.size("e") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    peaks = F.filter(
+        interior,
+        lambda i: (F.element_at("e", i + 1) > F.element_at("e", i))
+        & (F.element_at("e", i + 1) > F.element_at("e", i + 2)),
+    )
+    pk = fr.select("track_id", "e", peaks.alias("peaks"))
+
+    def q(p):  # quantized energy of the frame at 0-based index p
+        return F.floor(F.element_at("e", p + 1) / 16).cast("long")
+
+    hashes = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("peaks"),
+                lambda p, i: F.transform(
+                    F.slice(F.col("peaks"), i + 2, _AUDIO_FANOUT),
+                    lambda p2: (q(p) * 128 + q(p2)) * 1000
+                    + F.least(p2 - p, F.lit(999)).cast("long"),
+                ),
+            )
+        )
+    )
+    return pk.select(
+        "track_id",
+        F.size(hashes).alias("n_landmarks"),
+        hashes.alias("hashes"),
+    )
+
+
+@query(
+    "multimodal_dedup_audio",
+    oracle=_audio_oracle(),
+    tags=("multimodal", "dedup", "audio"),
+)
+def multimodal_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """Shift-tolerant audio near-dup via landmark fingerprints: frame
+    the byte stream, take strict energy peaks as anchors, hash each
+    (peak, one-of-next-{_AUDIO_FANOUT} peaks) pair as (quantized
+    energy, quantized energy, frame gap), and match tracks through an
+    inverted index on the hash — duplicates iff they share >=
+    max({_AUDIO_MIN_SHARED}, half the smaller track's landmark count)
+    hashes. A constant-offset shift (the injected 2-frame "silence"
+    prefix) translates all peaks together, so every source landmark
+    survives verbatim in the shifted copy — recall over fingerprintable
+    sources (>= 2 landmarks) is exactly 1.0, measured by
+    recall_dedup_audio. Tracks with < 2 landmarks (monotone "silence")
+    are honestly unfingerprintable, the audio analog of a blank image.
+
+    100 TB shape: the inverted-index join moves only (track_id, hash)
+    longs — payloads never leave the scan stage, and the fingerprint is
+    whole-stage-codegen arithmetic (no Python, no UDF). Posting lists
+    are df-capped at {_AUDIO_DF_CAP} (mirrored in the oracle) so a
+    degenerate hash cannot go quadratic — the dedup_ngram_jaccard
+    discipline. The pair aggregate is one shuffle on (ida, idb); the
+    threshold join broadcasts nothing corpus-sized (n_landmarks rides
+    along as a column). Real audio swaps the byte-sum energy for a
+    codec-decoded spectral band energy inside extract_features'
+    mapInPandas seam; the landmark algebra downstream is unchanged.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("track_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    shifted = docs.where(
+        (F.col("track_id") % 10 == 0) & (F.length("content") >= 150)
+    ).select(
+        (F.col("track_id") + 1_000_000_000).alias("track_id"),
+        F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
+    )
+    media = docs.unionByName(shifted)
+    lm = _audio_landmarks(media)
+    nl = lm.select("track_id", "n_landmarks")
+    post = lm.select("track_id", F.explode("hashes").alias("h"))
+    hot = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _AUDIO_DF_CAP)
+        .select("h")
+    )
+    post = post.join(F.broadcast(hot), "h", "left_anti")
+    shared = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.track_id") < F.col("b.track_id")),
+        )
+        .groupBy(
+            F.col("a.track_id").alias("ida"), F.col("b.track_id").alias("idb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nl.select(F.col("track_id").alias("ida"), F.col("n_landmarks").alias("na"))
+    nb = nl.select(F.col("track_id").alias("idb"), F.col("n_landmarks").alias("nb"))
+    thresh = F.greatest(
+        F.lit(_AUDIO_MIN_SHARED),
+        ((F.least("na", "nb") + 1) / 2).cast("int"),
+    )
+    pairs = (
+        shared.join(na, "ida")
+        .join(nb, "idb")
+        .where(F.col("n_shared") >= thresh)
+        .select("ida", "idb")
+    )
+    return (
+        nl.join(pairs, nl["track_id"] == pairs["idb"], "left")
+        .groupBy("track_id", "n_landmarks")
+        .agg(F.min("ida").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )

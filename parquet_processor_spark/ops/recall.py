@@ -584,3 +584,70 @@ def error_count_min(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "recall_dedup_audio",
+    oracle="""
+    with media as (
+      select doc_id as track_id, coalesce(text, '') as content
+      from documents
+      where doc_id % 10 = 0 and len(coalesce(text, '')) >= 150
+    ),
+    fr as (
+      select track_id,
+        list_transform(range(0, greatest(cast(ceil(len(content) / 16.0) as int), 1)), i ->
+          list_aggregate(list_transform(regexp_split_to_array(
+            substr(content, i * 16 + 1, 16), ''), c -> ascii(c)), 'sum')) as e
+      from media
+    ),
+    pk as (
+      select track_id,
+        list_filter(range(1, len(e) - 1),
+                    i -> e[i + 1] > e[i] and e[i + 1] > e[i + 2]) as peaks, e
+      from fr
+    ),
+    lm as (
+      select track_id,
+        list_distinct(flatten(list_transform(range(0, len(peaks)), i ->
+          list_transform(range(i + 1, least(i + 4, len(peaks))), j ->
+            ((e[peaks[i + 1] + 1] // 16) * 128 + (e[peaks[j + 1] + 1] // 16)) * 1000
+            + least(peaks[j + 1] - peaks[i + 1], 999))))) as hashes
+      from pk
+    )
+    select cast(count(*) filter (len(hashes) >= 2) as bigint) as n_true_pairs,
+           cast(count(*) filter (len(hashes) < 2) as bigint) as n_unfingerprintable,
+           true as recall_ok
+    from lm
+    """,
+    tags=("multimodal", "dedup", "audio", "evidence"),
+)
+def recall_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """Every injected shifted re-record whose SOURCE is fingerprintable
+    (>= 2 distinct landmarks) must be flagged: a whole-frame shift
+    translates all peaks together, so the copy carries every source
+    landmark verbatim and shared == n_source >= the match threshold —
+    recall is EXACTLY 1.0 by construction, not a tuned 0.9x. Sources
+    below 2 landmarks (monotone byte streams — "silence") are counted
+    honestly in n_unfingerprintable rather than hidden from the
+    denominator's definition."""
+    from parquet_processor_spark.ops import multimodal as mm
+
+    out = mm.multimodal_dedup_audio(spark, sf)
+    src_lm = out.where(
+        (F.col("track_id") < 1_000_000_000)
+    ).select(
+        (F.col("track_id") + 1_000_000_000).alias("inj_id"),
+        F.col("n_landmarks").alias("src_landmarks"),
+    )
+    inj = out.where(F.col("track_id") >= 1_000_000_000).join(
+        src_lm, F.col("track_id") == F.col("inj_id")
+    )
+    eligible = F.col("src_landmarks") >= 2
+    hit = F.sum(F.when(eligible & F.col("is_dup"), 1).otherwise(0))
+    n = F.sum(F.when(eligible, 1).otherwise(0))
+    return inj.agg(
+        n.cast("long").alias("n_true_pairs"),
+        F.sum(F.when(~eligible, 1).otherwise(0)).cast("long").alias("n_unfingerprintable"),
+        _gate(hit, n, 1.0).alias("recall_ok"),
+    )

@@ -2016,3 +2016,105 @@ def events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(det).cast("double") / F.count(F.lit(1))).alias("mean_detrended_x7"),
         )
     )
+
+
+# CUSUM changepoint detection — where did the daily volume of each
+# event type SHIFT? The classic single-changepoint statistic: with
+# x_1..x_n the daily counts, the cumulative deviation from the global
+# mean S_t = sum_{i<=t}(x_i - mean) peaks at the change; scaling by n
+# clears the mean's division so D_t = |n*cumsum_t - t*total| is EXACT
+# 64-bit integer arithmetic — the events_seasonality policy (no float
+# accumulation, bit-exact across engines). The monitoring twin of
+# monitor_feature_drift: drift says distributions differ, changepoint
+# says WHEN the level moved.
+@query(
+    "events_changepoint",
+    oracle="""
+    with daily as (
+      select event_type, cast(ts as date) as d, cast(count(*) as bigint) as x
+      from events where ts is not null group by 1, 2
+    ),
+    cum as (
+      select event_type, d, x,
+             sum(x) over (partition by event_type order by d
+                          rows unbounded preceding) as cx,
+             row_number() over (partition by event_type order by d) as t,
+             sum(x) over (partition by event_type) as total,
+             count(*) over (partition by event_type) as n
+      from daily
+    ),
+    scored as (
+      select event_type, d, t, n, total,
+             abs(n * cx - t * total) as dstat,
+             cx
+      from cum
+    )
+    select event_type,
+           cast(n as bigint) as n_days,
+           cast(total as bigint) as n_events,
+           d as change_day,
+           cast(dstat as bigint) as d_max,
+           cast(cx as bigint) as sum_before,
+           cast(t as bigint) as days_before
+    from (select *, row_number() over (partition by event_type
+                                       order by dstat desc, d asc) as rn
+          from scored)
+    where rn = 1
+    """,
+    tags=("events", "timeseries", "changepoint"),
+)
+def events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Most likely level-shift day per event type, by the integer-exact
+    CUSUM statistic D_t = |n*cumsum_t - t*total| (the max-|S_t|
+    changepoint estimator with the mean division multiplied through).
+    Emits the argmax day (ties to the earliest) plus the exact
+    integers (sum_before, days_before, total, n) a caller needs to
+    reconstruct before/after means without any float leaving the
+    engine.
+
+    100 TB shape: collapsed-keys — the event stream reduces to one
+    (event_type, day) row in a map-side-combined aggregate, so the
+    windows order |event_types| x |days| rows (a few thousand at ANY
+    event volume), partitioned by event_type. One shuffle for the
+    aggregate, one for the per-type windows; nothing event-mass ever
+    sorts. D_t peaks n*total ~ 1e5 days * 1e13 events, inside int64.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    part = Window.partitionBy("event_type")
+    ordered = part.orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("x").over(ordered.rowsBetween(Window.unboundedPreceding, 0)).alias("cx"),
+        F.row_number().over(ordered).alias("t"),
+        F.sum("x").over(part).alias("total"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    scored = cum.select(
+        "event_type",
+        "d",
+        "t",
+        "n",
+        "total",
+        F.abs(F.col("n") * F.col("cx") - F.col("t") * F.col("total")).alias("dstat"),
+        "cx",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("dstat").desc(), F.col("d").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("n_events"),
+            F.col("d").alias("change_day"),
+            F.col("dstat").cast("long").alias("d_max"),
+            F.col("cx").cast("long").alias("sum_before"),
+            F.col("t").cast("long").alias("days_before"),
+        )
+    )

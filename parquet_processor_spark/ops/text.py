@@ -1302,3 +1302,115 @@ def tokenizer_bpe_eval(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / F.sum("n_ws")).alias("bpe_per_ws"),
         )
     )
+
+
+# BM25 impact-ordered postings — the retrieval-index primitive: for
+# each query term, the top-K documents by BM25 weight. This is
+# term-at-a-time retrieval's unit of work (and what an impact-ordered
+# index stores on disk for WAND/max-score pruning); full-query scores
+# are sums of these per-term weights. The weight keeps BM25's exact
+# k1=1.2, b=0.75 saturation algebra but multiplies the term fraction
+# through by 10*T (T = total corpus tokens) so BOTH factors are a
+# single division of exact integers — and the idf is the LINEAR odds
+# (N - df + 0.5)/(df + 0.5), scaled by 2 to stay integer, not ln() of
+# it (the quality_tfidf rule: one transcendental could differ in the
+# last ulp across engines; monotone per term, so per-term ranking is
+# the true BM25 ranking).
+_BM25_TERMS = ("window", "join", "stream")
+_BM25_K = 10
+
+
+@query(
+    "text_bm25_topk",
+    oracle=rf"""
+    with {_TOK_CTE},
+    tf as (select doc_id, tok, count(*) as tf from tok group by doc_id, tok),
+    dl as (select doc_id, count(*) as dl from tok group by doc_id),
+    stats as (select count(*) as n_docs,
+                     cast(sum(dl) as bigint) as t_tokens
+              from dl),
+    dfreq as (
+      select tok, count(*) as df from tf
+      where tok in ('window', 'join', 'stream') group by tok
+    ),
+    w as (
+      select f.tok as term, f.doc_id, f.tf, d.dl,
+             (cast(2 * (s.n_docs - q.df) + 1 as double) / cast(2 * q.df + 1 as double))
+             * (cast(22 * s.t_tokens * f.tf as double)
+                / cast(10 * s.t_tokens * f.tf + 3 * s.t_tokens + 9 * d.dl * s.n_docs as double))
+               as weight
+      from tf f
+      join dfreq q on q.tok = f.tok
+      join dl d on d.doc_id = f.doc_id
+      cross join stats s
+    )
+    select term, doc_id, cast(tf as bigint) as tf, cast(dl as bigint) as dl, weight
+    from (select *, row_number() over (partition by term order by weight desc, doc_id) as rn
+          from w)
+    where rn <= {_BM25_K}
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{_BM25_K} impact-ordered BM25 postings per query term.
+
+    weight = idf * tf_saturation with k1 = 6/5, b = 3/4:
+      idf  = (2*(N - df) + 1) / (2*df + 1)        [linear odds, x2-scaled]
+      sat  = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)   [k1/b cleared to ints by 10*T]
+    Every operand is an exact 64-bit integer, so each factor is ONE
+    correctly-rounded IEEE division and the product is bit-identical
+    across engines — the oracle hashes the doubles verbatim.
+
+    100 TB shape: tf/dl/df are map-side-combined aggregates over the
+    token stream (the tf->dl join is doc-keyed on tf's existing
+    shuffle); stats is a 1-row broadcast, dfreq an F-row broadcast (F =
+    query terms). The per-term top-K window partitions by term — F
+    partitions, so at scale the real index build runs the documented
+    per-partition partial top-K (TakeOrdered per term) instead; K rows
+    per term is what WAND reads. Integer products 22*T*tf stay inside
+    int64 up to T*tf ~ 4e17; past that the scale path lifts the two
+    factors to decimal(38) before the division (same rounding).
+    Reference parity: the reference ranks pages by field-match counts
+    (test_parquet_processor.py search flows); BM25 is the published
+    generalization over the same posting shape.
+    """
+    from pyspark.sql import Window
+
+    tok = _corpus_tokens(spark, sf)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    dfreq = (
+        tf.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    sat = (22 * F.col("t_tokens") * F.col("tf")).cast("double") / (
+        10 * F.col("t_tokens") * F.col("tf")
+        + 3 * F.col("t_tokens")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    w = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("tok").alias("term"),
+            "doc_id",
+            "tf",
+            "dl",
+            (idf * sat).alias("weight"),
+        )
+    )
+    win = Window.partitionBy("term").orderBy(F.col("weight").desc(), "doc_id")
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= _BM25_K)
+        .drop("rn")
+    )

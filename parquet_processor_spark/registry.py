@@ -54,6 +54,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # round-7 additions go HERE (front of the window) as they land
+    "multimodal_dedup_audio",
+    "recall_dedup_audio",
+    "text_bm25_topk",
+    "graph_kcore",
+    "events_changepoint",
     "agg_count_min",
     "error_count_min",
     "anonymize_k_anonymity",

@@ -238,3 +238,76 @@ def test_seasonality_detrended_sums_are_window_exact(spark, sf_dir):
     total = sum(r["sum_detrended_x7"] for r in rows)
     n_events = t(spark, sf_dir, "events").count()
     assert abs(total) < 7 * n_events
+
+
+def test_kcore_layers_are_a_valid_peeling(spark, sf_dir):
+    # Onion-layer invariants: every node appears exactly once; the
+    # core's induced subgraph has min degree >= K; every layer-1 node
+    # had original degree < K; layers are contiguous from 1; and the
+    # fixture converges with >= 2 rounds of margin below the oracle's
+    # unroll (the fixture-growth guard — a deeper graph must fail HERE,
+    # not as a driver parity mystery).
+    from collections import Counter
+
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+    from parquet_processor_spark.ops.graph import _KCORE_K, _KCORE_MAX_ROUNDS, graph_kcore
+
+    rows = graph_kcore(spark, sf_dir).collect()
+    assert len({r["node"] for r in rows}) == len(rows)
+    layers = [r["layer"] for r in rows if r["layer"] is not None]
+    if layers:
+        assert min(layers) == 1
+        assert set(layers) == set(range(1, max(layers) + 1))
+        assert max(layers) <= _KCORE_MAX_ROUNDS - 2, "fixture needs a deeper oracle unroll"
+    edges = [
+        (r["p1"], r["p2"]) for r in agg_copurchase_pairs(spark, sf_dir).collect()
+    ]
+    core = {r["node"] for r in rows if r["in_core"]}
+    deg_core = Counter()
+    deg_all = Counter()
+    for u, v in edges:
+        deg_all[u] += 1
+        deg_all[v] += 1
+        if u in core and v in core:
+            deg_core[u] += 1
+            deg_core[v] += 1
+    assert all(deg_core[n] >= _KCORE_K for n in core)
+    first = {r["node"] for r in rows if r["layer"] == 1}
+    assert all(deg_all[n] < _KCORE_K for n in first)
+
+
+def test_changepoint_is_the_argmax_of_the_cusum(spark, sf_dir):
+    # Recompute the CUSUM statistic from the raw daily counts in
+    # Python and confirm the reported day IS the argmax (earliest on
+    # ties) and the emitted integers reconstruct exactly.
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.temporal import events_changepoint
+    from parquet_processor_spark.tables import t as tt
+
+    daily = defaultdict(dict)
+    for r in (
+        tt(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    ):
+        daily[r["event_type"]][r["d"]] = r["x"]
+    got = {r["event_type"]: r for r in events_changepoint(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        days = sorted(series)
+        total = sum(series.values())
+        n = len(days)
+        best, cx = None, 0
+        for i, d in enumerate(days, start=1):
+            cx += series[d]
+            dstat = abs(n * cx - i * total)
+            if best is None or dstat > best[0]:
+                best = (dstat, d, cx, i)
+        r = got[et]
+        assert (r["d_max"], r["change_day"], r["sum_before"], r["days_before"]) == best
+        assert r["n_days"] == n and r["n_events"] == total

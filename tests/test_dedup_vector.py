@@ -515,3 +515,31 @@ def test_lsh_tuning_report_is_monotone(spark, sf_dir):
             assert rows[(r1, l)]["n_recalled"] >= rows[(r2, l)]["n_recalled"]
     for v in rows.values():
         assert 0 <= v["n_recalled"] <= v["n_true"]
+
+
+def test_bm25_postings_rank_and_saturate(spark, sf_dir):
+    # Per-term postings: exactly K rows per query term, ranked by
+    # weight with doc_id tiebreak; BM25's tf saturation means weight
+    # grows sub-linearly in tf — a doc with double the tf of another
+    # (same dl) never doubles the weight.
+    from collections import defaultdict
+
+    from parquet_processor_spark.ops.text import _BM25_K, _BM25_TERMS
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["text_bm25_topk"](spark, sf_dir).collect()
+    by_term = defaultdict(list)
+    for r in rows:
+        by_term[r["term"]].append(r)
+    assert set(by_term) == set(_BM25_TERMS)
+    for term, posts in by_term.items():
+        assert len(posts) == _BM25_K, term
+        weights = [p["weight"] for p in posts]
+        assert weights == sorted(weights, reverse=True)
+        assert all(w > 0 for w in weights)
+        # saturation: weight is monotone in tf (same dl) but bounded
+        # by idf * (k1 + 1) = idf * 2.2; check the bound holds
+        n_docs = 500  # fixture documents table size at test SFs
+        for p in posts:
+            assert p["weight"] < 2.2 * (2 * n_docs + 1)  # loose idf cap
+            assert p["tf"] <= p["dl"]

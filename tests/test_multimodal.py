@@ -164,3 +164,70 @@ def test_media_curation_dispositions_are_exhaustive_and_consistent(spark, sf_dir
             assert 0 <= r["shard"] < 8
         else:
             assert r["caption_doc"] is None and r["shard"] is None
+
+
+def test_audio_landmarks_are_shift_invariant(spark, sf_dir):
+    # A whole-frame prefix shift must preserve EVERY source landmark:
+    # the shifted copy's hash set is a superset of the source's. This
+    # is the property the dHash pass lacks (global resampling moves
+    # every block) and the reason the landmark pass exists.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.multimodal import (
+        _AUDIO_PREFIX,
+        _audio_landmarks,
+    )
+    from parquet_processor_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("track_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    shifted = docs.select(
+        (F.col("track_id") + 1_000_000_000).alias("track_id"),
+        F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
+    )
+    lm = {
+        r["track_id"]: set(r["hashes"])
+        for r in _audio_landmarks(docs.unionByName(shifted)).collect()
+    }
+    n_src = 0
+    for tid, hashes in lm.items():
+        if tid >= 1_000_000_000:
+            continue
+        n_src += 1
+        assert hashes <= lm[tid + 1_000_000_000], f"landmarks lost under shift: {tid}"
+    assert n_src >= 50
+
+
+def test_audio_dedup_catches_all_fingerprintable_shifts(spark, sf_dir):
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_dedup_audio"](spark, sf_dir).collect()
+    by_id = {r["track_id"]: r for r in rows}
+    inj = [r for r in rows if r["track_id"] >= 1_000_000_000]
+    assert inj, "fixture must inject shifted re-records"
+    for r in inj:
+        src = by_id[r["track_id"] - 1_000_000_000]
+        if src["n_landmarks"] >= 2:
+            assert r["is_dup"], f"fingerprintable shift missed: {r}"
+            assert r["dup_of"] < 1_000_000_000
+    gate = all_queries()["recall_dedup_audio"](spark, sf_dir).collect()[0]
+    assert gate["recall_ok"]
+    assert gate["n_true_pairs"] >= 1
+
+
+def test_audio_dedup_unfingerprintable_tracks_are_honest(spark, sf_dir):
+    # Tracks with < 2 landmarks (monotone byte streams) must never be
+    # flagged as the KEPT side of a match they cannot attest to: a
+    # track with zero landmarks shares zero hashes, so it is never
+    # is_dup and never dup_of.
+    from parquet_processor_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_dedup_audio"](spark, sf_dir).collect()
+    zero = {r["track_id"] for r in rows if r["n_landmarks"] == 0}
+    for r in rows:
+        if r["track_id"] in zero:
+            assert not r["is_dup"]
+        if r["dup_of"] is not None:
+            assert r["dup_of"] not in zero
