@@ -1110,7 +1110,10 @@ def multimodal_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
     )
     media = docs.unionByName(shifted)
-    lm = _audio_landmarks(media)
+    # bit-exact Arrow twin of _audio_landmarks (asserted in tests);
+    # localCheckpoint: nl, both posting sides, and the df-cap all read
+    # this ~3-column table — pay the fingerprint once
+    lm = _audio_landmarks_arrow(media).localCheckpoint(eager=True)
     nl = lm.select("track_id", "n_landmarks")
     post = lm.select("track_id", F.explode("hashes").alias("h"))
     hot = (
@@ -1150,3 +1153,56 @@ def multimodal_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("ida").alias("dup_of"))
         .withColumn("is_dup", F.col("dup_of").isNotNull())
     )
+
+
+def _audio_landmarks_arrow(media: DataFrame) -> DataFrame:
+    """Arrow-vectorized twin of :func:`_audio_landmarks` — same
+    (track_id, n_landmarks, hashes) output, bit-exact by construction:
+    every quantity is INTEGER (frame sums via cumsum differences,
+    floor-divided quantization, exact peak comparisons), so there is
+    no float rounding to match — only arithmetic to replicate.
+
+    Why: the JVM spelling nests aggregate-inside-transform twice, and
+    every downstream reference re-inlines the whole energy fold
+    (measured ~28 ms/item through the full dedup plan at sf0.001 —
+    the interpreted-HOF blowup _phash_bands_arrow documents). Set
+    equality with the JVM fold is asserted item-for-item in
+    tests/test_multimodal.py.
+    """
+    import numpy as np
+
+    @F.pandas_udf("array<bigint>")
+    def hashes(content: pd.Series) -> pd.Series:
+        out = []
+        for s in content:
+            if s is None:
+                s = ""
+            b = np.frombuffer(s.encode() if isinstance(s, str) else bytes(s), dtype=np.uint8)
+            n = len(b)
+            if n == 0:
+                e = np.zeros(1, dtype=np.int64)
+            else:
+                cs = np.concatenate(([0], np.cumsum(b, dtype=np.int64)))
+                starts = np.arange(0, n, _AUDIO_FR, dtype=np.int64)
+                ends = np.minimum(starts + _AUDIO_FR, n)
+                e = cs[ends] - cs[starts]
+            if len(e) < 3:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            inner = e[1:-1]
+            p = np.where((inner > e[:-2]) & (inner > e[2:]))[0] + 1
+            hs = []
+            q = e[p] // 16
+            for d in range(1, _AUDIO_FANOUT + 1):
+                if len(p) <= d:
+                    break
+                dt = np.minimum(p[d:] - p[:-d], 999)
+                hs.append((q[:-d] * 128 + q[d:]) * 1000 + dt)
+            out.append(
+                np.unique(np.concatenate(hs)) if hs else np.empty(0, dtype=np.int64)
+            )
+        return pd.Series(out)
+
+    return media.select(
+        "track_id", hashes(F.col("content").cast("string")).alias("hashes")
+    ).select("track_id", F.size("hashes").alias("n_landmarks"), "hashes")

@@ -87,6 +87,10 @@ REPRESENTATIVE = [
     "sink_training_shards",    # partitioned shard write of zero docs
     "join_fuzzy_names",        # blocked fuzzy join over an empty dictionary
     "dedup_semdedup",          # cell-blocked pairs over empty embeddings
+    "multimodal_dedup_audio",  # landmark inverted index over empty media
+    "text_bm25_topk",          # per-term postings over an empty corpus
+    "graph_kcore",             # peeling loop over an empty edge list
+    "events_changepoint",      # CUSUM argmax over an empty daily spine
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

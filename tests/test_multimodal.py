@@ -231,3 +231,27 @@ def test_audio_dedup_unfingerprintable_tracks_are_honest(spark, sf_dir):
             assert not r["is_dup"]
         if r["dup_of"] is not None:
             assert r["dup_of"] not in zero
+
+
+def test_audio_landmarks_arrow_set_exact_with_jvm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.multimodal import (
+        _audio_landmarks,
+        _audio_landmarks_arrow,
+    )
+    from parquet_processor_spark.tables import t
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("track_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    extra = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, "a"), (10_000_003, "short text"),
+         (10_000_004, "x" * 64), (10_000_005, "ab " * 40)],
+        "track_id long, content string",
+    )
+    both = media.unionByName(extra)
+    jvm = {r["track_id"]: (r["n_landmarks"], set(r["hashes"])) for r in _audio_landmarks(both).collect()}
+    arrow = {r["track_id"]: (r["n_landmarks"], set(r["hashes"])) for r in _audio_landmarks_arrow(both).collect()}
+    assert jvm == arrow and len(jvm) > 100

@@ -959,3 +959,35 @@ def test_seasonality_window_runs_on_the_daily_spine(spark):
     plan = plan_of(spark, "events_seasonality")
     assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_audio_dedup_moves_hashes_not_payloads(spark):
+    # Landmark claim: the fingerprint runs ONCE (localCheckpointed
+    # Arrow kernel — zero Python stages and zero parquet scans left in
+    # the final plan) and the inverted-index self-join pairs through
+    # the hash equi key, never a nested loop over media.
+    plan = plan_of(spark, "multimodal_dedup_audio")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "Scan parquet" not in plan, (
+        "fingerprint re-evaluated downstream of the checkpoint:\n" + plan
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_bm25_broadcasts_the_tiny_sides(spark):
+    # Impact-postings claim: corpus stats (1 row) and term df (F rows)
+    # reach the posting stream via broadcast — the only shuffles are
+    # the tf/dl aggregates and the per-term top-K window.
+    plan = plan_of(spark, "text_bm25_topk")
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_changepoint_windows_run_on_the_collapsed_spine(spark):
+    # Collapsed-keys claim: the event stream reduces map-side to one
+    # row per (event_type, day) BEFORE any window — partial_count must
+    # appear under the first exchange, and no single-partition sort
+    # (windows partition by event_type).
+    plan = plan_of(spark, "events_changepoint")
+    assert "partial_count" in plan, plan
+    assert not _single_partition_sorts(plan), plan

@@ -91,7 +91,10 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "events_bot_detection", "curation_contamination_spans",
          "events_seasonality", "sink_codec_roundtrip",
          "sink_manifest_pruned_scan", "sink_partition_overwrite_dynamic",
-         "agg_ab_test", "pipeline_curate_media"]
+         "agg_ab_test", "pipeline_curate_media",
+         # round-7 late-wave operators
+         "multimodal_dedup_audio", "text_bm25_topk", "graph_kcore",
+         "events_changepoint"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
