@@ -705,3 +705,142 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
             (num >= den).alias("selected"),
         )
     )
+
+
+# Greedy k-center coreset (Gonzalez 1985) — the data-PRUNING seed
+# selection: pick K points so every point is close to some pick, by
+# repeatedly taking the point FARTHEST from the chosen set (max-min).
+# The 2-approximation behind coreset curation, diverse few-shot
+# exemplar picking, and k-means++-style seeding at fixed fan-out.
+# Distances are squared L2 computed by the vector family's sequential
+# left fold, so every double is bit-identical across engines.
+_KCENTER_K = 8
+
+
+def _kcenter_d2_sql(pt: str, ct: str) -> str:
+    """Squared-L2 DuckDB spelling between {pt}.embedding and
+    {ct}.embedding — the _DOT_SQL fold discipline (ops/vector.py:25):
+    sequential list_reduce from 0.0, elementwise cast BEFORE subtract."""
+    return (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"[(cast({pt}.embedding[i] as double) - cast({ct}.embedding[i] as double))"
+        f" * (cast({pt}.embedding[i] as double) - cast({ct}.embedding[i] as double)) "
+        f"for i in generate_series(1, len({pt}.embedding))]), (acc, v) -> acc + v)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    steps, outs = [], ["select 0 as round, vec_id, cast(0 as double) as radius_d2 from c0"]
+    for r in range(1, _KCENTER_K):
+        prev_m = f"m{r - 1}"
+        steps.append(f"""
+    c{r} as materialized (
+      select vec_id, embedding, mind2 from {prev_m}
+      where mind2 > 0 order by mind2 desc, vec_id asc limit 1
+    ),
+    m{r} as materialized (
+      select m.vec_id, m.embedding,
+             least(m.mind2, {_kcenter_d2_sql('m', f'c{r}')}) as mind2
+      from {prev_m} m cross join c{r}
+    )""")
+        outs.append(f"select {r} as round, vec_id, mind2 as radius_d2 from c{r}")
+    union = "\n      union all ".join(outs)
+    return f"""
+    with c0 as materialized (
+      select vec_id, embedding from embeddings
+      where vec_id = (select min(vec_id) from embeddings)
+    ),
+    m0 as materialized (
+      select e.vec_id, e.embedding, {_kcenter_d2_sql('e', 'c0')} as mind2
+      from embeddings e cross join c0
+    ),
+    {",".join(steps)}
+    select cast(round as int) as round, vec_id, radius_d2
+    from ({union})
+    """
+
+
+@query(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("sampling", "vector", "coreset", "iterative"),
+)
+def sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center picks over the embedding table: (round, vec_id,
+    radius_d2) for {_KCENTER_K} centers, where radius_d2 is the
+    max-min squared distance at selection time — round r's radius is
+    the coverage guarantee after r centers (non-increasing, asserted
+    in tests). Seed = lowest vec_id; ties on distance break to the
+    lowest id; exact-duplicate points (mind2 == 0) are never picked,
+    so a degenerate corpus yields fewer than K rows identically in
+    both engines.
+
+    100 TB shape: each round is ONE narrow map over the point set
+    (update mind2 against a 1-row broadcast center) plus a global
+    argmax (TakeOrdered — never a full sort); the point set with its
+    running mind2 is localCheckpointed per round (the k-means/
+    connected-components lineage discipline), so plan depth stays
+    O(K) and nothing re-derives. K rounds of one-pass maps = the
+    textbook scalable Gonzalez; the fold arithmetic is the vector
+    family's sequential left fold (ops/vector.py:25), bit-identical
+    in the DuckDB oracle's unrolled, MATERIALIZED CTEs.
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seed_id = e.agg(F.min("vec_id").alias("sid"))
+    c0 = (
+        e.join(F.broadcast(seed_id), e["vec_id"] == F.col("sid"))
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+        .localCheckpoint(eager=True)
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    m = (
+        e.crossJoin(F.broadcast(c0))
+        .select("vec_id", "embedding", d2(F.col("embedding"), F.col("c_emb")).alias("mind2"))
+        .localCheckpoint(eager=True)
+    )
+    picks = c0.select(
+        F.lit(0).cast("int").alias("round"),
+        F.col("c_id").alias("vec_id"),
+        F.lit(0.0).alias("radius_d2"),
+    )
+    for r in range(1, _KCENTER_K):
+        c = (
+            m.where(F.col("mind2") > 0)
+            .orderBy(F.col("mind2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("mind2").alias("c_d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks = picks.unionByName(
+            c.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("c_id").alias("vec_id"),
+                F.col("c_d2").alias("radius_d2"),
+            )
+        )
+        m = (
+            m.crossJoin(F.broadcast(c.select("c_emb")))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("mind2"), d2(F.col("embedding"), F.col("c_emb"))).alias("mind2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return picks

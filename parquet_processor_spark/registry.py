@@ -59,6 +59,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk",
     "graph_kcore",
     "events_changepoint",
+    "sample_coreset_kcenter",
     "agg_count_min",
     "error_count_min",
     "anonymize_k_anonymity",

@@ -543,3 +543,45 @@ def test_bm25_postings_rank_and_saturate(spark, sf_dir):
         for p in posts:
             assert p["weight"] < 2.2 * (2 * n_docs + 1)  # loose idf cap
             assert p["tf"] <= p["dl"]
+
+
+def test_kcenter_matches_a_sequential_gonzalez(spark, sf_dir):
+    # Recompute greedy k-center in plain Python with the SAME
+    # sequential left-fold arithmetic and assert pick-for-pick,
+    # bit-for-bit agreement; plus the structural invariants: distinct
+    # centers, rounds 0..K-1, radii non-increasing after round 1.
+    from parquet_processor_spark.ops.sampling import _KCENTER_K, sample_coreset_kcenter
+    from parquet_processor_spark.tables import t as tt
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in tt(spark, sf_dir, "embeddings").collect()
+    }
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    seed = min(vecs)
+    mind2 = {v: d2(emb, vecs[seed]) for v, emb in vecs.items()}
+    expected = [(0, seed, 0.0)]
+    for r in range(1, _KCENTER_K):
+        cands = [(m, v) for v, m in mind2.items() if m > 0]
+        if not cands:
+            break
+        best = max(cands, key=lambda t: (t[0], -t[1]))
+        expected.append((r, best[1], best[0]))
+        cemb = vecs[best[1]]
+        for v, emb in vecs.items():
+            mind2[v] = min(mind2[v], d2(emb, cemb))
+
+    rows = sorted(
+        (r["round"], r["vec_id"], r["radius_d2"])
+        for r in sample_coreset_kcenter(spark, sf_dir).collect()
+    )
+    assert rows == expected
+    assert len({v for _, v, _ in rows}) == len(rows)
+    radii = [d for rd, _, d in rows if rd >= 1]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))

@@ -91,6 +91,7 @@ REPRESENTATIVE = [
     "text_bm25_topk",          # per-term postings over an empty corpus
     "graph_kcore",             # peeling loop over an empty edge list
     "events_changepoint",      # CUSUM argmax over an empty daily spine
+    "sample_coreset_kcenter",  # Gonzalez loop over an empty point set
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -51,7 +51,7 @@ def test_check_priority_window():
     must_check = {
         # round-7 additions
         "multimodal_dedup_audio", "recall_dedup_audio", "text_bm25_topk",
-        "graph_kcore", "events_changepoint",
+        "graph_kcore", "events_changepoint", "sample_coreset_kcenter",
         "agg_count_min", "error_count_min", "anonymize_k_anonymity",
         "sample_importance_dsir", "agg_bitmap_index",
         "sim_range_search", "recall_range_search",
@@ -72,12 +72,12 @@ def test_check_priority_window():
         "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
         "multimodal_dedup_perceptual", "recall_dedup_perceptual",
         "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
-        # latest driver row: round 1
-        "filter_temporal",
+        # latest driver row: round 1 — the window is now exactly 50
+        # round-7 additions, so the full r1 cohort (filter_temporal /
         # filter_compound / fn_regexp_extract / fn_date_format /
-        # sink_parquet rotated out by the late-r7 additions (audio
-        # fingerprint, BM25, k-core, changepoint — r1 rows, pass
-        # locally; back in round 8)
+        # sink_parquet and the rest) rotated out (r1 rows, pass
+        # locally; back in round 8 — new queries need their FIRST
+        # driver row more than r1 greens need refreshing)
         # sink_csv_roundtrip / fn_ts_diff rotated out by the r7
         # additions (r1 rows, pass locally; back in round 8)
         # scan_range / join_cross / fn_concat / fn_least_cast rotated out by the r7

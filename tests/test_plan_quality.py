@@ -991,3 +991,15 @@ def test_changepoint_windows_run_on_the_collapsed_spine(spark):
     plan = plan_of(spark, "events_changepoint")
     assert "partial_count" in plan, plan
     assert not _single_partition_sorts(plan), plan
+
+
+def test_kcenter_rounds_broadcast_single_centers(spark):
+    # Gonzalez claim: each round's distance update is a narrow map
+    # against a 1-row BROADCAST center — the only nested-loop joins in
+    # the plan are those broadcast singletons, and the checkpointed
+    # point set never re-scans parquet.
+    plan = plan_of(spark, "sample_coreset_kcenter")
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" not in plan, (
+        "point set re-derived downstream of the checkpoints:\n" + plan
+    )
