@@ -104,6 +104,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_dedup_perceptual",
     "sim_topk_ivfpq",
     "recall_sim_topk_ivfpq",
+    # slot 51 — the window holds exactly the 50 additions above;
+    # streaming_changepoint is first in line when the window rotates
+    # next round (its batch twin events_changepoint IS window-checked,
+    # and they share the oracle verbatim)
+    "streaming_changepoint",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

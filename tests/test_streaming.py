@@ -350,3 +350,15 @@ def test_state_swap_recovery_noop_after_clean_commit(spark, tmp_path):
     _recover_state(state)
     assert spark.read.parquet(state).collect()[0]["v"] == "cur"
     assert not os.path.exists(str(tmp_path / "state.old-7"))
+
+
+def test_streaming_changepoint_matches_the_batch_twin(spark, sf_dir):
+    # The stream-maintained daily spine must serve the IDENTICAL
+    # level-shift row per event type as the batch operator (they share
+    # one oracle, but assert the twin equality directly too).
+    from parquet_processor_spark.ops.temporal import events_changepoint
+    from parquet_processor_spark.streaming.queries import streaming_changepoint
+
+    batch = {tuple(r) for r in events_changepoint(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in streaming_changepoint(spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
