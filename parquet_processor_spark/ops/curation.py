@@ -313,3 +313,71 @@ def anonymize_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
             F.col("qi_group_n").cast("long").alias("qi_group_n"),
         )
     )
+
+
+# l-diversity on top of the k-anonymity groups — the attribute-
+# disclosure guard k-anonymity alone misses: a group can be large
+# (k-anonymous) yet carry ONE sensitive value, so membership still
+# discloses the attribute. Machanavajjhala et al.'s distinct
+# l-diversity requires >= l distinct sensitive values per QI group;
+# groups failing EITHER bar are suppressed, and both group facts ride
+# along so the decision is auditable.
+_L_DIV = 3
+
+
+@query(
+    "anonymize_l_diversity",
+    oracle=f"""
+    with g as (
+      select c_mktsegment, c_nationkey,
+             count(*) as n,
+             count(distinct cast(floor(c_acctbal / 5000) as int)) as sens_l
+      from customer group by 1, 2
+    )
+    select c.c_custkey,
+           case when g.n >= {_K_ANON} and g.sens_l >= {_L_DIV}
+                then c.c_mktsegment end as qi_segment,
+           case when g.n >= {_K_ANON} and g.sens_l >= {_L_DIV}
+                then c.c_nationkey end as qi_nation,
+           g.n < {_K_ANON} as suppressed_k,
+           g.sens_l < {_L_DIV} as suppressed_l,
+           cast(g.n as bigint) as qi_group_n,
+           cast(g.sens_l as bigint) as qi_group_l
+    from customer c
+    join g on c.c_mktsegment = g.c_mktsegment and c.c_nationkey = g.c_nationkey
+    """,
+    tags=("curation", "governance", "privacy"),
+)
+def anonymize_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppress QI combos that are under-populated (< {_K_ANON} rows,
+    the k-anonymity bar) OR under-diverse (< {_L_DIV} distinct
+    sensitive account-balance bands, the l-diversity bar). Sensitive
+    attribute = floor(c_acctbal/5000) band — the coarse value an
+    attacker learns from group membership.
+
+    100 TB shape: identical to anonymize_k_anonymity — ONE map-side
+    aggregate bounded by the QI domain (count + exact distinct of a
+    3-value band is a tiny per-group state), broadcast back onto the
+    scan; the corpus never shuffles. A high-cardinality sensitive
+    attribute swaps the exact distinct for HLL++ with the documented
+    error gate pattern (error_approx_distinct).
+    """
+    c = t(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / 5000).cast("int")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("qi_group_n"),
+        F.countDistinct(band).alias("qi_group_l"),
+    )
+    ok = (F.col("qi_group_n") >= _K_ANON) & (F.col("qi_group_l") >= _L_DIV)
+    return (
+        c.join(F.broadcast(g), ["c_mktsegment", "c_nationkey"])
+        .select(
+            "c_custkey",
+            F.when(ok, F.col("c_mktsegment")).alias("qi_segment"),
+            F.when(ok, F.col("c_nationkey")).alias("qi_nation"),
+            (F.col("qi_group_n") < _K_ANON).alias("suppressed_k"),
+            (F.col("qi_group_l") < _L_DIV).alias("suppressed_l"),
+            F.col("qi_group_n").cast("long").alias("qi_group_n"),
+            F.col("qi_group_l").cast("long").alias("qi_group_l"),
+        )
+    )

@@ -104,11 +104,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_dedup_perceptual",
     "sim_topk_ivfpq",
     "recall_sim_topk_ivfpq",
-    # slot 51 — the window holds exactly the 50 additions above;
-    # streaming_changepoint is first in line when the window rotates
-    # next round (its batch twin events_changepoint IS window-checked,
-    # and they share the oracle verbatim)
+    # slots 51+ — the window holds exactly the 50 additions above;
+    # these are first in line when the window rotates next round
+    # (streaming_changepoint's batch twin IS window-checked and they
+    # share the oracle verbatim; anonymize_l_diversity extends the
+    # window-checked anonymize_k_anonymity with one more aggregate)
     "streaming_changepoint",
+    "anonymize_l_diversity",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

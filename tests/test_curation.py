@@ -311,3 +311,24 @@ def test_changepoint_is_the_argmax_of_the_cusum(spark, sf_dir):
         r = got[et]
         assert (r["d_max"], r["change_day"], r["sum_before"], r["days_before"]) == best
         assert r["n_days"] == n and r["n_events"] == total
+
+
+def test_l_diversity_suppression_is_consistent_and_has_signal(spark, sf_dir):
+    # Flag/value consistency: QI columns are nulled iff EITHER bar
+    # fails, group facts match the flags, and the fixture actually
+    # exercises both suppression modes (fixture-growth guard).
+    from parquet_processor_spark.ops.curation import _K_ANON, _L_DIV, anonymize_l_diversity
+
+    rows = anonymize_l_diversity(spark, sf_dir).collect()
+    assert rows
+    saw_k = saw_l = saw_pass = False
+    for r in rows:
+        failed = r["suppressed_k"] or r["suppressed_l"]
+        assert (r["qi_segment"] is None) == failed
+        assert (r["qi_nation"] is None) == failed
+        assert r["suppressed_k"] == (r["qi_group_n"] < _K_ANON)
+        assert r["suppressed_l"] == (r["qi_group_l"] < _L_DIV)
+        saw_k |= r["suppressed_k"]
+        saw_l |= r["suppressed_l"]
+        saw_pass |= not failed
+    assert saw_k and saw_l, "fixture no longer exercises both suppression bars"

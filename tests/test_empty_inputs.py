@@ -93,6 +93,7 @@ REPRESENTATIVE = [
     "events_changepoint",      # CUSUM argmax over an empty daily spine
     "sample_coreset_kcenter",  # Gonzalez loop over an empty point set
     "streaming_changepoint",   # complete-mode spine over an empty stream
+    "anonymize_l_diversity",   # QI-group join over an empty population
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
