@@ -111,6 +111,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # window-checked anonymize_k_anonymity with one more aggregate)
     "streaming_changepoint",
     "anonymize_l_diversity",
+    "sim_topk_batch",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -94,6 +94,7 @@ REPRESENTATIVE = [
     "sample_coreset_kcenter",  # Gonzalez loop over an empty point set
     "streaming_changepoint",   # complete-mode spine over an empty stream
     "anonymize_l_diversity",   # QI-group join over an empty population
+    "sim_topk_batch",          # batch scoring over empty corpus + queries
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -1003,3 +1003,15 @@ def test_kcenter_rounds_broadcast_single_centers(spark):
     assert "Scan parquet" not in plan, (
         "point set re-derived downstream of the checkpoints:\n" + plan
     )
+
+
+def test_batched_topk_limits_before_the_shuffle(spark):
+    # Serving-shape claim: one corpus scan for the whole query batch
+    # (query side broadcast), and the per-query rank<=K filter plans as
+    # WindowGroupLimit with a partial phase so only K rows per query
+    # per partition reach the q_id exchange.
+    plan = plan_of(spark, "sim_topk_batch")
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 2, plan  # corpus + query batch, once each
+    assert plan.count("WindowGroupLimit") >= 2, f"no partial+final top-K:\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
