@@ -1414,3 +1414,125 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= _BM25_K)
         .drop("rn")
     )
+
+
+# RAKE keyword extraction (Rose et al. 2010) — the phrase-level
+# salience signal: split each document into candidate PHRASES at
+# stopword boundaries, score words by degree/frequency within the
+# document's phrases, score a phrase as the sum of its word scores,
+# and emit each document's top phrase. TF-IDF (quality_tfidf) ranks
+# single tokens; RAKE is the classical multi-word keyword extractor —
+# the other half of the keyword story. The phrase-score sum folds the
+# word scores IN PHRASE ORDER (list_reduce <-> F.aggregate, the
+# vector-family discipline), so the doubles match bitwise.
+_RAKE_STOP = ("the", "a", "is", "of", "and", "to", "in", "on", "for", "with")
+
+
+@query(
+    "text_rake_keywords",
+    oracle=rf"""
+    with tok as (
+      select doc_id, pos, tok from (
+        select doc_id,
+               unnest(arr) as tok,
+               unnest(range(1, len(arr) + 1)) as pos
+        from (select doc_id, regexp_split_to_array(coalesce(text,''), '\s+') as arr
+              from documents)
+      ) where tok <> ''
+    ),
+    marked as (
+      select doc_id, pos, tok,
+             sum(case when tok in {_RAKE_STOP!r} then 1 else 0 end)
+               over (partition by doc_id order by pos rows unbounded preceding) as pid,
+             tok in {_RAKE_STOP!r} as is_stop
+      from tok
+    ),
+    pw as (select doc_id, pid, pos, tok from marked where not is_stop),
+    plen as (select doc_id, pid, count(*) as plen from pw group by 1, 2),
+    wstat as (
+      select p.doc_id, p.tok,
+             cast(sum(l.plen) as double) / count(*) as s
+      from pw p join plen l on l.doc_id = p.doc_id and l.pid = p.pid
+      group by 1, 2
+    ),
+    scored as (
+      select p.doc_id, p.pid, p.pos, p.tok, w.s
+      from pw p join wstat w on w.doc_id = p.doc_id and w.tok = p.tok
+    ),
+    phr as (
+      select doc_id, pid,
+             string_agg(tok, ' ' order by pos) as phrase,
+             cast(count(*) as bigint) as n_words,
+             list_reduce(list_prepend(cast(0 as double), list(s order by pos)),
+                         (acc, v) -> acc + v) as score
+      from scored group by 1, 2
+    )
+    select doc_id, phrase, n_words, score
+    from (select *, row_number() over (partition by doc_id
+                                       order by score desc, phrase asc, pid asc) as rn
+          from phr)
+    where rn = 1
+    """,
+    tags=("text", "keywords", "rake"),
+)
+def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top RAKE phrase per document: phrases are maximal stopword-free
+    token runs; word score = degree/frequency over the document's
+    phrase words (degree = summed length of containing phrases); the
+    phrase score folds its word scores in position order.
+
+    100 TB shape: everything is doc-keyed — the stopword-boundary
+    window, the per-doc word stats, the phrase assembly, and the final
+    top-1 all partition by doc_id, so ONE hash shuffle on doc_id
+    serves every stage (plan-asserted single exchange family) and no
+    corpus-global state exists at all. The per-doc windows sort tens
+    of tokens; the stopword set is a literal IN-list evaluated beside
+    the scan.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+    )
+    is_stop = F.col("tok").isin(*_RAKE_STOP)
+    wp = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(wp).alias("pid"),
+        is_stop.alias("is_stop"),
+    )
+    pw = marked.where(~F.col("is_stop")).select("doc_id", "pid", "pos", "tok")
+    plen = pw.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        pw.join(plen, ["doc_id", "pid"])
+        .groupBy("doc_id", "tok")
+        .agg((F.sum("plen").cast("double") / F.count(F.lit(1))).alias("s"))
+    )
+    scored = pw.join(wstat, ["doc_id", "tok"])
+    words = F.sort_array(F.collect_list(F.struct("pos", "tok", "s")))
+    phr = scored.groupBy("doc_id", "pid").agg(
+        F.concat_ws(" ", F.transform(words, lambda x: x["tok"])).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda x: x["s"]), F.lit(0.0), lambda acc, v: acc + v
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc(), F.col("pid").asc()
+    )
+    return (
+        phr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "phrase", "n_words", "score")
+    )

@@ -112,6 +112,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_changepoint",
     "anonymize_l_diversity",
     "sim_topk_batch",
+    "text_rake_keywords",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -332,3 +332,31 @@ def test_l_diversity_suppression_is_consistent_and_has_signal(spark, sf_dir):
         saw_l |= r["suppressed_l"]
         saw_pass |= not failed
     assert saw_k and saw_l, "fixture no longer exercises both suppression bars"
+
+
+def test_rake_top_phrases_are_valid_keyword_candidates(spark, sf_dir):
+    # RAKE invariants: the winning phrase never contains a stopword,
+    # n_words matches the phrase, the score is positive and bounded by
+    # n_words * max_possible_word_score, and every document with at
+    # least one non-stopword token gets exactly one row.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.text import _RAKE_STOP, text_rake_keywords
+    from parquet_processor_spark.tables import t as tt
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    docs_with_content = (
+        tt(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.coalesce("text", F.lit("")), r"\s+")).alias("tok"))
+        .where((F.col("tok") != "") & ~F.col("tok").isin(*_RAKE_STOP))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == docs_with_content
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert len(words) == r["n_words"]
+        assert not set(words) & set(_RAKE_STOP), r["phrase"]
+        assert r["score"] > 0
