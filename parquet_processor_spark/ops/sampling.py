@@ -844,3 +844,76 @@ def sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return picks
+
+
+# Hard-negative mining — the contrastive-training counterpart of
+# sample_negative_pairs' RANDOM negatives: for each anchor, the
+# nearest neighbors that carry a DIFFERENT label. Random negatives are
+# mostly easy (far) and teach little; the highest-similarity
+# cross-label points are exactly the pairs a dual encoder needs to
+# separate (triplet/InfoNCE mining). Reuses the batched-retrieval
+# plan with a label-inequality predicate.
+_HARDNEG_Q = 5   # anchors: vec_ids 0..4
+_HARDNEG_K = 3
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    with scored as (
+      select a.vec_id as anchor_id, a.label as anchor_label,
+             b.vec_id, b.label,
+             list_reduce(list_prepend(cast(0 as double), [cast(a.embedding[i] as double) * cast(b.embedding[i] as double) for i in generate_series(1, len(a.embedding))]), (acc, v) -> acc + v) / (sqrt(list_reduce(list_prepend(cast(0 as double), [cast(x as double) * cast(x as double) for x in a.embedding]), (acc, v) -> acc + v)) * sqrt(list_reduce(list_prepend(cast(0 as double), [cast(x as double) * cast(x as double) for x in b.embedding]), (acc, v) -> acc + v))) as cos_sim
+      from (select vec_id, label, embedding from embeddings
+            where vec_id < {_HARDNEG_Q}) a
+      cross join (select vec_id, label, embedding from embeddings
+                  where vec_id >= {_HARDNEG_Q}) b
+      where a.label <> b.label
+    )
+    select anchor_id, anchor_label, vec_id, label, cos_sim, cast(rn as int) as rank
+    from (select *, row_number() over (partition by anchor_id
+                                       order by cos_sim desc, vec_id) as rn
+          from scored)
+    where rn <= {_HARDNEG_K}
+    """,
+    tags=("sampling", "vector", "contrastive"),
+)
+def sample_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{_HARDNEG_K} hardest negatives per anchor: highest-cosine
+    corpus points whose label differs from the anchor's.
+
+    100 TB shape: identical to sim_topk_batch — anchors broadcast, one
+    corpus pass scores everything map-side, the label filter runs
+    beside the scan (no extra shuffle), and rank <= K plans as
+    WindowGroupLimit so K rows per anchor per partition reach the
+    exchange. At billion-vector scale the exact pass swaps for the
+    IVF/nprobe shortlist (sim_topk_ivf_nprobe) with the same
+    cross-label predicate applied to the shortlist.
+    """
+    from pyspark.sql import Window
+
+    from parquet_processor_spark.ops.vector import cosine
+
+    e = t(spark, sf, "embeddings")
+    anchors = e.where(F.col("vec_id") < _HARDNEG_Q).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    base = e.where(F.col("vec_id") >= _HARDNEG_Q).select("vec_id", "label", "embedding")
+    scored = (
+        base.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("a_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _HARDNEG_K)
+    )

@@ -113,6 +113,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "anonymize_l_diversity",
     "sim_topk_batch",
     "text_rake_keywords",
+    "sample_hard_negatives",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -585,3 +585,24 @@ def test_kcenter_matches_a_sequential_gonzalez(spark, sf_dir):
     assert len({v for _, v, _ in rows}) == len(rows)
     radii = [d for rd, _, d in rows if rd >= 1]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
+    # Every mined negative carries a label different from its anchor's,
+    # exactly K per anchor, ranked by descending similarity — and each
+    # anchor's rank-1 negative is at least as similar as its rank-K.
+    from collections import defaultdict
+
+    from parquet_processor_spark.ops.sampling import _HARDNEG_K, _HARDNEG_Q, sample_hard_negatives
+
+    rows = sample_hard_negatives(spark, sf_dir).collect()
+    by_anchor = defaultdict(list)
+    for r in rows:
+        assert r["label"] != r["anchor_label"], r
+        by_anchor[r["anchor_id"]].append(r)
+    assert set(by_anchor) == set(range(_HARDNEG_Q))
+    for posts in by_anchor.values():
+        posts.sort(key=lambda r: r["rank"])
+        assert [p["rank"] for p in posts] == list(range(1, _HARDNEG_K + 1))
+        sims = [p["cos_sim"] for p in posts]
+        assert sims == sorted(sims, reverse=True)

@@ -96,6 +96,7 @@ REPRESENTATIVE = [
     "anonymize_l_diversity",   # QI-group join over an empty population
     "sim_topk_batch",          # batch scoring over empty corpus + queries
     "text_rake_keywords",      # phrase windows over an empty token stream
+    "sample_hard_negatives",   # cross-label scoring over empty anchors
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
