@@ -703,11 +703,10 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     layers = None
     for r in range(1, _KCORE_MAX_ROUNDS + 1):
-        deg = (
-            edges.join(alive.select(F.col("node").alias("src")), "src")
-            .join(alive.select(F.col("node").alias("dst")), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
+        # edges is already restricted to alive endpoints (see below),
+        # so the degree is a plain map-side-combined count on src
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
         )
         removed = (
             alive.join(deg, "node", "left")
@@ -720,6 +719,13 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
         fell = removed.select("node", F.lit(r).cast("int").alias("layer"))
         layers = fell if layers is None else layers.unionAll(fell)
         alive = alive.join(removed, "node", "left_anti").localCheckpoint(eager=True)
+        # shrink the edge list to surviving endpoints — per-round cost
+        # tracks |E_alive|, not |E_original| (the docstring's claim)
+        edges = (
+            edges.join(removed.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(removed.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
     core = alive.select("node", F.lit(None).cast("int").alias("layer"))
     out = core if layers is None else layers.unionAll(core)
     return out.withColumn("in_core", F.col("layer").isNull())

@@ -753,7 +753,11 @@ def _phash_bands_arrow(media: DataFrame) -> DataFrame:
         for s in content:
             if s is None:
                 s = ""
-            b = np.frombuffer(s.encode() if isinstance(s, str) else bytes(s), dtype=np.uint8)
+            if not isinstance(s, str):
+                s = bytes(s).decode("utf-8", errors="replace")
+            # CHARACTER code points (utf-32), matching the JVM/oracle
+            # split+ascii semantics — bytes would diverge on multibyte
+            b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             n = len(b)
             if n == 0:
                 pix = np.zeros(_PHASH_PIX, dtype=np.int64)
@@ -1160,14 +1164,18 @@ def _audio_landmarks_arrow(media: DataFrame) -> DataFrame:
     (track_id, n_landmarks, hashes) output, bit-exact by construction:
     every quantity is INTEGER (frame sums via cumsum differences,
     floor-divided quantization, exact peak comparisons), so there is
-    no float rounding to match — only arithmetic to replicate.
+    no float rounding to match — only arithmetic to replicate. Frames
+    and energies are computed over CHARACTER CODE POINTS (utf-32
+    decode), matching the JVM's substr/ascii character semantics and
+    the oracle's — a bytes-based decode would diverge on any
+    multibyte character even though the all-ASCII fixture hides it.
 
     Why: the JVM spelling nests aggregate-inside-transform twice, and
     every downstream reference re-inlines the whole energy fold
     (measured ~28 ms/item through the full dedup plan at sf0.001 —
     the interpreted-HOF blowup _phash_bands_arrow documents). Set
     equality with the JVM fold is asserted item-for-item in
-    tests/test_multimodal.py.
+    tests/test_multimodal.py, including non-ASCII rows.
     """
     import numpy as np
 
@@ -1177,7 +1185,9 @@ def _audio_landmarks_arrow(media: DataFrame) -> DataFrame:
         for s in content:
             if s is None:
                 s = ""
-            b = np.frombuffer(s.encode() if isinstance(s, str) else bytes(s), dtype=np.uint8)
+            if not isinstance(s, str):
+                s = bytes(s).decode("utf-8", errors="replace")
+            b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             n = len(b)
             if n == 0:
                 e = np.zeros(1, dtype=np.int64)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from parquet_processor_spark.ops import dedup, vector
 from parquet_processor_spark.ops.aggregates import _CMS_SQL, _CMS_W
+from parquet_processor_spark.ops.multimodal import _AUDIO_LANDMARK_CTES
 from parquet_processor_spark.registry import _ORACLES, query
 from parquet_processor_spark.tables import t
 
@@ -588,38 +589,22 @@ def error_count_min(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "recall_dedup_audio",
-    oracle="""
+    # the landmark CTE chain is SHARED with multimodal_dedup_audio's
+    # oracle, so tuning _AUDIO_FR/_AUDIO_FANOUT can never
+    # desynchronize the gate from the operator
+    oracle=f"""
     with media as (
       select doc_id as track_id, coalesce(text, '') as content
       from documents
       where doc_id % 10 = 0 and len(coalesce(text, '')) >= 150
     ),
-    fr as (
-      select track_id,
-        list_transform(range(0, greatest(cast(ceil(len(content) / 16.0) as int), 1)), i ->
-          list_aggregate(list_transform(regexp_split_to_array(
-            substr(content, i * 16 + 1, 16), ''), c -> ascii(c)), 'sum')) as e
-      from media
-    ),
-    pk as (
-      select track_id,
-        list_filter(range(1, len(e) - 1),
-                    i -> e[i + 1] > e[i] and e[i + 1] > e[i + 2]) as peaks, e
-      from fr
-    ),
-    lm as (
-      select track_id,
-        list_distinct(flatten(list_transform(range(0, len(peaks)), i ->
-          list_transform(range(i + 1, least(i + 4, len(peaks))), j ->
-            ((e[peaks[i + 1] + 1] // 16) * 128 + (e[peaks[j + 1] + 1] // 16)) * 1000
-            + least(peaks[j + 1] - peaks[i + 1], 999))))) as hashes
-      from pk
-    )
+    {_AUDIO_LANDMARK_CTES}
     select cast(count(*) filter (len(hashes) >= 2) as bigint) as n_true_pairs,
            cast(count(*) filter (len(hashes) < 2) as bigint) as n_unfingerprintable,
            true as recall_ok
     from lm
     """,
+
     tags=("multimodal", "dedup", "audio", "evidence"),
 )
 def recall_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
@@ -651,3 +636,4 @@ def recall_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(~eligible, 1).otherwise(0)).cast("long").alias("n_unfingerprintable"),
         _gate(hit, n, 1.0).alias("recall_ok"),
     )
+

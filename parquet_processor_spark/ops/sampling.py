@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_processor_spark.ops.vector import _DOT_SQL, _NORM_A_SQL, _NORM_B_SQL
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -863,7 +864,7 @@ _HARDNEG_K = 3
     with scored as (
       select a.vec_id as anchor_id, a.label as anchor_label,
              b.vec_id, b.label,
-             list_reduce(list_prepend(cast(0 as double), [cast(a.embedding[i] as double) * cast(b.embedding[i] as double) for i in generate_series(1, len(a.embedding))]), (acc, v) -> acc + v) / (sqrt(list_reduce(list_prepend(cast(0 as double), [cast(x as double) * cast(x as double) for x in a.embedding]), (acc, v) -> acc + v)) * sqrt(list_reduce(list_prepend(cast(0 as double), [cast(x as double) * cast(x as double) for x in b.embedding]), (acc, v) -> acc + v))) as cos_sim
+             {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) as cos_sim
       from (select vec_id, label, embedding from embeddings
             where vec_id < {_HARDNEG_Q}) a
       cross join (select vec_id, label, embedding from embeddings

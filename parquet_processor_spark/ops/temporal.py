@@ -2079,12 +2079,20 @@ def events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     aggregate, one for the per-type windows; nothing event-mass ever
     sorts. D_t peaks n*total ~ 1e5 days * 1e13 events, inside int64.
     """
-    from pyspark.sql import Window
-
     e = t(spark, sf, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
+    return changepoint_of_daily(daily)
+
+
+def changepoint_of_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM argmax over a (event_type, d, x) daily spine — the shared
+    serve step of events_changepoint and its streaming twin, so the
+    two stay identical BY CONSTRUCTION (the twin-equality test and the
+    shared oracle both check the same code path)."""
+    from pyspark.sql import Window
+
     part = Window.partitionBy("event_type")
     ordered = part.orderBy("d")
     cum = daily.select(

@@ -1331,7 +1331,7 @@ _BM25_K = 10
               from dl),
     dfreq as (
       select tok, count(*) as df from tf
-      where tok in ('window', 'join', 'stream') group by tok
+      where tok in {_BM25_TERMS!r} group by tok
     ),
     w as (
       select f.tok as term, f.doc_id, f.tf, d.dl,

@@ -22,7 +22,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_processor_spark.registry import query
+from parquet_processor_spark.ops import temporal as _temporal  # noqa: F401 — registers the donor oracle below
+from parquet_processor_spark.registry import _ORACLES, query
 from parquet_processor_spark.streaming.jobs import (
     read_event_stream,
     session_counts,
@@ -474,7 +475,10 @@ def streaming_count_min(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "streaming_changepoint",
-    oracle=None,  # registered below from events_changepoint's oracle
+    # share the batch oracle verbatim: the streamed spine and the
+    # batch daily aggregate are the same relation, so the same SQL
+    # checks both (the decoration-time sharing convention)
+    oracle=_ORACLES["events_changepoint"],
     tags=("streaming", "timeseries", "changepoint"),
 )
 def streaming_changepoint(spark: SparkSession, sf: str) -> DataFrame:
@@ -482,9 +486,10 @@ def streaming_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     collapsed (event_type, day) daily-count spine (complete-mode state
     — a few thousand integer rows at ANY event volume, the same
     collapsed-keys argument as the batch plan), and the CUSUM argmax
-    serves from the at-rest state. Must produce the identical
-    level-shift row per event type as the batch query — checked by
-    sharing its oracle verbatim.
+    serves from the at-rest state through the SAME code path as the
+    batch operator (changepoint_of_daily), so the twins are identical
+    by construction — checked by the shared oracle and a direct
+    twin-equality test.
 
     100 TB shape: per-batch work is one map-side-combined aggregate
     into |types| x |days| state cells; no event payload is ever
@@ -492,8 +497,9 @@ def streaming_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     production deployment emits the spine in update mode to a compacted
     topic and runs the serve step on demand.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.temporal import changepoint_of_daily
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
     daily = (
@@ -501,46 +507,5 @@ def streaming_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("d"))
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
-    spine = _run_stream(daily, "complete")
+    return changepoint_of_daily(_run_stream(daily, "complete"))
 
-    part = Window.partitionBy("event_type")
-    ordered = part.orderBy("d")
-    cum = spine.select(
-        "event_type",
-        "d",
-        F.sum("x").over(ordered.rowsBetween(Window.unboundedPreceding, 0)).alias("cx"),
-        F.row_number().over(ordered).alias("t"),
-        F.sum("x").over(part).alias("total"),
-        F.count(F.lit(1)).over(part).alias("n"),
-    )
-    scored = cum.select(
-        "event_type",
-        "d",
-        "t",
-        "n",
-        "total",
-        F.abs(F.col("n") * F.col("cx") - F.col("t") * F.col("total")).alias("dstat"),
-        "cx",
-    )
-    w = Window.partitionBy("event_type").orderBy(F.col("dstat").desc(), F.col("d").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n_days"),
-            F.col("total").cast("long").alias("n_events"),
-            F.col("d").alias("change_day"),
-            F.col("dstat").cast("long").alias("d_max"),
-            F.col("cx").cast("long").alias("sum_before"),
-            F.col("t").cast("long").alias("days_before"),
-        )
-    )
-
-
-# Share the batch oracle verbatim: the streamed spine and the batch
-# daily aggregate are the same relation, so the same SQL checks both.
-from parquet_processor_spark.ops import temporal as _temporal  # noqa: E402,F401 (forces registration)
-from parquet_processor_spark.registry import _ORACLES as _OR  # noqa: E402
-
-_OR["streaming_changepoint"] = _OR["events_changepoint"]

@@ -134,7 +134,10 @@ def test_phash_bands_arrow_bit_exact_with_jvm(spark, sf_dir):
     # include adversarial shapes: empty, 1-char, shorter than the 65
     # sample blocks
     extra = spark.createDataFrame(
-        [(10_000_001, ""), (10_000_002, "a"), (10_000_003, "short text"), (10_000_004, "x" * 64)],
+        [(10_000_001, ""), (10_000_002, "a"), (10_000_003, "short text"), (10_000_004, "x" * 64),
+         # non-ASCII: the kernel must frame CHARACTERS (code points),
+         # not utf-8 bytes — these rows diverge under a bytes decode
+         (10_000_005, "é" * 65), (10_000_006, "naïve café déjà vu " * 8)],
         "media_id long, content string",
     )
     both = media.unionByName(extra)
@@ -248,7 +251,9 @@ def test_audio_landmarks_arrow_set_exact_with_jvm(spark, sf_dir):
     )
     extra = spark.createDataFrame(
         [(10_000_001, ""), (10_000_002, "a"), (10_000_003, "short text"),
-         (10_000_004, "x" * 64), (10_000_005, "ab " * 40)],
+         (10_000_004, "x" * 64), (10_000_005, "ab " * 40),
+         # non-ASCII: frames are CHARACTER code points, not utf-8 bytes
+         (10_000_006, "é" * 48), (10_000_007, "naïve café déjà vu " * 8)],
         "track_id long, content string",
     )
     both = media.unionByName(extra)
