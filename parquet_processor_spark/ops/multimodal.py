@@ -1216,3 +1216,124 @@ def _audio_landmarks_arrow(media: DataFrame) -> DataFrame:
     return media.select(
         "track_id", hashes(F.col("content").cast("string")).alias("hashes")
     ).select("track_id", F.size("hashes").alias("n_landmarks"), "hashes")
+
+
+# Incremental audio near-dup — the INGESTION shape (the text family's
+# dedup_incremental_minhash, for media): the corpus sits at rest as
+# landmark POSTING LISTS; a new-arrivals delta is fingerprinted and
+# probed against those lists (plus within-delta), so per-batch cost is
+# O(delta), never a corpus re-pairing. Delta = the injected shifted
+# re-records; corpus = every original track.
+@query(
+    "multimodal_dedup_audio_incr",
+    oracle=f"""
+    with media as (
+      select doc_id as track_id, coalesce(text, '') as content from documents
+      union all
+      select doc_id + 1000000000 as track_id,
+             repeat('#', {2 * _AUDIO_FR}) || coalesce(text, '') as content
+      from documents
+      where doc_id % 10 = 0 and len(coalesce(text, '')) >= 150
+    ),
+    {_AUDIO_LANDMARK_CTES},
+    dpost as (select * from post where track_id >= 1000000000),
+    rest as (select * from post where track_id < 1000000000),
+    hits as (
+      select r.track_id as ida, d.track_id as idb, count(*) as n_shared
+      from dpost d join rest r on r.h = d.h
+      group by 1, 2
+      union all
+      select a.track_id as ida, b.track_id as idb, count(*) as n_shared
+      from dpost a join dpost b on a.h = b.h and a.track_id < b.track_id
+      group by 1, 2
+    ),
+    pairs as (
+      select ida, idb
+      from hits
+      join nl na on na.track_id = hits.ida
+      join nl nb on nb.track_id = hits.idb
+      where n_shared >= greatest({_AUDIO_MIN_SHARED},
+                                 (least(na.n_landmarks, nb.n_landmarks) + 1) // 2)
+    )
+    select d.track_id,
+           d.n_landmarks,
+           min(p.ida) as dup_of,
+           (min(p.ida) is not null) as is_dup
+    from (select * from nl where track_id >= 1000000000) d
+    left join pairs p on p.idb = d.track_id
+    group by d.track_id, d.n_landmarks
+    """,
+    tags=("multimodal", "dedup", "audio", "incremental"),
+)
+def multimodal_dedup_audio_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Label ONLY the delta tracks (the shifted re-records) against
+    the at-rest corpus posting lists plus earlier delta arrivals —
+    identical match rule to multimodal_dedup_audio, O(delta) probe
+    cost.
+
+    100 TB shape: the corpus posting list (track_id, hash) is the
+    INDEX AT REST — maintained incrementally at ingest (append the new
+    batch's postings), bucketed by hash so the delta probe is a
+    co-located join; nothing corpus-sized is re-fingerprinted or
+    re-paired per batch. The within-delta self-join is delta-sized.
+    Same df cap, same threshold algebra, same honest
+    n_landmarks-below-2 behavior as the full operator.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("track_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    delta = docs.where(
+        (F.col("track_id") % 10 == 0) & (F.length("content") >= 150)
+    ).select(
+        (F.col("track_id") + 1_000_000_000).alias("track_id"),
+        F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
+    )
+    media = docs.unionByName(delta)
+    lm = _audio_landmarks_arrow(media).localCheckpoint(eager=True)
+    nl = lm.select("track_id", "n_landmarks")
+    post = lm.select("track_id", F.explode("hashes").alias("h"))
+    hot = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _AUDIO_DF_CAP)
+        .select("h")
+    )
+    post = post.join(F.broadcast(hot), "h", "left_anti")
+    is_delta = F.col("track_id") >= 1_000_000_000
+    dpost = post.where(is_delta)
+    rest = post.where(~is_delta)
+    corpus_hits = (
+        rest.alias("r")
+        .join(dpost.alias("d"), F.col("r.h") == F.col("d.h"))
+        .groupBy(F.col("r.track_id").alias("ida"), F.col("d.track_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    delta_hits = (
+        dpost.alias("a")
+        .join(
+            dpost.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.track_id") < F.col("b.track_id")),
+        )
+        .groupBy(F.col("a.track_id").alias("ida"), F.col("b.track_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    hits = corpus_hits.unionByName(delta_hits)
+    na = nl.select(F.col("track_id").alias("ida"), F.col("n_landmarks").alias("na"))
+    nb = nl.select(F.col("track_id").alias("idb"), F.col("n_landmarks").alias("nb"))
+    thresh = F.greatest(
+        F.lit(_AUDIO_MIN_SHARED),
+        ((F.least("na", "nb") + 1) / 2).cast("int"),
+    )
+    pairs = (
+        hits.join(na, "ida").join(nb, "idb").where(F.col("n_shared") >= thresh)
+        .select("ida", "idb")
+    )
+    dnl = nl.where(F.col("track_id") >= 1_000_000_000)
+    return (
+        dnl.join(pairs, dnl["track_id"] == pairs["idb"], "left")
+        .groupBy("track_id", "n_landmarks")
+        .agg(F.min("ida").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )

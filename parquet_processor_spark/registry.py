@@ -114,6 +114,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_topk_batch",
     "text_rake_keywords",
     "sample_hard_negatives",
+    "multimodal_dedup_audio_incr",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

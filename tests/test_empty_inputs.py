@@ -97,6 +97,7 @@ REPRESENTATIVE = [
     "sim_topk_batch",          # batch scoring over empty corpus + queries
     "text_rake_keywords",      # phrase windows over an empty token stream
     "sample_hard_negatives",   # cross-label scoring over empty anchors
+    "multimodal_dedup_audio_incr",  # delta probe over empty posting lists
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)

@@ -260,3 +260,22 @@ def test_audio_landmarks_arrow_set_exact_with_jvm(spark, sf_dir):
     jvm = {r["track_id"]: (r["n_landmarks"], set(r["hashes"])) for r in _audio_landmarks(both).collect()}
     arrow = {r["track_id"]: (r["n_landmarks"], set(r["hashes"])) for r in _audio_landmarks_arrow(both).collect()}
     assert jvm == arrow and len(jvm) > 100
+
+
+def test_incremental_audio_dedup_labels_only_the_delta(spark, sf_dir):
+    # The incremental operator must emit exactly the delta tracks, and
+    # agree with the FULL operator's verdict for each of them (same
+    # match rule, probe-vs-self-join plan difference only).
+    from parquet_processor_spark.registry import all_queries
+
+    full = {
+        r["track_id"]: (r["is_dup"], r["dup_of"])
+        for r in all_queries()["multimodal_dedup_audio"](spark, sf_dir).collect()
+        if r["track_id"] >= 1_000_000_000
+    }
+    incr = {
+        r["track_id"]: (r["is_dup"], r["dup_of"])
+        for r in all_queries()["multimodal_dedup_audio_incr"](spark, sf_dir).collect()
+    }
+    assert set(incr) == set(full) and len(incr) > 0
+    assert incr == full
