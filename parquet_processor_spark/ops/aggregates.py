@@ -1735,3 +1735,58 @@ def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
         tstat.alias("t_stat"),
         (F.abs(tstat) > 1.96).alias("significant_95"),
     )
+
+
+# Log-bucket histogram (the DDSketch idea at gamma = 2): bucket a
+# positive value stream by floor(log2(cents)) — computed EXACTLY as
+# length(bin(cents)) - 1, no transcendental log and its cross-engine
+# ulp risk. Buckets are mergeable integer counters (the monitoring
+# sketch shape: union = add counters) and bound every value in
+# [2^b, 2^(b+1)), so any quantile read off the histogram carries a
+# guaranteed relative error < 1 at this gamma — measured by
+# error_log_quantile (ops/recall.py).
+@query(
+    "agg_log_histogram",
+    oracle="""
+    with cents as (
+      select cast(floor(value * 100 + 0.5) as bigint) as c
+      from events where value > 0
+    )
+    select cast(length(bin(c)) - 1 as int) as bucket,
+           cast(1 << (length(bin(c)) - 1) as bigint) as lo_cents,
+           cast((1 << length(bin(c))) - 1 as bigint) as hi_cents,
+           cast(count(*) as bigint) as n,
+           cast(min(c) as bigint) as min_cents,
+           cast(max(c) as bigint) as max_cents
+    from cents group by 1, 2, 3
+    """,
+    tags=("agg", "sketch", "histogram"),
+)
+def agg_log_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two bucket counts over event values (exact cents).
+
+    100 TB shape: ONE map-side-combined aggregate into <= 64 integer
+    counters — the whole sketch is a few hundred bytes, merges across
+    partitions/days/streams by addition, and the bucket id is codegen
+    string-length arithmetic beside the scan. The per-bucket min/max
+    ride along as audit columns (they sharpen the quantile bound at
+    the tails without changing the contract).
+    """
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        t(spark, sf, "events")
+        .where(F.col("value") > 0)
+        .select(c.alias("c"))
+        .select(
+            "c",
+            F.expr("cast(length(bin(c)) - 1 as int)").alias("bucket"),
+            F.expr("shiftleft(cast(1 as bigint), length(bin(c)) - 1)").alias("lo_cents"),
+            F.expr("shiftleft(cast(1 as bigint), length(bin(c))) - 1").alias("hi_cents"),
+        )
+        .groupBy("bucket", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )

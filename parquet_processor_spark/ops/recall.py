@@ -637,3 +637,98 @@ def recall_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
         _gate(hit, n, 1.0).alias("recall_ok"),
     )
 
+
+
+# Relative-error gate for the log-bucket histogram's quantile reads:
+# estimate q50/q95/q99 as the LOWER BOUND (2^b) of the first bucket
+# whose cumulative count reaches ceil(q*N); the bucket bounds every
+# member in [2^b, 2^(b+1)), so est <= exact < 2*est is guaranteed at
+# gamma=2 — this gate MEASURES it against the exact quantile computed
+# collapsed-key (group by cents, cumulative over <= 49k distinct cent
+# values — never a row-level sort).
+_LOGQ_QS = (50, 95, 99)  # percent, integer-exact arithmetic
+
+
+@query(
+    "error_log_quantile",
+    oracle="""
+    with cents as (
+      select cast(floor(value * 100 + 0.5) as bigint) as c
+      from events where value > 0
+    ),
+    n as (select count(*) as n_events from cents),
+    byc as (
+      select c, count(*) as cnt from cents group by c
+    ),
+    cum as (
+      select c, sum(cnt) over (order by c rows unbounded preceding) as cum
+      from byc
+    ),
+    qs as (select unnest([50, 95, 99]) as q),
+    k as (
+      select q, cast((q * n_events + 99) // 100 as bigint) as kth, n_events
+      from qs cross join n
+    ),
+    exact as (
+      select k.q, k.n_events, min(cum.c) as exact_cents
+      from k join cum on cum.cum >= k.kth
+      group by k.q, k.n_events
+    )
+    select q, cast(n_events as bigint) as n_events,
+           cast(1 << (length(bin(exact_cents)) - 1) as bigint) as est_cents,
+           cast(exact_cents as bigint) as exact_cents,
+           ((1 << (length(bin(exact_cents)) - 1)) <= exact_cents
+            and exact_cents < (1 << length(bin(exact_cents)))) as within_bound
+    from exact
+    """,
+    tags=("agg", "sketch", "evidence"),
+)
+def error_log_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """For each target quantile: the histogram's estimate (the bucket
+    lower bound the cumulative counts select), the exact quantile, and
+    the measured guarantee est <= exact < 2*est. The estimate is
+    derived from the exact value's own bucket — precisely what reading
+    the log-histogram returns, since the k-th value's bucket IS the
+    first bucket whose cumulative count reaches k.
+
+    100 TB shape: the exact side is collapsed-key (group by cents —
+    bounded domain — then a cumulative over the collapsed spine); the
+    sketch side is the 64-counter histogram. Nothing row-mass sorts.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        t(spark, sf, "events")
+        .where(F.col("value") > 0)
+        .select(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+    )
+    n = cents.agg(F.count(F.lit(1)).alias("n_events"))
+    byc = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = byc.select(
+        "c",
+        F.sum("cnt")
+        .over(Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _LOGQ_QS])).alias("q")
+    )
+    k = qs.crossJoin(F.broadcast(n)).select(
+        "q",
+        ((F.col("q") * F.col("n_events") + 99) / 100).cast("long").alias("kth"),
+        "n_events",
+    )
+    exact = (
+        k.join(cum, cum["cum"] >= k["kth"])
+        .groupBy("q", "n_events")
+        .agg(F.min("c").alias("exact_cents"))
+    )
+    est = F.expr("shiftleft(cast(1 as bigint), length(bin(exact_cents)) - 1)")
+    hi = F.expr("shiftleft(cast(1 as bigint), length(bin(exact_cents)))")
+    return exact.select(
+        "q",
+        F.col("n_events").cast("long").alias("n_events"),
+        est.alias("est_cents"),
+        F.col("exact_cents").cast("long").alias("exact_cents"),
+        ((est <= F.col("exact_cents")) & (F.col("exact_cents") < hi)).alias("within_bound"),
+    )

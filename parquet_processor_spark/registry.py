@@ -115,6 +115,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_rake_keywords",
     "sample_hard_negatives",
     "multimodal_dedup_audio_incr",
+    "agg_log_histogram",
+    "error_log_quantile",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

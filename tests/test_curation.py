@@ -360,3 +360,38 @@ def test_rake_top_phrases_are_valid_keyword_candidates(spark, sf_dir):
         assert len(words) == r["n_words"]
         assert not set(words) & set(_RAKE_STOP), r["phrase"]
         assert r["score"] > 0
+
+
+def test_log_histogram_buckets_partition_the_stream(spark, sf_dir):
+    # Buckets are disjoint powers of two covering every positive value;
+    # counts sum to the stream size; per-bucket min/max sit inside the
+    # bounds; and the quantile gate's estimate equals what reading the
+    # histogram returns, with the gamma=2 bound holding at every q.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import t as tt
+
+    rows = all_queries()["agg_log_histogram"](spark, sf_dir).collect()
+    n_pos = tt(spark, sf_dir, "events").where(F.col("value") > 0).count()
+    assert sum(r["n"] for r in rows) == n_pos
+    assert len({r["bucket"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["lo_cents"] == 1 << r["bucket"]
+        assert r["hi_cents"] == (1 << (r["bucket"] + 1)) - 1
+        assert r["lo_cents"] <= r["min_cents"] <= r["max_cents"] <= r["hi_cents"]
+    gate = {g["q"]: g for g in all_queries()["error_log_quantile"](spark, sf_dir).collect()}
+    assert set(gate) == {50, 95, 99}
+    cum = 0
+    ordered = sorted(rows, key=lambda r: r["bucket"])
+    for q, g in gate.items():
+        assert g["within_bound"]
+        assert g["est_cents"] <= g["exact_cents"] < 2 * g["est_cents"]
+        # histogram read: first bucket whose cumulative count reaches k
+        k = -(-q * n_pos // 100)
+        c = 0
+        for r in ordered:
+            c += r["n"]
+            if c >= k:
+                assert g["est_cents"] == r["lo_cents"]
+                break

@@ -98,6 +98,7 @@ REPRESENTATIVE = [
     "text_rake_keywords",      # phrase windows over an empty token stream
     "sample_hard_negatives",   # cross-label scoring over empty anchors
     "multimodal_dedup_audio_incr",  # delta probe over empty posting lists
+    "agg_log_histogram",       # bucket counters over an empty stream
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
