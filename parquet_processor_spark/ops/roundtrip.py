@@ -824,3 +824,94 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# Snapshot retention/expiration — the missing end of the versioned-
+# table lifecycle (publish -> time travel -> EXPIRE): keep the newest
+# N snapshots, delete the directories of everything older, and prove
+# (a) the expired version is physically gone, (b) the survivors are
+# untouched and fully readable, (c) the pointer still serves the
+# current version. Every table format (Iceberg expire_snapshots,
+# Delta VACUUM) reduces to exactly this reader-safe delete-behind.
+_EXPIRE_KEEP = 2
+
+
+@query(
+    "sink_snapshot_expire",
+    oracle=f"""
+    select 2 as version,
+           cast(count(*) filter (o_orderdate < timestamp '{_SNAP_CUT} 00:00:00'
+                                 or o_orderpriority = '1-URGENT') as bigint) as n_rows,
+           false as expired, true as readable
+    from orders
+    union all
+    select 3 as version, cast(count(*) as bigint) as n_rows,
+           false as expired, true as readable
+    from orders
+    union all
+    select 1 as version, cast(0 as bigint) as n_rows,
+           true as expired, false as readable
+    order by version
+    """,
+    tags=("sink", "layout", "versioning", "lifecycle"),
+)
+def sink_snapshot_expire(spark: SparkSession, sf: str) -> DataFrame:
+    """Publish three snapshots of orders (a date slice, that slice
+    plus the urgent orders, the full table), expire down to the newest
+    {_EXPIRE_KEEP}, and report per-version (n_rows, expired, readable):
+    the expired version must be physically deleted (directory gone,
+    n_rows 0), the survivors must read back complete (counts match the
+    oracle's recomputation from source), and the _CURRENT pointer must
+    still resolve to the newest version.
+
+    100 TB shape: expiration is directory deletes + one pointer read —
+    O(versions), never O(data); it runs strictly delete-BEHIND (only
+    versions older than every live reader's pin), which is the whole
+    reader-safety contract. The survivors' readability proof is the
+    same scan any consumer runs; nothing is rewritten.
+    """
+    import shutil
+
+    out = tempfile.mkdtemp(prefix="ppspark_expire_")
+    orders = t(spark, sf, "orders")
+    cut = F.col("o_orderdate") < F.lit(f"{_SNAP_CUT} 00:00:00").cast("timestamp")
+    publish_snapshot(orders.where(cut), out, 1)
+    publish_snapshot(orders.where(cut | (F.col("o_orderpriority") == "1-URGENT")), out, 2)
+    publish_snapshot(orders, out, 3)
+
+    # expire: delete every snap-*/ older than the newest _EXPIRE_KEEP
+    current = current_snapshot_version(out)
+    versions = sorted(
+        int(d.split("-")[1]) for d in os.listdir(out) if d.startswith("snap-")
+    )
+    for v in versions[:-_EXPIRE_KEEP]:
+        shutil.rmtree(os.path.join(out, f"snap-{v}"))
+
+    rows = []
+    for v in versions:
+        path = os.path.join(out, f"snap-{v}")
+        alive = os.path.isdir(path)
+        if alive:
+            snap = spark.read.parquet(path)
+            rows.append(
+                snap.agg(
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.lit(False).alias("expired"),
+                    F.lit(True).alias("readable"),
+                )
+            )
+        else:
+            rows.append(
+                spark.range(1).select(
+                    F.lit(v).cast("int").alias("version"),
+                    F.lit(0).cast("long").alias("n_rows"),
+                    F.lit(True).alias("expired"),
+                    F.lit(False).alias("readable"),
+                )
+            )
+    assert current == versions[-1]
+    out_df = rows[0]
+    for r in rows[1:]:
+        out_df = out_df.unionByName(r)
+    return out_df.orderBy("version")

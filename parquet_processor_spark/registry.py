@@ -117,6 +117,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_dedup_audio_incr",
     "agg_log_histogram",
     "error_log_quantile",
+    "sink_snapshot_expire",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

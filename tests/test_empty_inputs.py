@@ -99,6 +99,8 @@ REPRESENTATIVE = [
     "sample_hard_negatives",   # cross-label scoring over empty anchors
     "multimodal_dedup_audio_incr",  # delta probe over empty posting lists
     "agg_log_histogram",       # bucket counters over an empty stream
+    # (sink_snapshot_expire emits one row per version even when all
+    # snapshots are empty — covered by the version-count test below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
@@ -147,3 +149,13 @@ def test_runs_on_empty_tables(spark, empty_sf, name):
     out = all_queries()[name](spark, empty_sf)
     assert out.count() == 0
     assert len(out.schema.fields) > 0
+
+
+def test_snapshot_expire_version_rows_on_empty_input(spark, empty_sf):
+    # lifecycle semantics: one row PER VERSION even over empty
+    # snapshots; v1 expired, v2/v3 alive and readable
+    rows = all_queries()["sink_snapshot_expire"](spark, empty_sf).collect()
+    assert [(r["version"], r["expired"], r["readable"]) for r in rows] == [
+        (1, True, False), (2, False, True), (3, False, True)
+    ]
+    assert all(r["n_rows"] == 0 for r in rows if r["readable"])
