@@ -2126,3 +2126,65 @@ def changepoint_of_daily(daily: DataFrame) -> DataFrame:
             F.col("t").cast("long").alias("days_before"),
         )
     )
+
+
+# Sequential-pattern mining lite: the most common CONSECUTIVE
+# event-type trigrams per user timeline — the funnel-DISCOVERY step
+# (events_funnel checks a known funnel; events_markov models pairs;
+# this surfaces which length-3 paths actually happen, ranked). Counts
+# are exact integers over lag windows; top-K with full deterministic
+# tie-break.
+_TRIGRAM_K = 20
+
+
+@query(
+    "events_path_trigrams",
+    oracle=f"""
+    with seq as (
+      select user_id, event_type,
+             lag(event_type, 1) over w as prev1,
+             lag(event_type, 2) over w as prev2
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    )
+    select prev2 as step1, prev1 as step2, event_type as step3,
+           cast(count(*) as bigint) as n
+    from seq
+    where prev2 is not null
+    group by 1, 2, 3
+    order by n desc, step1, step2, step3
+    limit {_TRIGRAM_K}
+    """,
+    tags=("events", "sequence", "mining"),
+)
+def events_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{_TRIGRAM_K} consecutive event-type trigrams across all
+    user timelines, ordered by count with a full lexicographic
+    tie-break.
+
+    100 TB shape: ONE hash shuffle on user_id serves both lag windows
+    (same partitioning, same ordering); the trigram aggregate is
+    map-side combined over a key domain bounded by |event_types|^3
+    (125 here), and the top-K is a TakeOrdered over that collapsed
+    table — never a row-mass sort. The n-gram order generalizes by
+    adding lags to the SAME window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf, "events").select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.where(F.col("prev2").isNotNull())
+        .groupBy(
+            F.col("prev2").alias("step1"),
+            F.col("prev1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(_TRIGRAM_K)
+    )

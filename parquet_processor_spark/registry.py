@@ -118,6 +118,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_log_histogram",
     "error_log_quantile",
     "sink_snapshot_expire",
+    "events_path_trigrams",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

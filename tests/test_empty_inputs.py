@@ -99,6 +99,7 @@ REPRESENTATIVE = [
     "sample_hard_negatives",   # cross-label scoring over empty anchors
     "multimodal_dedup_audio_incr",  # delta probe over empty posting lists
     "agg_log_histogram",       # bucket counters over an empty stream
+    "events_path_trigrams",    # lag windows over empty timelines
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
