@@ -1749,12 +1749,14 @@ def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     "agg_log_histogram",
     oracle="""
     with cents as (
-      select cast(floor(value * 100 + 0.5) as bigint) as c
-      from events where value > 0
+      select c from (
+        select cast(floor(value * 100 + 0.5) as bigint) as c
+        from events where value > 0
+      ) where c >= 1
     )
     select cast(length(bin(c)) - 1 as int) as bucket,
-           cast(1 << (length(bin(c)) - 1) as bigint) as lo_cents,
-           cast((1 << length(bin(c))) - 1 as bigint) as hi_cents,
+           cast(cast(1 as bigint) << (length(bin(c)) - 1) as bigint) as lo_cents,
+           cast((cast(1 as bigint) << length(bin(c))) - 1 as bigint) as hi_cents,
            cast(count(*) as bigint) as n,
            cast(min(c) as bigint) as min_cents,
            cast(max(c) as bigint) as max_cents
@@ -1777,6 +1779,7 @@ def agg_log_histogram(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "events")
         .where(F.col("value") > 0)
         .select(c.alias("c"))
+        .where(F.col("c") >= 1)  # sub-cent values round to c=0: no bucket
         .select(
             "c",
             F.expr("cast(length(bin(c)) - 1 as int)").alias("bucket"),

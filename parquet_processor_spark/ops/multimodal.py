@@ -1073,6 +1073,58 @@ def _audio_landmarks(media: DataFrame) -> DataFrame:
     )
 
 
+
+def _audio_corpus_delta(spark: SparkSession, sf: str):
+    """(corpus, delta): every original track, plus the injected
+    shifted re-records (every 10th payload >= 150 chars, 2-frame
+    "silence" prefix, re-keyed +1e9) — the ONE definition both the
+    full and the incremental operators (and, via _AUDIO_MEDIA_CTE,
+    both oracles) derive from."""
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("track_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    delta = docs.where(
+        (F.col("track_id") % 10 == 0) & (F.length("content") >= 150)
+    ).select(
+        (F.col("track_id") + 1_000_000_000).alias("track_id"),
+        F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
+    )
+    return docs, delta
+
+
+def _audio_capped_postings(lm: DataFrame):
+    """(nl, post): per-track landmark counts and the df-capped
+    (track_id, hash) posting relation — the inverted index both
+    matchers probe."""
+    nl = lm.select("track_id", "n_landmarks")
+    post = lm.select("track_id", F.explode("hashes").alias("h"))
+    hot = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _AUDIO_DF_CAP)
+        .select("h")
+    )
+    return nl, post.join(F.broadcast(hot), "h", "left_anti")
+
+
+def _audio_match_pairs(hits: DataFrame, nl: DataFrame) -> DataFrame:
+    """Apply the shared-landmark threshold to (ida, idb, n_shared)
+    candidate hits: >= max(_AUDIO_MIN_SHARED, half the smaller track's
+    landmark count)."""
+    na = nl.select(F.col("track_id").alias("ida"), F.col("n_landmarks").alias("na"))
+    nb = nl.select(F.col("track_id").alias("idb"), F.col("n_landmarks").alias("nb"))
+    thresh = F.greatest(
+        F.lit(_AUDIO_MIN_SHARED),
+        ((F.least("na", "nb") + 1) / 2).cast("int"),
+    )
+    return (
+        hits.join(na, "ida").join(nb, "idb")
+        .where(F.col("n_shared") >= thresh)
+        .select("ida", "idb")
+    )
+
+
 @query(
     "multimodal_dedup_audio",
     oracle=_audio_oracle(),
@@ -1103,30 +1155,13 @@ def multimodal_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
     codec-decoded spectral band energy inside extract_features'
     mapInPandas seam; the landmark algebra downstream is unchanged.
     """
-    docs = t(spark, sf, "documents").select(
-        F.col("doc_id").alias("track_id"),
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-    )
-    shifted = docs.where(
-        (F.col("track_id") % 10 == 0) & (F.length("content") >= 150)
-    ).select(
-        (F.col("track_id") + 1_000_000_000).alias("track_id"),
-        F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
-    )
+    docs, shifted = _audio_corpus_delta(spark, sf)
     media = docs.unionByName(shifted)
     # bit-exact Arrow twin of _audio_landmarks (asserted in tests);
     # localCheckpoint: nl, both posting sides, and the df-cap all read
     # this ~3-column table — pay the fingerprint once
     lm = _audio_landmarks_arrow(media).localCheckpoint(eager=True)
-    nl = lm.select("track_id", "n_landmarks")
-    post = lm.select("track_id", F.explode("hashes").alias("h"))
-    hot = (
-        post.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > _AUDIO_DF_CAP)
-        .select("h")
-    )
-    post = post.join(F.broadcast(hot), "h", "left_anti")
+    nl, post = _audio_capped_postings(lm)
     shared = (
         post.alias("a")
         .join(
@@ -1139,18 +1174,7 @@ def multimodal_dedup_audio(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    na = nl.select(F.col("track_id").alias("ida"), F.col("n_landmarks").alias("na"))
-    nb = nl.select(F.col("track_id").alias("idb"), F.col("n_landmarks").alias("nb"))
-    thresh = F.greatest(
-        F.lit(_AUDIO_MIN_SHARED),
-        ((F.least("na", "nb") + 1) / 2).cast("int"),
-    )
-    pairs = (
-        shared.join(na, "ida")
-        .join(nb, "idb")
-        .where(F.col("n_shared") >= thresh)
-        .select("ida", "idb")
-    )
+    pairs = _audio_match_pairs(shared, nl)
     return (
         nl.join(pairs, nl["track_id"] == pairs["idb"], "left")
         .groupBy("track_id", "n_landmarks")
@@ -1227,14 +1251,7 @@ def _audio_landmarks_arrow(media: DataFrame) -> DataFrame:
 @query(
     "multimodal_dedup_audio_incr",
     oracle=f"""
-    with media as (
-      select doc_id as track_id, coalesce(text, '') as content from documents
-      union all
-      select doc_id + 1000000000 as track_id,
-             repeat('#', {2 * _AUDIO_FR}) || coalesce(text, '') as content
-      from documents
-      where doc_id % 10 = 0 and len(coalesce(text, '')) >= 150
-    ),
+    with media as ({_AUDIO_MEDIA_CTE}),
     {_AUDIO_LANDMARK_CTES},
     dpost as (select * from post where track_id >= 1000000000),
     rest as (select * from post where track_id < 1000000000),
@@ -1279,27 +1296,10 @@ def multimodal_dedup_audio_incr(spark: SparkSession, sf: str) -> DataFrame:
     Same df cap, same threshold algebra, same honest
     n_landmarks-below-2 behavior as the full operator.
     """
-    docs = t(spark, sf, "documents").select(
-        F.col("doc_id").alias("track_id"),
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-    )
-    delta = docs.where(
-        (F.col("track_id") % 10 == 0) & (F.length("content") >= 150)
-    ).select(
-        (F.col("track_id") + 1_000_000_000).alias("track_id"),
-        F.concat(F.lit(_AUDIO_PREFIX), F.col("content")).alias("content"),
-    )
+    docs, delta = _audio_corpus_delta(spark, sf)
     media = docs.unionByName(delta)
     lm = _audio_landmarks_arrow(media).localCheckpoint(eager=True)
-    nl = lm.select("track_id", "n_landmarks")
-    post = lm.select("track_id", F.explode("hashes").alias("h"))
-    hot = (
-        post.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > _AUDIO_DF_CAP)
-        .select("h")
-    )
-    post = post.join(F.broadcast(hot), "h", "left_anti")
+    nl, post = _audio_capped_postings(lm)
     is_delta = F.col("track_id") >= 1_000_000_000
     dpost = post.where(is_delta)
     rest = post.where(~is_delta)
@@ -1319,17 +1319,7 @@ def multimodal_dedup_audio_incr(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.track_id").alias("ida"), F.col("b.track_id").alias("idb"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    hits = corpus_hits.unionByName(delta_hits)
-    na = nl.select(F.col("track_id").alias("ida"), F.col("n_landmarks").alias("na"))
-    nb = nl.select(F.col("track_id").alias("idb"), F.col("n_landmarks").alias("nb"))
-    thresh = F.greatest(
-        F.lit(_AUDIO_MIN_SHARED),
-        ((F.least("na", "nb") + 1) / 2).cast("int"),
-    )
-    pairs = (
-        hits.join(na, "ida").join(nb, "idb").where(F.col("n_shared") >= thresh)
-        .select("ida", "idb")
-    )
+    pairs = _audio_match_pairs(corpus_hits.unionByName(delta_hits), nl)
     dnl = nl.where(F.col("track_id") >= 1_000_000_000)
     return (
         dnl.join(pairs, dnl["track_id"] == pairs["idb"], "left")

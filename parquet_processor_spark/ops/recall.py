@@ -651,10 +651,12 @@ _LOGQ_QS = (50, 95, 99)  # percent, integer-exact arithmetic
 
 @query(
     "error_log_quantile",
-    oracle="""
+    oracle=f"""
     with cents as (
-      select cast(floor(value * 100 + 0.5) as bigint) as c
-      from events where value > 0
+      select c from (
+        select cast(floor(value * 100 + 0.5) as bigint) as c
+        from events where value > 0
+      ) where c >= 1
     ),
     n as (select count(*) as n_events from cents),
     byc as (
@@ -664,7 +666,7 @@ _LOGQ_QS = (50, 95, 99)  # percent, integer-exact arithmetic
       select c, sum(cnt) over (order by c rows unbounded preceding) as cum
       from byc
     ),
-    qs as (select unnest([50, 95, 99]) as q),
+    qs as (select unnest({list(_LOGQ_QS)}) as q),
     k as (
       select q, cast((q * n_events + 99) // 100 as bigint) as kth, n_events
       from qs cross join n
@@ -675,10 +677,10 @@ _LOGQ_QS = (50, 95, 99)  # percent, integer-exact arithmetic
       group by k.q, k.n_events
     )
     select q, cast(n_events as bigint) as n_events,
-           cast(1 << (length(bin(exact_cents)) - 1) as bigint) as est_cents,
+           cast(cast(1 as bigint) << (length(bin(exact_cents)) - 1) as bigint) as est_cents,
            cast(exact_cents as bigint) as exact_cents,
-           ((1 << (length(bin(exact_cents)) - 1)) <= exact_cents
-            and exact_cents < (1 << length(bin(exact_cents)))) as within_bound
+           ((cast(1 as bigint) << (length(bin(exact_cents)) - 1)) <= exact_cents
+            and exact_cents < (cast(1 as bigint) << length(bin(exact_cents)))) as within_bound
     from exact
     """,
     tags=("agg", "sketch", "evidence"),
@@ -701,6 +703,7 @@ def error_log_quantile(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "events")
         .where(F.col("value") > 0)
         .select(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+        .where(F.col("c") >= 1)  # sub-cent values round to c=0: no bucket
     )
     n = cents.agg(F.count(F.lit(1)).alias("n_events"))
     byc = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
@@ -715,7 +718,7 @@ def error_log_quantile(spark: SparkSession, sf: str) -> DataFrame:
     )
     k = qs.crossJoin(F.broadcast(n)).select(
         "q",
-        ((F.col("q") * F.col("n_events") + 99) / 100).cast("long").alias("kth"),
+        F.expr("cast((q * n_events + 99) div 100 as bigint)").alias("kth"),
         "n_events",
     )
     exact = (

@@ -1331,7 +1331,7 @@ _BM25_K = 10
               from dl),
     dfreq as (
       select tok, count(*) as df from tf
-      where tok in {_BM25_TERMS!r} group by tok
+      where tok in ({', '.join(map(repr, _BM25_TERMS))}) group by tok
     ),
     w as (
       select f.tok as term, f.doc_id, f.tf, d.dl,
@@ -1442,9 +1442,9 @@ _RAKE_STOP = ("the", "a", "is", "of", "and", "to", "in", "on", "for", "with")
     ),
     marked as (
       select doc_id, pos, tok,
-             sum(case when tok in {_RAKE_STOP!r} then 1 else 0 end)
+             sum(case when tok in ({', '.join(map(repr, _RAKE_STOP))}) then 1 else 0 end)
                over (partition by doc_id order by pos rows unbounded preceding) as pid,
-             tok in {_RAKE_STOP!r} as is_stop
+             tok in ({', '.join(map(repr, _RAKE_STOP))}) as is_stop
       from tok
     ),
     pw as (select doc_id, pid, pos, tok from marked where not is_stop),
