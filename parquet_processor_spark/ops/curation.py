@@ -381,3 +381,104 @@ def anonymize_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
             F.col("qi_group_l").cast("long").alias("qi_group_l"),
         )
     )
+
+
+# t-closeness — the third member of the privacy triad (k-anonymity:
+# groups big enough; l-diversity: enough distinct sensitive values;
+# t-closeness, Li et al. 2007: the group's SENSITIVE DISTRIBUTION must
+# stay within distance t of the global one, or membership itself
+# shifts an attacker's posterior). Distance is total variation,
+# computed as EXACT INTEGERS (the monitor_feature_drift policy):
+# TVD = sum|c_gb*N - c_b*n_g| / (2*n_g*N), compared as
+# 100*num <= t%*den — no float ever enters the verdict.
+_T_CLOSE_PCT = 20  # t = 0.20
+
+
+@query(
+    "anonymize_t_closeness",
+    oracle=f"""
+    with b as (
+      select c_custkey, c_mktsegment, c_nationkey,
+             cast(floor(c_acctbal / 5000) as int) as band
+      from customer
+    ),
+    g as (select c_mktsegment, c_nationkey, band, count(*) as c
+          from b group by 1, 2, 3),
+    gn as (select c_mktsegment, c_nationkey, sum(c) as n from g group by 1, 2),
+    gl as (select band, sum(c) as cb from g group by 1),
+    tot as (select sum(c) as nn from g),
+    tv as (
+      select gn.c_mktsegment, gn.c_nationkey, gn.n,
+             cast(sum(abs(coalesce(g.c, 0) * tot.nn - gl.cb * gn.n)) as bigint) as tvd_num,
+             cast(2 * gn.n * tot.nn as bigint) as tvd_den
+      from gn cross join tot cross join gl
+      left join g on g.c_mktsegment = gn.c_mktsegment
+                 and g.c_nationkey = gn.c_nationkey and g.band = gl.band
+      group by gn.c_mktsegment, gn.c_nationkey, gn.n, tot.nn
+    )
+    select b.c_custkey,
+           case when 100 * tv.tvd_num <= {_T_CLOSE_PCT} * tv.tvd_den
+                then b.c_mktsegment end as qi_segment,
+           case when 100 * tv.tvd_num <= {_T_CLOSE_PCT} * tv.tvd_den
+                then b.c_nationkey end as qi_nation,
+           100 * tv.tvd_num > {_T_CLOSE_PCT} * tv.tvd_den as suppressed,
+           tv.tvd_num, tv.tvd_den
+    from b
+    join tv on tv.c_mktsegment = b.c_mktsegment and tv.c_nationkey = b.c_nationkey
+    """,
+    tags=("curation", "governance", "privacy"),
+)
+def anonymize_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppress QI combos whose sensitive-band distribution sits more
+    than t = 0.{_T_CLOSE_PCT} total-variation away from the global
+    distribution — the attribute-disclosure guard l-diversity misses
+    (a group can carry all 3 bands yet be 90% one of them). The exact
+    TVD integers ride along for audit.
+
+    100 TB shape: one map-side aggregate to (QI, band) counts —
+    bounded by the QI domain x 3 bands; the global band distribution
+    (3 rows) and total (1 row) broadcast; the per-group TVD is an
+    aggregate over |QI| x 3 rows; the verdict joins back onto the scan
+    by QI key. The corpus never shuffles, same as its k/l siblings.
+    Comparison is pure integer cross-multiplication — no division.
+    """
+    c = t(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / 5000).cast("int")
+    b = c.select("c_custkey", "c_mktsegment", "c_nationkey", band.alias("band"))
+    g = b.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gn = g.groupBy("c_mktsegment", "c_nationkey").agg(F.sum("c").alias("n"))
+    gl = g.groupBy("band").agg(F.sum("c").alias("cb"))
+    tot = g.agg(F.sum("c").alias("nn"))
+    tv = (
+        gn.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gl))
+        .join(g, ["c_mktsegment", "c_nationkey", "band"], "left")
+        .groupBy("c_mktsegment", "c_nationkey", "n", "nn")
+        .agg(
+            F.sum(
+                F.abs(F.coalesce(F.col("c"), F.lit(0)) * F.col("nn") - F.col("cb") * F.col("n"))
+            )
+            .cast("long")
+            .alias("tvd_num"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "tvd_num",
+            (2 * F.col("n") * F.col("nn")).cast("long").alias("tvd_den"),
+        )
+    )
+    close = 100 * F.col("tvd_num") <= _T_CLOSE_PCT * F.col("tvd_den")
+    return (
+        b.join(F.broadcast(tv), ["c_mktsegment", "c_nationkey"])
+        .select(
+            "c_custkey",
+            F.when(close, F.col("c_mktsegment")).alias("qi_segment"),
+            F.when(close, F.col("c_nationkey")).alias("qi_nation"),
+            (~close).alias("suppressed"),
+            "tvd_num",
+            "tvd_den",
+        )
+    )

@@ -119,6 +119,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "error_log_quantile",
     "sink_snapshot_expire",
     "events_path_trigrams",
+    "anonymize_t_closeness",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

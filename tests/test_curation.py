@@ -395,3 +395,38 @@ def test_log_histogram_buckets_partition_the_stream(spark, sf_dir):
             if c >= k:
                 assert g["est_cents"] == r["lo_cents"]
                 break
+
+
+def test_t_closeness_verdicts_match_a_python_tvd(spark, sf_dir):
+    # Recompute each group's TVD in exact Python integers and confirm
+    # the verdicts, plus the fixture-signal guard: both outcomes occur.
+    from collections import Counter, defaultdict
+
+    from parquet_processor_spark.ops.curation import _T_CLOSE_PCT, anonymize_t_closeness
+    from parquet_processor_spark.tables import t as tt
+
+    rows = tt(spark, sf_dir, "customer").collect()
+    import math
+
+    groups = defaultdict(Counter)
+    glob = Counter()
+    for r in rows:
+        band = math.floor(r["c_acctbal"] / 5000)
+        groups[(r["c_mktsegment"], r["c_nationkey"])][band] += 1
+        glob[band] += 1
+    nn = sum(glob.values())
+    got = {r["c_custkey"]: r for r in anonymize_t_closeness(spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    outcomes = set()
+    for r in rows:
+        key = (r["c_mktsegment"], r["c_nationkey"])
+        n = sum(groups[key].values())
+        num = sum(abs(groups[key][b] * nn - glob[b] * n) for b in glob)
+        den = 2 * n * nn
+        expect_suppressed = 100 * num > _T_CLOSE_PCT * den
+        o = got[r["c_custkey"]]
+        assert o["suppressed"] == expect_suppressed
+        assert (o["qi_segment"] is None) == expect_suppressed
+        assert (o["tvd_num"], o["tvd_den"]) == (num, den)
+        outcomes.add(expect_suppressed)
+    assert outcomes == {True, False}, "fixture no longer exercises both verdicts"
