@@ -2188,3 +2188,93 @@ def events_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "step1", "step2", "step3")
         .limit(_TRIGRAM_K)
     )
+
+
+# Growth accounting — the new/retained/resurrected/churned weekly
+# ledger (the canonical product-analytics decomposition of active
+# users; events_retention tracks cohort survival, events_cohort_ltv
+# tracks value — this tracks the FLOWS between active and inactive).
+# Pure calendar/integer arithmetic: a user is new on the first active
+# week, retained when the previous week was active, resurrected when
+# returning after a gap, and churned on the week AFTER activity
+# stopped (gap churn and end-of-history churn both, capped at the
+# observed horizon).
+@query(
+    "events_growth_accounting",
+    oracle="""
+    with uw as (
+      select distinct user_id, cast(date_trunc('week', ts) as date) as wk
+      from events where ts is not null
+    ),
+    horizon as (select max(wk) as max_wk from uw),
+    seq as (
+      select user_id, wk,
+             lag(wk) over (partition by user_id order by wk) as prev_wk,
+             lead(wk) over (partition by user_id order by wk) as next_wk
+      from uw
+    ),
+    states as (
+      select wk, case when prev_wk is null then 'new'
+                      when prev_wk = wk - interval 7 days then 'retained'
+                      else 'resurrected' end as state
+      from seq
+      union all
+      select cast(wk + interval 7 days as date) as wk, 'churned' as state
+      from seq cross join horizon
+      where (next_wk is null or next_wk > wk + interval 7 days)
+        and cast(wk + interval 7 days as date) <= max_wk
+    )
+    select wk, state, cast(count(*) as bigint) as n_users
+    from states group by 1, 2
+    """,
+    tags=("events", "growth", "calendar"),
+)
+def events_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly active-user flow ledger: per (week, state) user counts
+    with state in {new, retained, resurrected, churned}; churn is
+    booked on the first inactive week after activity (both mid-history
+    gaps and end-of-history, capped at the observed horizon so the
+    final week is never half-booked).
+
+    100 TB shape: the event stream collapses to one (user, week) row
+    map-side; the lag/lead windows ride ONE user_id shuffle; the state
+    ledger aggregates |users x active-weeks| collapsed rows on the
+    (week, state) key — a few hundred output rows at any volume. The
+    horizon is a 1-row broadcast, never a driver scalar.
+    """
+    from pyspark.sql import Window
+
+    uw = (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("wk"))
+        .distinct()
+    )
+    horizon = uw.agg(F.max("wk").alias("max_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    active = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(horizon))
+        .where(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add("wk", 7)))
+            & (F.date_add("wk", 7) <= F.col("max_wk"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("state"))
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -120,6 +120,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_snapshot_expire",
     "events_path_trigrams",
     "anonymize_t_closeness",
+    "events_growth_accounting",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -430,3 +430,42 @@ def test_t_closeness_verdicts_match_a_python_tvd(spark, sf_dir):
         assert (o["tvd_num"], o["tvd_den"]) == (num, den)
         outcomes.add(expect_suppressed)
     assert outcomes == {True, False}, "fixture no longer exercises both verdicts"
+
+
+def test_growth_accounting_flows_balance(spark, sf_dir):
+    # Conservation laws of the ledger: per week, new + retained +
+    # resurrected equals the distinct active users; retained(w) +
+    # churned(w) equals active(w-1) for every interior week; every
+    # state is one of the four.
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.temporal import events_growth_accounting
+    from parquet_processor_spark.tables import t as tt
+
+    ledger = defaultdict(dict)
+    for r in events_growth_accounting(spark, sf_dir).collect():
+        assert r["state"] in {"new", "retained", "resurrected", "churned"}
+        ledger[r["wk"]][r["state"]] = r["n_users"]
+    active = {
+        r["wk"]: r["n"]
+        for r in tt(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("wk"))
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(active) <= set(ledger)
+    weeks = sorted(active)
+    for wk in weeks:
+        st = ledger[wk]
+        assert st.get("new", 0) + st.get("retained", 0) + st.get("resurrected", 0) == active[wk]
+    from datetime import timedelta
+
+    for prev, cur in zip(weeks, weeks[1:]):
+        if cur - prev == timedelta(days=7):
+            st = ledger[cur]
+            assert st.get("retained", 0) + st.get("churned", 0) == active[prev]
