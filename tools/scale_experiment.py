@@ -98,7 +98,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "streaming_changepoint", "anonymize_l_diversity",
          "sim_topk_batch", "text_rake_keywords", "sample_hard_negatives",
          "multimodal_dedup_audio_incr", "agg_log_histogram",
-         "error_log_quantile", "sink_snapshot_expire", "events_path_trigrams"]
+         "error_log_quantile", "sink_snapshot_expire", "events_path_trigrams",
+         "anonymize_t_closeness", "events_growth_accounting"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
