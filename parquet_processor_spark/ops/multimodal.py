@@ -1327,3 +1327,124 @@ def multimodal_dedup_audio_incr(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("ida").alias("dup_of"))
         .withColumn("is_dup", F.col("dup_of").isNotNull())
     )
+
+
+# Leading/trailing silence trim — the NORMALIZATION pass that runs
+# before exact hashing: the injected re-records differ from their
+# sources only by a silence prefix, so frame-level trimming turns the
+# NEAR-dup (landmark territory) back into an EXACT dup
+# (md5 territory) — the cheap path a real audio pipeline tries first.
+# Silence = frame MEAN energy <= _AUDIO_SILENCE_PER_CHAR per char
+# (integer cross-multiplied, no division): the '#' padding averages 35
+# per char, real content averages ~90+; a per-char bound classifies
+# short PARTIAL tail frames correctly where a raw-sum bound calls any
+# few-char frame "silent".
+_AUDIO_SILENCE_PER_CHAR = 40
+
+
+@query(
+    "multimodal_audio_trim",
+    oracle=f"""
+    with media as ({_AUDIO_MEDIA_CTE}),
+    fr as (
+      select track_id, content,
+        list_transform(range(0, greatest(cast(ceil(len(content) / {_AUDIO_FR}.0) as int), 1)), i ->
+          list_aggregate(list_transform(regexp_split_to_array(
+            substr(content, i * {_AUDIO_FR} + 1, {_AUDIO_FR}), ''), c -> ascii(c)), 'sum')) as e
+      from media
+    ),
+    loud as (
+      select track_id, content, len(e) as n_frames,
+             list_filter(range(0, len(e)), i ->
+               e[i + 1] > {_AUDIO_SILENCE_PER_CHAR}
+                          * least({_AUDIO_FR}, len(content) - i * {_AUDIO_FR})) as li
+      from fr
+    ),
+    tr as (
+      select track_id, n_frames,
+             cast(len(li) as int) as n_loud,
+             cast(coalesce(li[1], 0) as int) as first_loud,
+             case when len(li) = 0 then ''
+                  else substr(content, li[1] * {_AUDIO_FR} + 1,
+                              (li[-1] - li[1] + 1) * {_AUDIO_FR}) end as trimmed
+      from loud
+    )
+    select tr.track_id,
+           cast(tr.n_frames as int) as n_frames,
+           tr.n_loud, tr.first_loud,
+           cast(len(tr.trimmed) as bigint) as trimmed_chars,
+           md5(tr.trimmed) as trimmed_md5,
+           case when tr.track_id >= 1000000000
+                then md5(tr.trimmed) = md5(src.content) end as exact_after_trim
+    from tr
+    left join media src on src.track_id = tr.track_id - 1000000000
+    """,
+    tags=("multimodal", "audio", "normalize"),
+)
+def multimodal_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Trim whole silence frames from both ends of every track and
+    fingerprint the remainder; for the injected re-records, compare
+    the trimmed payload to the SOURCE payload — the prefix padding is
+    exactly 2 whole frames, so trimming restores the original
+    bit-for-bit and exact_after_trim is true for every injected track
+    (asserted in tests). Normalize-then-md5 is the cheap dedup path;
+    the landmark matcher remains for shifts that are NOT clean silence
+    (mid-stream gaps, partial-frame offsets).
+
+    100 TB shape: one narrow map — the frame energies, the loud-index
+    scan, and the trim substring are all codegen beside the scan; the
+    only join is the delta->source md5 comparison, keyed on track_id.
+    Payload bytes never shuffle (only the md5 and the integers leave
+    the scan stage).
+    """
+    docs, delta = _audio_corpus_delta(spark, sf)
+    media = docs.unionByName(delta)
+    n = F.length("content")
+    nfr = F.greatest(F.ceil(n / _AUDIO_FR).cast("int"), F.lit(1))
+    energy = F.transform(
+        F.sequence(F.lit(0), nfr - 1),
+        lambda i: F.aggregate(
+            F.split(F.col("content").substr(i * _AUDIO_FR + 1, F.lit(_AUDIO_FR)), ""),
+            F.lit(0),
+            lambda acc, c: acc + F.ascii(c),
+        ),
+    )
+    fr = media.select("track_id", "content", energy.alias("e"))
+    li = F.filter(
+        F.sequence(F.lit(0), F.size("e") - 1),
+        lambda i: F.element_at("e", i + 1)
+        > _AUDIO_SILENCE_PER_CHAR
+        * F.least(F.lit(_AUDIO_FR), F.length("content") - i * _AUDIO_FR),
+    )
+    loud = fr.select("track_id", "content", F.size("e").alias("n_frames"), li.alias("li"))
+    first = F.element_at("li", 1)
+    last = F.element_at("li", -1)
+    trimmed = F.when(F.size("li") == 0, F.lit("")).otherwise(
+        F.col("content").substr(
+            first * _AUDIO_FR + 1, (last - first + 1) * F.lit(_AUDIO_FR)
+        )
+    )
+    tr = loud.select(
+        "track_id",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.size("li").cast("int").alias("n_loud"),
+        F.coalesce(first, F.lit(0)).cast("int").alias("first_loud"),
+        F.length(trimmed).cast("long").alias("trimmed_chars"),
+        F.md5(trimmed).alias("trimmed_md5"),
+    )
+    src = media.select(
+        (F.col("track_id") + 1_000_000_000).alias("track_id"),
+        F.md5("content").alias("src_md5"),
+    )
+    return tr.join(src, "track_id", "left").select(
+        "track_id",
+        "n_frames",
+        "n_loud",
+        "first_loud",
+        "trimmed_chars",
+        "trimmed_md5",
+        F.when(
+            F.col("track_id") >= 1_000_000_000,
+            F.col("trimmed_md5") == F.col("src_md5"),
+        ).alias("exact_after_trim"),
+    )

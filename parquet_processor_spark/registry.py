@@ -121,6 +121,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_path_trigrams",
     "anonymize_t_closeness",
     "events_growth_accounting",
+    "multimodal_audio_trim",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

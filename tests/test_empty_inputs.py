@@ -102,6 +102,7 @@ REPRESENTATIVE = [
     "events_path_trigrams",    # lag windows over empty timelines
     "anonymize_t_closeness",   # TVD verdicts over an empty population
     "events_growth_accounting",  # flow ledger over empty user-weeks
+    "multimodal_audio_trim",   # frame trim over an empty media set
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one

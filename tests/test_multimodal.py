@@ -279,3 +279,31 @@ def test_incremental_audio_dedup_labels_only_the_delta(spark, sf_dir):
     }
     assert set(incr) == set(full) and len(incr) > 0
     assert incr == full
+
+
+def test_audio_trim_restores_every_injected_original(spark, sf_dir):
+    # The injected prefix is exactly 2 whole silence frames, so
+    # frame-level trimming must restore the source payload
+    # bit-for-bit (exact_after_trim true for EVERY injected track),
+    # while untouched corpus tracks lose nothing (first_loud 0,
+    # trimmed length == content length).
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import t as tt
+
+    rows = all_queries()["multimodal_audio_trim"](spark, sf_dir).collect()
+    inj = [r for r in rows if r["track_id"] >= 1_000_000_000]
+    assert inj and all(r["exact_after_trim"] for r in inj)
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in tt(spark, sf_dir, "documents")
+        .select("doc_id", F.length(F.coalesce("text", F.lit(""))).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        if r["track_id"] < 1_000_000_000:
+            assert r["first_loud"] == 0
+            assert r["trimmed_chars"] == lens[r["track_id"]]
+        else:
+            assert r["first_loud"] == 2  # the injected 2-frame prefix
