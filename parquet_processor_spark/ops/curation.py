@@ -482,3 +482,111 @@ def anonymize_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
             "tvd_den",
         )
     )
+
+
+# Privacy-audit composite — the release gate a data steward actually
+# runs: ONE pass over the population computes all three triad verdicts
+# per QI group (k-anonymity size, l-diversity distinct bands,
+# t-closeness TVD) and a single releasable flag. The three standalone
+# operators prove each criterion; this proves the shared-aggregate
+# plan a real job uses (the pipeline_curate_corpus composition
+# pattern: group facts computed once, every verdict derived from
+# them).
+@query(
+    "pipeline_privacy_audit",
+    oracle=f"""
+    with b as (
+      select c_mktsegment, c_nationkey,
+             cast(floor(c_acctbal / 5000) as int) as band
+      from customer
+    ),
+    g as (select c_mktsegment, c_nationkey, band, count(*) as c
+          from b group by 1, 2, 3),
+    gn as (select c_mktsegment, c_nationkey,
+                  sum(c) as n, count(*) as n_bands
+           from g group by 1, 2),
+    gl as (select band, sum(c) as cb from g group by 1),
+    tot as (select sum(c) as nn from g),
+    tv as (
+      select gn.c_mktsegment, gn.c_nationkey, gn.n, gn.n_bands,
+             cast(sum(abs(coalesce(g.c, 0) * tot.nn - gl.cb * gn.n)) as bigint) as tvd_num,
+             cast(2 * gn.n * tot.nn as bigint) as tvd_den
+      from gn cross join tot cross join gl
+      left join g on g.c_mktsegment = gn.c_mktsegment
+                 and g.c_nationkey = gn.c_nationkey and g.band = gl.band
+      group by gn.c_mktsegment, gn.c_nationkey, gn.n, gn.n_bands, tot.nn
+    )
+    select c_mktsegment as qi_segment, c_nationkey as qi_nation,
+           cast(n as bigint) as n,
+           cast(n_bands as bigint) as n_bands,
+           tvd_num, tvd_den,
+           n >= {_K_ANON} as pass_k,
+           n_bands >= {_L_DIV} as pass_l,
+           100 * tvd_num <= {_T_CLOSE_PCT} * tvd_den as pass_t,
+           (n >= {_K_ANON} and n_bands >= {_L_DIV}
+            and 100 * tvd_num <= {_T_CLOSE_PCT} * tvd_den) as releasable
+    from tv
+    """,
+    tags=("curation", "governance", "privacy", "composite"),
+)
+def pipeline_privacy_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-QI-group privacy release gate: all three triad verdicts
+    (k >= {_K_ANON}, l >= {_L_DIV}, t <= 0.{_T_CLOSE_PCT}) plus the
+    exact facts they derive from, in one shared-aggregate pass.
+
+    100 TB shape: the (QI, band) count table is computed ONCE
+    map-side and feeds every verdict — group size and band count fall
+    out of one rollup, the TVD from the same table joined to the
+    3-row global distribution; the standalone operators' three
+    separate passes collapse to one. Output is |QI-domain| rows —
+    the audit artifact, not a per-row projection.
+    """
+    c = t(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / 5000).cast("int")
+    g = (
+        c.select("c_mktsegment", "c_nationkey", band.alias("band"))
+        .groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds gn, gl, tot, AND the TVD join
+    )
+    gn = g.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_bands")
+    )
+    gl = g.groupBy("band").agg(F.sum("c").alias("cb"))
+    tot = g.agg(F.sum("c").alias("nn"))
+    tv = (
+        gn.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gl))
+        .join(g, ["c_mktsegment", "c_nationkey", "band"], "left")
+        .groupBy("c_mktsegment", "c_nationkey", "n", "n_bands", "nn")
+        .agg(
+            F.sum(
+                F.abs(F.coalesce(F.col("c"), F.lit(0)) * F.col("nn") - F.col("cb") * F.col("n"))
+            )
+            .cast("long")
+            .alias("tvd_num")
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n",
+            "n_bands",
+            "tvd_num",
+            (2 * F.col("n") * F.col("nn")).cast("long").alias("tvd_den"),
+        )
+    )
+    pass_k = F.col("n") >= _K_ANON
+    pass_l = F.col("n_bands") >= _L_DIV
+    pass_t = 100 * F.col("tvd_num") <= _T_CLOSE_PCT * F.col("tvd_den")
+    return tv.select(
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bands").cast("long").alias("n_bands"),
+        "tvd_num",
+        "tvd_den",
+        pass_k.alias("pass_k"),
+        pass_l.alias("pass_l"),
+        pass_t.alias("pass_t"),
+        (pass_k & pass_l & pass_t).alias("releasable"),
+    )

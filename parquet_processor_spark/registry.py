@@ -122,6 +122,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "anonymize_t_closeness",
     "events_growth_accounting",
     "multimodal_audio_trim",
+    "pipeline_privacy_audit",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

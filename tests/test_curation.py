@@ -469,3 +469,34 @@ def test_growth_accounting_flows_balance(spark, sf_dir):
         if cur - prev == timedelta(days=7):
             st = ledger[cur]
             assert st.get("retained", 0) + st.get("churned", 0) == active[prev]
+
+
+def test_privacy_audit_agrees_with_the_standalone_triad(spark, sf_dir):
+    # The composite's per-group verdicts must equal what the three
+    # standalone operators decide (derived from their per-customer
+    # suppression flags), and releasable = pass_k & pass_l & pass_t.
+    from parquet_processor_spark.ops.curation import (
+        anonymize_k_anonymity,
+        anonymize_l_diversity,
+        anonymize_t_closeness,
+        pipeline_privacy_audit,
+    )
+    from parquet_processor_spark.tables import t as tt
+
+    cust = {
+        r["c_custkey"]: (r["c_mktsegment"], r["c_nationkey"])
+        for r in tt(spark, sf_dir, "customer").collect()
+    }
+    audit = {
+        (r["qi_segment"], r["qi_nation"]): r
+        for r in pipeline_privacy_audit(spark, sf_dir).collect()
+    }
+    assert set(audit) == set(cust.values())
+    k_ok = {cust[r["c_custkey"]]: not r["suppressed"] for r in anonymize_k_anonymity(spark, sf_dir).collect()}
+    l_ok = {cust[r["c_custkey"]]: not r["suppressed_l"] for r in anonymize_l_diversity(spark, sf_dir).collect()}
+    t_ok = {cust[r["c_custkey"]]: not r["suppressed"] for r in anonymize_t_closeness(spark, sf_dir).collect()}
+    for key, r in audit.items():
+        assert r["pass_k"] == k_ok[key]
+        assert r["pass_l"] == l_ok[key]
+        assert r["pass_t"] == t_ok[key]
+        assert r["releasable"] == (r["pass_k"] and r["pass_l"] and r["pass_t"])

@@ -103,6 +103,7 @@ REPRESENTATIVE = [
     "anonymize_t_closeness",   # TVD verdicts over an empty population
     "events_growth_accounting",  # flow ledger over empty user-weeks
     "multimodal_audio_trim",   # frame trim over an empty media set
+    "pipeline_privacy_audit",  # triad verdicts over an empty population
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
