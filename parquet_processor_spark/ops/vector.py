@@ -1615,3 +1615,118 @@ def sim_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= _BATCH_K)
     )
+
+
+# MMR re-ranking (Carbonell & Goldstein 1998) — diversify the top of a
+# retrieval list: greedily pick the candidate maximizing
+# lambda*relevance - (1-lambda)*max-similarity-to-already-picked. The
+# de-redundancy step every RAG/search pipeline bolts onto its ANN
+# shortlist; with lambda = 1/2 each step's score is ONE subtract and
+# ONE halving over fold-exact doubles, so the greedy trace is
+# bit-identical in the unrolled materialized-CTE oracle.
+_MMR_CAND = 20
+_MMR_PICK = 5
+
+
+def _mmr_oracle() -> str:
+    cand = f"""
+    cand as materialized (
+      select b.vec_id, b.embedding,
+             {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) as rel
+      from (select embedding from embeddings where vec_id = 0) a
+      cross join (select vec_id, embedding from embeddings where vec_id <> 0) b
+      order by rel desc, b.vec_id limit {_MMR_CAND}
+    ),
+    sim as materialized (
+      select a.vec_id as ida, b.vec_id as idb,
+             {_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}) as s
+      from cand a join cand b on a.vec_id <> b.vec_id
+    )"""
+    steps = ["""
+    p1 as materialized (
+      select vec_id, rel / 2 as mmr from cand
+      order by rel / 2 desc, vec_id limit 1
+    ),
+    sel1 as materialized (select vec_id from p1)"""]
+    for r in range(2, _MMR_PICK + 1):
+        steps.append(f"""
+    p{r} as materialized (
+      select c.vec_id, (c.rel - max(s.s)) / 2 as mmr
+      from cand c
+      join sim s on s.ida = c.vec_id and s.idb in (select vec_id from sel{r - 1})
+      where c.vec_id not in (select vec_id from sel{r - 1})
+      group by c.vec_id, c.rel
+      order by mmr desc, c.vec_id limit 1
+    ),
+    sel{r} as materialized (
+      select vec_id from sel{r - 1} union all select vec_id from p{r}
+    )""")
+    outs = " union all ".join(
+        f"select {r} as pick, vec_id, mmr from p{r}" for r in range(1, _MMR_PICK + 1)
+    )
+    return f"""
+    with {cand},
+    {",".join(steps)}
+    select cast(pick as int) as pick, vec_id, mmr
+    from ({outs}) order by pick
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(), tags=("vector", "rerank", "diversity"))
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy MMR over the query-0 top-{_MMR_CAND} shortlist: pick
+    {_MMR_PICK} results maximizing (rel - max_sim_to_picked)/2 each
+    step (first pick scores rel/2 — the empty-set convention), ties to
+    the lowest id. Emits (pick, vec_id, mmr) — the greedy trace, not
+    just the set, so ordering bugs cannot hide.
+
+    100 TB shape: MMR is a SHORTLIST algorithm by construction — the
+    corpus-sized work is the ANN retrieval that produced the top-N
+    (any sim_topk* variant); this operator's loop touches N rows and
+    an N x N similarity matrix (400 doubles), both localCheckpointed
+    once, so each greedy step is a tiny anti-join + argmax regardless
+    of corpus size. Never run MMR on the corpus: diversify the
+    shortlist the index returns.
+    """
+    e = t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    base = e.where(F.col("vec_id") != 0).select("vec_id", "embedding")
+    cand = (
+        base.crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", cosine(F.col("embedding"), F.col("q_emb")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    sim = (
+        a.join(b, F.col("ida") != F.col("idb"))
+        .select("ida", "idb", cosine(F.col("ea"), F.col("eb")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.select("vec_id", (F.col("rel") / 2).alias("mmr"))
+        .orderBy(F.col("mmr").desc(), "vec_id")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    picks = first.select(F.lit(1).cast("int").alias("pick"), "vec_id", "mmr")
+    selected = first.select("vec_id")
+    for r in range(2, _MMR_PICK + 1):
+        nxt = (
+            cand.join(selected, "vec_id", "left_anti")
+            .join(sim, cand["vec_id"] == sim["ida"])
+            .join(selected.select(F.col("vec_id").alias("idb")), "idb")
+            .groupBy(cand["vec_id"].alias("vec_id"), "rel")
+            .agg(F.max("s").alias("maxsim"))
+            .select("vec_id", ((F.col("rel") - F.col("maxsim")) / 2).alias("mmr"))
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks = picks.unionByName(
+            nxt.select(F.lit(r).cast("int").alias("pick"), "vec_id", "mmr")
+        )
+        selected = selected.unionByName(nxt.select("vec_id")).localCheckpoint(eager=True)
+    return picks.orderBy("pick")

@@ -123,6 +123,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_growth_accounting",
     "multimodal_audio_trim",
     "pipeline_privacy_audit",
+    "sim_mmr_rerank",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

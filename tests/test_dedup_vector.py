@@ -606,3 +606,56 @@ def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
         assert [p["rank"] for p in posts] == list(range(1, _HARDNEG_K + 1))
         sims = [p["cos_sim"] for p in posts]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_mmr_rerank_matches_a_sequential_greedy(spark, sf_dir):
+    # Recompute greedy MMR in plain Python with the same fold
+    # arithmetic and assert the full greedy trace matches pick-for-pick
+    # — plus the diversity property: the MMR set's max pairwise
+    # similarity is <= the plain top-k set's (it never gets LESS
+    # diverse than relevance-only ranking).
+    from parquet_processor_spark.ops.vector import _MMR_CAND, _MMR_PICK, sim_mmr_rerank
+    from parquet_processor_spark.tables import t as tt
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in tt(spark, sf_dir, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        return dot(a, a) ** 0.5
+
+    def cos(a, b):
+        return dot(a, b) / (norm(a) * norm(b))
+
+    qv = vecs[0]
+    rel = {v: cos(emb, qv) for v, emb in vecs.items() if v != 0}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_CAND]
+    picked = [max(cand, key=lambda v: (rel[v] / 2, -v))]
+    trace = [(1, picked[0], rel[picked[0]] / 2)]
+    for r in range(2, _MMR_PICK + 1):
+        rest = [v for v in cand if v not in picked]
+        scores = {
+            v: (rel[v] - max(cos(vecs[v], vecs[s]) for s in picked)) / 2 for v in rest
+        }
+        nxt = max(rest, key=lambda v: (scores[v], -v))
+        picked.append(nxt)
+        trace.append((r, nxt, scores[nxt]))
+    got = [
+        (r["pick"], r["vec_id"], r["mmr"])
+        for r in sim_mmr_rerank(spark, sf_dir).collect()
+    ]
+    assert got == trace
+
+    def max_pairwise(ids):
+        return max(
+            cos(vecs[a], vecs[b]) for i, a in enumerate(ids) for b in ids[i + 1:]
+        )
+
+    assert max_pairwise(picked) <= max_pairwise(cand[:_MMR_PICK]) + 1e-12

@@ -104,6 +104,7 @@ REPRESENTATIVE = [
     "events_growth_accounting",  # flow ledger over empty user-weeks
     "multimodal_audio_trim",   # frame trim over an empty media set
     "pipeline_privacy_audit",  # triad verdicts over an empty population
+    "sim_mmr_rerank",          # greedy rerank over an empty shortlist
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
