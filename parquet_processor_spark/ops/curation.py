@@ -393,6 +393,72 @@ def anonymize_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # 100*num <= t%*den — no float ever enters the verdict.
 _T_CLOSE_PCT = 20  # t = 0.20
 
+# Shared (QI, band) -> TVD construction — the ONE definition the
+# standalone t-closeness operator, the privacy-audit composite, and
+# both of their oracles derive from (the _AUDIO_LANDMARK_CTES
+# discipline: a single-site edit cannot desynchronize the family).
+# Overflow bound: tvd terms are count products c*N and 2*n*N — exact
+# in int64 while n_group * N_total < 4.6e18 (N ~ 2e9 rows with the
+# largest group at n ~ 2e9 is safe; beyond that the production path
+# lifts the three products to decimal(38) with identical algebra).
+_TVD_CTES = """
+    g as (select c_mktsegment, c_nationkey, band, count(*) as c
+          from b group by 1, 2, 3),
+    gn as (select c_mktsegment, c_nationkey,
+                  sum(c) as n, count(*) as n_bands
+           from g group by 1, 2),
+    gl as (select band, sum(c) as cb from g group by 1),
+    tot as (select sum(c) as nn from g),
+    tv as (
+      select gn.c_mktsegment, gn.c_nationkey, gn.n, gn.n_bands,
+             cast(sum(abs(coalesce(g.c, 0) * tot.nn - gl.cb * gn.n)) as bigint) as tvd_num,
+             cast(2 * gn.n * tot.nn as bigint) as tvd_den
+      from gn cross join tot cross join gl
+      left join g on g.c_mktsegment = gn.c_mktsegment
+                 and g.c_nationkey = gn.c_nationkey and g.band = gl.band
+      group by gn.c_mktsegment, gn.c_nationkey, gn.n, gn.n_bands, tot.nn
+    )
+"""
+
+
+def _qi_band_tvd(b: DataFrame) -> DataFrame:
+    """(QI, n, n_bands, tvd_num, tvd_den) per group from a
+    (c_mktsegment, c_nationkey, band) relation — the Spark twin of
+    _TVD_CTES. The (QI, band) count table is localCheckpointed: it
+    feeds gn, gl, tot, AND the TVD join (four consumers, one scan)."""
+    g = (
+        b.groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    gn = g.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_bands")
+    )
+    gl = g.groupBy("band").agg(F.sum("c").alias("cb"))
+    tot = g.agg(F.sum("c").alias("nn"))
+    return (
+        gn.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gl))
+        .join(g, ["c_mktsegment", "c_nationkey", "band"], "left")
+        .groupBy("c_mktsegment", "c_nationkey", "n", "n_bands", "nn")
+        .agg(
+            F.sum(
+                F.abs(F.coalesce(F.col("c"), F.lit(0)) * F.col("nn") - F.col("cb") * F.col("n"))
+            )
+            .cast("long")
+            .alias("tvd_num")
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n",
+            "n_bands",
+            "tvd_num",
+            (2 * F.col("n") * F.col("nn")).cast("long").alias("tvd_den"),
+        )
+    )
+
+
 
 @query(
     "anonymize_t_closeness",
@@ -402,20 +468,7 @@ _T_CLOSE_PCT = 20  # t = 0.20
              cast(floor(c_acctbal / 5000) as int) as band
       from customer
     ),
-    g as (select c_mktsegment, c_nationkey, band, count(*) as c
-          from b group by 1, 2, 3),
-    gn as (select c_mktsegment, c_nationkey, sum(c) as n from g group by 1, 2),
-    gl as (select band, sum(c) as cb from g group by 1),
-    tot as (select sum(c) as nn from g),
-    tv as (
-      select gn.c_mktsegment, gn.c_nationkey, gn.n,
-             cast(sum(abs(coalesce(g.c, 0) * tot.nn - gl.cb * gn.n)) as bigint) as tvd_num,
-             cast(2 * gn.n * tot.nn as bigint) as tvd_den
-      from gn cross join tot cross join gl
-      left join g on g.c_mktsegment = gn.c_mktsegment
-                 and g.c_nationkey = gn.c_nationkey and g.band = gl.band
-      group by gn.c_mktsegment, gn.c_nationkey, gn.n, tot.nn
-    )
+    {_TVD_CTES}
     select b.c_custkey,
            case when 100 * tv.tvd_num <= {_T_CLOSE_PCT} * tv.tvd_den
                 then b.c_mktsegment end as qi_segment,
@@ -445,31 +498,7 @@ def anonymize_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
     band = F.floor(F.col("c_acctbal") / 5000).cast("int")
     b = c.select("c_custkey", "c_mktsegment", "c_nationkey", band.alias("band"))
-    g = b.groupBy("c_mktsegment", "c_nationkey", "band").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    gn = g.groupBy("c_mktsegment", "c_nationkey").agg(F.sum("c").alias("n"))
-    gl = g.groupBy("band").agg(F.sum("c").alias("cb"))
-    tot = g.agg(F.sum("c").alias("nn"))
-    tv = (
-        gn.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(gl))
-        .join(g, ["c_mktsegment", "c_nationkey", "band"], "left")
-        .groupBy("c_mktsegment", "c_nationkey", "n", "nn")
-        .agg(
-            F.sum(
-                F.abs(F.coalesce(F.col("c"), F.lit(0)) * F.col("nn") - F.col("cb") * F.col("n"))
-            )
-            .cast("long")
-            .alias("tvd_num"),
-        )
-        .select(
-            "c_mktsegment",
-            "c_nationkey",
-            "tvd_num",
-            (2 * F.col("n") * F.col("nn")).cast("long").alias("tvd_den"),
-        )
-    )
+    tv = _qi_band_tvd(b).select("c_mktsegment", "c_nationkey", "tvd_num", "tvd_den")
     close = 100 * F.col("tvd_num") <= _T_CLOSE_PCT * F.col("tvd_den")
     return (
         b.join(F.broadcast(tv), ["c_mktsegment", "c_nationkey"])
@@ -500,22 +529,7 @@ def anonymize_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
              cast(floor(c_acctbal / 5000) as int) as band
       from customer
     ),
-    g as (select c_mktsegment, c_nationkey, band, count(*) as c
-          from b group by 1, 2, 3),
-    gn as (select c_mktsegment, c_nationkey,
-                  sum(c) as n, count(*) as n_bands
-           from g group by 1, 2),
-    gl as (select band, sum(c) as cb from g group by 1),
-    tot as (select sum(c) as nn from g),
-    tv as (
-      select gn.c_mktsegment, gn.c_nationkey, gn.n, gn.n_bands,
-             cast(sum(abs(coalesce(g.c, 0) * tot.nn - gl.cb * gn.n)) as bigint) as tvd_num,
-             cast(2 * gn.n * tot.nn as bigint) as tvd_den
-      from gn cross join tot cross join gl
-      left join g on g.c_mktsegment = gn.c_mktsegment
-                 and g.c_nationkey = gn.c_nationkey and g.band = gl.band
-      group by gn.c_mktsegment, gn.c_nationkey, gn.n, gn.n_bands, tot.nn
-    )
+    {_TVD_CTES}
     select c_mktsegment as qi_segment, c_nationkey as qi_nation,
            cast(n as bigint) as n,
            cast(n_bands as bigint) as n_bands,
@@ -543,38 +557,8 @@ def pipeline_privacy_audit(spark: SparkSession, sf: str) -> DataFrame:
     """
     c = t(spark, sf, "customer")
     band = F.floor(F.col("c_acctbal") / 5000).cast("int")
-    g = (
-        c.select("c_mktsegment", "c_nationkey", band.alias("band"))
-        .groupBy("c_mktsegment", "c_nationkey", "band")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # feeds gn, gl, tot, AND the TVD join
-    )
-    gn = g.groupBy("c_mktsegment", "c_nationkey").agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_bands")
-    )
-    gl = g.groupBy("band").agg(F.sum("c").alias("cb"))
-    tot = g.agg(F.sum("c").alias("nn"))
-    tv = (
-        gn.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(gl))
-        .join(g, ["c_mktsegment", "c_nationkey", "band"], "left")
-        .groupBy("c_mktsegment", "c_nationkey", "n", "n_bands", "nn")
-        .agg(
-            F.sum(
-                F.abs(F.coalesce(F.col("c"), F.lit(0)) * F.col("nn") - F.col("cb") * F.col("n"))
-            )
-            .cast("long")
-            .alias("tvd_num")
-        )
-        .select(
-            "c_mktsegment",
-            "c_nationkey",
-            "n",
-            "n_bands",
-            "tvd_num",
-            (2 * F.col("n") * F.col("nn")).cast("long").alias("tvd_den"),
-        )
-    )
+    b = c.select("c_mktsegment", "c_nationkey", band.alias("band"))
+    tv = _qi_band_tvd(b)
     pass_k = F.col("n") >= _K_ANON
     pass_l = F.col("n_bands") >= _L_DIV
     pass_t = 100 * F.col("tvd_num") <= _T_CLOSE_PCT * F.col("tvd_den")

@@ -963,14 +963,18 @@ _AUDIO_MEDIA_CTE = f"""
       where doc_id % 10 = 0 and len(coalesce(text, '')) >= 150
 """
 
+# Frame-energy SQL expression over a `content` column — the ONE
+# spelling every audio oracle (landmarks, trim) derives its frames
+# from, so the normalizer and the matcher can never frame differently.
+_AUDIO_ENERGY_SQL = f"""list_transform(range(0, greatest(cast(ceil(len(content) / {_AUDIO_FR}.0) as int), 1)), i ->
+          list_aggregate(list_transform(regexp_split_to_array(
+            substr(content, i * {_AUDIO_FR} + 1, {_AUDIO_FR}), ''), c -> ascii(c)), 'sum'))"""
+
 # Landmark extraction as a DuckDB CTE chain (appended after a `media`
 # CTE): frame energies -> strict interior peaks -> fan-out pair hashes.
 _AUDIO_LANDMARK_CTES = f"""
     fr as (
-      select track_id,
-        list_transform(range(0, greatest(cast(ceil(len(content) / {_AUDIO_FR}.0) as int), 1)), i ->
-          list_aggregate(list_transform(regexp_split_to_array(
-            substr(content, i * {_AUDIO_FR} + 1, {_AUDIO_FR}), ''), c -> ascii(c)), 'sum')) as e
+      select track_id, {_AUDIO_ENERGY_SQL} as e
       from media
     ),
     pk as (
@@ -1023,16 +1027,13 @@ def _audio_oracle() -> str:
     """
 
 
-def _audio_landmarks(media: DataFrame) -> DataFrame:
-    """(track_id, n_landmarks, hashes): distinct landmark hashes per
-    track. Frames of {_AUDIO_FR} samples -> frame energy (byte sum) ->
-    strict interior energy peaks -> one hash per (peak, one-of-next-3
-    peaks) pair: (energy1//16, energy2//16, frame gap) packed into a
-    long. Pure codegen arithmetic beside the scan — no Python in the
-    loop, payload bytes never shuffle (only the hash longs do)."""
+def _audio_frame_energies() -> "F.Column":
+    """Frame-energy expression over the `content` column — the ONE
+    Spark spelling both the landmark extractor and the silence trim
+    frame with (twin of _AUDIO_ENERGY_SQL)."""
     n = F.length("content")
     nfr = F.greatest(F.ceil(n / _AUDIO_FR).cast("int"), F.lit(1))
-    energy = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), nfr - 1),
         lambda i: F.aggregate(
             F.split(F.col("content").substr(i * _AUDIO_FR + 1, F.lit(_AUDIO_FR)), ""),
@@ -1040,7 +1041,16 @@ def _audio_landmarks(media: DataFrame) -> DataFrame:
             lambda acc, c: acc + F.ascii(c),
         ),
     )
-    fr = media.select("track_id", energy.alias("e"))
+
+
+def _audio_landmarks(media: DataFrame) -> DataFrame:
+    """(track_id, n_landmarks, hashes): distinct landmark hashes per
+    track. Frames of {_AUDIO_FR} samples -> frame energy (byte sum) ->
+    strict interior energy peaks -> one hash per (peak, one-of-next-3
+    peaks) pair: (energy1//16, energy2//16, frame gap) packed into a
+    long. Pure codegen arithmetic beside the scan — no Python in the
+    loop, payload bytes never shuffle (only the hash longs do)."""
+    fr = media.select("track_id", _audio_frame_energies().alias("e"))
     interior = F.when(
         F.size("e") >= 3, F.sequence(F.lit(1), F.size("e") - 2)
     ).otherwise(F.array().cast("array<int>"))
@@ -1347,10 +1357,7 @@ _AUDIO_SILENCE_PER_CHAR = 40
     oracle=f"""
     with media as ({_AUDIO_MEDIA_CTE}),
     fr as (
-      select track_id, content,
-        list_transform(range(0, greatest(cast(ceil(len(content) / {_AUDIO_FR}.0) as int), 1)), i ->
-          list_aggregate(list_transform(regexp_split_to_array(
-            substr(content, i * {_AUDIO_FR} + 1, {_AUDIO_FR}), ''), c -> ascii(c)), 'sum')) as e
+      select track_id, content, {_AUDIO_ENERGY_SQL} as e
       from media
     ),
     loud as (
@@ -1375,19 +1382,20 @@ _AUDIO_SILENCE_PER_CHAR = 40
            cast(len(tr.trimmed) as bigint) as trimmed_chars,
            md5(tr.trimmed) as trimmed_md5,
            case when tr.track_id >= 1000000000
-                then md5(tr.trimmed) = md5(src.content) end as exact_after_trim
+                then md5(tr.trimmed) = md5(src.trimmed) end as exact_after_trim
     from tr
-    left join media src on src.track_id = tr.track_id - 1000000000
+    left join tr src on src.track_id = tr.track_id - 1000000000
     """,
     tags=("multimodal", "audio", "normalize"),
 )
 def multimodal_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
     """Trim whole silence frames from both ends of every track and
     fingerprint the remainder; for the injected re-records, compare
-    the trimmed payload to the SOURCE payload — the prefix padding is
-    exactly 2 whole frames, so trimming restores the original
-    bit-for-bit and exact_after_trim is true for every injected track
-    (asserted in tests). Normalize-then-md5 is the cheap dedup path;
+    the trimmed payload to the SOURCE'S TRIMMED payload (normalize
+    BOTH sides — the production contract, robust to sources carrying
+    their own edge silence). The prefix padding is whole frames, so
+    trim(re-record) == trim(source) and exact_after_trim is true for
+    every injected track (asserted in tests). Normalize-then-md5 is the cheap dedup path;
     the landmark matcher remains for shifts that are NOT clean silence
     (mid-stream gaps, partial-frame offsets).
 
@@ -1399,17 +1407,7 @@ def multimodal_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs, delta = _audio_corpus_delta(spark, sf)
     media = docs.unionByName(delta)
-    n = F.length("content")
-    nfr = F.greatest(F.ceil(n / _AUDIO_FR).cast("int"), F.lit(1))
-    energy = F.transform(
-        F.sequence(F.lit(0), nfr - 1),
-        lambda i: F.aggregate(
-            F.split(F.col("content").substr(i * _AUDIO_FR + 1, F.lit(_AUDIO_FR)), ""),
-            F.lit(0),
-            lambda acc, c: acc + F.ascii(c),
-        ),
-    )
-    fr = media.select("track_id", "content", energy.alias("e"))
+    fr = media.select("track_id", "content", _audio_frame_energies().alias("e"))
     li = F.filter(
         F.sequence(F.lit(0), F.size("e") - 1),
         lambda i: F.element_at("e", i + 1)
@@ -1431,10 +1429,12 @@ def multimodal_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(first, F.lit(0)).cast("int").alias("first_loud"),
         F.length(trimmed).cast("long").alias("trimmed_chars"),
         F.md5(trimmed).alias("trimmed_md5"),
-    )
-    src = media.select(
+    ).localCheckpoint(eager=True)  # feeds the output AND the src side of the join
+    # trimmed-to-trimmed: a real pipeline normalizes BOTH sides, so a
+    # source with its own edge-silence frame still matches its re-record
+    src = tr.select(
         (F.col("track_id") + 1_000_000_000).alias("track_id"),
-        F.md5("content").alias("src_md5"),
+        F.col("trimmed_md5").alias("src_md5"),
     )
     return tr.join(src, "track_id", "left").select(
         "track_id",
