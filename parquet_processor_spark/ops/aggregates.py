@@ -1793,3 +1793,118 @@ def agg_log_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.max("c").alias("max_cents"),
         )
     )
+
+
+# Mann-Whitney U — the NONPARAMETRIC twin of agg_ab_test's Welch t:
+# rank-based, so a heavy-tailed value distribution (exactly what
+# purchase amounts are) cannot fake or hide a shift through its
+# moments. All sufficient statistics are EXACT integers on the
+# collapsed cents spine: doubled average ranks (2*avg_rank =
+# 2*cum_before + t + 1 — integer even under ties), the doubled U, and
+# the tie-correction sum(t^3 - t); the z denominator is one sqrt over
+# a fixed-order expression of those integers.
+@query(
+    "agg_mannwhitney",
+    oracle="""
+    with m as (
+      select user_id % 2 as arm,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where event_type = 'purchase' and value is not null
+    ),
+    v as (
+      select cents,
+             count(*) as t,
+             count(*) filter (arm = 0) as t_a
+      from m group by cents
+    ),
+    r as (
+      select cents, t, t_a,
+             2 * coalesce(sum(t) over (order by cents
+                          rows between unbounded preceding and 1 preceding), 0)
+               + t + 1 as rank2
+      from v
+    ),
+    s as (
+      select cast(sum(t_a) as bigint) as n_a,
+             cast(sum(t - t_a) as bigint) as n_b,
+             cast(sum(t_a * rank2) as bigint) as r2_a,
+             cast(sum(t * t * t - t) as bigint) as tie_num,
+             cast(sum(t) as bigint) as n
+      from r
+    )
+    select n_a, n_b,
+           cast(r2_a - n_a * (n_a + 1) as bigint) as u2_a,
+           cast(n_a * n_b as bigint) as mu2,
+           cast(r2_a - n_a * (n_a + 1) - n_a * n_b as double)
+             / (2.0 * sqrt(cast(n_a as double) * n_b
+                 * ((n + 1) - cast(tie_num as double) / (cast(n as double) * (n - 1)))
+                 / 12.0)) as z_stat,
+           abs(cast(r2_a - n_a * (n_a + 1) - n_a * n_b as double)
+             / (2.0 * sqrt(cast(n_a as double) * n_b
+                 * ((n + 1) - cast(tie_num as double) / (cast(n as double) * (n - 1)))
+                 / 12.0))) > 1.96 as significant_95
+    from s
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U between the hash-split arms over
+    purchase cents: doubled rank-sum U2 = 2U and mu2 = 2*E[U] = n_a*n_b
+    as exact integers, the large-sample z with the tie-corrected
+    variance, and the 95% verdict.
+
+    100 TB shape: the value stream collapses map-side to one row per
+    distinct cents (bounded domain) carrying per-arm counts; the rank
+    window runs on that collapsed spine, never on rows; the test is a
+    1-row expression over five exact integers. Integer bound: t_a *
+    rank2 peaks at ~n^2 — inside int64 to n ~ 2e9 samples per test
+    cell (beyond that, lift the rank-sum to decimal(38)).
+    """
+    from pyspark.sql import Window
+
+    m = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    v = m.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("t_a"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "cents",
+        "t",
+        "t_a",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias("rank2"),
+    )
+    s = r.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).cast("long").alias("n_b"),
+        F.sum(F.col("t_a") * F.col("rank2")).cast("long").alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("tie_num"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    mu2 = F.col("n_a") * F.col("n_b")
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_num").cast("double") / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+        / 12.0
+    )
+    z = (u2 - mu2).cast("double") / (2.0 * F.sqrt(var))
+    return s.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2_a"),
+        mu2.cast("long").alias("mu2"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

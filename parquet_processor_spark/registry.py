@@ -124,6 +124,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_trim",
     "pipeline_privacy_audit",
     "sim_mmr_rerank",
+    "agg_mannwhitney",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -500,3 +500,45 @@ def test_privacy_audit_agrees_with_the_standalone_triad(spark, sf_dir):
         assert r["pass_l"] == l_ok[key]
         assert r["pass_t"] == t_ok[key]
         assert r["releasable"] == (r["pass_k"] and r["pass_l"] and r["pass_t"])
+
+
+def test_mannwhitney_matches_a_rank_sum_witness(spark, sf_dir):
+    # Recompute tie-corrected average ranks in Python, assert the
+    # doubled integers and the z verdict match, and check U + U' =
+    # n_a * n_b (the rank-sum identity).
+    from collections import Counter
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.aggregates import agg_mannwhitney
+    from parquet_processor_spark.tables import t as tt
+
+    cents = [
+        (r["user_id"] % 2, math.floor(r["value"] * 100 + 0.5))
+        for r in tt(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .collect()
+    ]
+    by_val = Counter(c for _, c in cents)
+    by_val_a = Counter(c for a, c in cents if a == 0)
+    cum = 0
+    rank2 = {}
+    for val in sorted(by_val):
+        rank2[val] = 2 * cum + by_val[val] + 1
+        cum += by_val[val]
+    n_a = sum(by_val_a.values())
+    n = len(cents)
+    n_b = n - n_a
+    r2_a = sum(by_val_a[v] * rank2[v] for v in by_val_a)
+    u2_a = r2_a - n_a * (n_a + 1)
+    tie = sum(t**3 - t for t in by_val.values())
+    var = n_a * n_b * ((n + 1) - tie / (n * (n - 1))) / 12.0
+    row = agg_mannwhitney(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"], row["u2_a"], row["mu2"]) == (n_a, n_b, u2_a, n_a * n_b)
+    assert abs(row["z_stat"] - (u2_a - n_a * n_b) / (2 * var**0.5)) < 1e-9
+    # rank-sum identity: U_a + U_b = n_a * n_b (doubled: u2_a + u2_b = 2*n_a*n_b)
+    r2_b = sum((by_val[v] - by_val_a[v]) * rank2[v] for v in by_val)
+    u2_b = r2_b - n_b * (n_b + 1)
+    assert u2_a + u2_b == 2 * n_a * n_b
