@@ -1908,3 +1908,107 @@ def agg_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+# Two-sample Kolmogorov-Smirnov — the DISTRIBUTIONAL member of the
+# A/B family (Welch compares means, Mann-Whitney compares ranks, KS
+# compares whole ECDFs: it catches a variance or shape change the
+# other two cannot see). D = max |F_a - F_b| evaluated on the
+# collapsed cents spine as EXACT integers: d_num = max|cum_a*n_b -
+# cum_b*n_a|, d_den = n_a*n_b (ECDFs only step at support points, so
+# the max over the spine IS the max everywhere). The 5% verdict uses
+# the large-sample critical value 1.358*sqrt((n_a+n_b)/(n_a*n_b)) —
+# one sqrt over exact integers, fixed expression order.
+@query(
+    "agg_ks_test",
+    oracle="""
+    with m as (
+      select user_id % 2 as arm,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where event_type = 'purchase' and value is not null
+    ),
+    v as (
+      select cents,
+             count(*) filter (arm = 0) as t_a,
+             count(*) filter (arm = 1) as t_b
+      from m group by cents
+    ),
+    c as (
+      select cents,
+             sum(t_a) over w as cum_a,
+             sum(t_b) over w as cum_b
+      from v window w as (order by cents rows unbounded preceding)
+    ),
+    s as (
+      select cast(max(cum_a) as bigint) as n_a,
+             cast(max(cum_b) as bigint) as n_b,
+             cast(max(abs(cum_a * (select max(cum_b) from c)
+                          - cum_b * (select max(cum_a) from c))) as bigint) as d_num
+      from c
+    )
+    select n_a, n_b, d_num,
+           cast(n_a * n_b as bigint) as d_den,
+           cast(d_num as double) / (cast(n_a as double) * n_b) as d_stat,
+           cast(d_num as double) / (cast(n_a as double) * n_b)
+             > 1.358 * sqrt(cast(n_a + n_b as double) / (cast(n_a as double) * n_b))
+             as significant_95
+    from s
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS between the hash-split arms over purchase cents:
+    exact-integer D numerator/denominator plus the large-sample 5%
+    verdict.
+
+    100 TB shape: the value stream collapses map-side to one row per
+    distinct cents with per-arm counts; the ECDF window runs on that
+    collapsed spine (bounded domain, never rows); the statistic is a
+    1-row aggregate. cum*n products stay inside int64 to n ~ 3e9 per
+    arm (decimal(38) beyond — the Mann-Whitney bound note applies).
+    """
+    from pyspark.sql import Window
+
+    m = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    v = m.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("t_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("t_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        F.sum("t_a").over(w).alias("cum_a"),
+        F.sum("t_b").over(w).alias("cum_b"),
+    )
+    totals = c.agg(F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b"))
+    s = (
+        c.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            )
+            .cast("long")
+            .alias("d_num"),
+        )
+    )
+    d = F.col("d_num").cast("double") / (F.col("n_a").cast("double") * F.col("n_b"))
+    crit = 1.358 * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("d_den"),
+        d.alias("d_stat"),
+        (d > crit).alias("significant_95"),
+    )

@@ -125,6 +125,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_privacy_audit",
     "sim_mmr_rerank",
     "agg_mannwhitney",
+    "agg_ks_test",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -542,3 +542,36 @@ def test_mannwhitney_matches_a_rank_sum_witness(spark, sf_dir):
     r2_b = sum((by_val[v] - by_val_a[v]) * rank2[v] for v in by_val)
     u2_b = r2_b - n_b * (n_b + 1)
     assert u2_a + u2_b == 2 * n_a * n_b
+
+
+def test_ks_statistic_matches_an_ecdf_witness(spark, sf_dir):
+    # Recompute D = max|F_a - F_b| from raw ECDFs in Python and assert
+    # the exact integers match; D must sit in [0, 1].
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.aggregates import agg_ks_test
+    from parquet_processor_spark.tables import t as tt
+
+    cents = [
+        (r["user_id"] % 2, math.floor(r["value"] * 100 + 0.5))
+        for r in tt(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .collect()
+    ]
+    a = Counter(c for arm, c in cents if arm == 0)
+    b = Counter(c for arm, c in cents if arm == 1)
+    n_a, n_b = sum(a.values()), sum(b.values())
+    cum_a = cum_b = d_num = 0
+    for val in sorted(set(a) | set(b)):
+        cum_a += a[val]
+        cum_b += b[val]
+        d_num = max(d_num, abs(cum_a * n_b - cum_b * n_a))
+    row = agg_ks_test(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"], row["d_num"], row["d_den"]) == (
+        n_a, n_b, d_num, n_a * n_b,
+    )
+    assert 0.0 <= row["d_stat"] <= 1.0
+    assert row["d_stat"] == d_num / (n_a * n_b)
