@@ -2012,3 +2012,109 @@ def agg_ks_test(spark: SparkSession, sf: str) -> DataFrame:
         d.alias("d_stat"),
         (d > crit).alias("significant_95"),
     )
+
+
+# Chi-square contingency test — the CATEGORICAL A/B member (Welch:
+# means; Mann-Whitney: ranks; KS: numeric ECDFs; chi-square: does the
+# event-TYPE MIX differ between arms?). Each cell's term is one fixed
+# expression over exact integers (delta = O*N - r*c, term =
+# delta^2 / (r*c*N) in doubles with a pinned division order), and the
+# cell terms fold IN (arm, type) ORDER — the RAKE/dot-product
+# discipline — so the statistic is bit-identical across engines.
+_CHI2_CRIT = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507)
+
+
+@query(
+    "agg_chi_square",
+    oracle=f"""
+    with m as (
+      select user_id % 2 as arm, event_type
+      from events where event_type is not null
+    ),
+    cells as (
+      select arm, event_type, cast(count(*) as bigint) as o
+      from m group by 1, 2
+    ),
+    r as (select arm, cast(sum(o) as bigint) as rt from cells group by 1),
+    c as (select event_type, cast(sum(o) as bigint) as ct from cells group by 1),
+    tot as (select cast(sum(o) as bigint) as nn,
+                   cast(count(distinct arm) as bigint) as n_arms,
+                   cast(count(distinct event_type) as bigint) as n_types
+            from cells),
+    terms as (
+      select cells.arm, cells.event_type,
+             cast(cells.o * tot.nn - r.rt * c.ct as double)
+               * cast(cells.o * tot.nn - r.rt * c.ct as double)
+               / cast(r.rt * c.ct as double) / cast(tot.nn as double) as term
+      from cells join r using (arm) join c using (event_type) cross join tot
+    ),
+    s as (
+      select list_reduce(list_prepend(cast(0 as double),
+                         list(term order by arm, event_type)),
+                         (acc, v) -> acc + v) as chi2
+      from terms
+    )
+    select tot.nn as n,
+           cast((tot.n_arms - 1) * (tot.n_types - 1) as int) as df,
+           s.chi2 as chi2,
+           s.chi2 > case cast((tot.n_arms - 1) * (tot.n_types - 1) as int)
+                    {" ".join(f"when {i + 1} then {v}" for i, v in enumerate(_CHI2_CRIT))}
+                    else cast('inf' as double) end as significant_95
+    from s cross join tot
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square over the arms x event-type contingency
+    table, with the 5% verdict against the critical value for the
+    OBSERVED degrees of freedom (df 1-{len(_CHI2_CRIT)} literal table;
+    beyond that the verdict is conservatively false).
+
+    100 TB shape: the contingency table is ONE map-side-combined
+    aggregate bounded by |arms| x |types| cells; margins and the total
+    are aggregates of those cells; the statistic folds <= a few dozen
+    doubles in pinned order. Integer bound: o*nn and rt*ct*nn must
+    stay inside int64 — safe to ~3e9 events per test cell (the
+    Mann-Whitney decimal(38) note applies beyond).
+    """
+    m = (
+        t(spark, sf, "events")
+        .where(F.col("event_type").isNotNull())
+        .select((F.col("user_id") % 2).alias("arm"), "event_type")
+    )
+    cells = m.groupBy("arm", "event_type").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    r = cells.groupBy("arm").agg(F.sum("o").cast("long").alias("rt"))
+    c = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("nn"),
+        F.countDistinct("arm").cast("long").alias("n_arms"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    delta = (F.col("o") * F.col("nn") - F.col("rt") * F.col("ct")).cast("double")
+    term = (
+        delta * delta / (F.col("rt") * F.col("ct")).cast("double") / F.col("nn").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(r), "arm")
+        .join(F.broadcast(c), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select("arm", "event_type", term.alias("term"))
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("arm", "event_type", "term")))
+    chi2 = F.aggregate(
+        F.transform(ordered, lambda x: x["term"]), F.lit(0.0), lambda acc, v: acc + v
+    )
+    s = terms.agg(chi2.alias("chi2"))
+    df_col = ((F.col("n_arms") - 1) * (F.col("n_types") - 1)).cast("int")
+    crit_expr = "case df " + " ".join(
+        f"when {i + 1} then cast({v} as double)" for i, v in enumerate(_CHI2_CRIT)
+    ) + " else cast('inf' as double) end"
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nn").alias("n"),
+            df_col.alias("df"),
+            "chi2",
+        )
+        .withColumn("significant_95", F.col("chi2") > F.expr(crit_expr))
+    )

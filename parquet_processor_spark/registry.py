@@ -126,6 +126,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_mmr_rerank",
     "agg_mannwhitney",
     "agg_ks_test",
+    "agg_chi_square",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

@@ -575,3 +575,35 @@ def test_ks_statistic_matches_an_ecdf_witness(spark, sf_dir):
     )
     assert 0.0 <= row["d_stat"] <= 1.0
     assert row["d_stat"] == d_num / (n_a * n_b)
+
+
+def test_chi_square_matches_a_contingency_witness(spark, sf_dir):
+    # Recompute the chi-square statistic with the same pinned fold
+    # order in Python and assert exact agreement; df must match the
+    # observed table shape.
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.aggregates import agg_chi_square
+    from parquet_processor_spark.tables import t as tt
+
+    obs = Counter(
+        (r["user_id"] % 2, r["event_type"])
+        for r in tt(spark, sf_dir, "events").where(F.col("event_type").isNotNull()).collect()
+    )
+    rt = Counter()
+    ct = Counter()
+    for (arm, et), o in obs.items():
+        rt[arm] += o
+        ct[et] += o
+    nn = sum(obs.values())
+    chi2 = 0.0
+    for arm, et in sorted(obs):
+        delta = float(obs[(arm, et)] * nn - rt[arm] * ct[et])
+        chi2 = chi2 + delta * delta / float(rt[arm] * ct[et]) / float(nn)
+    row = agg_chi_square(spark, sf_dir).collect()[0]
+    assert row["n"] == nn
+    assert row["df"] == (len(rt) - 1) * (len(ct) - 1)
+    assert row["chi2"] == chi2
+    assert row["significant_95"] == (chi2 > {1: 3.841, 4: 9.488}.get(row["df"], float("inf")))
