@@ -2118,3 +2118,108 @@ def agg_chi_square(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("significant_95", F.col("chi2") > F.expr(crit_expr))
     )
+
+
+# A/B power analysis — the DESIGN side of the experiment kit (the four
+# tests answer "did it move?"; this answers "what CAN we detect?"):
+# minimum detectable effect at 95% confidence / 80% power from the
+# arms' observed variances, MDE = (z_a + z_b) * sqrt(s_a^2/n_a +
+# s_b^2/n_b) with z_.975 + z_.80 = 1.96 + 0.8416 = 2.8016. Variances
+# come from the SAME exact integer moments as the Welch test (cents,
+# sums, sums of squares), so every double is a pinned-order expression
+# over exact integers.
+_POWER_Z = 2.8016  # z_{0.975} + z_{0.80}
+
+
+@query(
+    "agg_ab_power",
+    oracle=f"""
+    with m as (
+      select user_id % 2 as arm,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where event_type = 'purchase' and value is not null
+    ),
+    s as (
+      select arm,
+             cast(count(*) as bigint) as n,
+             cast(sum(cents) as bigint) as sum_cents,
+             cast(sum(cents * cents) as bigint) as ss_cents
+      from m group by arm
+    ),
+    w as (
+      select
+        (select n from s where arm = 0) as n_a,
+        (select sum_cents from s where arm = 0) as s_a,
+        (select ss_cents from s where arm = 0) as ss_a,
+        (select n from s where arm = 1) as n_b,
+        (select sum_cents from s where arm = 1) as s_b,
+        (select ss_cents from s where arm = 1) as ss_b
+    )
+    select n_a, n_b,
+           (cast(s_a as double) + s_b) / (100.0 * (n_a + n_b)) as pooled_mean,
+           {_POWER_Z} * sqrt(
+               ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                 / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
+             + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                 / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+           ) as mde_abs,
+           {_POWER_Z} * sqrt(
+               ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                 / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
+             + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                 / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+           ) / ((cast(s_a as double) + s_b) / (100.0 * (n_a + n_b))) as mde_rel
+    from w
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_ab_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum detectable effect (absolute dollars and relative to the
+    pooled mean) for the current arm sizes at 95% confidence / 80%
+    power, from the Welch test's exact integer moments.
+
+    100 TB shape: identical to agg_ab_test — ONE map-side-combined
+    aggregate for both arms' (n, sum, sum-of-squares) integers; the
+    MDE is a 1-row expression. Run it BEFORE the experiment (on
+    historical data) to size arms, and alongside the tests to read a
+    null result honestly (not significant + large MDE = underpowered,
+    not "no effect").
+    """
+    m = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    s = m.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss_cents"),
+    )
+    a = s.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("sum_cents").alias("s_a"), F.col("ss_cents").alias("ss_a")
+    )
+    b = s.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("sum_cents").alias("s_b"), F.col("ss_cents").alias("ss_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+
+    def var_over_n(n, sm, ss):
+        return (
+            (F.col(n).cast("double") * F.col(ss) - F.col(sm).cast("double") * F.col(sm))
+            / (F.col(n).cast("double") * F.col(n) * (F.col(n) - 1) * 10000.0)
+        ) / F.col(n)
+
+    mde = _POWER_Z * F.sqrt(var_over_n("n_a", "s_a", "ss_a") + var_over_n("n_b", "s_b", "ss_b"))
+    pooled = (F.col("s_a").cast("double") + F.col("s_b")) / (
+        100.0 * (F.col("n_a") + F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        pooled.alias("pooled_mean"),
+        mde.alias("mde_abs"),
+        (mde / pooled).alias("mde_rel"),
+    )

@@ -127,6 +127,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_mannwhitney",
     "agg_ks_test",
     "agg_chi_square",
+    "agg_ab_power",
     # last driver row: round 1 (11 queries)
     "filter_temporal",
     "filter_compound",

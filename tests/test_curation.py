@@ -607,3 +607,22 @@ def test_chi_square_matches_a_contingency_witness(spark, sf_dir):
     assert row["df"] == (len(rt) - 1) * (len(ct) - 1)
     assert row["chi2"] == chi2
     assert row["significant_95"] == (chi2 > {1: 3.841, 4: 9.488}.get(row["df"], float("inf")))
+
+
+def test_ab_power_mde_is_consistent_with_the_welch_test(spark, sf_dir):
+    # Consistency inside the experiment kit: MDE must equal 2.8016 *
+    # (the Welch denominator), i.e. mde_abs / se == 2.8016 where se is
+    # reconstructed from the Welch t statistic and the mean gap; and
+    # an observed |effect| below the MDE must not be significant at
+    # the tested power... (the converse need not hold).
+    from parquet_processor_spark.ops.aggregates import _POWER_Z, agg_ab_power, agg_ab_test
+
+    p = agg_ab_power(spark, sf_dir).collect()[0]
+    w = agg_ab_test(spark, sf_dir).collect()[0]
+    gap = w["mean_a"] - w["mean_b"]
+    se = abs(gap / w["t_stat"])
+    assert abs(p["mde_abs"] - _POWER_Z * se) < 1e-9
+    assert p["mde_rel"] * p["pooled_mean"] == p["mde_abs"]
+    assert p["n_a"] == w["n_a"] and p["n_b"] == w["n_b"]
+    if abs(gap) < se * 1.96:  # not significant at 95%
+        assert not w["significant_95"]

@@ -105,8 +105,8 @@ REPRESENTATIVE = [
     "multimodal_audio_trim",   # frame trim over an empty media set
     "pipeline_privacy_audit",  # triad verdicts over an empty population
     "sim_mmr_rerank",          # greedy rerank over an empty shortlist
-    # (agg_mannwhitney / agg_ks_test / agg_chi_square are global
-    # aggregates: one row on
+    # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power are
+    # global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
