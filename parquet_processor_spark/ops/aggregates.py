@@ -1636,6 +1636,24 @@ def agg_bitmap_index(spark: SparkSession, sf: str) -> DataFrame:
 # IEEE ops over those integers. No p-value: the t CDF is
 # transcendental — the large-sample |t| > 1.96 gate stands in, and
 # the sufficient statistics let any consumer compute an exact p.
+
+
+def _welch_var_over_n(n: str, s: str, ss: str):
+    """One arm's s^2/n in dollars^2 from exact cent moments — the Welch
+    standard-error term shared by agg_ab_test and agg_ab_power (and
+    mirrored verbatim in both oracles).
+
+    Sample variance of cents = (n*ss - s^2) / (n*(n-1)); /10000 maps
+    cents^2 to dollars^2; /n gives the SE contribution. Folded into ONE
+    division so Spark and DuckDB evaluate the identical IEEE tree:
+    (n*ss - s^2) / (n * n * (n-1) * 10000). Note the single n^2 in the
+    denominator IS the /n — do not divide by n again downstream.
+    """
+    return (
+        F.col(n).cast("double") * F.col(ss) - F.col(s).cast("double") * F.col(s)
+    ) / (
+        F.col(n).cast("double") * F.col(n) * (F.col(n) - 1) * F.lit(10000.0)
+    )
 @query(
     "agg_ab_test",
     oracle="""
@@ -1665,17 +1683,17 @@ def agg_bitmap_index(spark: SparkSession, sf: str) -> DataFrame:
            cast(s_b as double) / (100.0 * n_b) as mean_b,
            (cast(s_a as double) / (100.0 * n_a) - cast(s_b as double) / (100.0 * n_b))
              / sqrt(
-                 ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
-                   / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
-               + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
-                   / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+                 (cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                   / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)
+               + (cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                   / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)
              ) as t_stat,
            abs((cast(s_a as double) / (100.0 * n_a) - cast(s_b as double) / (100.0 * n_b))
              / sqrt(
-                 ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
-                   / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
-               + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
-                   / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+                 (cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                   / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)
+               + (cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                   / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)
              )) > 1.96 as significant_95
     from w
     """,
@@ -1714,19 +1732,10 @@ def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     w = a.crossJoin(F.broadcast(b))
     mean_a = F.col("s_a").cast("double") / (F.lit(100.0) * F.col("n_a"))
     mean_b = F.col("s_b").cast("double") / (F.lit(100.0) * F.col("n_b"))
-    var_a = (
-        F.col("n_a").cast("double") * F.col("ss_a")
-        - F.col("s_a").cast("double") * F.col("s_a")
-    ) / (
-        F.col("n_a").cast("double") * F.col("n_a") * (F.col("n_a") - 1) * F.lit(10000.0)
+    tstat = (mean_a - mean_b) / F.sqrt(
+        _welch_var_over_n("n_a", "s_a", "ss_a")
+        + _welch_var_over_n("n_b", "s_b", "ss_b")
     )
-    var_b = (
-        F.col("n_b").cast("double") * F.col("ss_b")
-        - F.col("s_b").cast("double") * F.col("s_b")
-    ) / (
-        F.col("n_b").cast("double") * F.col("n_b") * (F.col("n_b") - 1) * F.lit(10000.0)
-    )
-    tstat = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
     return w.select(
         "n_a",
         "n_b",
@@ -2158,16 +2167,16 @@ _POWER_Z = 2.8016  # z_{0.975} + z_{0.80}
     select n_a, n_b,
            (cast(s_a as double) + s_b) / (100.0 * (n_a + n_b)) as pooled_mean,
            {_POWER_Z} * sqrt(
-               ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
-                 / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
-             + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
-                 / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+               (cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                 / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)
+             + (cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                 / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)
            ) as mde_abs,
            {_POWER_Z} * sqrt(
-               ((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
-                 / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)) / n_a
-             + ((cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
-                 / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)) / n_b
+               (cast(n_a as double) * ss_a - cast(s_a as double) * s_a)
+                 / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)
+             + (cast(n_b as double) * ss_b - cast(s_b as double) * s_b)
+                 / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0)
            ) / ((cast(s_a as double) + s_b) / (100.0 * (n_a + n_b))) as mde_rel
     from w
     """,
@@ -2205,14 +2214,10 @@ def agg_ab_power(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("sum_cents").alias("s_b"), F.col("ss_cents").alias("ss_b")
     )
     w = a.crossJoin(F.broadcast(b))
-
-    def var_over_n(n, sm, ss):
-        return (
-            (F.col(n).cast("double") * F.col(ss) - F.col(sm).cast("double") * F.col(sm))
-            / (F.col(n).cast("double") * F.col(n) * (F.col(n) - 1) * 10000.0)
-        ) / F.col(n)
-
-    mde = _POWER_Z * F.sqrt(var_over_n("n_a", "s_a", "ss_a") + var_over_n("n_b", "s_b", "ss_b"))
+    mde = _POWER_Z * F.sqrt(
+        _welch_var_over_n("n_a", "s_a", "ss_a")
+        + _welch_var_over_n("n_b", "s_b", "ss_b")
+    )
     pooled = (F.col("s_a").cast("double") + F.col("s_b")) / (
         100.0 * (F.col("n_a") + F.col("n_b"))
     )

@@ -626,3 +626,66 @@ def test_ab_power_mde_is_consistent_with_the_welch_test(spark, sf_dir):
     assert p["n_a"] == w["n_a"] and p["n_b"] == w["n_b"]
     if abs(gap) < se * 1.96:  # not significant at 95%
         assert not w["significant_95"]
+
+
+def test_welch_t_and_mde_match_textbook_numpy(spark, sf_dir):
+    # Independent witness: recompute Welch's t and the MDE from the raw
+    # parquet with numpy's textbook formulas (mean, ddof=1 variance,
+    # se = sqrt(s_a^2/n_a + s_b^2/n_b)). This is the guard the shared
+    # oracle can't provide — a doubled /n in BOTH engines passes the
+    # cross-engine hash but inflates |t| by ~sqrt(n) (and deflates the
+    # MDE the same way), which this catches immediately.
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_processor_spark.ops.aggregates import _POWER_Z, agg_ab_power, agg_ab_test
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).to_pandas()
+    ev = ev[(ev["event_type"] == "purchase") & ev["value"].notna()]
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    arm = ev["user_id"].to_numpy() % 2
+    a, b = cents[arm == 0] / 100.0, cents[arm == 1] / 100.0
+    se = math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    t_ref = (a.mean() - b.mean()) / se
+
+    w = agg_ab_test(spark, sf_dir).collect()[0]
+    assert w["n_a"] == len(a) and w["n_b"] == len(b)
+    assert math.isclose(w["mean_a"], a.mean(), rel_tol=1e-9)
+    assert math.isclose(w["t_stat"], t_ref, rel_tol=1e-9)
+    assert w["significant_95"] == (abs(t_ref) > 1.96)
+
+    p = agg_ab_power(spark, sf_dir).collect()[0]
+    assert math.isclose(p["mde_abs"], _POWER_Z * se, rel_tol=1e-9)
+
+
+def test_welch_t_is_calibrated_on_a_known_null_and_known_effect(spark, tmp_path):
+    # Null data (both arms same distribution): |t| must be small — the
+    # pre-fix doubled /n inflated it ~sqrt(n)x, turning t≈0.4 into
+    # t≈9.5 on 500-per-arm data. Then a large injected effect must fire.
+    import math
+
+    from parquet_processor_spark.ops.aggregates import agg_ab_test
+
+    n = 500
+    rows = []
+    for i in range(2 * n):
+        # deterministic pseudo-noise in [0, 10): same recipe for both
+        # arms, so the true effect is exactly zero
+        rows.append((i, "purchase", float((i * 7919) % 1000) / 100.0))
+    spark.createDataFrame(rows, "user_id long, event_type string, value double") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    w0 = agg_ab_test(spark, str(tmp_path)).collect()[0]
+    assert abs(w0["t_stat"]) < 3.0, f"null |t|={w0['t_stat']:.2f} — SE is miscalibrated"
+    assert math.isfinite(w0["t_stat"])
+
+    rows_eff = [
+        (i, "purchase", v + (5.0 if i % 2 == 0 else 0.0)) for (i, _, v) in rows
+    ]
+    spark.createDataFrame(rows_eff, "user_id long, event_type string, value double") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    w1 = agg_ab_test(spark, str(tmp_path)).collect()[0]
+    assert w1["t_stat"] > 1.96 and w1["significant_95"]
