@@ -515,25 +515,15 @@ def _linkpred_oracle() -> str:
     ),
     und as (select u, v from e union all select v as u, u as v from e),
     deg as (select u as node, cast(count(*) as bigint) as d from und group by u),
-    o as (
-      select case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
-                  then e.u else e.v end as s,
-             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
-                  then e.v else e.u end as t,
-             case when (du.d < dv.d) or (du.d = dv.d and e.u < e.v)
-                  then dv.d else du.d end as dt
-      from e join deg du on e.u = du.node join deg dv on e.v = dv.node
-    ),
     w as (
-      select o1.t as a, o2.t as b
-      from o o1 join o o2
-        on o1.s = o2.s
-       and ((o1.dt < o2.dt) or (o1.dt = o2.dt and o1.t < o2.t))
+      select w1.v as a, w2.v as b
+      from und w1 join und w2
+        on w1.u = w2.u and w1.v < w2.v
     ),
     cn as (
       select a, b, cast(count(*) as bigint) as n_common
       from w
-      anti join o on w.a = o.s and w.b = o.t
+      anti join e on w.a = e.u and w.b = e.v
       group by a, b
     )
     select cn.a as p1, cn.b as p2, cn.n_common,
@@ -549,45 +539,37 @@ def _linkpred_oracle() -> str:
 def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Top-K predicted co-purchase links by neighbor-set Jaccard.
 
-    100 TB shape: reuses the triangle machinery's ORIENTED wedge
-    enumeration (each candidate pair appears once per common neighbor,
-    total output O(sum out-degree^2) with out-degree <= sqrt(2m) — a
-    celebrity hub emits no wedges), so the scorer inherits the same
-    worst-case bound as the triangle count; existing edges drop out
-    with one semi-structured anti join on normalized pairs; the final
-    top-K is a TakeOrdered, never a global sort.
+    Wedges enumerate from the UNDIRECTED adjacency — for every center
+    node, every unordered pair of its neighbors is one candidate row —
+    so n_common is exactly |N(a) ∩ N(b)| as documented. (A previous
+    degree-ordered enumeration reused the triangle orientation; that
+    bound is sound for closed triangles but silently drops any open
+    wedge whose center out-ranks an endpoint — two leaves sharing a
+    hub produced no candidate at all.)
+
+    100 TB shape: wedge mass is sum deg(center)^2, so hub centers
+    dominate; the self-join keys on the center id and AQE skew-join
+    splits those hot keys at runtime. For a production corpus with
+    celebrity hubs the standard cap — truncate each node's neighbor
+    list to its top-k co-purchase partners before pairing — bounds the
+    blowup without changing the top-K materially; kept exact here
+    because the score's contract IS the exact Jaccard. Existing edges
+    drop with one anti join on (lo, hi) pairs; the final top-K is a
+    TakeOrdered, never a global sort.
     """
     from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
 
-    # same edge/degree build as _triangle_rows, WITHOUT its closed-wedge
-    # orientation checkpoint (we orient once below for all-wedge rows;
-    # calling _triangle_rows would eagerly materialize a second,
-    # discarded oriented-edge table)
     e = (
         agg_copurchase_pairs(spark, sf)
         .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
-        .localCheckpoint()  # eager-by-design: feeds degree AND orientation
+        .localCheckpoint()  # eager-by-design: feeds adjacency AND the anti join
     )
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ed = e.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    ).localCheckpoint(eager=True)  # eager-by-design: feeds both wedge sides and the anti join
-    o1 = o.select("s", F.col("t").alias("a"), F.col("dt").alias("da_o"))
-    o2 = o.select("s", F.col("t").alias("b"), F.col("dt").alias("db_o"))
-    wedges = o1.join(o2, "s").where(
-        (F.col("da_o") < F.col("db_o"))
-        | ((F.col("da_o") == F.col("db_o")) & (F.col("a") < F.col("b")))
-    )
-    existing = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w1 = und.select(F.col("u").alias("s"), F.col("v").alias("a"))
+    w2 = und.select(F.col("u").alias("s"), F.col("v").alias("b"))
+    wedges = w1.join(w2, "s").where(F.col("a") < F.col("b"))
+    existing = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     cn = (
         wedges.select("a", "b")
         .join(existing, ["a", "b"], "left_anti")

@@ -276,6 +276,50 @@ def test_kcore_layers_are_a_valid_peeling(spark, sf_dir):
     assert all(deg_all[n] < _KCORE_K for n in first)
 
 
+def test_link_prediction_matches_brute_force_neighbor_sets(spark, sf_dir):
+    # Exactness witness the oracle can't provide (it shares the wedge
+    # construction): rebuild neighbor SETS in Python from the same
+    # co-purchase edges, score every non-adjacent pair with at least
+    # one common neighbor by |N(a)∩N(b)|/|N(a)∪N(b)|, and require the
+    # operator's top-K — n_common, degrees, jaccard, and the
+    # (jaccard desc, p1, p2) order — to match the brute force exactly.
+    # The pre-fix degree-ordered enumeration failed this: a wedge whose
+    # center out-ranked an endpoint was never emitted, so hub-mediated
+    # pairs (two leaves sharing one hub) were missing entirely.
+    from collections import defaultdict
+
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+    from parquet_processor_spark.ops.graph import _LINKPRED_K, graph_link_prediction
+
+    nbr = defaultdict(set)
+    edges = set()
+    for r in agg_copurchase_pairs(spark, sf_dir).collect():
+        u, v = r["p1"], r["p2"]
+        edges.add((u, v))
+        nbr[u].add(v)
+        nbr[v].add(u)
+    cand = defaultdict(int)
+    for c in nbr:
+        ns = sorted(nbr[c])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if (ns[i], ns[j]) not in edges:
+                    cand[(ns[i], ns[j])] += 1
+    ref = sorted(
+        (
+            (-(n / len(nbr[a] | nbr[b])), a, b, n, len(nbr[a]), len(nbr[b]))
+            for (a, b), n in cand.items()
+        )
+    )[:_LINKPRED_K]
+    got = graph_link_prediction(spark, sf_dir).collect()
+    assert len(got) == min(_LINKPRED_K, len(cand))
+    for row, (negj, a, b, n, da, db) in zip(got, ref):
+        assert (row["p1"], row["p2"]) == (a, b)
+        assert row["n_common"] == n == len(nbr[a] & nbr[b])
+        assert (row["deg_a"], row["deg_b"]) == (da, db)
+        assert row["jaccard"] == n / (da + db - n)
+
+
 def test_changepoint_is_the_argmax_of_the_cusum(spark, sf_dir):
     # Recompute the CUSUM statistic from the raw daily counts in
     # Python and confirm the reported day IS the argmax (earliest on

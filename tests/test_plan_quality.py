@@ -926,10 +926,10 @@ def test_ccnet_buckets_reuse_bigram_plan(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_link_prediction_wedges_are_oriented(spark):
-    # N123 claim: candidate pairs enumerate through the degree-ordered
-    # orientation (sum out-deg^2 bound) — no cartesian pairing, no
-    # global sort before the TakeOrdered top-K.
+def test_link_prediction_wedges_are_equi_joined(spark):
+    # N123 claim: candidate pairs enumerate by an equi self-join of the
+    # undirected adjacency on the center key (AQE-splittable skew) —
+    # no cartesian pairing, no global sort before the TakeOrdered top-K.
     plan = plan_of(spark, "graph_link_prediction")
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
