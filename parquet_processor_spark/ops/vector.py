@@ -1241,7 +1241,9 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
 def recall_range_search(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
     sided = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    a = sided.alias("a")
+    # spread the nested-loop's streamed side — the parquet is often ONE
+    # row group at check SF, serializing the O(n^2) cosines onto one core
+    a = sided.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = sided.alias("b")
     # exact all-pairs truth (check-SF-only construct) — Arrow kernel,
     # bit-exact with the fold (N^2/2 interpreted folds would dominate
@@ -1484,7 +1486,9 @@ def report_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
     """
     e = t(spark, sf, "embeddings")
     sided = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    a = sided.alias("a")
+    # spread the nested-loop's streamed side — the parquet is often ONE
+    # row group at check SF, serializing the O(n^2) cosines onto one core
+    a = sided.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = sided.alias("b")
     cos = pair_cos_arrow()(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
@@ -1497,7 +1501,9 @@ def report_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
             F.col("b.vec_id").alias("b_id"),
         )
     )
-    keyed = e.select(
+    # the 48 per-band sign folds are CPU-heavy per row — same
+    # single-row-group hazard as the truth join, so spread them too
+    keyed = e.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         *[c for r in _TUNE_GRID_R for c in _tune_band_sign_cols(F.col("embedding"), r)],
     )
@@ -1531,10 +1537,14 @@ def report_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # eager-by-design: the truth-pair match
     # matrix (a few hundred rows) feeds one aggregate per grid cell
     n_true = matched.count()  # eager-by-design: truth-set size (a few hundred) parameterizes the 9 literal grid rows
-    rows = None
-    for r in _TUNE_GRID_R:
-        for l in _TUNE_GRID_L:
-            hit = F.sum(
+    # ALL grid cells are conditional sums over the same few-hundred-row
+    # match matrix — ONE aggregate with a column per cell (one job, one
+    # pass) then a stack() unpivot to (r, l, n_recalled) rows, instead
+    # of len(grid) separate agg jobs in a driver loop.
+    cells = [(r, l) for r in _TUNE_GRID_R for l in _TUNE_GRID_L]
+    one = matched.agg(
+        *[
+            F.sum(
                 F.when(
                     sum(
                         (F.col(f"m_r{r}_b{band}") for band in range(l)),
@@ -1543,16 +1553,22 @@ def report_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
                     >= 1,
                     1,
                 ).otherwise(0)
-            ).cast("long")
-            cell = matched.agg(hit.alias("n_recalled")).select(
-                F.lit(r).cast("int").alias("r"),
-                F.lit(l).cast("int").alias("l"),
-                F.lit(n_true).cast("long").alias("n_true"),
-                "n_recalled",
-                (F.col("n_recalled").cast("double") / F.lit(n_true)).alias("recall"),
             )
-            rows = cell if rows is None else rows.unionByName(cell)
-    return rows
+            .cast("long")
+            .alias(f"n_r{r}_l{l}")
+            for r, l in cells
+        ]
+    )
+    stacked = ", ".join(f"{r}, {l}, n_r{r}_l{l}" for r, l in cells)
+    return one.select(
+        F.expr(f"stack({len(cells)}, {stacked}) as (r, l, n_recalled)")
+    ).select(
+        F.col("r").cast("int").alias("r"),
+        F.col("l").cast("int").alias("l"),
+        F.lit(n_true).cast("long").alias("n_true"),
+        F.col("n_recalled").cast("long").alias("n_recalled"),
+        (F.col("n_recalled").cast("double") / F.lit(n_true)).alias("recall"),
+    )
 
 
 # Batched multi-query retrieval — the SERVING shape: score a whole
