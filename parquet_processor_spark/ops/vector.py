@@ -1145,11 +1145,14 @@ def pair_cos_arrow():
     keep the fixture's buckets dense — measured 1.7M candidates from
     2000 vectors at sf0.1), and the interpreted higher-order fold costs
     ~30 us/pair — exactly the hot spot the engine's UDF policy reserves
-    Arrow kernels for (the lsh_band_keys_arrow precedent). np.cumsum is
-    a SEQUENTIAL left fold by specification over the identical float64
-    products, so every dot — and the one-IEEE-division cosine — matches
-    the JVM fold and the DuckDB oracle bitwise (asserted pair-for-pair
-    in tests/test_dedup_vector.py). ~25x warm speedup at sf0.1.
+    Arrow kernels for (the lsh_band_keys_arrow precedent). np.cumsum
+    accumulates left-to-right in every NumPy release to date, so the
+    float64 dot — and the one-IEEE-division cosine — matches the JVM
+    fold and the DuckDB oracle bitwise TODAY; NumPy does not formally
+    pin the accumulation order, so the real guard is the pair-for-pair
+    equality test in tests/test_dedup_vector.py (a SIMD/pairwise-
+    summation change there fails loudly; the fallback is an explicit
+    per-dimension add loop). ~25x warm speedup at sf0.1.
     """
 
     @F.pandas_udf("double")

@@ -733,3 +733,23 @@ def test_welch_t_is_calibrated_on_a_known_null_and_known_effect(spark, tmp_path)
         .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     w1 = agg_ab_test(spark, str(tmp_path)).collect()[0]
     assert w1["t_stat"] > 1.96 and w1["significant_95"]
+
+
+def test_table_diff_null_text_doc_in_both_snapshots_is_unchanged(spark, tmp_path):
+    # md5(null) is null in both engines; without the coalesce-to-''
+    # a null-text doc present in BOTH snapshots fell through the
+    # fp_old-is-null branch and came back 'added'. Presence must key
+    # on the row, not on text nullability.
+    from parquet_processor_spark.ops.setops import table_diff
+
+    rows = [
+        (1, None),          # in both snapshots, null text -> unchanged
+        (2, "stable"),      # in both, same text -> unchanged
+        (15, "shouты"),     # %10==5: text mutated in new -> changed
+        (23, "gone"),       # %10==3: only in old -> removed
+        (37, "fresh"),      # %10==7: only in new -> added
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r["status"] for r in table_diff(spark, str(tmp_path)).collect()}
+    assert got == {1: "unchanged", 2: "unchanged", 15: "changed", 23: "removed", 37: "added"}
