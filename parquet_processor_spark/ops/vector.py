@@ -859,6 +859,9 @@ def embedding_pq_train(spark: SparkSession, sf: str) -> DataFrame:
 _IVFPQ_M = 16      # 4-dim subspaces over the 64-dim fixture vectors
 _IVFPQ_K = 32      # 5 bits/subspace -> 80-bit codes (25x vs floats)
 _IVFPQ_R = 50      # ADC shortlist size the refine step reranks
+_IVFPQ_ITERS = 2   # Lloyd rounds (matches _PQ_ITERS)
+_IVFPQ_SUBDIM = 4  # 64 / _IVFPQ_M
+_IVFPQ_SCALE = float(1 << 24)  # power-of-two: float32 * scale is EXACT
 
 
 def _unit(e: DataFrame) -> DataFrame:
@@ -869,6 +872,82 @@ def _unit(e: DataFrame) -> DataFrame:
             "embedding", lambda x: (x / norm(F.col("embedding"))).cast("float")
         ).alias("embedding"),
     )
+
+
+def _ivfpq_qsubs(e: DataFrame) -> DataFrame:
+    """(vec_id, m, q1..q4): subvectors quantized to EXACT integers —
+    floor(x * 2^24 + 0.5) of the unit-normalized float32 components.
+    Power-of-two scaling of a float32 is exact in IEEE, so both
+    engines produce the identical bigint; every downstream Lloyd sum
+    is then integer arithmetic (order-free), which is what makes the
+    trained codebook — and therefore the whole ADC path —
+    hash-checkable cross-engine."""
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_IVFPQ_M - 1))).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        *[
+            F.floor(
+                F.element_at("embedding", F.col("m") * _IVFPQ_SUBDIM + d).cast("double")
+                * F.lit(_IVFPQ_SCALE)
+                + F.lit(0.5)
+            ).alias(f"q{d}")
+            for d in range(1, _IVFPQ_SUBDIM + 1)
+        ],
+    )
+
+
+def _det_l2sq(qp: str, cp: str) -> F.Column:
+    """Left-associated squared L2 over the 4 scalar dims — the same
+    IEEE tree the oracle spells as (q1-c1)*(q1-c1) + ... ."""
+    out = None
+    for d in range(1, _IVFPQ_SUBDIM + 1):
+        t = F.col(f"{qp}{d}").cast("double") - F.col(f"{cp}{d}")
+        out = t * t if out is None else out + t * t
+    return out
+
+
+def _ivfpq_assign_det(subsq: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per (vec_id, m): argmin-L2 code, ties to the lowest cid."""
+    d2 = _det_l2sq("q", "c")
+    return (
+        subsq.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(d2.alias("d"), F.col("cid").alias("cid"))).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cell"))
+    )
+
+
+def _ivfpq_train_det(subsq: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd on quantized subvectors: centroid update =
+    exact bigint per-dim sums (commutative — no float-order hazard)
+    followed by ONE IEEE division, so every round's codebook is
+    bit-identical across engines and partitionings. Returns
+    (codebook(m, cid, c1..c4 double), final assignment)."""
+    dims = range(1, _IVFPQ_SUBDIM + 1)
+    cb = subsq.where(F.col("vec_id").between(1, k)).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        *[F.col(f"q{d}").cast("double").alias(f"c{d}") for d in dims],
+    )
+    for _ in range(iters):
+        a = _ivfpq_assign_det(subsq, cb)
+        cb = (
+            subsq.join(a, ["vec_id", "m"])
+            .groupBy("m", "cell")
+            .agg(
+                *[
+                    (F.sum(f"q{d}").cast("double") / F.count(F.lit(1))).alias(f"c{d}")
+                    for d in dims
+                ]
+            )
+            .select("m", F.col("cell").alias("cid"), *[f"c{d}" for d in dims])
+            .localCheckpoint()  # eager-by-design: M*K-row codebook; cuts per-round lineage
+        )
+    return cb, _ivfpq_assign_det(subsq, cb)
 
 
 def _ivfpq_build(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
@@ -889,10 +968,12 @@ def _ivfpq_build(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
         .limit(_IVF_NPROBE)
         .select("q_cell")
     )
-    subs = _pq_subvectors(e, _IVFPQ_M)
-    cb, _, enc = _pq_train(subs, _IVFPQ_K)
+    subsq = _ivfpq_qsubs(e)
+    cb, enc = _ivfpq_train_det(subsq, _IVFPQ_K, _IVFPQ_ITERS)
     codes = enc.select("vec_id", F.col("m").alias("cm"), F.col("cell").alias("code"))
-    qsub = subs.where(F.col("vec_id") == 0).select("m", F.col("sub").alias("q_sub"))
+    qsub = subsq.where(F.col("vec_id") == 0).select(
+        "m", *[f"q{d}" for d in range(1, _IVFPQ_SUBDIM + 1)]
+    )
     q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     return {"e": e, "assign": assign, "probe": probe, "cb": cb,
             "codes": codes, "qsub": qsub, "q_emb": q_emb}
@@ -900,22 +981,33 @@ def _ivfpq_build(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
 
 def _ivfpq_serve(ix: dict[str, DataFrame]) -> DataFrame:
     """Serve one query from index parts: ADC shortlist over codes in
-    the probed cells, exact-cosine refine of the top-R."""
+    the probed cells, exact-cosine refine of the top-R. The per-
+    candidate ADC total is an order-pinned fold over the M subspace
+    distances (sorted by m), not a bare float sum — the last
+    nondeterminism the oracle parity needed closed."""
     dtab = ix["qsub"].join(F.broadcast(ix["cb"]), "m").select(
         F.col("m").alias("dm"),
         F.col("cid").alias("dcid"),
-        _l2sq(F.col("q_sub"), F.col("c_sub")).alias("dq"),
+        _det_l2sq("q", "c").alias("dq"),
     )
     cand = (
         ix["assign"].where(F.col("vec_id") != 0)
         .join(F.broadcast(ix["probe"]), F.col("cell") == F.col("q_cell"))
         .select("vec_id", "cell")
     )
+    adc = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("cm").alias("m"), F.col("dq").alias("dq")))),
+            lambda s: s["dq"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     shortlist = (
         cand.join(ix["codes"], "vec_id")
         .join(F.broadcast(dtab), (F.col("cm") == F.col("dm")) & (F.col("code") == F.col("dcid")))
         .groupBy("vec_id")
-        .agg(F.sum("dq").alias("adc_dist"), F.first("cell").alias("cell"))
+        .agg(adc.alias("adc_dist"), F.min("cell").alias("cell"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(_IVFPQ_R)
     )
@@ -932,14 +1024,128 @@ def _ivfpq_serve(ix: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-@query("sim_topk_ivfpq", tags=("vector", "ivf", "pq"))
+def _ivfpq_d2_sql(s: str, c: str) -> str:
+    """The oracle twin of _det_l2sq — identical left-associated tree."""
+    return " + ".join(
+        f"(cast({s}.q{d} as double) - {c}.c{d}) * (cast({s}.q{d} as double) - {c}.c{d})"
+        for d in range(1, _IVFPQ_SUBDIM + 1)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Unrolled-Lloyd DuckDB twin of the full IVF-PQ pipeline (the
+    _kcore_oracle pattern): unit-normalize, quantize subvectors to
+    exact ints, replay {iters} integer-Lloyd rounds, assign IVF cells,
+    probe, ADC via an order-pinned list fold, exact-cosine refine.
+    Hash-checkable because every float is either one IEEE division of
+    exact integers or a pinned-order fold."""
+    unorm = (
+        "sqrt(list_reduce(list_prepend(cast(0 as double), "
+        "[cast(x as double) * cast(x as double) for x in embedding]), (acc, v) -> acc + v))"
+    )
+    qcols = ", ".join(
+        f"cast(floor(cast(u.embedding[ms.m*{_IVFPQ_SUBDIM} + {d}] as double) "
+        f"* {_IVFPQ_SCALE!r} + 0.5) as bigint) as q{d}"
+        for d in range(1, _IVFPQ_SUBDIM + 1)
+    )
+    c0cols = ", ".join(f"cast(q{d} as double) as c{d}" for d in range(1, _IVFPQ_SUBDIM + 1))
+    upcols = ", ".join(
+        f"cast(sum(s.q{d}) as double) / count(*) as c{d}" for d in range(1, _IVFPQ_SUBDIM + 1)
+    )
+    rounds = []
+    prev = "cb0"
+    for r in range(1, _IVFPQ_ITERS + 1):
+        rounds.append(f"""
+    a{r} as materialized (
+      select vec_id, m, cid as cell from (
+        select s.vec_id, s.m, c.cid,
+               row_number() over (partition by s.vec_id, s.m
+                                  order by {_ivfpq_d2_sql('s', 'c')}, c.cid) as rn
+        from subsq s join {prev} c on s.m = c.m
+      ) where rn = 1
+    ),
+    cb{r} as materialized (
+      select s.m, a.cell as cid, {upcols}
+      from subsq s join a{r} a on s.vec_id = a.vec_id and s.m = a.m
+      group by s.m, a.cell
+    )""")
+        prev = f"cb{r}"
+    return f"""
+    with u as materialized (
+      select vec_id,
+             [cast(cast(x as double) / {unorm} as real) for x in embedding] as embedding
+      from embeddings
+    ),
+    subsq as materialized (
+      select u.vec_id, ms.m, {qcols}
+      from u cross join (select unnest(generate_series(0, {_IVFPQ_M - 1})) as m) ms
+    ),
+    cb0 as materialized (
+      select m, vec_id as cid, {c0cols}
+      from subsq where vec_id between 1 and {_IVFPQ_K}
+    ),
+    {",".join(rounds)},
+    enc as materialized (
+      select vec_id, m, cid as cell from (
+        select s.vec_id, s.m, c.cid,
+               row_number() over (partition by s.vec_id, s.m
+                                  order by {_ivfpq_d2_sql('s', 'c')}, c.cid) as rn
+        from subsq s join {prev} c on s.m = c.m
+      ) where rn = 1
+    ),
+    cents as (select vec_id as cid, embedding from u where vec_id between 1 and 8),
+    assign as materialized (
+      select vec_id, cell from (
+        select e.vec_id, c.cid as cell,
+               row_number() over (partition by e.vec_id
+                                  order by {_cos_sql('e', 'c')} desc, c.cid) as rn
+        from u e cross join cents c
+      ) where rn = 1
+    ),
+    probe as (
+      select cell as q_cell from (
+        select c.cid as cell,
+               row_number() over (order by {_cos_sql('e', 'c')} desc, c.cid) as rn
+        from (select embedding from u where vec_id = 0) e cross join cents c
+      ) where rn <= {_IVF_NPROBE}
+    ),
+    dtab as materialized (
+      select c.m, c.cid, {_ivfpq_d2_sql('s', 'c')} as dq
+      from (select * from subsq where vec_id = 0) s join {prev} c on s.m = c.m
+    ),
+    adc as materialized (
+      select cd.vec_id, min(cd.cell) as cell,
+             list_reduce(list_prepend(cast(0 as double), list(dt.dq order by e.m)),
+                         (acc, v) -> acc + v) as adc_dist
+      from (select a.vec_id, a.cell from assign a join probe p on a.cell = p.q_cell
+            where a.vec_id <> 0) cd
+      join enc e on e.vec_id = cd.vec_id
+      join dtab dt on dt.m = e.m and dt.cid = e.cell
+      group by cd.vec_id
+    ),
+    short as (select vec_id, cell from adc order by adc_dist, vec_id limit {_IVFPQ_R})
+    select b.vec_id, cast(s.cell as bigint) as cell, {_cos_sql('b', 'a')} as cos_sim
+    from short s
+    join u b on b.vec_id = s.vec_id
+    cross join (select embedding from u where vec_id = 0) a
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """
+
+
+@query("sim_topk_ivfpq", oracle=_ivfpq_oracle(), tags=("vector", "ivf", "pq"))
 def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ ANN: nprobe=2 cell probe -> PQ asymmetric-distance
     shortlist (top-{R} by codes alone) -> exact cosine rerank of the
-    shortlist -> top-10. Rows-only check (Lloyd centroid floats are
-    partial-sum-order dependent, so the ADC shortlist boundary is not
-    bit-stable); the measured-recall gate ``recall_sim_topk_ivfpq``
-    is the hash-checked evidence.
+    shortlist -> top-10. HASH-CHECKED end to end: subvectors quantize
+    to exact integers (floor(x * 2^24 + 0.5) of unit-normalized
+    float32 — power-of-two scaling is IEEE-exact), so Lloyd's centroid
+    sums are order-free bigints and each centroid is one IEEE division;
+    the ADC total is an order-pinned fold over the M subspace
+    distances. The DuckDB oracle replays the identical unrolled
+    training (the _kcore_oracle pattern) and every float matches
+    bitwise. ``recall_sim_topk_ivfpq`` stays as the measured-recall
+    evidence twin.
 
     100 TB shape: this is the FAISS at-rest serving plan expressed in
     DataFrames — the corpus is scanned once to train codebooks
