@@ -498,11 +498,44 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_lsh", tags=("dedup", "vector", "lsh"))
+def _emb_lsh_oracle() -> str:
+    """DuckDB twin of the banded-hyperplane candidacy + survivor rule:
+    the band keys are literal-coefficient sign arithmetic
+    (vector._band_key_sql — the same literals the Arrow kernel uses),
+    so the whole pipeline is hash-checkable."""
+    from parquet_processor_spark.ops.vector import _band_key_sql, _cos_sql
+
+    keys = ", ".join(_band_key_sql("e", b) for b in range(8))
+    return f"""
+    with keyed as (
+      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
+    ),
+    cand as (
+      select distinct k1.vec_id as keep_cand, k2.vec_id as dup
+      from keyed k1 join keyed k2 using (band_key)
+      where k1.vec_id < k2.vec_id
+    ),
+    pairs as (
+      select c.keep_cand, c.dup
+      from cand c
+      join embeddings a on a.vec_id = c.keep_cand
+      join embeddings b on b.vec_id = c.dup
+      where {_cos_sql('a', 'b')} >= {_EMB_TAU}
+    )
+    select e.vec_id, min(p.keep_cand) as dup_of,
+           (min(p.keep_cand) is not null) as is_dup
+    from embeddings e left join pairs p on p.dup = e.vec_id
+    group by e.vec_id
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle(), tags=("dedup", "vector", "lsh"))
 def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup with random-hyperplane LSH blocking — the
-    100 TB path (rows-only check; pytest measures recall vs the
-    label-blocked exact variant).
+    100 TB path. HASH-CHECKED: the hyperplane coefficients are
+    engine-neutral literals, so the DuckDB oracle replays the exact
+    banding, candidacy, cosine, and survivor rule (pytest additionally
+    measures recall vs the label-blocked exact variant).
 
     Same survivor rule as :func:`dedup_embedding`, but candidate pairs
     form inside BANDED sign-sketch buckets instead of label blocks
@@ -868,9 +901,14 @@ def dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
     blocked path instead of the exact shingle join — the shape that
     holds when the corpus no longer fits an exact pair join.
 
-    Rows-only driver check (LSH candidacy is not SQL-expressible);
+    Rows-only driver check: MinHash candidacy is built on xxhash64,
+    which DuckDB has no compatible implementation of (unlike the
+    embedding-LSH family's literal hyperplanes — dedup_embedding_lsh
+    IS hash-checked). Re-hashing with the shared md5 would make the
+    pipeline oracle-expressible but ~10x the signature cost on the
+    100 TB hot path — the wrong trade for a check-time nicety.
     :func:`parquet_processor_spark.ops.recall.recall_dedup_connected_lsh`
-    gates its cluster assignments against the exact closure.
+    gates its cluster assignments against the exact closure instead.
     """
     pairs = (
         dedup_near(spark, sf)
@@ -1160,7 +1198,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     near-dup of the standing corpus, near-dup within the delta (the
     smallest-id member of a delta group stays new), or new-unique.
 
-    Rows-only check (LSH banding, like ``dedup_near``); quality
+    Rows-only check (MinHash = xxhash64, which DuckDB cannot replay —
+    see ``dedup_connected_lsh`` for the md5 trade-off note); quality
     evidence is the hash-checked ``recall_dedup_incremental_minhash``
     gate — every exact capped-shingle Jaccard>=0.2 pair involving a
     delta doc must surface as a candidate pair here.
