@@ -53,62 +53,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # round-7 additions go HERE (front of the window) as they land
-    "multimodal_dedup_audio",
-    "recall_dedup_audio",
-    "text_bm25_topk",
-    "graph_kcore",
-    "events_changepoint",
-    "sample_coreset_kcenter",
-    "agg_count_min",
-    "error_count_min",
-    "anonymize_k_anonymity",
-    "sample_importance_dsir",
-    "agg_bitmap_index",
-    "sim_range_search",
-    "recall_range_search",
-    "embedding_random_projection",
-    "error_random_projection",
-    "multimodal_clip_pairs",
-    "streaming_count_min",
-    "monitor_feature_drift",
-    "quality_ccnet_buckets",
-    "dedup_cluster_report",
-    "tokenizer_bpe_eval",
-    "multimodal_frame_dedup",
-    "events_survival_table",
-    "graph_link_prediction",
-    "events_bot_detection",
-    "curation_contamination_spans",
-    "events_seasonality",
-    "sink_codec_roundtrip",
-    "sink_manifest_pruned_scan",
-    "sink_partition_overwrite_dynamic",
-    "agg_ab_test",
-    "pipeline_curate_media",
-    "report_lsh_tuning",
-    "dedup_verbatim_spans",
-    "dedup_span_removal",
-    "sink_ann_index_roundtrip",
-    "graph_label_propagation",
-    "table_expectations",
-    "streaming_expectations",
-    "sink_training_shards",
-    "error_approx_intersection",
-    "join_fuzzy_names",
-    "dedup_semdedup",
-    "sink_versioned_snapshots",
-    "tokenizer_bpe_apply",
-    "sink_partitioned_roundtrip",
-    "multimodal_dedup_perceptual",
-    "recall_dedup_perceptual",
-    "sim_topk_ivfpq",
-    "recall_sim_topk_ivfpq",
-    # slots 51+ — the window holds exactly the 50 additions above;
-    # these are first in line when the window rotates next round
-    # (streaming_changepoint's batch twin IS window-checked and they
-    # share the oracle verbatim; anonymize_l_diversity extends the
-    # window-checked anonymize_k_anonymity with one more aggregate)
+    # ---- driver 50-slot check window (round 8) ----
+    # 1-19: round-7 additions awaiting their FIRST driver row
     "streaming_changepoint",
     "anonymize_l_diversity",
     "sim_topk_batch",
@@ -128,7 +74,19 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_ks_test",
     "agg_chi_square",
     "agg_ab_power",
-    # last driver row: round 1 (11 queries)
+    # 20-27: changed this round (Welch SE fix, undirected wedge fix,
+    # fused LSH tuning agg + all-pairs repartition, new hash-checked
+    # oracles for sim_topk_ivfpq / dedup_embedding_lsh, det codebook
+    # feeding the ann index roundtrip) — each needs a fresh green row
+    "agg_ab_test",
+    "graph_link_prediction",
+    "report_lsh_tuning",
+    "recall_range_search",
+    "sim_topk_ivfpq",
+    "recall_sim_topk_ivfpq",
+    "sink_ann_index_roundtrip",
+    "dedup_embedding_lsh",
+    # 28-38: standing rotation, oldest first — full round-1 cohort
     "filter_temporal",
     "filter_compound",
     "fn_regexp_extract",
@@ -140,7 +98,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_cross",
     "fn_concat",
     "fn_least_cast",
-    # last driver row: round 2 (47 queries)
+    # 39-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
@@ -153,6 +111,51 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_json",
     "fn_json_extract",
     "case_when_dispatch",
+    # ---- slots 51+: rotation backlog, oldest-checked first (rest of
+    # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "multimodal_dedup_audio",
+    "recall_dedup_audio",
+    "text_bm25_topk",
+    "graph_kcore",
+    "events_changepoint",
+    "sample_coreset_kcenter",
+    "agg_count_min",
+    "error_count_min",
+    "anonymize_k_anonymity",
+    "sample_importance_dsir",
+    "agg_bitmap_index",
+    "sim_range_search",
+    "embedding_random_projection",
+    "error_random_projection",
+    "multimodal_clip_pairs",
+    "streaming_count_min",
+    "monitor_feature_drift",
+    "quality_ccnet_buckets",
+    "dedup_cluster_report",
+    "tokenizer_bpe_eval",
+    "multimodal_frame_dedup",
+    "events_survival_table",
+    "events_bot_detection",
+    "curation_contamination_spans",
+    "events_seasonality",
+    "sink_codec_roundtrip",
+    "sink_manifest_pruned_scan",
+    "sink_partition_overwrite_dynamic",
+    "pipeline_curate_media",
+    "dedup_verbatim_spans",
+    "dedup_span_removal",
+    "graph_label_propagation",
+    "table_expectations",
+    "streaming_expectations",
+    "sink_training_shards",
+    "error_approx_intersection",
+    "join_fuzzy_names",
+    "dedup_semdedup",
+    "sink_versioned_snapshots",
+    "tokenizer_bpe_apply",
+    "sink_partitioned_roundtrip",
+    "multimodal_dedup_perceptual",
+    "recall_dedup_perceptual",
     "filter_error_rows",
     "sample_hash",
     "sample_stratified",
@@ -188,7 +191,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_tumbling",
     "limit_offset",
     "topk_order_limit",
-    # last driver row: round 3 (45 queries)
     "streaming_stateful",
     "dedup_embedding",
     "sink_json_roundtrip",
@@ -234,7 +236,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_row_number",
     "pipeline_fetch",
     "pipeline_media_dispatch",
-    # last driver row: round 4 (48 queries)
     "agg_count",
     "agg_avg",
     "agg_median",
@@ -283,7 +284,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_dedup",
     "streaming_stream_join",
     "streaming_static_join",
-    # last driver row: round 5 (50 queries)
     "fn_try_arith",
     "agg_mode",
     "agg_corr",
@@ -334,7 +334,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_budget_mix",
     "join_asof_nearest",
     "dedup_incremental",
-    # last driver row: round 6 (50 queries)
     "sink_zorder_roundtrip",
     "streaming_sliding",
     "embedding_quantize",
@@ -343,7 +342,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_percent_rank",
     "dedup_near",
     "dedup_simhash",
-    "dedup_embedding_lsh",
     "agg_approx_distinct",
     "dedup_incremental_minhash",
     "recall_dedup_incremental_minhash",

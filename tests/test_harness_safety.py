@@ -42,61 +42,37 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # the round-7 rotation cohort — all 11 queries whose latest driver
-    # row is round 1, plus the stalest round-2 rows; round-7 additions
-    # are pinned as they land, un-pinning the newest r2 rows when the
-    # window fills (those rotate back in round 8).
+    # (a) the 19 round-7 additions still awaiting their FIRST driver
+    # row, (b) everything whose implementation or oracle changed in
+    # round 8, (c) the standing oldest-checked-first rotation (the
+    # full r1 cohort + the stalest r2 rows). The r7-checked block just
+    # earned green rows, so it rotated to the back of the backlog.
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # round-7 additions
-        "multimodal_dedup_audio", "recall_dedup_audio", "text_bm25_topk",
-        "graph_kcore", "events_changepoint", "sample_coreset_kcenter",
-        "agg_count_min", "error_count_min", "anonymize_k_anonymity",
-        "sample_importance_dsir", "agg_bitmap_index",
-        "sim_range_search", "recall_range_search",
-        "embedding_random_projection", "error_random_projection",
-        "multimodal_clip_pairs",
-        "streaming_count_min", "monitor_feature_drift", "quality_ccnet_buckets",
-        "dedup_cluster_report", "tokenizer_bpe_eval", "multimodal_frame_dedup",
-        "events_survival_table", "graph_link_prediction", "events_bot_detection",
-        "curation_contamination_spans", "events_seasonality", "sink_codec_roundtrip",
-        "sink_manifest_pruned_scan", "sink_partition_overwrite_dynamic",
-        "agg_ab_test", "pipeline_curate_media", "report_lsh_tuning",
-        "dedup_verbatim_spans", "dedup_span_removal",
-        "sink_versioned_snapshots", "sink_ann_index_roundtrip",
-        "graph_label_propagation", "table_expectations",
-        "streaming_expectations", "sink_training_shards",
-        "error_approx_intersection", "join_fuzzy_names",
-        "dedup_semdedup",
-        "tokenizer_bpe_apply", "sink_partitioned_roundtrip",
-        "multimodal_dedup_perceptual", "recall_dedup_perceptual",
-        "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
-        # latest driver row: round 1 — the window is now exactly 50
-        # round-7 additions, so the full r1 cohort (filter_temporal /
-        # filter_compound / fn_regexp_extract / fn_date_format /
-        # sink_parquet and the rest) rotated out (r1 rows, pass
-        # locally; back in round 8 — new queries need their FIRST
-        # driver row more than r1 greens need refreshing)
-        # sink_csv_roundtrip / fn_ts_diff rotated out by the r7
-        # additions (r1 rows, pass locally; back in round 8)
-        # scan_range / join_cross / fn_concat / fn_least_cast rotated out by the r7
-        # additions (r1 rows, still pass locally; back in round 8)
-        # latest driver row: round 2 — all 30 r2 pins now rotated out by
-        # the r7 additions (each still passes locally; they rotate back
-        # in round 8):
-        # sim_pairs_blocked / sim_topk / sim_topk_ivf /
-        # agg_count_if / agg_ratio / agg_groupby_count /
-        # agg_cube / join_range / multimodal_features /
-        # scan_json / fn_json_extract / case_when_dispatch /
-        # filter_error_rows / sample_hash / sample_stratified /
-        # split_train_test / sample_weighted_mix /
-        # filter_by_quantile / pack_sequences / fn_array_ops / fn_map_ops /
-        # join_skew_salted / join_bucketed / union_by_name /
-        # distinct_dedup / set_intersect / agg_grouping_sets / sql_cte /
-        # window_session / window_sliding un-pinned as the r7 additions
-        # grew past the window (all still pass locally; they rotate back
-        # in round 8)
+        # 19 round-7 additions with no driver row yet
+        "streaming_changepoint", "anonymize_l_diversity", "sim_topk_batch",
+        "text_rake_keywords", "sample_hard_negatives",
+        "multimodal_dedup_audio_incr", "agg_log_histogram",
+        "error_log_quantile", "sink_snapshot_expire", "events_path_trigrams",
+        "anonymize_t_closeness", "events_growth_accounting",
+        "multimodal_audio_trim", "pipeline_privacy_audit", "sim_mmr_rerank",
+        "agg_mannwhitney", "agg_ks_test", "agg_chi_square", "agg_ab_power",
+        # changed in round 8: Welch SE fix / undirected-wedge fix /
+        # fused LSH tuning + all-pairs repartition / new hash-checked
+        # oracles / deterministic PQ codebook
+        "agg_ab_test", "graph_link_prediction", "report_lsh_tuning",
+        "recall_range_search", "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
+        "sink_ann_index_roundtrip", "dedup_embedding_lsh",
+        # rotation: full round-1 cohort (latest driver row r1)
+        "filter_temporal", "filter_compound", "fn_regexp_extract",
+        "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
+        "scan_range", "join_cross", "fn_concat", "fn_least_cast",
+        # rotation: stalest round-2 rows
+        "sim_pairs_blocked", "sim_topk", "sim_topk_ivf", "agg_count_if",
+        "agg_ratio", "agg_groupby_count", "agg_cube", "join_range",
+        "multimodal_features", "scan_json", "fn_json_extract",
+        "case_when_dispatch",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
