@@ -1536,3 +1536,80 @@ def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "phrase", "n_words", "score")
     )
+
+
+# Readability scoring — the Flesch-Kincaid grade level over the same
+# integer counts the quality family already extracts: words,
+# sentences, and a vowel-run syllable heuristic (maximal [aeiouy]+
+# groups — the classic dictionary-free approximation; runs cannot
+# span whitespace, so the corpus-level regexp count IS the per-word
+# sum). Training-data curation uses the grade as a complexity
+# stratifier next to quality_score/gopher_rules: sample curricula by
+# band, or drop the unreadable tail. All three counts are exact
+# integers, so the grade is one fixed IEEE expression — hash-checked.
+@query(
+    "text_readability",
+    oracle=r"""
+    select doc_id,
+           n_words,
+           n_sentences,
+           n_syllables,
+           case when n_words > 0 then
+             0.39 * (cast(n_words as double) / n_sentences)
+             + 11.8 * (cast(n_syllables as double) / n_words)
+             - 15.59
+           end as fk_grade,
+           case when n_words > 0 then
+             cast(floor(0.39 * (cast(n_words as double) / n_sentences)
+                        + 11.8 * (cast(n_syllables as double) / n_words)
+                        - 15.59) as int)
+           end as grade_band
+    from (
+      select doc_id,
+             cast(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+')) as bigint)
+               as n_words,
+             cast(greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+                  as bigint) as n_sentences,
+             cast(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+                  as bigint) as n_syllables
+      from documents
+    )
+    """,
+    tags=("text", "quality"),
+)
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-Kincaid grade per document: 0.39*(words/sentences) +
+    11.8*(syllables/words) - 15.59, with syllables ~ vowel-group runs
+    and sentences floored at 1 (the fixture corpus is unpunctuated
+    word salad — the operator is the point). NULL grade for wordless
+    docs; grade_band = floor(grade) is the curriculum-bucketing key.
+
+    100 TB shape: three regexp counters per row beside the scan —
+    pure map work, codegen-side, no shuffle at all; the double
+    arithmetic happens on the three already-reduced integers. The
+    stratified-sampling consumer (sample_stratified and friends)
+    groups on grade_band, which is when the one shuffle happens.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(r"[A-Za-z]+")).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(txt), F.lit(r"[aeiouy]+")).cast("long").alias("n_syllables"),
+    )
+    grade = (
+        F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        + F.lit(11.8) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - F.lit(15.59)
+    )
+    has_words = F.col("n_words") > 0
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(has_words, grade).alias("fk_grade"),
+        F.when(has_words, F.floor(grade).cast("int")).alias("grade_band"),
+    )

@@ -1955,3 +1955,74 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         selected = selected.unionByName(nxt.select("vec_id")).localCheckpoint(eager=True)
     return picks.orderBy("pick")
+
+
+# IVF operational diagnostics — the cell-balance report a serving team
+# reads before picking nlist/nprobe: per-cell population, corpus
+# fraction, and imbalance vs the uniform ideal. Skewed cells are the
+# IVF failure mode at scale (a hot cell turns every probe into a near
+# full scan; an empty cell wastes a centroid), and the fix — re-train,
+# split the hot cell, or raise nprobe — starts from exactly this
+# table. Pure integer counting over the deterministic seed-centroid
+# assignment, so the report is hash-checked.
+@query(
+    "report_ivf_balance",
+    oracle=f"""
+    with centroids as (
+      select vec_id as cid, embedding from embeddings where vec_id between 1 and 8
+    ),
+    assign as (
+      select vec_id, cid as cell from (
+        select e.vec_id, c.cid,
+               row_number() over (partition by e.vec_id
+                                  order by {_cos_sql('e', 'c')} desc, c.cid) as rn
+        from embeddings e cross join centroids c
+      ) where rn = 1
+    ),
+    tot as (select cast(count(*) as bigint) as n_total from assign)
+    select c.cid as cell,
+           cast(coalesce(p.n, 0) as bigint) as n_vectors,
+           cast(coalesce(p.n, 0) as double) / tot.n_total as frac,
+           cast(coalesce(p.n, 0) * 8 as double) / tot.n_total as imbalance
+    from centroids c
+    left join (select cell, cast(count(*) as bigint) as n from assign group by cell) p
+      on p.cell = c.cid
+    cross join tot
+    """,
+    tags=("vector", "ivf", "report"),
+)
+def report_ivf_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-IVF-cell population report over the fixture's 8 seed
+    centroids: (cell, n_vectors, frac, imbalance) where imbalance is
+    n_vectors / (n_total / n_cells) — 1.0 is the uniform ideal, and a
+    cell at 3.0 means probes landing there scan 3x their fair share.
+    Empty cells appear with zero counts (left join from the centroid
+    table), which is the other signal worth alarming on.
+
+    100 TB shape: assignment is the map-side broadcast-centroid argmax
+    every IVF consumer here shares (assign_cells — no corpus shuffle),
+    and the report aggregates to n_cells rows with map-side combine.
+    Run it after every re-train; feed hot cells back as split
+    candidates. The 1-row total broadcasts for the fraction columns.
+    """
+    e = t(spark, sf, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assign = assign_cells(e, cent).select("vec_id", "cell")
+    per = assign.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = assign.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        cent.select("cid")
+        .join(per, F.col("cell") == F.col("cid"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cid").alias("cell"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_vectors"),
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("n_total")).alias("frac"),
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) * F.lit(8)).cast("double")
+                / F.col("n_total")
+            ).alias("imbalance"),
+        )
+    )

@@ -98,7 +98,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_cross",
     "fn_concat",
     "fn_least_cast",
-    # 39-50: next-stalest round-2 rows
+    # 39-41: NEW round-8 operators (first driver row)
+    "anonymize_dp_counts",
+    "text_readability",
+    "report_ivf_balance",
+    # 42-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
@@ -108,11 +112,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "join_range",
     "multimodal_features",
+    # ---- slots 51+: rotation backlog, oldest-checked first (rest of
+    # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
     "scan_json",
     "fn_json_extract",
     "case_when_dispatch",
-    # ---- slots 51+: rotation backlog, oldest-checked first (rest of
-    # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
     "multimodal_dedup_audio",
     "recall_dedup_audio",
     "text_bm25_topk",

@@ -753,3 +753,76 @@ def test_table_diff_null_text_doc_in_both_snapshots_is_unchanged(spark, tmp_path
         .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     got = {r["doc_id"]: r["status"] for r in table_diff(spark, str(tmp_path)).collect()}
     assert got == {1: "unchanged", 2: "unchanged", 15: "changed", 23: "removed", 37: "added"}
+
+
+def test_dp_counts_mechanism_matches_python_and_is_calibrated(spark, sf_dir):
+    # Recompute the seeded discrete-geometric mechanism in pure Python
+    # (hashlib md5 + bit tricks) per QI group and require dp_n to match
+    # exactly; then check calibration: noise is centered (two-sided)
+    # and bounded in probability (P(|noise| > 12) ~ 2^-12 per side, so
+    # 125 groups should show max |noise| well under 20).
+    import hashlib
+    from collections import Counter
+
+    from parquet_processor_spark.ops.curation import _DP_SEED, anonymize_dp_counts
+    from parquet_processor_spark.tables import t
+
+    def tz(x):
+        return 60 if x == 0 else (x & -x).bit_length() - 1
+
+    def h60(seg, nat, tag):
+        s = f"{seg}:{nat}:{tag}:{_DP_SEED}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    true = Counter(
+        (r["c_mktsegment"], r["c_nationkey"])
+        for r in t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").collect()
+    )
+    got = {
+        (r["qi_segment"], r["qi_nation"]): r["dp_n"]
+        for r in anonymize_dp_counts(spark, sf_dir).collect()
+    }
+    assert set(got) == set(true)
+    noises = []
+    for (seg, nat), n in true.items():
+        noise = tz(h60(seg, nat, "1")) - tz(h60(seg, nat, "2"))
+        noises.append(noise)
+        assert got[(seg, nat)] == max(n + noise, 0)
+    assert max(abs(x) for x in noises) < 20
+    assert abs(sum(noises)) <= len(noises)  # two-sided, roughly centered
+
+
+def test_readability_matches_a_python_witness(spark, sf_dir, tmp_path):
+    # Recompute FK on the fixture with re (independent tokenizer) and
+    # bitwise-match the grade; then a synthetic corpus exercises the
+    # null-text and wordless edges and a known-answer sentence.
+    import re
+
+    from parquet_processor_spark.ops.text import text_readability
+    from parquet_processor_spark.tables import t
+
+    docs = {r["doc_id"]: r["text"] for r in t(spark, sf_dir, "documents").collect()}
+    got = {r["doc_id"]: r for r in text_readability(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in list(docs.items())[:50]:
+        text = text or ""
+        w = len(re.findall(r"[A-Za-z]+", text))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        r = got[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
+        if w:
+            assert r["fk_grade"] == 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+            assert r["grade_band"] == int(r["fk_grade"] // 1)
+        else:
+            assert r["fk_grade"] is None and r["grade_band"] is None
+
+    rows = [(1, None), (2, "12345 !!!"), (3, "The cat sat on the mat. It purred!")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in text_readability(spark, str(tmp_path)).collect()}
+    assert out[1]["fk_grade"] is None and out[1]["n_words"] == 0
+    assert out[2]["fk_grade"] is None and out[2]["n_sentences"] == 1
+    r3 = out[3]
+    assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (8, 2, 9)
+    assert r3["fk_grade"] == 0.39 * (8 / 2) + 11.8 * (9 / 8) - 15.59

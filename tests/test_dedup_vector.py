@@ -659,3 +659,38 @@ def test_mmr_rerank_matches_a_sequential_greedy(spark, sf_dir):
         )
 
     assert max_pairwise(picked) <= max_pairwise(cand[:_MMR_PICK]) + 1e-12
+
+
+def test_ivf_balance_report_is_a_true_histogram(spark, sf_dir):
+    # The report's counts must be the exact histogram of the same
+    # argmax-cosine assignment sim_topk_ivf serves from (numpy
+    # witness), fractions must sum to 1 over all cells including
+    # empties, and imbalance must be frac * n_cells.
+    from collections import Counter
+
+    import numpy as np
+
+    from parquet_processor_spark.ops.vector import report_ivf_balance
+    from parquet_processor_spark.tables import t
+
+    rows = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    cents = {cid: emb[cid] for cid in range(1, 9)}
+    counts = Counter()
+    for vid, v in emb.items():
+        best = max(
+            cents,
+            key=lambda c: (
+                float(v @ cents[c]) / (np.linalg.norm(v) * np.linalg.norm(cents[c])),
+                -c,
+            ),
+        )
+        counts[best] += 1
+    got = {r["cell"]: r for r in report_ivf_balance(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 9))
+    total = len(emb)
+    for cell, r in got.items():
+        assert r["n_vectors"] == counts.get(cell, 0)
+        assert r["frac"] == counts.get(cell, 0) / total
+        assert r["imbalance"] == (counts.get(cell, 0) * 8) / total
+    assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-12

@@ -105,6 +105,9 @@ REPRESENTATIVE = [
     "multimodal_audio_trim",   # frame trim over an empty media set
     "pipeline_privacy_audit",  # triad verdicts over an empty population
     "sim_mmr_rerank",          # greedy rerank over an empty shortlist
+    "anonymize_dp_counts",     # DP noise projection over empty QI groups
+    "text_readability",        # per-row regexp counters, no rows
+    "report_ivf_balance",      # left join from empty centroid table
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power are
     # global aggregates: one row on
     # empty input with null stats — covered by their witness tests)

@@ -103,7 +103,9 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "multimodal_audio_trim", "pipeline_privacy_audit", "sim_mmr_rerank",
          "agg_mannwhitney", "agg_ks_test", "agg_chi_square", "agg_ab_power",
          # round-8 re-measured (undirected wedges / fused+parallel tuning report)
-         "report_lsh_tuning"]
+         "report_lsh_tuning",
+         # round-8 additions
+         "anonymize_dp_counts", "text_readability", "report_ivf_balance"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
