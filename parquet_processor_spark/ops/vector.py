@@ -968,7 +968,11 @@ def _ivfpq_build(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
         .limit(_IVF_NPROBE)
         .select("q_cell")
     )
-    subsq = _ivfpq_qsubs(e)
+    # eager-by-design: the quantized subvector table feeds every Lloyd
+    # round's assignment AND both centroid updates AND the query-side
+    # distance table — without the cut each of those re-runs the
+    # unit-normalize + quantize lineage (measured ~2x on the serve)
+    subsq = _ivfpq_qsubs(e).localCheckpoint(eager=True)
     cb, enc = _ivfpq_train_det(subsq, _IVFPQ_K, _IVFPQ_ITERS)
     codes = enc.select("vec_id", F.col("m").alias("cm"), F.col("cell").alias("code"))
     qsub = subsq.where(F.col("vec_id") == 0).select(
