@@ -2278,3 +2278,116 @@ def events_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("wk", "state")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# Linear-trend forecast per event type — the capacity-planning twin of
+# the changepoint/seasonality pair: OLS over the (event_type, day)
+# count spine, slope/intercept/r2 from EXACT integer sufficient
+# statistics (x is days-since-the-type's-own-min-date, so every sum
+# fits comfortably in int64 at any corpus size; each double is one
+# pinned division of exact integers), plus next-day and +7-day point
+# forecasts. agg_regression proves the global-moment machinery; this
+# is the grouped time-series version a forecasting job actually runs.
+@query(
+    "events_forecast_linear",
+    oracle="""
+    with daily as (
+      select event_type, cast(ts as date) as d,
+             cast(count(*) as bigint) as y
+      from events where ts is not null
+      group by 1, 2
+    ),
+    based as (
+      select event_type, d, y,
+             cast(date_diff('day', min(d) over (partition by event_type), d)
+                  as bigint) as x
+      from daily
+    ),
+    s as (
+      select event_type,
+             cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(y * y) as bigint) as syy,
+             cast(max(x) as bigint) as x_max
+      from based
+      group by event_type
+    )
+    select event_type,
+           n as n_days,
+           cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx) as slope,
+           (cast(sy as double)
+              - (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)) * sx)
+             / n as intercept,
+           (cast(n * sxy - sx * sy as double) * (n * sxy - sx * sy))
+             / (cast(n * sxx - sx * sx as double) * (n * syy - sy * sy)) as r2,
+           (cast(sy as double)
+              - (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)) * sx)
+             / n
+             + (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx))
+               * (x_max + 1) as forecast_next,
+           (cast(sy as double)
+              - (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)) * sx)
+             / n
+             + (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx))
+               * (x_max + 7) as forecast_7d
+    from s
+    where n >= 2 and n * sxx - sx * sx > 0
+    """,
+    tags=("events", "timeseries", "forecast"),
+)
+def events_forecast_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type OLS trend over the daily count spine with
+    next-day / +7-day point forecasts and r2. Degenerate types (one
+    day, or zero x-variance) are excluded rather than emitted with
+    null slopes — a forecast you cannot fit is not a forecast.
+
+    100 TB shape: the corpus collapses to the (type, day) spine in ONE
+    map-side-combined aggregate (the events_seasonality discipline);
+    the per-type min-day rebase is a window over the tiny spine; the
+    OLS is a second map-side aggregate to |types| rows of integer
+    moments, and every reported double is a fixed expression on one
+    row. Nothing heavier than the spine ever shuffles, and the spine
+    is bounded by |types| x days regardless of corpus size. Rebasing x
+    to each type's own first day keeps x small (days of history, not
+    epoch days); the binding int64 bound is sum(y^2) < 2^63 — a year
+    of history at ~1.5e8 events/type/day, past which y should be
+    pre-scaled (forecast counts in thousands).
+    """
+    ev = t(spark, sf, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type")
+    based = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.min("d").over(w)).cast("long").alias("x"),
+        "y",
+    )
+    s = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.max("x").cast("long").alias("x_max"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    r2 = (num.cast("double") * num) / (
+        den.cast("double") * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.where((F.col("n") >= 2) & (den > 0)).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+        (intercept + slope * (F.col("x_max") + 1)).alias("forecast_next"),
+        (intercept + slope * (F.col("x_max") + 7)).alias("forecast_7d"),
+    )

@@ -98,11 +98,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_cross",
     "fn_concat",
     "fn_least_cast",
-    # 39-41: NEW round-8 operators (first driver row)
+    # 39-42: NEW round-8 operators (first driver row)
     "anonymize_dp_counts",
     "text_readability",
     "report_ivf_balance",
-    # 42-50: next-stalest round-2 rows
+    "events_forecast_linear",
+    # 43-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
@@ -111,9 +112,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_groupby_count",
     "agg_cube",
     "join_range",
-    "multimodal_features",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "multimodal_features",
     "scan_json",
     "fn_json_extract",
     "case_when_dispatch",

@@ -826,3 +826,43 @@ def test_readability_matches_a_python_witness(spark, sf_dir, tmp_path):
     r3 = out[3]
     assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (8, 2, 9)
     assert r3["fk_grade"] == 0.39 * (8 / 2) + 11.8 * (9 / 8) - 15.59
+
+
+def test_forecast_linear_matches_numpy_polyfit(spark, sf_dir):
+    # Independent witness: rebuild each type's daily spine in Python,
+    # fit with numpy.polyfit (a different algorithm — QR least squares
+    # vs closed-form moments), and require slope/intercept to agree to
+    # float tolerance, r2 in [0, 1], and the forecasts to be exactly
+    # intercept + slope * (x_max + h).
+    from collections import Counter
+
+    import numpy as np
+
+    from parquet_processor_spark.ops.temporal import events_forecast_linear
+    from parquet_processor_spark.tables import t as tt
+
+    daily = Counter()
+    for r in tt(spark, sf_dir, "events").where(F.col("ts").isNotNull()).select(
+        "event_type", F.to_date("ts").alias("d")
+    ).collect():
+        daily[(r["event_type"], r["d"])] += 1
+    series = {}
+    for (et, d), y in daily.items():
+        series.setdefault(et, []).append((d, y))
+    got = {r["event_type"]: r for r in events_forecast_linear(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        d0 = pts[0][0]
+        xs = np.array([(d - d0).days for d, _ in pts], dtype=float)
+        ys = np.array([y for _, y in pts], dtype=float)
+        if len(pts) < 2 or xs.var() == 0:
+            assert et not in got
+            continue
+        r = got[et]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope"] - slope) < 1e-9 * max(1, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-9 * max(1, abs(intercept))
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-12
+        assert r["n_days"] == len(pts)
+        assert r["forecast_next"] == r["intercept"] + r["slope"] * (xs.max() + 1)
+        assert r["forecast_7d"] == r["intercept"] + r["slope"] * (xs.max() + 7)

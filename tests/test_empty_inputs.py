@@ -105,6 +105,7 @@ REPRESENTATIVE = [
     "multimodal_audio_trim",   # frame trim over an empty media set
     "pipeline_privacy_audit",  # triad verdicts over an empty population
     "sim_mmr_rerank",          # greedy rerank over an empty shortlist
+    "events_forecast_linear",  # OLS moments over an empty daily spine
     "anonymize_dp_counts",     # DP noise projection over empty QI groups
     "text_readability",        # per-row regexp counters, no rows
     "report_ivf_balance",      # left join from empty centroid table

@@ -105,7 +105,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          # round-8 re-measured (undirected wedges / fused+parallel tuning report)
          "report_lsh_tuning",
          # round-8 additions
-         "anonymize_dp_counts", "text_readability", "report_ivf_balance"]
+         "anonymize_dp_counts", "text_readability", "report_ivf_balance",
+         "events_forecast_linear"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
