@@ -1015,3 +1015,45 @@ def test_batched_topk_limits_before_the_shuffle(spark):
     assert len(scan_ids) == 2, plan  # corpus + query batch, once each
     assert plan.count("WindowGroupLimit") >= 2, f"no partial+final top-K:\n{plan}"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_dp_counts_noise_runs_post_aggregation(spark):
+    # N156 claim: ONE map-side-combined aggregate collapses the
+    # population; the DP noise is a projection on the grouped rows —
+    # no join, no window, no second scan.
+    plan = plan_of(spark, "anonymize_dp_counts")
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_readability_is_scan_side_only(spark):
+    # N157 claim: three regexp counters beside the scan — no exchange
+    # of any kind, no join, the whole operator is one codegen map.
+    plan = plan_of(spark, "text_readability")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_ivf_balance_never_shuffles_the_corpus(spark):
+    # N158 claim: assignment is the broadcast-centroid argmax beside
+    # the scan; the report aggregates to n_cells rows. The embeddings
+    # table must appear in scans, but no sort-merge join (the joins are
+    # broadcast) and no window may form.
+    plan = plan_of(spark, "report_ivf_balance")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_forecast_linear_shuffles_only_the_spine(spark):
+    # N159 claim: corpus -> (type, day) spine in one map-side-combined
+    # aggregate; the rebase window and OLS moments run on the spine.
+    # The single corpus scan must partial-aggregate before its
+    # exchange, and the only window partitions by event_type (never a
+    # SinglePartition sort).
+    plan = plan_of(spark, "events_forecast_linear")
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
+    assert not _single_partition_sorts(plan), plan
+    assert plan.count("HashAggregate") >= 4, plan  # two partial+final pairs
