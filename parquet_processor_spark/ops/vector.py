@@ -1268,7 +1268,10 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     assign = assign_cells(e, cent).select(
         "vec_id", "embedding", "cell", norm(F.col("embedding")).alias("nrm")
     )
-    a = assign.alias("a")
+    # spread the pair join's streamed side — the parquet is often ONE
+    # row group at check SF, serializing the per-cell quadratic onto
+    # one core (same fix as the range-search truth join)
+    a = assign.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = assign.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
