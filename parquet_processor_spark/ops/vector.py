@@ -2033,3 +2033,114 @@ def report_ivf_balance(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("imbalance"),
         )
     )
+
+
+# k-NN GRAPH construction — every vector's top-K neighbors in ONE job
+# (vs sim_topk's one query): the batch ANN-graph primitive SemDeDup-
+# style pipelines, graph clustering, and label propagation over
+# embeddings all start from. Candidates come from the same literal-
+# hyperplane banding as dedup_embedding_lsh; each undirected candidate
+# pair is scored ONCE and mirrored (per-element products commute, so
+# the mirrored cosine is bitwise identical); the per-source top-K is a
+# rank filter that plans as WindowGroupLimit.
+_KNN_K = 5
+_KNN_BANDS = 8
+
+
+def _knn_graph_oracle() -> str:
+    keys = ", ".join(_band_key_sql("e", b) for b in range(_KNN_BANDS))
+    return f"""
+    with keyed as (
+      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
+    ),
+    cand as (
+      select distinct k1.vec_id as src, k2.vec_id as dst
+      from keyed k1 join keyed k2 using (band_key)
+      where k1.vec_id <> k2.vec_id
+    ),
+    scored as (
+      select c.src, c.dst, {_cos_sql('a', 'b')} as cos_sim
+      from cand c
+      join embeddings a on a.vec_id = c.src
+      join embeddings b on b.vec_id = c.dst
+    )
+    select src, dst, cos_sim, cast(rn as int) as rank
+    from (select *, row_number() over (partition by src
+                                       order by cos_sim desc, dst) as rn
+          from scored)
+    where rn <= {_KNN_K}
+    """
+
+
+@query("sim_knn_graph", oracle=_knn_graph_oracle(), tags=("vector", "lsh", "knn", "graph"))
+def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{_KNN_K} cosine neighbors for EVERY vector from banded-LSH
+    candidates (L={_KNN_BANDS} x r=3 literal hyperplanes — hash-checked
+    end to end). Vectors whose buckets yield fewer than K candidates
+    emit fewer rows; the measured miss rate vs exact k-NN is gated by
+    ``recall_sim_knn_graph``.
+
+    100 TB shape: the band UDF runs ONCE over the corpus and only
+    (band_key, vec_id) longs shuffle into posting lists; each bucket's
+    pairs stream out of chained generators (never a band-key
+    self-join); every undirected pair is scored once — the mirror row
+    reuses the score, which is bitwise-safe because per-element
+    products and the norm product commute; embeddings join back by id
+    only for surviving pairs; and the rank<= {_KNN_K} filter plans as
+    WindowGroupLimit (partial top-K per map task BEFORE the src
+    shuffle), so K*P rows cross the wire per source, never the
+    candidate mass.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings")
+    keyed = e.select(
+        "vec_id",
+        F.explode_outer(lsh_band_keys_arrow(_KNN_BANDS)(F.col("embedding"))).alias("band_key"),
+    )
+    blocks = (
+        keyed.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        blocks.select("ids", F.posexplode("ids").alias("i", "lo"))
+        .select(
+            "lo",
+            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("hi"),
+        )
+        .where(F.col("hi").isNotNull())
+        .dropDuplicates(["lo", "hi"])
+    )
+    emb_a = e.select(
+        F.col("vec_id").alias("_ia"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    emb_b = e.select(
+        F.col("vec_id").alias("_ib"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+    scored_und = (
+        cand.join(emb_a, F.col("lo") == F.col("_ia"))
+        .join(emb_b, F.col("hi") == F.col("_ib"))
+        .select("lo", "hi", cos.alias("cos_sim"))
+    )
+    # mirror via a 2-row explode, NOT a self-union: a union references
+    # the scored subtree twice, which re-runs the band-key Arrow pass
+    # and the whole pair join per branch (plan-asserted single pass)
+    directed = scored_und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst"), F.col("cos_sim")),
+                F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst"), F.col("cos_sim")),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.cos_sim")
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _KNN_K)
+    )

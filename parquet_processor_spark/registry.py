@@ -98,22 +98,24 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_cross",
     "fn_concat",
     "fn_least_cast",
-    # 39-42: NEW round-8 operators (first driver row)
+    # 39-44: NEW round-8 operators (first driver row)
     "anonymize_dp_counts",
     "text_readability",
     "report_ivf_balance",
     "events_forecast_linear",
-    # 43-50: next-stalest round-2 rows
+    "sim_knn_graph",
+    "recall_sim_knn_graph",
+    # 45-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
     "agg_count_if",
     "agg_ratio",
     "agg_groupby_count",
-    "agg_cube",
-    "join_range",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "agg_cube",
+    "join_range",
     "multimodal_features",
     "scan_json",
     "fn_json_extract",

@@ -109,6 +109,7 @@ REPRESENTATIVE = [
     "anonymize_dp_counts",     # DP noise projection over empty QI groups
     "text_readability",        # per-row regexp counters, no rows
     "report_ivf_balance",      # left join from empty centroid table
+    "sim_knn_graph",           # posting-list knn over empty buckets
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power are
     # global aggregates: one row on
     # empty input with null stats — covered by their witness tests)

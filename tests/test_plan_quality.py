@@ -1057,3 +1057,13 @@ def test_forecast_linear_shuffles_only_the_spine(spark):
     assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
     assert not _single_partition_sorts(plan), plan
     assert plan.count("HashAggregate") >= 4, plan  # two partial+final pairs
+
+
+def test_knn_graph_topk_is_window_group_limit(spark):
+    # N160 claim: the rank<=K filter plans as WindowGroupLimit (partial
+    # top-K per map task before the src shuffle), the band UDF runs as
+    # ONE ArrowEvalPython pass, and no cartesian pairing forms.
+    plan = plan_of(spark, "sim_knn_graph")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
+    assert "CartesianProduct" not in plan, plan
