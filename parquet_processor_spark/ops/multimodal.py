@@ -21,7 +21,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1447,4 +1447,122 @@ def multimodal_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
             F.col("track_id") >= 1_000_000_000,
             F.col("trimmed_md5") == F.col("src_md5"),
         ).alias("exact_after_trim"),
+    )
+
+
+# Scene-cut detection — the video SEGMENTATION primitive the frame
+# family implies (frame_dedup finds cross-media matches; this finds
+# WITHIN-media discontinuities): dHash each sampled frame, Hamming-
+# compare consecutive frames, and open a new scene when the distance
+# jumps past the cut threshold. Scene boundaries drive keyframe
+# selection, per-scene captioning, and clip-level dedup in a real
+# video pipeline. The fixture's 4-frame fakes are genuinely bimodal
+# (repetitive texts yield consecutive Hamming <= 10, heterogeneous
+# ones > 20 — measured at both check SFs), so the threshold separates
+# real modes rather than labeling everything a cut.
+_SCENE_CUT_HAM = 16
+
+
+def _scene_frames_cte() -> str:
+    return """
+      select m.media_id * 4 + i as media_id,
+             substr(m.content,
+                    cast(i * greatest(len(m.content) // 4, 1) + 1 as int),
+                    cast(greatest(len(m.content) // 4, 1) as int)) as content
+      from (select doc_id as media_id, coalesce(text, '') as content
+            from documents) m, generate_series(0, 3) t(i)
+"""
+
+
+def _scene_cut_oracle() -> str:
+    base = _phash_oracle(_scene_frames_cte())
+    # reuse the px/h chunk CTEs from the dedup oracle, stop before the
+    # pairing stages
+    h_part = base[: base.index(",\n    keys as (")]
+    ham = " + ".join(
+        f"bit_count(cast(xor(chunks[{c + 1}], prev[{c + 1}]) as bigint))"
+        for c in range(_PHASH_BANDS)
+    )
+    return f"""
+    {h_part},
+    f as (
+      select media_id // 4 as media, cast(media_id % 4 as int) as fi, chunks
+      from h
+    ),
+    lagged as (
+      select media, fi, chunks,
+             lag(chunks) over (partition by media order by fi) as prev
+      from f
+    ),
+    cuts as (
+      select media, fi,
+             case when prev is null then null else {ham} end as ham_prev,
+             (prev is null) or ({ham} > {_SCENE_CUT_HAM}) as is_cut
+      from lagged
+    )
+    select media as media_id, fi as frame_idx, cast(ham_prev as int) as ham_prev,
+           is_cut,
+           cast(sum(case when is_cut then 1 else 0 end)
+                  over (partition by media order by fi
+                        rows between unbounded preceding and current row) - 1
+                as int) as scene_id
+    from cuts
+    """
+
+
+@query("multimodal_scene_cut", oracle=_scene_cut_oracle(), tags=("multimodal", "video", "segmentation"))
+def multimodal_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-frame scene segmentation: Hamming distance between each
+    frame's dHash and its predecessor's, a cut where the distance
+    exceeds {ham} bits (frame 0 always opens scene 0), and a running
+    scene_id per media. Hash-checked — the dHash is the family's
+    integer-exact signature and the cut logic is window arithmetic.
+
+    100 TB shape: frames ride the payload's mapInPandas batch (the
+    1:4 sampler, no shuffle), the dHash is the one Arrow pass, and
+    BOTH windows (lag and running cut count) share a single hash
+    exchange on media_id with 4-row partitions — the collapsed-keys
+    discipline: the window sorts frame spines, never payload bytes,
+    which left the pipeline at the sampler.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("content"),
+    )
+    frames = sample_frames(docs, n_frames=4).select(
+        (F.col("media_id") * 4 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").cast("string").alias("content"),
+    )
+    sig = _phash_bands_arrow(frames).select(
+        (F.col("media_id") / 4).cast("long").alias("media"),
+        (F.col("media_id") % 4).cast("int").alias("fi"),
+        *[f"b{c}" for c in range(_PHASH_BANDS)],
+    )
+    w = Window.partitionBy("media").orderBy("fi")
+    ham = sum(
+        (
+            F.bit_count(F.col(f"b{c}").bitwiseXOR(F.lag(f"b{c}").over(w)))
+            for c in range(_PHASH_BANDS)
+        ),
+        F.lit(0),
+    )
+    cuts = sig.select(
+        "media",
+        "fi",
+        F.when(F.lag("b0").over(w).isNull(), F.lit(None).cast("int"))
+        .otherwise(ham.cast("int"))
+        .alias("ham_prev"),
+        (F.lag("b0").over(w).isNull() | (ham > _SCENE_CUT_HAM)).alias("is_cut"),
+    )
+    run = Window.partitionBy("media").orderBy("fi").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cuts.select(
+        F.col("media").alias("media_id"),
+        F.col("fi").alias("frame_idx"),
+        "ham_prev",
+        "is_cut",
+        (F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).over(run) - 1)
+        .cast("int")
+        .alias("scene_id"),
     )

@@ -110,6 +110,7 @@ REPRESENTATIVE = [
     "text_readability",        # per-row regexp counters, no rows
     "report_ivf_balance",      # left join from empty centroid table
     "sim_knn_graph",           # posting-list knn over empty buckets
+    "multimodal_scene_cut",    # frame windows over an empty media set
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power are
     # global aggregates: one row on
     # empty input with null stats — covered by their witness tests)

@@ -307,3 +307,57 @@ def test_audio_trim_restores_every_injected_original(spark, sf_dir):
             assert r["trimmed_chars"] == lens[r["track_id"]]
         else:
             assert r["first_loud"] == 2  # the injected 2-frame prefix
+
+
+def test_scene_cut_segmentation_invariants(spark, sf_dir):
+    # Witness: recompute dHash hamming between consecutive frames in
+    # Python (reusing the tested JVM-twin contract via the operator's
+    # own signature pass would be circular — so recompute from raw
+    # text with the block-mean/gradient recipe) and check the cut
+    # labels plus scene bookkeeping invariants: frame 0 always opens
+    # scene 0, scene ids are contiguous and non-decreasing, is_cut
+    # MUST match ham_prev vs threshold, and the fixture is genuinely
+    # bimodal (some multi-scene and some single-scene-after-0 media).
+    from parquet_processor_spark.ops.multimodal import _PHASH_PIX, _SCENE_CUT_HAM, multimodal_scene_cut
+    from parquet_processor_spark.tables import t
+
+    def dhash(s: str) -> int:
+        cps = [ord(c) for c in s]
+        n = len(cps)
+        if n == 0:
+            pix = [0] * _PHASH_PIX
+        else:
+            pix = []
+            for i in range(_PHASH_PIX):
+                lo, hi = i * n // _PHASH_PIX, (i + 1) * n // _PHASH_PIX
+                block = cps[lo:hi]
+                pix.append(sum(block) // max(len(block), 1))
+        return sum((1 << j) for j in range(_PHASH_PIX - 1) if pix[j] > pix[j + 1])
+
+    docs = {r["doc_id"]: (r["text"] or "") for r in t(spark, sf_dir, "documents").collect()}
+    rows = sorted(
+        ((r["media_id"], r["frame_idx"], r) for r in multimodal_scene_cut(spark, sf_dir).collect())
+    )
+    by_media: dict = {}
+    for m, fi, r in rows:
+        by_media.setdefault(m, []).append(r)
+    assert set(by_media) == set(docs)
+    multi = single = 0
+    for m, frames in by_media.items():
+        text = docs[m]
+        step = max(len(text) // 4, 1)
+        sigs = [dhash(text[i * step : (i + 1) * step]) for i in range(4)]
+        assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
+        assert frames[0]["ham_prev"] is None and frames[0]["is_cut"] and frames[0]["scene_id"] == 0
+        prev_scene = 0
+        for i in range(1, 4):
+            r = frames[i]
+            ham = bin(sigs[i] ^ sigs[i - 1]).count("1")
+            assert r["ham_prev"] == ham
+            assert r["is_cut"] == (ham > _SCENE_CUT_HAM)
+            assert r["scene_id"] == prev_scene + (1 if r["is_cut"] else 0)
+            prev_scene = r["scene_id"]
+        n_scenes = frames[-1]["scene_id"] + 1
+        multi += n_scenes > 1
+        single += n_scenes == 1
+    assert multi > 0 and single > 0, "fixture must exercise both cut and no-cut paths"

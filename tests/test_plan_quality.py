@@ -1067,3 +1067,13 @@ def test_knn_graph_topk_is_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scene_cut_windows_share_one_media_exchange(spark):
+    # N161 claim: the dHash is ONE Arrow pass and the lag + running-
+    # count windows share a single media-keyed hash exchange — never a
+    # SinglePartition sort.
+    plan = plan_of(spark, "multimodal_scene_cut")
+    assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
+    assert not _single_partition_sorts(plan), plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
