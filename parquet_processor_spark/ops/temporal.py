@@ -2360,6 +2360,13 @@ def events_forecast_linear(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return forecast_of_daily(daily)
+
+
+def forecast_of_daily(daily: DataFrame) -> DataFrame:
+    """Serve step shared by the batch operator and its streaming twin
+    (the changepoint_of_daily convention): OLS over an
+    (event_type, d, y) spine."""
     w = Window.partitionBy("event_type")
     based = daily.select(
         "event_type",

@@ -106,14 +106,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_knn_graph",
     "recall_sim_knn_graph",
     "multimodal_scene_cut",
-    # 46-50: next-stalest round-2 rows
+    "streaming_forecast",
+    # 47-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
     "agg_count_if",
-    "agg_ratio",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "agg_ratio",
     "agg_groupby_count",
     "agg_cube",
     "join_range",

@@ -509,3 +509,38 @@ def streaming_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     )
     return changepoint_of_daily(_run_stream(daily, "complete"))
 
+
+
+@query(
+    "streaming_forecast",
+    # share the batch oracle verbatim: the streamed spine and the
+    # batch daily aggregate are the same relation (the
+    # streaming_changepoint convention)
+    oracle=_ORACLES["events_forecast_linear"],
+    tags=("streaming", "timeseries", "forecast"),
+)
+def streaming_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of events_forecast_linear: the stream maintains
+    the collapsed (event_type, day) count spine — complete-mode state
+    bounded by |types| x days at ANY event volume — and the OLS serve
+    runs on the at-rest spine through the SAME code path as the batch
+    operator (forecast_of_daily), so the twins are identical by
+    construction and share one oracle.
+
+    100 TB shape: per-batch work is one map-side-combined aggregate
+    into the spine's integer cells; no event payload is retained, so
+    state never grows with volume. A production deployment emits the
+    spine in update mode to a compacted topic and re-fits on demand —
+    the nightly-capacity-forecast loop as a standing stream.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.temporal import forecast_of_daily
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return forecast_of_daily(_run_stream(daily, "complete"))

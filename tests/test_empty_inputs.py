@@ -93,6 +93,7 @@ REPRESENTATIVE = [
     "events_changepoint",      # CUSUM argmax over an empty daily spine
     "sample_coreset_kcenter",  # Gonzalez loop over an empty point set
     "streaming_changepoint",   # complete-mode spine over an empty stream
+    "streaming_forecast",      # OLS spine over an empty stream
     "anonymize_l_diversity",   # QI-group join over an empty population
     "sim_topk_batch",          # batch scoring over empty corpus + queries
     "text_rake_keywords",      # phrase windows over an empty token stream

@@ -362,3 +362,19 @@ def test_streaming_changepoint_matches_the_batch_twin(spark, sf_dir):
     batch = {tuple(r) for r in events_changepoint(spark, sf_dir).collect()}
     stream = {tuple(r) for r in streaming_changepoint(spark, sf_dir).collect()}
     assert stream == batch and len(batch) > 0
+
+
+def test_streaming_forecast_equals_batch_twin(spark, sf_dir):
+    # Twin equality by construction: same spine, same serve code path.
+    from parquet_processor_spark.ops.temporal import events_forecast_linear
+    from parquet_processor_spark.streaming.queries import streaming_forecast
+
+    batch = {r["event_type"]: r for r in events_forecast_linear(spark, sf_dir).collect()}
+    stream = {r["event_type"]: r for r in streaming_forecast(spark, sf_dir).collect()}
+    assert set(batch) == set(stream)
+    for et, b in batch.items():
+        s = stream[et]
+        assert (b["n_days"], b["slope"], b["intercept"], b["r2"],
+                b["forecast_next"], b["forecast_7d"]) == (
+            s["n_days"], s["slope"], s["intercept"], s["r2"],
+            s["forecast_next"], s["forecast_7d"])
