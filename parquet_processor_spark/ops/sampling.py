@@ -918,3 +918,84 @@ def sample_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= _HARDNEG_K)
     )
+
+
+# Curriculum sampling — data mixing keyed to a COMPUTED difficulty
+# signal (the readability grade, N157) instead of a stored column:
+# easy bands keep a larger share for the early-training mix, hard
+# bands are thinned. Selection is the hash-percent discipline
+# (sample_hash): membership is a pure function of doc_id, so the
+# curriculum is stable under reprocessing and new data lands in the
+# same slice forever. Shares step 80% -> 30% across difficulty,
+# clamped so out-of-range grades (word salad can score negative or
+# very high) still get a defined share.
+_CURR_TAG = "curr"
+
+
+def _curr_grade_sql() -> str:
+    return """
+      select doc_id,
+             cast(floor(0.39 * (cast(n_words as double) / n_sentences)
+                        + 11.8 * (cast(n_syllables as double) / n_words)
+                        - 15.59) as int) as grade_band
+      from (
+        select doc_id,
+               cast(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+')) as bigint)
+                 as n_words,
+               cast(greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+                    as bigint) as n_sentences,
+               cast(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+                    as bigint) as n_syllables
+        from documents
+      ) where n_words > 0
+    """
+
+
+@query(
+    "sample_curriculum_mix",
+    oracle=f"""
+    with g as ({_curr_grade_sql()}),
+    s as (
+      select doc_id, grade_band,
+             cast(80 - 10 * least(greatest(grade_band, 0), 5) as int) as share_pct,
+             ('0x' || substr(md5(cast(doc_id as varchar) || ':{_CURR_TAG}'), 1, 15))::bigint
+               % 100 as h
+      from g
+    )
+    select doc_id, grade_band, share_pct, h < share_pct as selected
+    from s
+    """,
+    tags=("sampling", "curriculum", "quality"),
+)
+def sample_curriculum_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Difficulty-keyed curriculum slice: per readability grade band,
+    keep a hash-stable share stepping 80% (grade <= 0) down to 30%
+    (grade >= 5). Wordless docs have no grade and are excluded — a
+    curriculum needs a difficulty signal to place a doc at all.
+
+    100 TB shape: the grade is three regexp counters beside the scan
+    (N157) and selection is a pure doc_id-hash predicate — the whole
+    operator is one shuffle-free codegen map (plan-asserted), the
+    sample_hash discipline with a computed stratum. Rebalancing the
+    curriculum means editing the share step, not re-shuffling data.
+    """
+    from parquet_processor_spark.ops.text import text_readability
+
+    g = text_readability(spark, sf).where(F.col("n_words") > 0)
+    share = (80 - 10 * F.least(F.greatest(F.col("grade_band"), F.lit(0)), F.lit(5))).cast("int")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_CURR_TAG}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return g.select(
+        "doc_id",
+        "grade_band",
+        share.alias("share_pct"),
+        (h < F.col("share_pct")).alias("selected"),
+    )

@@ -107,13 +107,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_sim_knn_graph",
     "multimodal_scene_cut",
     "streaming_forecast",
-    # 47-50: next-stalest round-2 rows
+    "sample_curriculum_mix",
+    # 48-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
-    "agg_count_if",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "agg_count_if",
     "agg_ratio",
     "agg_groupby_count",
     "agg_cube",

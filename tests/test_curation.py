@@ -866,3 +866,37 @@ def test_forecast_linear_matches_numpy_polyfit(spark, sf_dir):
         assert r["n_days"] == len(pts)
         assert r["forecast_next"] == r["intercept"] + r["slope"] * (xs.max() + 1)
         assert r["forecast_7d"] == r["intercept"] + r["slope"] * (xs.max() + 7)
+
+
+def test_curriculum_mix_shares_and_stability(spark, sf_dir):
+    # Witness: recompute the hash predicate in Python per doc; shares
+    # must step with the clamped grade, selection must match the md5
+    # rule exactly, wordless docs must be absent, and the realized
+    # per-band selection rate must be within a loose binomial margin
+    # of share_pct (the mix actually thins hard bands).
+    import hashlib
+    from collections import Counter
+
+    from parquet_processor_spark.ops.sampling import _CURR_TAG, sample_curriculum_mix
+    from parquet_processor_spark.ops.text import text_readability
+
+    grades = {
+        r["doc_id"]: r["grade_band"]
+        for r in text_readability(spark, sf_dir).collect()
+        if r["n_words"] > 0
+    }
+    got = {r["doc_id"]: r for r in sample_curriculum_mix(spark, sf_dir).collect()}
+    assert set(got) == set(grades)
+    picked = Counter()
+    total = Counter()
+    for doc_id, r in got.items():
+        share = 80 - 10 * min(max(grades[doc_id], 0), 5)
+        assert r["share_pct"] == share
+        h = int(hashlib.md5(f"{doc_id}:{_CURR_TAG}".encode()).hexdigest()[:15], 16) % 100
+        assert r["selected"] == (h < share)
+        total[share] += 1
+        picked[share] += r["selected"]
+    for share, n in total.items():
+        if n >= 50:
+            rate = picked[share] / n
+            assert abs(rate - share / 100) < 0.2

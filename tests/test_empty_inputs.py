@@ -109,6 +109,7 @@ REPRESENTATIVE = [
     "events_forecast_linear",  # OLS moments over an empty daily spine
     "anonymize_dp_counts",     # DP noise projection over empty QI groups
     "text_readability",        # per-row regexp counters, no rows
+    "sample_curriculum_mix",   # hash predicate over an empty graded corpus
     "report_ivf_balance",      # left join from empty centroid table
     "sim_knn_graph",           # posting-list knn over empty buckets
     "multimodal_scene_cut",    # frame windows over an empty media set

@@ -1077,3 +1077,12 @@ def test_scene_cut_windows_share_one_media_exchange(spark):
     assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
     assert not _single_partition_sorts(plan), plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_curriculum_mix_is_shuffle_free(spark):
+    # N163 claim: computed-stratum hash sampling is a pure narrow
+    # filter/projection — no Exchange at any scale (the sample_hash
+    # contract extended to a computed difficulty signal).
+    plan = plan_of(spark, "sample_curriculum_mix")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
