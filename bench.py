@@ -193,6 +193,15 @@ EXTENDED = [
     "agg_ab_test",
     "pipeline_curate_media",
     "report_lsh_tuning",
+    # round-8 additions
+    "anonymize_dp_counts",
+    "text_readability",
+    "report_ivf_balance",
+    "events_forecast_linear",
+    "sim_knn_graph",
+    "multimodal_scene_cut",
+    "streaming_forecast",
+    "sample_curriculum_mix",
 ]
 
 
