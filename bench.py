@@ -202,6 +202,7 @@ EXTENDED = [
     "multimodal_scene_cut",
     "streaming_forecast",
     "sample_curriculum_mix",
+    "graph_bfs_distances",
 ]
 
 

@@ -711,3 +711,107 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     core = alive.select("node", F.lit(None).cast("int").alias("layer"))
     out = core if layers is None else layers.unionAll(core)
     return out.withColumn("in_core", F.col("layer").isNull())
+
+
+# Multi-source BFS — the traversal primitive the family was missing
+# (PageRank ranks, k-core peels, CC labels; none gives DISTANCE):
+# minimum hop count from a deterministic seed set (node % 50 == 0) to
+# every node of the co-purchase graph. Reachability radius, influence
+# tiers, and "how far is this product from the promoted set" all read
+# off this table. Pure integer frontier expansion — bit-exact across
+# engines; the oracle unrolls the rounds (the k-core convention) and a
+# fixture-margin test guards the unroll depth.
+_BFS_MAX_ROUNDS = 12  # fixture guard: sf0.01 converges in 7 (tested)
+
+
+def _bfs_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    rounds, dist_rows, prev_f, prev_a = [], ["select node, 0 as dist from f0"], "f0", "f0"
+    for r in range(1, _BFS_MAX_ROUNDS + 1):
+        rounds.append(f"""
+    f{r} as materialized (
+      select distinct e.dst as node
+      from edges e
+      join {prev_f} p on e.src = p.node
+      anti join {prev_a} s on e.dst = s.node
+    ),
+    a{r} as materialized (
+      select node from {prev_a} union all select node from f{r}
+    )""")
+        dist_rows.append(f"select node, {r} as dist from f{r}")
+        prev_f, prev_a = f"f{r}", f"a{r}"
+    union = "\n      union all ".join(dist_rows)
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e0 as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    edges as materialized (
+      select cast(u as bigint) as src, cast(v as bigint) as dst from e0
+      union all
+      select cast(v as bigint) as src, cast(u as bigint) as dst from e0
+    ),
+    nodes as materialized (select distinct src as node from edges),
+    f0 as materialized (select node from nodes where node % 50 = 0),
+    {",".join(rounds)},
+    dists as ({union})
+    select n.node, cast(d.dist as int) as dist, d.dist is not null as reached
+    from nodes n left join dists d on d.node = n.node
+    """
+
+
+@query("graph_bfs_distances", oracle=_bfs_oracle(), tags=("graph", "iterative", "bfs"))
+def graph_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum hop distance from the seed set (node % 50 == 0) to every
+    co-purchase node: (node, dist, reached); unreached components keep
+    a NULL dist. The Spark side runs the data-dependent frontier loop
+    to fixpoint; the oracle unrolls {_BFS_MAX_ROUNDS} rounds with a
+    convergence-margin test guarding the gap.
+
+    100 TB shape: each round is ONE equi-join of the current frontier
+    against the src-partitioned edge list plus one anti join against
+    the visited set — cost tracks |frontier edges|, not |graph|, and
+    rounds are O(diameter). Edges repartition on src once and every
+    per-round frame localCheckpoints (the k-core lineage discipline).
+    Frontiers and the visited set are (node) longs — no payload ever
+    enters the loop.
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    sc = spark.sparkContext
+    e = agg_copurchase_pairs(spark, sf).select(
+        F.col("p1").cast("long").alias("u"), F.col("p2").cast("long").alias("v")
+    )
+    edges = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(sc.defaultParallelism, "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    frontier = nodes.where(F.col("node") % 50 == 0).localCheckpoint(eager=True)
+    visited = frontier
+    dists = frontier.select("node", F.lit(0).cast("int").alias("dist"))
+    for r in range(1, _BFS_MAX_ROUNDS + 1):
+        frontier = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        dists = dists.unionAll(frontier.select("node", F.lit(r).cast("int").alias("dist")))
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    return (
+        nodes.join(dists, "node", "left")
+        .select("node", "dist", F.col("dist").isNotNull().alias("reached"))
+    )

@@ -108,12 +108,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     "streaming_forecast",
     "sample_curriculum_mix",
-    # 48-50: next-stalest round-2 rows
+    "graph_bfs_distances",
+    # 49-50: next-stalest round-2 rows
     "sim_pairs_blocked",
     "sim_topk",
-    "sim_topk_ivf",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "sim_topk_ivf",
     "agg_count_if",
     "agg_ratio",
     "agg_groupby_count",

@@ -900,3 +900,35 @@ def test_curriculum_mix_shares_and_stability(spark, sf_dir):
         if n >= 50:
             rate = picked[share] / n
             assert abs(rate - share / 100) < 0.2
+
+
+def test_bfs_distances_match_python_bfs_with_unroll_margin(spark, sf_dir):
+    # Ground truth: deque BFS over the same co-purchase adjacency.
+    # Every distance must match exactly, unreached nodes must carry
+    # NULL, and the deepest frontier must sit >= 2 rounds under the
+    # oracle's unroll (fixture-growth guard — a deeper graph fails
+    # HERE, not as a driver parity mystery).
+    from collections import defaultdict, deque
+
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+    from parquet_processor_spark.ops.graph import _BFS_MAX_ROUNDS, graph_bfs_distances
+
+    adj = defaultdict(set)
+    for r in agg_copurchase_pairs(spark, sf_dir).collect():
+        adj[r["p1"]].add(r["p2"])
+        adj[r["p2"]].add(r["p1"])
+    dist = {n: 0 for n in adj if n % 50 == 0}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r["node"]: r for r in graph_bfs_distances(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for n, r in got.items():
+        assert r["dist"] == dist.get(n)
+        assert r["reached"] == (n in dist)
+    if dist:
+        assert max(dist.values()) <= _BFS_MAX_ROUNDS - 2, "fixture needs a deeper unroll"

@@ -90,6 +90,7 @@ REPRESENTATIVE = [
     "multimodal_dedup_audio",  # landmark inverted index over empty media
     "text_bm25_topk",          # per-term postings over an empty corpus
     "graph_kcore",             # peeling loop over an empty edge list
+    "graph_bfs_distances",     # frontier loop over an empty edge list
     "events_changepoint",      # CUSUM argmax over an empty daily spine
     "sample_coreset_kcenter",  # Gonzalez loop over an empty point set
     "streaming_changepoint",   # complete-mode spine over an empty stream
