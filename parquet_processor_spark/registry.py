@@ -44,12 +44,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately: queries whose external driver evidence is
-# oldest come first, freshest last. Round 7: the full catalog is listed
-# stalest-first (computed from the union of CORRECTNESS_r01-r06 latest
-# rows): the r1/r2 cohort fills the 50-slot window, with this round's
-# new queries inserted at the very front as they land. The window
-# contents are enforced by an automated assertion
+# catalog deliberately. Round 8 window policy, in priority order:
+# (1) queries still awaiting their FIRST driver row, (2) queries whose
+# implementation or oracle changed this round, (3) the standing
+# oldest-checked-first rotation; new round-8 operators displace the
+# newest rotation pins as they land. The window contents are enforced
+# by an automated assertion
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (

@@ -694,3 +694,26 @@ def test_ivf_balance_report_is_a_true_histogram(spark, sf_dir):
         assert r["frac"] == counts.get(cell, 0) / total
         assert r["imbalance"] == (counts.get(cell, 0) * 8) / total
     assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-12
+
+
+def test_numpy_cumsum_is_still_a_sequential_left_fold():
+    # pair_cos_arrow's cross-engine bit-exactness rests on np.cumsum
+    # accumulating strictly left-to-right (NumPy does not formally pin
+    # this). This canary uses values whose pairwise/SIMD-blocked
+    # accumulation would differ in the last ulp from the sequential
+    # fold, so a NumPy upgrade that changes the accumulation order
+    # fails HERE with a pointer instead of as a driver hash mystery.
+    import numpy as np
+
+    rng = [1e16, 1.0, -1e16, 1.0, 0.1, 1e8, -0.1, -1e8] * 64
+    a = np.array(rng, dtype=np.float64)
+    acc = 0.0
+    seq = []
+    for x in a.tolist():
+        acc += x
+        seq.append(acc)
+    assert np.cumsum(a).tolist() == seq, (
+        "np.cumsum no longer matches a sequential left fold — replace "
+        "pair_cos_arrow's cumsum dot with an explicit order-pinned loop "
+        "(see its docstring) before trusting cross-engine hashes"
+    )
