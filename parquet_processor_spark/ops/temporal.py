@@ -2321,8 +2321,9 @@ def events_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
            (cast(sy as double)
               - (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)) * sx)
              / n as intercept,
-           (cast(n * sxy - sx * sy as double) * (n * sxy - sx * sy))
-             / (cast(n * sxx - sx * sx as double) * (n * syy - sy * sy)) as r2,
+           case when n * syy - sy * sy = 0 then null
+                else (cast(n * sxy - sx * sy as double) * (n * sxy - sx * sy))
+                  / (cast(n * sxx - sx * sx as double) * (n * syy - sy * sy)) end as r2,
            (cast(sy as double)
               - (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)) * sx)
              / n
@@ -2386,8 +2387,12 @@ def forecast_of_daily(daily: DataFrame) -> DataFrame:
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = num.cast("double") / den
     intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
-    r2 = (num.cast("double") * num) / (
-        den.cast("double") * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # constant-y series have zero y-variance: r2 is 0/0 there (and an
+    # ANSI divide-by-zero crash, caught by the hypothesis property) —
+    # emit NULL, matching the oracle's CASE
+    yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when(yden == 0, F.lit(None).cast("double")).otherwise(
+        (num.cast("double") * num) / (den.cast("double") * yden)
     )
     return s.where((F.col("n") >= 2) & (den > 0)).select(
         "event_type",

@@ -387,3 +387,73 @@ def test_bitmap_popcount_equals_distinct_count(spark, months):
     ).collect()[0]
     assert row["pop"] == row["nd"] == len(set(months))
     assert row["bitmap"] == sum(1 << (m - 1) for m in set(months))
+
+
+fc_spine = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),   # day offset
+        st.integers(min_value=1, max_value=1000),  # daily count
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(spine=fc_spine, shift=st.integers(min_value=-3000, max_value=3000))
+@prop
+def test_forecast_is_invariant_to_calendar_shifts(spark, spine, shift):
+    # The OLS rebase (x = days since the type's own min date) makes the
+    # fit a function of the SHAPE of the series, not its calendar
+    # position: shifting every date by the same k days must reproduce
+    # slope/intercept/r2/forecasts bitwise.
+    import datetime
+
+    from parquet_processor_spark.ops.temporal import forecast_of_daily
+
+    base = datetime.date(2020, 6, 1)
+
+    def run(k):
+        rows = [("t", base + datetime.timedelta(days=off + k), y) for off, y in spine]
+        df = spark.createDataFrame(rows, "event_type string, d date, y long")
+        out = forecast_of_daily(df).collect()
+        return out[0] if out else None
+
+    a, b = run(0), run(shift)
+    if a is None:
+        assert b is None  # degenerate (zero x-variance) stays degenerate
+        return
+    for col in ("n_days", "slope", "intercept", "r2", "forecast_next", "forecast_7d"):
+        assert a[col] == b[col], col
+
+
+@given(spine=fc_spine, a0=st.integers(min_value=0, max_value=50),
+       b0=st.integers(min_value=-20, max_value=20))
+@prop
+def test_forecast_recovers_an_exact_line(spark, spine, a0, b0):
+    # Feed counts that sit EXACTLY on y = a0 + b0*x (clamped positive):
+    # the closed-form moments must recover the slope exactly when the
+    # line is representable, r2 must be 1 (or the fit degenerate), and
+    # the forecasts must extrapolate the same line.
+    import datetime
+
+    from parquet_processor_spark.ops.temporal import forecast_of_daily
+
+    base = datetime.date(2021, 1, 1)
+    xs = sorted(off for off, _ in spine)
+    ys = {x: a0 + b0 * (x - xs[0]) for x in xs}
+    if any(y < 0 for y in ys.values()):
+        return  # counts must be non-negative; skip unrepresentable lines
+    rows = [("t", base + datetime.timedelta(days=x), ys[x]) for x in xs]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    out = forecast_of_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["slope"] == float(b0)
+    assert r["intercept"] == float(a0)
+    if b0 != 0:
+        assert r["r2"] == 1.0
+    else:
+        assert r["r2"] is None  # constant y: zero variance, r2 undefined
+    assert r["forecast_next"] == float(a0 + b0 * (xs[-1] - xs[0] + 1))
+    assert r["forecast_7d"] == float(a0 + b0 * (xs[-1] - xs[0] + 7))
