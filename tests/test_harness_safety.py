@@ -185,3 +185,30 @@ def test_injected_id_offset_clears_fixture_ids(spark):
             "offset in ops/multimodal.py (dedup_bytes / dedup_perceptual) "
             "would collide — raise the offset in BOTH engines"
         )
+
+
+def test_documents_fixture_is_ascii(spark):
+    # The frame-granularity media ops (multimodal_frame_dedup,
+    # multimodal_scene_cut) slice payload BYTES in Spark but substr
+    # CHARACTERS in their DuckDB oracles — identical only while the
+    # corpus is single-byte. A regenerated fixture with multibyte text
+    # must fail HERE with a pointer (switch both sides to a common
+    # unit), not as a driver parity mystery.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.tables import t
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        try:
+            docs = t(spark, sf, "documents")
+        except Exception:  # noqa: BLE001 — driver SF dirs may be absent locally
+            pytest.skip(f"{sf} unavailable")
+        n = docs.where(
+            F.octet_length(F.col("text")) != F.length(F.col("text"))
+        ).count()
+        assert n == 0, (
+            f"{sf}: {n} non-ASCII documents — the frame-slice oracles "
+            "(ops/multimodal.py byte-vs-char substr) are no longer "
+            "equivalent; align both engines on one slicing unit"
+        )
