@@ -203,6 +203,7 @@ EXTENDED = [
     "streaming_forecast",
     "sample_curriculum_mix",
     "graph_bfs_distances",
+    "sink_checked_publish",
 ]
 
 

@@ -915,3 +915,91 @@ def sink_snapshot_expire(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out_df = out_df.unionByName(r)
     return out_df.orderBy("version")
+
+
+# Write-Audit-Publish — the table-format release gate (Iceberg's WAP /
+# Delta's constraint-checked commit): stage the snapshot, run the
+# audit, and flip the pointer ONLY if the audit passes. A failed audit
+# strands an unreferenced snap-*/ directory (harmless, vacuumable) and
+# readers keep the last good version — the property that turns a bad
+# pipeline run into a non-event instead of a bad release. Composes
+# publish_snapshot's pointer protocol with a table_expectations-style
+# constraint.
+_WAP_CUT = "1997-06-01"  # fixture has orders past this -> attempt 2 fails its audit
+
+
+def publish_if_clean(df: DataFrame, root: str, version: int, n_violations: int) -> bool:
+    """Stage snap-<version>/ unconditionally; flip _CURRENT only when
+    the audit found zero violations. Returns whether it published."""
+    df.write.mode("overwrite").parquet(os.path.join(root, f"snap-{version}"))
+    if n_violations == 0:
+        pointer = os.path.join(root, "_CURRENT")
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, pointer)
+        return True
+    return False
+
+
+@query(
+    "sink_checked_publish",
+    oracle=f"""
+    with o as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(case when o_totalprice <= 0 then 1 else 0 end) as bigint) as bad_price,
+             cast(sum(case when o_orderdate >= timestamp '{_WAP_CUT} 00:00:00'
+                           then 1 else 0 end) as bigint) as late
+      from orders
+    )
+    select 1 as version, n as n_candidate, bad_price as n_violations,
+           bad_price = 0 as published, true as is_current, n as n_visible
+    from o
+    union all
+    select 2 as version, n as n_candidate, late as n_violations,
+           false as published, false as is_current, n as n_visible
+    from o
+    order by version
+    """,
+    tags=("sink", "snapshot", "quality", "governance"),
+)
+def sink_checked_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Two WAP attempts against one snapshot root: attempt 1 audits
+    "totalprice positive" (clean on this corpus) and publishes;
+    attempt 2 audits "no orders on/after {_WAP_CUT}" (the corpus has
+    them) and is BLOCKED — the staged directory exists but _CURRENT
+    still names version 1, and the reader-through-pointer row count
+    proves it. The oracle recomputes both audits and the visible
+    count from the source table.
+
+    100 TB shape: the audit is one map-side-combined aggregate over
+    the staged snapshot (or a scan-free metadata check when the rule
+    maps to column stats); the publish step stays the O(1) pointer
+    replace regardless of table size. This is the release discipline
+    every write path here feeds (expectations -> gate -> flip), made
+    into one auditable operator.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_wap_")
+    orders = t(spark, sf, "orders")
+    rows = []
+    audits = [
+        (1, F.col("o_totalprice") <= 0),
+        (2, F.col("o_orderdate") >= F.lit(f"{_WAP_CUT} 00:00:00").cast("timestamp")),
+    ]
+    for version, viol in audits:
+        stats = orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("bad"),
+        ).collect()[0]  # eager-by-design: the audit verdict gates the pointer flip
+        published = publish_if_clean(orders, out, version, int(stats["bad"]))
+        rows.append((version, int(stats["n"]), int(stats["bad"]), published))
+    current = current_snapshot_version(out)
+    n_visible = spark.read.parquet(os.path.join(out, f"snap-{current}")).count()
+    return spark.createDataFrame(
+        [
+            (v, n, bad, pub, v == current, n_visible)
+            for (v, n, bad, pub) in rows
+        ],
+        "version int, n_candidate bigint, n_violations bigint, "
+        "published boolean, is_current boolean, n_visible bigint",
+    ).orderBy("version")

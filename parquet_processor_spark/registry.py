@@ -109,11 +109,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_forecast",
     "sample_curriculum_mix",
     "graph_bfs_distances",
-    # 49-50: next-stalest round-2 rows
+    "sink_checked_publish",
+    # slot 50: next-stalest round-2 row
     "sim_pairs_blocked",
-    "sim_topk",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "sim_topk",
     "sim_topk_ivf",
     "agg_count_if",
     "agg_ratio",

@@ -131,3 +131,32 @@ def test_dynamic_overwrite_touches_only_the_restated_day(spark, sf_dir, tmp_path
     changed = [d for d in before if before[d] != after.get(d)]
     assert changed == [f"event_date={_RESTATE_DAY}"]
     assert set(before) == set(after), "dynamic overwrite dropped sibling partitions"
+
+
+def test_checked_publish_blocks_dirty_snapshots_and_keeps_readers_on_last_good(spark, sf_dir):
+    # WAP contract: the failed attempt's directory is STAGED (exists,
+    # readable, vacuumable) but _CURRENT still names the last clean
+    # version, and a reader through the pointer sees version 1's rows.
+    import glob
+    import os
+
+    from parquet_processor_spark.ops.roundtrip import (
+        current_snapshot_version,
+        publish_if_clean,
+    )
+    from parquet_processor_spark.tables import t
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wap_test_")
+    orders = t(spark, sf_dir, "orders")
+    assert publish_if_clean(orders.limit(10), root, 1, n_violations=0)
+    assert not publish_if_clean(orders, root, 2, n_violations=5)
+    assert current_snapshot_version(root) == 1
+    assert os.path.isdir(os.path.join(root, "snap-2"))  # staged, unreferenced
+    visible = spark.read.parquet(os.path.join(root, f"snap-{current_snapshot_version(root)}"))
+    assert visible.count() == 10
+    # a later clean attempt publishes over the stranded stage
+    assert publish_if_clean(orders.limit(20), root, 3, n_violations=0)
+    assert current_snapshot_version(root) == 3
+    assert len(glob.glob(os.path.join(root, "snap-*"))) == 3
