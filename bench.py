@@ -204,6 +204,7 @@ EXTENDED = [
     "sample_curriculum_mix",
     "graph_bfs_distances",
     "sink_checked_publish",
+    "agg_decile_lift",
 ]
 
 

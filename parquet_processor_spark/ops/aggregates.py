@@ -2228,3 +2228,95 @@ def agg_ab_power(spark: SparkSession, sf: str) -> DataFrame:
         mde.alias("mde_abs"),
         (mde / pooled).alias("mde_rel"),
     )
+
+
+# Decile lift / cumulative gains — the model-evaluation primitive for
+# any propensity-style score: rank the population by score, cut into
+# ten equal buckets, and report each bucket's outcome rate against the
+# base rate. Here the score is each user's view count and the outcome
+# is whether they purchased — the "does engagement predict conversion"
+# read every growth team runs, and the exact table an ML-eval job
+# emits for a real model score. Ratios are single divisions of exact
+# integers (the Welch-kit discipline); an outcome-free population
+# yields NULL lifts, not a divide-by-zero (the forecast-r2 lesson).
+@query(
+    "agg_decile_lift",
+    oracle="""
+    with u as (
+      select user_id,
+             cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint)
+               as n_views,
+             cast(max(case when event_type = 'purchase' then 1 else 0 end) as bigint)
+               as purchased
+      from events group by user_id
+    ),
+    d as (
+      select purchased,
+             cast(ntile(10) over (order by n_views desc, user_id) as int) as decile
+      from u
+    ),
+    tot as (
+      select cast(count(*) as bigint) as n_total,
+             cast(sum(purchased) as bigint) as n_pos
+      from d
+    )
+    select decile,
+           cast(count(*) as bigint) as n_users,
+           cast(sum(purchased) as bigint) as n_purchasers,
+           cast(sum(purchased) as double) / count(*) as purchase_rate,
+           case when tot.n_pos = 0 then null
+                else (cast(sum(purchased) as double) * tot.n_total)
+                  / (cast(count(*) as bigint) * tot.n_pos) end as lift
+    from d cross join tot
+    group by decile, tot.n_total, tot.n_pos
+    """,
+    tags=("agg", "eval", "lift"),
+)
+def agg_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-decile conversion rate and lift with users ranked by view
+    count (deterministic tie-break on user_id). Lift 1.0 = base rate;
+    the top decile's lift is the score's headline discrimination.
+
+    100 TB shape: the corpus collapses to the user spine in ONE
+    map-side-combined aggregate; the global ntile follows the
+    agg_rfm_scores precedent (the window sorts the collapsed spine,
+    never events — at extreme user counts the production cut-over is
+    approx-percentile score cutoffs + a range bucket join, same
+    output contract); the per-decile rollup is 10 rows and the 1-row
+    totals broadcast for the lift division.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("purchased"),
+        )
+    )
+    w = Window.orderBy(F.col("n_views").desc(), F.col("user_id"))
+    d = u.select("purchased", F.ntile(10).over(w).cast("int").alias("decile"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("purchased").cast("long").alias("n_pos"),
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("purchased").cast("long").alias("n_purchasers"),
+    )
+    lift = F.when(F.col("n_pos") == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("n_purchasers").cast("double") * F.col("n_total"))
+        / (F.col("n_users") * F.col("n_pos"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_purchasers",
+        (F.col("n_purchasers").cast("double") / F.col("n_users")).alias("purchase_rate"),
+        lift.alias("lift"),
+    )

@@ -110,10 +110,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_curriculum_mix",
     "graph_bfs_distances",
     "sink_checked_publish",
-    # slot 50: next-stalest round-2 row
-    "sim_pairs_blocked",
+    "agg_decile_lift",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",
     "agg_count_if",

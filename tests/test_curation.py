@@ -932,3 +932,46 @@ def test_bfs_distances_match_python_bfs_with_unroll_margin(spark, sf_dir):
         assert r["reached"] == (n in dist)
     if dist:
         assert max(dist.values()) <= _BFS_MAX_ROUNDS - 2, "fixture needs a deeper unroll"
+
+
+def test_decile_lift_matches_python_ranker(spark, sf_dir):
+    # Witness: rebuild the user spine, rank with Python's sort + an
+    # SQL-standard ntile (first buckets take the extras), and verify
+    # counts, rates, lift algebra, and the conservation laws (deciles
+    # partition the population; lift-weighted user mass reproduces the
+    # total positives).
+    from collections import Counter, defaultdict
+
+    from parquet_processor_spark.ops.aggregates import agg_decile_lift
+    from parquet_processor_spark.tables import t as tt
+
+    views = Counter()
+    purchased = defaultdict(int)
+    for r in tt(spark, sf_dir, "events").select("user_id", "event_type").collect():
+        if r["event_type"] == "view":
+            views[r["user_id"]] += 1
+        purchased.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            purchased[r["user_id"]] = 1
+    users = sorted(purchased, key=lambda u: (-views[u], u))
+    n = len(users)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    ref_users = Counter()
+    ref_pos = Counter()
+    i = 0
+    for dec, sz in enumerate(sizes, start=1):
+        for u in users[i : i + sz]:
+            ref_users[dec] += 1
+            ref_pos[dec] += purchased[u]
+        i += sz
+    n_pos = sum(purchased.values())
+    got = {r["decile"]: r for r in agg_decile_lift(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 11))
+    for dec, r in got.items():
+        assert r["n_users"] == ref_users[dec]
+        assert r["n_purchasers"] == ref_pos[dec]
+        assert r["purchase_rate"] == ref_pos[dec] / ref_users[dec]
+        assert r["lift"] == (ref_pos[dec] * n) / (ref_users[dec] * n_pos)
+    assert sum(r["n_users"] for r in got.values()) == n
+    assert sum(r["n_purchasers"] for r in got.values()) == n_pos

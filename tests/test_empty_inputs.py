@@ -101,6 +101,7 @@ REPRESENTATIVE = [
     "sample_hard_negatives",   # cross-label scoring over empty anchors
     "multimodal_dedup_audio_incr",  # delta probe over empty posting lists
     "agg_log_histogram",       # bucket counters over an empty stream
+    "agg_decile_lift",         # ntile + lift over an empty user spine
     "events_path_trigrams",    # lag windows over empty timelines
     "anonymize_t_closeness",   # TVD verdicts over an empty population
     "events_growth_accounting",  # flow ledger over empty user-weeks

@@ -73,12 +73,11 @@ def test_check_priority_window():
         "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph",
         "multimodal_scene_cut", "streaming_forecast",
         "sample_curriculum_mix", "graph_bfs_distances",
-        "sink_checked_publish",
-        # rotation: stalest round-2 row (sim_topk / sim_topk_ivf /
-        # agg_count_if / agg_ratio / agg_groupby_count / agg_cube /
-        # join_range / multimodal_features / scan_json / fn_json_extract /
-        # case_when_dispatch displaced to backlog top by the new ops)
-        "sim_pairs_blocked",
+        "sink_checked_publish", "agg_decile_lift",
+        # the full r2 rotation cohort (sim_pairs_blocked and the rest)
+        # was displaced to the backlog top by the 12 new round-8 ops —
+        # new queries need their FIRST driver row more than r2 greens
+        # need refreshing; the r2 cohort leads the round-9 rotation
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
