@@ -788,3 +788,59 @@ def recall_sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("src") == F.col("a_src")) & (F.col("dst") == F.col("a_dst")),
         "left",
     ).agg(n.cast("long").alias("n_exact"), _gate(hit, n, 0.75).alias("overlap_ok"))
+
+
+@query(
+    "error_dp_counts",
+    oracle="""
+    with g as (
+      select c_mktsegment as qi_segment, c_nationkey as qi_nation,
+             cast(count(*) as bigint) as n
+      from customer group by 1, 2
+    ),
+    m as (
+      select n,
+             cast(greatest(n
+               + (case when ('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':1:42'), 1, 15))::bigint = 0 then 60
+                       else length(bin((('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':1:42'), 1, 15))::bigint)
+                                        & -(('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':1:42'), 1, 15))::bigint))) - 1 end)
+               - (case when ('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':2:42'), 1, 15))::bigint = 0 then 60
+                       else length(bin((('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':2:42'), 1, 15))::bigint)
+                                        & -(('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':2:42'), 1, 15))::bigint))) - 1 end),
+               0) as bigint) as dp_n
+      from g
+    )
+    select cast(count(*) as bigint) as n_groups,
+           cast(max(abs(dp_n - n)) as bigint) as max_abs_err,
+           cast(sum(abs(dp_n - n)) as bigint) as total_abs_err,
+           max(abs(dp_n - n)) <= 20 as error_bounded
+    from m
+    """,
+    tags=("curation", "privacy", "dp", "evidence"),
+)
+def error_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Utility evidence for the DP count release: the realized noise
+    magnitude per QI group, gated at max |dp_n - n| <= 20 (the
+    two-sided Geometric(1/2) tail puts P(|noise| > 12) ~ 2^-12 per
+    group — 20 leaves seed-regeneration margin). This is the
+    accuracy-side bookkeeping a DP release ships next to its epsilon:
+    the privacy parameter alone says nothing about usefulness."""
+    from parquet_processor_spark.ops import curation
+
+    c = t(spark, sf, "customer")
+    g = c.groupBy(
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.col("c_nationkey").alias("qi_nation"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    parts = [F.col("qi_segment"), F.col("qi_nation").cast("string")]
+    noise = curation._dp_tz(curation._dp_hash60(parts, "1")) - curation._dp_tz(
+        curation._dp_hash60(parts, "2")
+    )
+    m = g.select("n", F.greatest(F.col("n") + noise, F.lit(0)).cast("long").alias("dp_n"))
+    err = F.abs(F.col("dp_n") - F.col("n"))
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max(err).cast("long").alias("max_abs_err"),
+        F.sum(err).cast("long").alias("total_abs_err"),
+        (F.max(err) <= 20).alias("error_bounded"),
+    )

@@ -97,9 +97,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_range",
     "join_cross",
     "fn_concat",
-    "fn_least_cast",
     # 39-44: NEW round-8 operators (first driver row)
     "anonymize_dp_counts",
+    "error_dp_counts",
     "text_readability",
     "report_ivf_balance",
     "events_forecast_linear",
@@ -112,7 +112,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_checked_publish",
     "agg_decile_lift",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
-    # r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    # r1/r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "fn_least_cast",
     "sim_pairs_blocked",
     "sim_topk",
     "sim_topk_ivf",

@@ -64,12 +64,14 @@ def test_check_priority_window():
         "agg_ab_test", "graph_link_prediction", "report_lsh_tuning",
         "recall_range_search", "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
         "sink_ann_index_roundtrip", "dedup_embedding_lsh",
-        # rotation: full round-1 cohort (latest driver row r1)
+        # rotation: round-1 cohort (latest driver row r1; fn_least_cast
+        # displaced to backlog top by error_dp_counts — it leads round 9)
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
-        "scan_range", "join_cross", "fn_concat", "fn_least_cast",
+        "scan_range", "join_cross", "fn_concat",
         # new round-8 operators (first driver row)
-        "anonymize_dp_counts", "text_readability", "report_ivf_balance",
+        "anonymize_dp_counts", "error_dp_counts", "text_readability",
+        "report_ivf_balance",
         "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph",
         "multimodal_scene_cut", "streaming_forecast",
         "sample_curriculum_mix", "graph_bfs_distances",
