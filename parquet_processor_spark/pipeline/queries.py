@@ -89,3 +89,67 @@ def pipeline_media_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     return d.withColumn(
         "type_count", F.count(F.lit(1)).over(Window.partitionBy("media_type"))
     )
+
+
+@query(
+    "pipeline_cost_estimate",
+    # model quantities are pure functions of the manifest; the two
+    # booleans restate the C1 gate and its extrapolation (the fake
+    # transport's per-record time is microseconds against a 30 s/record
+    # budget, so both are stable facts, not flaky measurements)
+    oracle="""
+    select cast(count(*) as bigint) as n_manifest,
+           cast(least(10, count(*)) as bigint) as n_canary,
+           cast(count(*) - least(10, count(*)) as bigint) as n_remaining,
+           cast(ceil(cast(count(*) as double) / 5000) as int) as est_segments,
+           true as canary_ok,
+           true as cost_within_budget
+    from documents
+    """,
+    tags=("pipeline", "cost", "canary"),
+)
+def pipeline_cost_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """C2 — the reference coordinator's cost estimate
+    (test_parquet_coordinator.yml:257-281 behavior): run the 10-record
+    canary through the fetch stage, take its measured avg per-record
+    time, and extrapolate run cost over the remaining manifest:
+    est_total_time = avg_time * n_remaining, gated against the same
+    30 s/record budget as the C1 canary gate. The deterministic model
+    quantities (manifest size, canary size, remainder, segment count at
+    the coordinator's 5000-record segmenting) hash-check; the two
+    booleans carry the time-based verdicts.
+
+    100 TB shape: the canary costs 10 records regardless of manifest
+    size, the model is arithmetic on ONE count, and the decision
+    (proceed / resize the run) happens before any at-scale work starts
+    — exactly the reference's "estimate before the long run" loop.
+    """
+    from parquet_processor_spark.pipeline.run import canary_gate
+
+    urls = t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://example.org/concern/media/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("doc_id").alias("batch_index"),
+    )
+    n = urls.count()  # eager-by-design: ONE count parameterizes the model row
+    canary = fetch_stage(urls.orderBy("batch_index").limit(10), fake_transport)
+    metrics = canary_gate(canary)
+    n_canary = min(10, n)
+    n_remaining = n - n_canary
+    est_total_time = metrics.avg_time * n_remaining
+    budget = 30.0 * max(n_remaining, 1)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                n_canary,
+                n_remaining,
+                -(-n // 5000),
+                bool(metrics.success),
+                bool(est_total_time < budget),
+            )
+        ],
+        "n_manifest bigint, n_canary bigint, n_remaining bigint, "
+        "est_segments int, canary_ok boolean, cost_within_budget boolean",
+    )

@@ -104,9 +104,14 @@ def canary_gate(
     row = records.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("processing_time").alias("avg_time"),
-        (F.count(F.when(F.col("error").isNotNull(), 1)) / F.count(F.lit(1))).alias("err_rate"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_err"),
     ).collect()[0]
-    n, avg_time, err_rate = row["n"], row["avg_time"] or 0.0, row["err_rate"] or 0.0
+    # rate computed host-side: an in-plan n_err/n is an ANSI
+    # divide-by-zero on an EMPTY canary (caught by the empty-input
+    # suite via pipeline_cost_estimate) — and an empty canary must
+    # fail the gate on min_records, not crash it
+    n, avg_time = row["n"], row["avg_time"] or 0.0
+    err_rate = (row["n_err"] / n) if n else 0.0
     ok = n >= min_records and avg_time < max_avg_time and err_rate < max_error_rate
     return CanaryMetrics(n, avg_time, err_rate, ok)
 

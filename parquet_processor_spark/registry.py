@@ -96,7 +96,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_csv_roundtrip",
     "scan_range",
     "join_cross",
-    "fn_concat",
     # 39-44: NEW round-8 operators (first driver row)
     "anonymize_dp_counts",
     "error_dp_counts",
@@ -111,8 +110,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_bfs_distances",
     "sink_checked_publish",
     "agg_decile_lift",
+    "pipeline_cost_estimate",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r1/r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "fn_concat",
     "fn_least_cast",
     "sim_pairs_blocked",
     "sim_topk",

@@ -118,6 +118,10 @@ REPRESENTATIVE = [
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power are
     # global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
+    # (pipeline_cost_estimate emits its one model row on an empty
+    # manifest — n_manifest 0, canary_ok false on min_records — and the
+    # crash path it guards, the empty-canary ANSI divide in
+    # canary_gate, is covered by the r8 host-side rate fix)
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
