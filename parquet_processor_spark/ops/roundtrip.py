@@ -994,9 +994,9 @@ def sink_checked_publish(spark: SparkSession, sf: str) -> DataFrame:
         published = publish_if_clean(orders, out, version, int(stats["bad"]))
         rows.append((version, int(stats["n"]), int(stats["bad"]), published))
     current = current_snapshot_version(out)
-    n_visible = spark.read.parquet(  # eager-by-design: the reader-through-pointer verification IS the operator's point
-        os.path.join(out, f"snap-{current}")
-    ).count()
+    # the reader-through-pointer verification IS the operator's point
+    snap = spark.read.parquet(os.path.join(out, f"snap-{current}"))
+    n_visible = snap.count()  # eager-by-design: sink round-trip barrier
     return spark.createDataFrame(
         [
             (v, n, bad, pub, v == current, n_visible)
