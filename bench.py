@@ -205,6 +205,8 @@ EXTENDED = [
     "graph_bfs_distances",
     "sink_checked_publish",
     "agg_decile_lift",
+    "pipeline_cost_estimate",
+    "agg_auc",
 ]
 
 

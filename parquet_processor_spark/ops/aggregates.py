@@ -2320,3 +2320,95 @@ def agg_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_purchasers").cast("double") / F.col("n_users")).alias("purchase_rate"),
         lift.alias("lift"),
     )
+
+
+# Exact AUC — the other half of the model-eval kit (agg_decile_lift
+# shows WHERE the score discriminates; this is the single-number
+# ranking quality): P(score_pos > score_neg) + 0.5*P(tie), computed
+# from tie-averaged ranks (the Mann-Whitney identity AUC = U/(n1*n0)).
+# Rank arithmetic stays in DOUBLED integers (2*avg_rank = 2*min_rank
+# + ties - 1 is always integral), so the statistic is ONE division of
+# exact int64s — hash-checkable, and a degenerate population (no
+# positives or no negatives) yields NULL, not a divide-by-zero.
+@query(
+    "agg_auc",
+    oracle="""
+    with u as (
+      select user_id,
+             cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint)
+               as score,
+             cast(max(case when event_type = 'purchase' then 1 else 0 end) as bigint)
+               as label
+      from events group by user_id
+    ),
+    r as (
+      select label,
+             2 * rank() over (order by score)
+               + cast(count(*) over (partition by score) as bigint) - 1 as rank2
+      from u
+    ),
+    s as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(label) as bigint) as n_pos,
+             cast(sum(case when label = 1 then rank2 else 0 end) as bigint)
+               as pos_rank2
+      from r
+    )
+    select n, n_pos, (n - n_pos) as n_neg,
+           case when n_pos = 0 or n = n_pos then null
+                else cast(pos_rank2 - n_pos * (n_pos + 1) as double)
+                  / (2 * n_pos * (n - n_pos)) end as auc
+    from s
+    """,
+    tags=("agg", "eval", "stats"),
+)
+def agg_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC of the view-count score against the
+    purchase label (any model score in production): the Mann-Whitney
+    identity over doubled average ranks, one int64 division at the end.
+
+    100 TB shape: the corpus collapses to the user spine in one
+    map-side aggregate; the rank pass is a global sort of the
+    COLLAPSED spine (the agg_rfm/decile-lift precedent — the
+    production cut-over at extreme user counts is a fixed score
+    histogram: AUC from binned counts is the same rank algebra over
+    |bins| rows); the final statistic reduces 3 integers.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("score"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    r = u.select(
+        "label",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie).cast("long")
+            - 1
+        ).alias("rank2"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 1, F.col("rank2")).otherwise(0))
+        .cast("long")
+        .alias("pos_rank2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") == 0) | (F.col("n") == F.col("n_pos")), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+    )
+    return s.select("n", "n_pos", (F.col("n") - F.col("n_pos")).alias("n_neg"), auc.alias("auc"))

@@ -95,8 +95,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_parquet",
     "sink_csv_roundtrip",
     "scan_range",
-    "join_cross",
-    # 39-44: NEW round-8 operators (first driver row)
+    # 39-50: NEW round-8 operators (first driver row)
     "anonymize_dp_counts",
     "error_dp_counts",
     "text_readability",
@@ -111,8 +110,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_checked_publish",
     "agg_decile_lift",
     "pipeline_cost_estimate",
+    "agg_auc",
     # ---- slots 51+: rotation backlog, oldest-checked first (rest of
     # r1/r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "join_cross",
     "fn_concat",
     "fn_least_cast",
     "sim_pairs_blocked",

@@ -975,3 +975,37 @@ def test_decile_lift_matches_python_ranker(spark, sf_dir):
         assert r["lift"] == (ref_pos[dec] * n) / (ref_users[dec] * n_pos)
     assert sum(r["n_users"] for r in got.values()) == n
     assert sum(r["n_purchasers"] for r in got.values()) == n_pos
+
+
+def test_auc_matches_a_pairwise_witness(spark, sf_dir):
+    # Independent witness: AUC by DEFINITION — over every (pos, neg)
+    # user pair, count score_pos > score_neg as 1 and ties as 0.5 —
+    # must equal the rank-formula output exactly (the doubled-rank
+    # arithmetic is exact integers, so equality is bitwise after the
+    # one shared division shape).
+    from collections import defaultdict
+
+    from parquet_processor_spark.ops.aggregates import agg_auc
+    from parquet_processor_spark.tables import t as tt
+
+    score = defaultdict(int)
+    label = defaultdict(int)
+    for r in tt(spark, sf_dir, "events").select("user_id", "event_type").collect():
+        if r["event_type"] == "view":
+            score[r["user_id"]] += 1
+        label.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            label[r["user_id"]] = 1
+    pos = [score[u] for u in label if label[u] == 1]
+    neg = [score[u] for u in label if label[u] == 0]
+    wins2 = sum(2 for p in pos for q in neg if p > q) + sum(
+        1 for p in pos for q in neg if p == q
+    )
+    row = agg_auc(spark, sf_dir).collect()[0]
+    assert row["n"] == len(pos) + len(neg)
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    if pos and neg:
+        assert row["auc"] == wins2 / (2 * len(pos) * len(neg))
+        assert 0.0 <= row["auc"] <= 1.0
+    else:
+        assert row["auc"] is None

@@ -115,8 +115,8 @@ REPRESENTATIVE = [
     "report_ivf_balance",      # left join from empty centroid table
     "sim_knn_graph",           # posting-list knn over empty buckets
     "multimodal_scene_cut",    # frame windows over an empty media set
-    # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power are
-    # global aggregates: one row on
+    # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
+    # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
     # (pipeline_cost_estimate emits its one model row on an empty
     # manifest — n_manifest 0, canary_ok false on min_records — and the

@@ -68,7 +68,7 @@ def test_check_priority_window():
         # displaced to backlog top by error_dp_counts — it leads round 9)
         "filter_temporal", "filter_compound", "fn_regexp_extract",
         "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
-        "scan_range", "join_cross",
+        "scan_range",
         # new round-8 operators (first driver row)
         "anonymize_dp_counts", "error_dp_counts", "text_readability",
         "report_ivf_balance",
@@ -76,6 +76,7 @@ def test_check_priority_window():
         "multimodal_scene_cut", "streaming_forecast",
         "sample_curriculum_mix", "graph_bfs_distances",
         "sink_checked_publish", "agg_decile_lift", "pipeline_cost_estimate",
+        "agg_auc",
         # the full r2 rotation cohort (sim_pairs_blocked and the rest)
         # was displaced to the backlog top by the 12 new round-8 ops —
         # new queries need their FIRST driver row more than r2 greens

@@ -106,7 +106,7 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "report_lsh_tuning",
          # round-8 additions
          "anonymize_dp_counts", "text_readability", "report_ivf_balance",
-         "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph", "multimodal_scene_cut", "streaming_forecast", "sample_curriculum_mix", "graph_bfs_distances", "sink_checked_publish", "agg_decile_lift", "pipeline_cost_estimate", "error_dp_counts"]
+         "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph", "multimodal_scene_cut", "streaming_forecast", "sample_curriculum_mix", "graph_bfs_distances", "sink_checked_publish", "agg_decile_lift", "pipeline_cost_estimate", "error_dp_counts", "agg_auc"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
