@@ -501,18 +501,16 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 def _emb_lsh_oracle() -> str:
     """DuckDB twin of the banded-hyperplane candidacy + survivor rule:
     the band keys are literal-coefficient sign arithmetic
-    (vector._band_key_sql — the same literals the Arrow kernel uses),
-    so the whole pipeline is hash-checkable."""
-    from parquet_processor_spark.ops.vector import _band_key_sql, _cos_sql
+    (vector._band_key_sql — the same literals the Arrow kernel uses)
+    and the hot-bucket cap is the mirrored qualify-count filter, so
+    the whole pipeline is hash-checkable."""
+    from parquet_processor_spark.ops.vector import _cos_sql, _keyed_post_sql
 
-    keys = ", ".join(_band_key_sql("e", b) for b in range(8))
     return f"""
-    with keyed as (
-      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
-    ),
+    with {_keyed_post_sql(8)},
     cand as (
       select distinct k1.vec_id as keep_cand, k2.vec_id as dup
-      from keyed k1 join keyed k2 using (band_key)
+      from post k1 join post k2 using (band_key)
       where k1.vec_id < k2.vec_id
     ),
     pairs as (
@@ -550,20 +548,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB shape: the candidate self-join shuffles only the narrow
     (vec_id, band_key) projection — 16 bytes/row x L, not L copies of
-    the embedding; the embeddings are joined back by id only for the
-    deduplicated candidate pairs, so the wide column crosses the wire
-    once per surviving pair side instead of L times per row.
+    the embedding; hot buckets past vector._EMB_BUCKET_CAP are dropped
+    BEFORE any posting list is collected (capped_band_postings — on a
+    correlated corpus one bucket can hold a large corpus fraction,
+    which would OOM the collecting task and go quadratic downstream);
+    the embeddings are joined back by id only for the deduplicated
+    candidate pairs, so the wide column crosses the wire once per
+    surviving pair side instead of L times per row.
     """
-    from parquet_processor_spark.ops.vector import cosine, lsh_band_keys_arrow
+    from parquet_processor_spark.ops.vector import capped_band_postings
 
     e = t(spark, sf, "embeddings")
-    # explode_outer: a plain explode infers a size>0 filter whose
-    # pushdown would schedule a SECOND ArrowEvalPython pass of the
-    # band-key UDF per row (see _explode_shingles); band arrays have
-    # fixed length L, never empty.
-    keyed = e.select(
-        "vec_id", F.explode_outer(lsh_band_keys_arrow()(F.col("embedding"))).alias("band_key")
-    )
     # Bucket pairs come from ONE posting-list expansion (the
     # shingle_pair_counts shape), not a band-key self-join: the join
     # form would schedule the ArrowEvalPython band-key UDF once per
@@ -571,11 +566,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # both. Grouping runs the UDF once, shuffles 16-byte
     # (band_key, vec_id) rows once, and streams each bucket's pairs
     # out of chained generators.
-    blocks = (
-        keyed.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
+    blocks = capped_band_postings(e, 8)
     cand = (
         blocks.select("ids", F.posexplode("ids").alias("i", "va"))
         .select(

@@ -321,6 +321,72 @@ def _cos_sql(x: str, y: str) -> str:
     return f"{_dot_sql(x, y)} / ({_norm_sql(x)} * {_norm_sql(y)})"
 
 
+# Hot-bucket cap for the hyperplane-LSH posting-list family
+# (dedup_embedding_lsh, sim_range_search, sim_knn_graph) — the same
+# document-frequency discipline the shingle (_SHINGLE_DF_CAP) and
+# audio (_AUDIO_DF_CAP) families enforce. A band key shared by d
+# vectors contributes d*(d-1)/2 candidate pairs, so on a correlated
+# corpus (near-duplicate web text => clustered embeddings — the
+# NORMAL case at 100x) one bucket holding a large corpus fraction
+# turns the blocked join quadratic AND overflows the task that
+# collects its posting list. Buckets past the cap are dropped BEFORE
+# any list is collected (count pre-aggregate + broadcast anti-join —
+# the ops/multimodal.py _audio_capped_postings recipe), so neither
+# failure mode can occur; an over-cap bucket carries no blocking
+# signal anyway (its sign pattern matches a corpus-scale fraction,
+# i.e. boilerplate geometry, not duplication). At the test SFs the
+# largest bucket holds 371 vectors (sf0.1; 95 at sf0.01), so the cap
+# provably changes nothing locally — it exists for the 100x corpus.
+# Mirrored in every oracle via
+# `qualify count(*) over (partition by band_key) <= cap`.
+_EMB_BUCKET_CAP = 1000
+
+
+def capped_band_postings(e: DataFrame, n_bands: int, cap: int = _EMB_BUCKET_CAP) -> DataFrame:
+    """(band_key, ids) hyperplane-LSH posting lists over an embeddings
+    frame, hot buckets (> cap vectors) dropped before collection.
+
+    The keyed projection is ONE Arrow pass over the corpus,
+    localCheckpoint'ed (eager-by-design) because both the
+    hot-key statistic and the posting-list build read it — 16-byte
+    (vec_id, band_key) rows, so the materialization is narrow. The
+    hot-key table is tiny by construction (at most n_bands * 8 rows
+    here; at most #buckets/cap of the corpus in general), so it
+    broadcasts, and the anti-join prunes map-side before the one
+    posting-list shuffle."""
+    keyed = e.select(
+        "vec_id",
+        F.explode_outer(lsh_band_keys_arrow(n_bands)(F.col("embedding"))).alias("band_key"),
+    ).localCheckpoint(eager=True)
+    hot = (
+        keyed.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("band_key")
+    )
+    return (
+        keyed.join(F.broadcast(hot), "band_key", "left_anti")
+        .groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+
+
+def _keyed_post_sql(n_bands: int, cap: int = _EMB_BUCKET_CAP) -> str:
+    """keyed + post CTEs: banded keys and the df-capped posting
+    relation — the DuckDB twin of :func:`capped_band_postings`."""
+    keys = ", ".join(_band_key_sql("e", b) for b in range(n_bands))
+    return f"""
+    keyed as (
+      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
+    ),
+    post as (
+      select vec_id, band_key from keyed
+      qualify count(*) over (partition by band_key) <= {cap}
+    )
+    """
+
+
 # N3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer = 8 fixed
 # centroids (the embeddings of vec_id 1..8 — deterministic, no RNG);
 # every vector is assigned to its max-cosine cell (map-side, centroids
@@ -1312,21 +1378,14 @@ def _range_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB shape (the dedup_embedding_lsh discipline): band keys are
     ONE Arrow pass; the self-join never forms — buckets group 16-byte
-    (band_key, vec_id) rows and stream pairs from generators; pair-
-    level dropDuplicates collapses multi-band hits BEFORE any cosine;
-    embeddings rejoin by id only for surviving candidates, norms
-    computed once per side.
+    (band_key, vec_id) rows and stream pairs from generators; hot
+    buckets past ``_EMB_BUCKET_CAP`` are dropped before any list is
+    collected (capped_band_postings); pair-level dropDuplicates
+    collapses multi-band hits BEFORE any cosine; embeddings rejoin by
+    id only for surviving candidates, norms computed once per side.
     """
     e = t(spark, sf, "embeddings")
-    keyed = e.select(
-        "vec_id",
-        F.explode_outer(lsh_band_keys_arrow(_RANGE_BANDS)(F.col("embedding"))).alias("band_key"),
-    )
-    blocks = (
-        keyed.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
+    blocks = capped_band_postings(e, _RANGE_BANDS)
     cand = (
         blocks.select("ids", F.posexplode("ids").alias("i", "va"))
         .select(
@@ -1381,14 +1440,11 @@ def pair_cos_arrow():
 
 
 def _range_keyed_sql() -> str:
-    keys = ", ".join(_band_key_sql("e", b) for b in range(_RANGE_BANDS))
     return f"""
-    keyed as (
-      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
-    ),
+    {_keyed_post_sql(_RANGE_BANDS)},
     cand as (
       select distinct k1.vec_id as a_id, k2.vec_id as b_id
-      from keyed k1 join keyed k2 using (band_key)
+      from post k1 join post k2 using (band_key)
       where k1.vec_id < k2.vec_id
     ),
     found as (
@@ -2048,14 +2104,11 @@ _KNN_BANDS = 8
 
 
 def _knn_graph_oracle() -> str:
-    keys = ", ".join(_band_key_sql("e", b) for b in range(_KNN_BANDS))
     return f"""
-    with keyed as (
-      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
-    ),
+    with {_keyed_post_sql(_KNN_BANDS)},
     cand as (
       select distinct k1.vec_id as src, k2.vec_id as dst
-      from keyed k1 join keyed k2 using (band_key)
+      from post k1 join post k2 using (band_key)
       where k1.vec_id <> k2.vec_id
     ),
     scored as (
@@ -2081,28 +2134,22 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     ``recall_sim_knn_graph``.
 
     100 TB shape: the band UDF runs ONCE over the corpus and only
-    (band_key, vec_id) longs shuffle into posting lists; each bucket's
-    pairs stream out of chained generators (never a band-key
-    self-join); every undirected pair is scored once — the mirror row
-    reuses the score, which is bitwise-safe because per-element
-    products and the norm product commute; embeddings join back by id
-    only for surviving pairs; and the rank<= {_KNN_K} filter plans as
-    WindowGroupLimit (partial top-K per map task BEFORE the src
-    shuffle), so K*P rows cross the wire per source, never the
-    candidate mass.
+    (band_key, vec_id) longs shuffle into posting lists; hot buckets
+    past ``_EMB_BUCKET_CAP`` are dropped before any list is collected
+    (capped_band_postings — the correlated-corpus quadratic guard);
+    each bucket's pairs stream out of chained generators (never a
+    band-key self-join); every undirected pair is scored once — the
+    mirror row reuses the score, which is bitwise-safe because
+    per-element products and the norm product commute; embeddings
+    join back by id only for surviving pairs; and the rank<=
+    {_KNN_K} filter plans as WindowGroupLimit (partial top-K per map
+    task BEFORE the src shuffle), so K*P rows cross the wire per
+    source, never the candidate mass.
     """
     from pyspark.sql import Window
 
     e = t(spark, sf, "embeddings")
-    keyed = e.select(
-        "vec_id",
-        F.explode_outer(lsh_band_keys_arrow(_KNN_BANDS)(F.col("embedding"))).alias("band_key"),
-    )
-    blocks = (
-        keyed.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
+    blocks = capped_band_postings(e, _KNN_BANDS)
     cand = (
         blocks.select("ids", F.posexplode("ids").alias("i", "lo"))
         .select(

@@ -717,3 +717,37 @@ def test_numpy_cumsum_is_still_a_sequential_left_fold():
         "pair_cos_arrow's cumsum dot with an explicit order-pinned loop "
         "(see its docstring) before trusting cross-engine hashes"
     )
+
+
+def test_capped_band_postings_drops_hot_buckets(spark):
+    # The hot-bucket cap (_EMB_BUCKET_CAP discipline): a bucket whose
+    # posting list would exceed the cap is dropped BEFORE collection,
+    # smaller buckets survive untouched. Five identical vectors land
+    # in one bucket per band; with cap=4 every bucket is hot => no
+    # postings at all; with cap=5 all 8 band buckets (size 5) survive.
+    from parquet_processor_spark.ops.vector import capped_band_postings
+
+    vec = [float(i % 7 - 3) for i in range(64)]
+    e = spark.createDataFrame(
+        [(i, vec) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    assert capped_band_postings(e, 8, cap=4).count() == 0
+    survived = capped_band_postings(e, 8, cap=5).collect()
+    assert len(survived) == 8 and all(len(r["ids"]) == 5 for r in survived)
+
+
+def test_capped_band_postings_cap_is_noop_at_test_sf(spark, sf_dir):
+    # The production cap provably changes nothing at check SF (largest
+    # measured bucket: 371 at sf0.1) — the recall gates therefore
+    # measure the SAME pipeline the oracles hash-check.
+    from parquet_processor_spark.ops.vector import _EMB_BUCKET_CAP
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    from parquet_processor_spark.ops.vector import lsh_band_keys_arrow
+
+    keyed = e.select(
+        F.explode_outer(lsh_band_keys_arrow(16)(F.col("embedding"))).alias("band_key")
+    )
+    mx = keyed.groupBy("band_key").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= _EMB_BUCKET_CAP

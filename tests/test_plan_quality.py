@@ -889,6 +889,9 @@ def test_range_search_pairs_only_band_keys(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     # bucket build groups by band_key; the embedding rejoin hashes ids
     assert "band_key" in plan, plan
+    # hot-bucket cap: the > _EMB_BUCKET_CAP keys prune via a BROADCAST
+    # anti-join before any posting list is collected
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
 
 
 def test_random_projection_is_shuffle_free(spark):
@@ -1067,6 +1070,8 @@ def test_knn_graph_topk_is_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
     assert "CartesianProduct" not in plan, plan
+    # hot-bucket cap pruned via broadcast anti-join (capped_band_postings)
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
 
 
 def test_scene_cut_windows_share_one_media_exchange(spark):
