@@ -286,15 +286,57 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# N2b: MinHash + LSH banding. k=12 xxhash64 minhashes (numeric min of
-# xxhash64(xxhash64(shingle), seed)), b=6 bands × r=2 rows. Candidate
-# pairs = docs sharing any band signature. Each shingle is hashed ONCE
-# to a long, then the k seed variants hash fixed-width longs — ~10×
-# cheaper than per-seed string hashing (measured: 70 s → single-digit
-# seconds at sf0.1 for the signature stage).
+# N2b: MinHash + LSH banding, b=6 bands × r=2 rows over k=12
+# minhashes. Candidate pairs = docs sharing any band signature. The
+# whole construction is CROSS-ENGINE (hash-checked oracles for
+# dedup_near, dedup_connected_lsh, dedup_incremental_minhash):
+# - base hash: md5-60bit of the shingle string (the engine's shared
+#   hash primitive — `conv(substr(md5(x),1,15),16,10)` in Spark,
+#   `('0x'||substr(md5(x),1,15))::bigint` in DuckDB), computed ONCE
+#   per shingle;
+# - the k permutations are Carter–Wegman universal hashes
+#   pi_j(h) = (a_j * (h mod P) + b_j) mod P with P = 2^31 - 1
+#   (Mersenne) and md5-derived literal coefficients: every
+#   intermediate stays below 2^62, so the arithmetic is EXACT 64-bit
+#   integer math both engines replay verbatim — and cheaper than a
+#   per-seed re-hash (the datasketch construction);
+# - band signatures are md5-60bit over "band:slice" strings, so the
+#   posting keys shuffle as 8-byte longs.
+# The earlier xxhash64 construction was rows-only forever (DuckDB
+# cannot replay xxhash64); this one costs one md5 per shingle (the
+# expensive pass is unchanged in shape) + k integer FMAs per shingle
+# and buys driver-checkable end-to-end hashes for the whole family.
 _K = 12
 _BANDS = 6
 _ROWS = 2
+_MH_P = (1 << 31) - 1  # Mersenne modulus: a*(h%P)+b < 2^62, exact in a long
+# Posting-list cap for the banded-minhash family — the
+# _SHINGLE_DF_CAP / _EMB_BUCKET_CAP discipline: a band signature
+# shared by d docs yields d*(d-1)/2 candidate pairs, so a degenerate
+# signature (empty docs, boilerplate) must not go quadratic. At test
+# SFs the largest band bucket holds 11 docs (sf0.1) — the cap exists for the
+# 100x corpus and is mirrored in every oracle.
+_MH_BUCKET_CAP = 1000
+
+
+def _mh_perm_consts(k: int = _K) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the k universal-hash
+    permutations, a in [1, P-1], b in [0, P-1] — md5-derived literals
+    both engines embed verbatim (the _plane_coeffs recipe)."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"mhperm_a{j}".encode()).hexdigest()[:8], 16) % (_MH_P - 1) + 1
+        b = int(hashlib.md5(f"mhperm_b{j}".encode()).hexdigest()[:8], 16) % _MH_P
+        out.append((a, b))
+    return out
+
+
+def md5_long(col: F.Column) -> F.Column:
+    """md5-60bit long of a string column — the engine's shared
+    cross-engine hash primitive (ops/sampling.py spelling)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def shingle_hashes(words_col: str = "words", n: int = 3) -> F.Column:
@@ -310,13 +352,34 @@ def shingle_hashes(words_col: str = "words", n: int = 3) -> F.Column:
     )
 
 
+def shingle_hashes_md5(words_col: str = "words", n: int = 3) -> F.Column:
+    """Distinct word-n-gram shingles hashed to md5-60bit longs — the
+    cross-engine base hash the minhash signature permutes (the
+    xxhash64 :func:`shingle_hashes` stays for consumers whose hash is
+    engine-internal: jaccard/containment block keys, simhash bits)."""
+    words = F.col(words_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(words, i, n))),
+        )
+    )
+
+
 def minhash_signature(hashes_col: F.Column, k: int = _K) -> F.Column:
-    """array<long> of k minhashes over pre-hashed shingles: each of the
-    k seed passes re-hashes fixed-width longs (cheap) — the one
-    expensive string-hash pass happened in :func:`shingle_hashes`."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(F.transform(hashes_col, lambda h: F.xxhash64(h, j))),
+    """array<long> of k minhashes over md5-60bit shingle hashes via
+    universal-hash permutations (a_j*(h mod P)+b_j) mod P — exact
+    64-bit integer arithmetic DuckDB replays verbatim, and cheaper
+    than a per-seed re-hash (the one expensive string-hash pass
+    happened in :func:`shingle_hashes_md5`)."""
+    def perm(a: int, b: int):
+        # closure factory, NOT default-arg lambda: pyspark reads the
+        # lambda's arity to pick the HOF variant, so extra defaulted
+        # params would make it bind the 3-arg (value, index) form
+        return lambda h: (F.lit(a) * (h % _MH_P) + F.lit(b)) % _MH_P
+
+    return F.array(
+        *[F.array_min(F.transform(hashes_col, perm(a, b))) for a, b in _mh_perm_consts(k)]
     )
 
 
@@ -352,7 +415,7 @@ def _minhash_sig_cached(spark: SparkSession, sf: str) -> DataFrame:
         # stays one-entry-per-(live session, sf)
         for k in [k for k in _SIG_MEMO if k[:2] != key[:2]]:
             _SIG_MEMO.pop(k, None)
-        hashed = split_words(spark, sf).select("doc_id", shingle_hashes().alias("hashes"))
+        hashed = split_words(spark, sf).select("doc_id", shingle_hashes_md5().alias("hashes"))
         sig = hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig")).cache()
         sig.count()  # eager-by-design: materialize the reused-signature cache
         _SIG_MEMO[key] = sig
@@ -362,8 +425,10 @@ def _minhash_sig_cached(spark: SparkSession, sf: str) -> DataFrame:
 def _band_rows(sig_df: DataFrame) -> DataFrame:
     """(…passthrough cols…, band, band_sig) from a frame holding a
     ``sig`` array<long> column: one generator per input row emits the
-    b band rows, each keyed by xxhash64 over its r-slice of the
-    signature. explode_outer for the same reason as
+    b band rows, each keyed by the md5-60bit hash of the
+    "band:slice" string — cross-engine (the oracle spells
+    ``concat(band, ':', s_i, ':', s_j)``) while still shuffling
+    8-byte keys. explode_outer for the same reason as
     :func:`_explode_shingles` — the band array has fixed length b,
     never empty, and plain explode would infer a size guard that
     re-evaluates the transform."""
@@ -375,8 +440,18 @@ def _band_rows(sig_df: DataFrame) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(_BANDS - 1)),
                 lambda bi: F.struct(
                     bi.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), bi * _ROWS + 1, _ROWS)
+                    md5_long(
+                        F.concat_ws(
+                            ":",
+                            bi.cast("string"),
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), bi * _ROWS + 1, _ROWS),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ":",
+                            ),
+                        )
                     ).alias("band_sig"),
                 ),
             )
@@ -384,12 +459,116 @@ def _band_rows(sig_df: DataFrame) -> DataFrame:
     ).select(*cols, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
-@query("dedup_near", tags=("dedup", "lsh"))
+def _capped_band_blocks(bands: DataFrame, cap: int = _MH_BUCKET_CAP) -> DataFrame:
+    """Sorted (band, band_sig, docs) posting lists with hot buckets
+    (> cap docs) dropped BEFORE collection — count pre-aggregate +
+    broadcast anti-join, the capped_band_postings recipe. ``bands``
+    derives from the cached signature table, so the two passes read
+    the cache, not the corpus."""
+    hot = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("band", "band_sig")
+    )
+    return (
+        bands.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+        .groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+
+
+def _mh_sig_sql() -> str:
+    """DuckDB CTE chain sh → hashed → sigs(doc_id, s0..s{k-1}): the
+    exact minhash-signature twin (same shingles, same md5-60bit base
+    hash, same universal-hash literals)."""
+    mins = ",\n             ".join(
+        f"min(({a} * (h % {_MH_P}) + {b}) % {_MH_P}) as s{j}"
+        for j, (a, b) in enumerate(_mh_perm_consts())
+    )
+    return rf"""
+    sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    ),
+    hashed as (
+      select doc_id, ('0x' || substr(md5(shingle), 1, 15))::bigint as h from sh
+    ),
+    sigs as (
+      select doc_id,
+             {mins}
+      from hashed group by doc_id
+    )"""
+
+
+def _mh_bands_sql() -> str:
+    """bands CTE: one (doc_id, band_sig) row per band, band_sig =
+    md5-60bit of the same "band:slice" string Spark's _band_rows
+    hashes (band index baked in, so cross-band keys never join)."""
+    entries = ", ".join(
+        "('0x' || substr(md5(concat("
+        + f"{b}, "
+        + ", ".join(f"':', s{b * _ROWS + r}" for r in range(_ROWS))
+        + ")), 1, 15))::bigint"
+        for b in range(_BANDS)
+    )
+    return f"""
+    bands as (
+      select doc_id, unnest([{entries}]) as band_sig from sigs
+    )"""
+
+
+def _mh_post_sql() -> str:
+    """post CTE: the df-capped posting relation over the whole corpus
+    (the _capped_band_blocks twin)."""
+    return f"""
+    post as (
+      select doc_id, band_sig from bands
+      qualify count(*) over (partition by band_sig) <= {_MH_BUCKET_CAP}
+    )"""
+
+
+def _mh_est_sql(sa: str, sb: str) -> str:
+    """Signature-agreement estimate between two sigs CTE aliases —
+    one exact int sum, one IEEE division (bitwise cross-engine)."""
+    matches = " + ".join(
+        f"(case when {sa}.s{j} = {sb}.s{j} then 1 else 0 end)" for j in range(_K)
+    )
+    return f"cast({matches} as double) / {float(_K)}"
+
+
+def _dedup_near_oracle() -> str:
+    return f"""
+    with {_mh_sig_sql()},
+    {_mh_bands_sql()},
+    {_mh_post_sql()},
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from post a join post b using (band_sig)
+      where a.doc_id < b.doc_id
+    )
+    select c.doc_a, c.doc_b, {_mh_est_sql('sa', 'sb')} as est_jaccard
+    from cand c
+    join sigs sa on sa.doc_id = c.doc_a
+    join sigs sb on sb.doc_id = c.doc_b
+    """
+
+
+@query("dedup_near", oracle=_dedup_near_oracle(), tags=("dedup", "lsh"))
 def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH candidate pairs with verified Jaccard-over-signature.
 
-    Rows-only check (the banding construction is unwieldy as one SQL
-    string; the pytest suite verifies it against brute-force Jaccard).
+    HASH-CHECKED end to end: the md5-60bit base hash, the
+    universal-hash permutations (literal coefficients), the banded
+    posting keys, the hot-bucket cap, and the one-division agreement
+    estimate are all replayed verbatim by the DuckDB oracle (the
+    pytest suite additionally verifies candidacy against brute-force
+    Jaccard).
     """
     # Stage 1 (expensive, once): split words, build+hash shingles.
     # Stage 2 (cheap, k passes over longs): the minhash signature.
@@ -403,11 +582,7 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     # several subtrees, and the cache pins the one expensive stage.
     sig = _minhash_sig_cached(spark, sf)
     bands = _band_rows(sig)
-    blocks = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
-        .where(F.size("docs") >= 2)
-    )
+    blocks = _capped_band_blocks(bands)
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -417,6 +592,8 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     # bands yields identical est rows, so dropDuplicates over
     # (doc_a, doc_b, est) is the same pair set — and the dedup shuffle
     # carries 24-byte rows instead of two k-long signatures each.
+    # No round(): est is one IEEE division of exact ints, identical in
+    # both engines; rounding implementations are NOT (numeric.py).
     return (
         blocks.select("docs", F.posexplode("docs").alias("i", "a"))
         .select(
@@ -426,7 +603,7 @@ def dedup_near(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("b").isNotNull())
         .select("doc_a", "sig_a", F.col("b.doc_id").alias("doc_b"), F.col("b.sig").alias("sig_b"))
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -618,7 +795,11 @@ _SIMHASH_BITS = 64
 
 @query("dedup_simhash", tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash signatures + 16-bit-chunk LSH buckets (rows-only check).
+    """SimHash signatures + 16-bit-chunk LSH buckets (rows-only check:
+    the bit-voting needs all 64 bits of xxhash64 — the md5-60bit
+    shared primitive would leave 4 signature bits constant — and
+    DuckDB cannot replay xxhash64; quality evidence is the
+    hash-checked ``recall_dedup_simhash`` gate).
 
     Distributed bit-voting: explode features, one groupBy with 64
     partially-aggregated vote sums (map-side combine does the heavy
@@ -883,7 +1064,44 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_connected_lsh", tags=("dedup", "graph", "lsh", "iterative"))
+def _connected_lsh_oracle() -> str:
+    """MinHash pairs (est >= 0.2) + the dedup_connected recursive-CTE
+    closure — the whole 100 TB composition replayed in DuckDB."""
+    return f"""
+    with recursive {_mh_sig_sql()},
+    {_mh_bands_sql()},
+    {_mh_post_sql()},
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from post a join post b using (band_sig)
+      where a.doc_id < b.doc_id
+    ),
+    dup_pairs as (
+      select c.doc_a, c.doc_b
+      from cand c
+      join sigs sa on sa.doc_id = c.doc_a
+      join sigs sb on sb.doc_id = c.doc_b
+      where {_mh_est_sql('sa', 'sb')} >= 0.2
+    ),
+    edges as (
+      select doc_a as a, doc_b as b from dup_pairs
+      union all
+      select doc_b, doc_a from dup_pairs
+    ),
+    reach as (
+      select a as node, b as r from edges
+      union
+      select t.node, e.b from reach t join edges e on t.r = e.a
+    )
+    select d.doc_id,
+           least(d.doc_id, coalesce(min(t.r), d.doc_id)) as cluster_id,
+           (coalesce(min(t.r), d.doc_id) < d.doc_id) as is_dup
+    from documents d left join reach t on d.doc_id = t.node
+    group by d.doc_id
+    """
+
+
+@query("dedup_connected_lsh", oracle=_connected_lsh_oracle(), tags=("dedup", "graph", "lsh", "iterative"))
 def dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """The 100 TB fuzzy-dedup composition end-to-end: MinHash-LSH
     candidate pairs (signature-estimated Jaccard >= 0.2) → transitive
@@ -892,14 +1110,14 @@ def dedup_connected_lsh(spark: SparkSession, sf: str) -> DataFrame:
     blocked path instead of the exact shingle join — the shape that
     holds when the corpus no longer fits an exact pair join.
 
-    Rows-only driver check: MinHash candidacy is built on xxhash64,
-    which DuckDB has no compatible implementation of (unlike the
-    embedding-LSH family's literal hyperplanes — dedup_embedding_lsh
-    IS hash-checked). Re-hashing with the shared md5 would make the
-    pipeline oracle-expressible but ~10x the signature cost on the
-    100 TB hot path — the wrong trade for a check-time nicety.
+    HASH-CHECKED end to end since the minhash family moved to the
+    cross-engine construction (md5-60bit base hash + universal-hash
+    permutation literals — see the _K block comment): the oracle
+    replays signatures, banding, the bucket cap, the est>=0.2 edge
+    rule, and the transitive closure as one recursive CTE.
     :func:`parquet_processor_spark.ops.recall.recall_dedup_connected_lsh`
-    gates its cluster assignments against the exact closure instead.
+    additionally gates its cluster assignments against the exact
+    closure.
     """
     pairs = (
         dedup_near(spark, sf)
@@ -1137,14 +1355,26 @@ def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     delta_bands = bands.where(F.col("doc_id") >= F.col("c")).select(
         "doc_id", "sig", "band", "band_sig"
     )
-    # The standing index: one posting list per (band, band_sig). A
-    # production pipeline persists exactly this table and appends each
-    # batch's survivors to it; the probe below touches only buckets a
-    # delta band key actually hits.
-    postings = corpus_bands.groupBy("band", "band_sig").agg(
-        F.collect_list(F.struct("doc_id", "sig")).alias("docs")
+    # The standing index: one posting list per (band, band_sig),
+    # df-capped like every posting family (hot buckets dropped BEFORE
+    # collection via the broadcast anti-join — mirrored in the
+    # oracle's qualify filter over corpus rows). A production
+    # pipeline persists exactly this table and appends each batch's
+    # survivors to it; the probe below touches only buckets a delta
+    # band key actually hits.
+    hot_c = (
+        corpus_bands.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _MH_BUCKET_CAP)
+        .select("band", "band_sig")
     )
-    est = F.round(_sig_est("sig_a", "sig_b"), 6)
+    postings = (
+        corpus_bands.join(F.broadcast(hot_c), ["band", "band_sig"], "left_anti")
+        .groupBy("band", "band_sig")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("docs"))
+    )
+    # No round(): one IEEE division of exact ints (numeric.py).
+    est = _sig_est("sig_a", "sig_b")
     probe_pairs = (
         delta_bands.join(postings, ["band", "band_sig"])
         .select(
@@ -1162,12 +1392,10 @@ def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Within-delta pairs: the dedup_near block expansion restricted to
-    # the batch — sorted posting list, chained-generator pair stream.
-    delta_blocks = (
-        delta_bands.groupBy("band", "band_sig")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
-        .where(F.size("docs") >= 2)
-    )
+    # the batch — df-capped sorted posting list (cap counted over
+    # DELTA rows only, mirroring the standing index's corpus-only
+    # count), chained-generator pair stream.
+    delta_blocks = _capped_band_blocks(delta_bands.select("doc_id", "sig", "band", "band_sig"))
     delta_pairs = (
         delta_blocks.select("docs", F.posexplode("docs").alias("i", "a"))
         .select(
@@ -1183,17 +1411,74 @@ def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return probe_pairs.unionByName(delta_pairs)
 
 
-@query("dedup_incremental_minhash", tags=("dedup", "lsh", "incremental"))
+def _incremental_minhash_oracle() -> str:
+    """Cutoff + per-subset capped postings + probe/within-delta pair
+    union + est>=tau classification, all replayed in DuckDB."""
+    return f"""
+    with {_mh_sig_sql()},
+    {_mh_bands_sql()},
+    cutoff as (
+      select cast(floor(min(doc_id)
+                        + {_INCR_DEDUP_CUTOFF_FRAC} * (max(doc_id) - min(doc_id)))
+                  as bigint) as c
+      from documents
+    ),
+    cpost as (
+      select doc_id, band_sig from bands, cutoff where doc_id < c
+      qualify count(*) over (partition by band_sig) <= {_MH_BUCKET_CAP}
+    ),
+    dpost as (
+      select doc_id, band_sig from bands, cutoff where doc_id >= c
+      qualify count(*) over (partition by band_sig) <= {_MH_BUCKET_CAP}
+    ),
+    cand as (
+      select a.doc_id as doc_a, b.doc_id as doc_b
+      from cpost a join dpost b using (band_sig)
+      union
+      select a.doc_id, b.doc_id
+      from dpost a join dpost b using (band_sig)
+      where a.doc_id < b.doc_id
+    ),
+    flagged as (
+      select distinct cd.doc_b as doc_id, (cd.doc_a < cutoff.c) as from_corpus
+      from cand cd
+      join sigs sa on sa.doc_id = cd.doc_a
+      join sigs sb on sb.doc_id = cd.doc_b
+      cross join cutoff
+      where {_mh_est_sql('sa', 'sb')} >= {_INCR_MINHASH_TAU}
+    ),
+    marks as (
+      select doc_id,
+             max(case when from_corpus then 1 else 0 end) as k,
+             max(case when not from_corpus then 1 else 0 end) as w
+      from flagged group by doc_id
+    )
+    select d.doc_id,
+           (coalesce(m.k, 0) = 0 and coalesce(m.w, 0) = 0) as is_new_unique,
+           coalesce(m.k, 0) = 1 as near_dup_of_corpus,
+           coalesce(m.w, 0) = 1 as near_dup_within_delta
+    from (select doc_id from documents, cutoff where doc_id >= c) d
+    left join marks m using (doc_id)
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    tags=("dedup", "lsh", "incremental"),
+)
 def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """Classify each delta document by NEAR-duplication (MinHash-LSH):
     near-dup of the standing corpus, near-dup within the delta (the
     smallest-id member of a delta group stays new), or new-unique.
 
-    Rows-only check (MinHash = xxhash64, which DuckDB cannot replay —
-    see ``dedup_connected_lsh`` for the md5 trade-off note); quality
-    evidence is the hash-checked ``recall_dedup_incremental_minhash``
-    gate — every exact capped-shingle Jaccard>=0.2 pair involving a
-    delta doc must surface as a candidate pair here.
+    HASH-CHECKED end to end since the minhash family moved to the
+    cross-engine construction (see the _K block comment): the oracle
+    replays the cutoff, the per-subset capped posting lists, the
+    probe and within-delta pair streams, and the est>=tau
+    classification. The ``recall_dedup_incremental_minhash`` gate
+    additionally requires every exact capped-shingle Jaccard>=0.2
+    pair involving a delta doc to surface as a candidate pair here.
 
     100 TB shape: the corpus contributes only its band posting lists
     (maintained at-rest; kilobytes per bucket), the delta's band keys

@@ -1091,3 +1091,13 @@ def test_curriculum_mix_is_shuffle_free(spark):
     plan = plan_of(spark, "sample_curriculum_mix")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_dedup_near_postings_are_capped_via_broadcast_anti_join(spark):
+    # The minhash band posting lists follow the same hot-bucket
+    # discipline as the shingle/audio/hyperplane families: a count
+    # pre-aggregate finds over-cap band signatures and a broadcast
+    # anti-join drops them BEFORE any posting list is collected.
+    plan = plan_of(spark, "dedup_near")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
