@@ -1680,6 +1680,17 @@ def error_random_projection(spark: SparkSession, sf: str) -> DataFrame:
 _TUNE_PLANE_BASE = 300  # disjoint from LSH (0..~140) and RP (200..215)
 _TUNE_GRID_R = (2, 3, 4)
 _TUNE_GRID_L = (4, 8, 16)
+# The truth set is SAMPLED, not enumerated: 1-in-_TUNE_SAMPLE_MOD
+# deterministic md5 anchors (the sample_hash discipline), each paired
+# against the whole corpus — the tuning estimate only needs a few
+# hundred tau-ball pairs, and the exact all-pairs theta-join was the
+# one remaining O(n^2) serving-path construct (10.4 s at sf0.1; a
+# production retune over billions of vectors could never enumerate
+# the square). Anchor sampling keeps the estimator unbiased per grid
+# cell (each anchor's neighborhood is enumerated exactly) and the
+# oracle applies the identical predicate, so the report stays
+# hash-checked.
+_TUNE_SAMPLE_MOD = 8
 
 
 def _tune_band_sign_cols(emb: Column, r: int) -> list[Column]:
@@ -1691,6 +1702,49 @@ def _tune_band_sign_cols(emb: Column, r: int) -> list[Column]:
             sig = sig + _plane_sign(emb, base + band * r + j) * F.lit(1 << j)
         keys.append(sig.cast("long").alias(f"r{r}b{band}"))
     return keys
+
+
+def _tune_band_sign_arrow():
+    """Arrow twin of :func:`_tune_band_sign_cols` for ALL grid r
+    values in one pass, returning the 48 band signatures as one
+    array<bigint> in (r, band) order. The interpreted JVM folds cost
+    ~25 us/plane/row and the grid needs 144 plane signs per vector —
+    ~7 s of the report's wall at sf0.1 — exactly the dense-matmul
+    case the engine reserves Arrow kernels for (lsh_band_keys_arrow
+    precedent). Bit-exact with the JVM fold and the DuckDB oracle:
+    np.cumsum is a sequential left fold over identical float64
+    products (pinned by test_numpy_cumsum_is_still_a_sequential_left_
+    fold and the parity test in tests/test_dedup_vector.py)."""
+    planes = []
+    for r in _TUNE_GRID_R:
+        base = _TUNE_PLANE_BASE + r * 100
+        for band in range(max(_TUNE_GRID_L)):
+            for j in range(r):
+                planes.append(base + band * r + j)
+    C = np.array([_plane_coeffs(p) for p in planes])
+    grid_r = _TUNE_GRID_R
+    max_l = max(_TUNE_GRID_L)
+
+    @F.pandas_udf("array<bigint>")
+    def sigs(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        Cs = C[:, : E.shape[1]]
+        proj = np.cumsum(E[:, None, :] * Cs[None, :, :], axis=2)[:, :, -1]
+        s = (proj > 0).astype(np.int64)
+        cols = []
+        idx = 0
+        for r in grid_r:
+            for _band in range(max_l):
+                sig = np.zeros(len(E), dtype=np.int64)
+                for j in range(r):
+                    sig += s[:, idx] << j
+                    idx += 1
+                cols.append(sig)
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return sigs
 
 
 def _tune_band_sql(tbl: str, r: int, band: int) -> str:
@@ -1713,8 +1767,10 @@ def _tune_band_sql(tbl: str, r: int, band: int) -> str:
     with truth as (
       select a.vec_id as a_id, b.vec_id as b_id,
              a.embedding as ea, b.embedding as eb
-      from embeddings a join embeddings b on a.vec_id < b.vec_id
-      where {_cos_sql('a', 'b')} >= {_RANGE_TAU}
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+      where ('0x' || substr(md5(cast(a.vec_id as varchar)), 1, 13))::bigint
+              % {_TUNE_SAMPLE_MOD} = 0
+        and {_cos_sql('a', 'b')} >= {_RANGE_TAU}
     ),
     matched as (
       select a_id, b_id,
@@ -1747,37 +1803,56 @@ def _tune_band_sql(tbl: str, r: int, band: int) -> str:
     tags=("vector", "lsh", "report"),
 )
 def report_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
-    """Measured recall for every (r, L) banding cell over the tau-ball.
+    """Measured recall for every (r, L) banding cell over a SAMPLED
+    tau-ball: 1-in-{_TUNE_SAMPLE_MOD} deterministic md5 anchors, each
+    paired against the whole corpus (anchor-neighborhood recall — the
+    knn-gate shape). The per-cell recall estimator is unbiased and the
+    oracle replays the identical sample predicate, so the report stays
+    hash-checked.
 
-    100 TB shape: this is a DESIGN-TIME report run on a sample — the
-    exact all-pairs truth set is the check-SF construct every recall
-    gate here uses. The band signs for all grid cells come from ONE
-    pass over the (tiny) truth pair set with per-side sign columns; a
-    production retune samples pairs instead of enumerating them and
-    keeps the identical counting algebra.
+    100 TB shape: anchor sampling IS the production form — the pair
+    mass is n^2/mod and mod scales with the corpus (the report needs
+    a few hundred tau-ball pairs, not the square). The band signs for
+    all grid cells come from ONE pass over the sampled truth pair set
+    with per-side sign columns; all 9 grid cells aggregate in one
+    job.
     """
     e = t(spark, sf, "embeddings")
     sided = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    anchor_pred = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        % _TUNE_SAMPLE_MOD
+        == 0
+    )
     # spread the nested-loop's streamed side — the parquet is often ONE
-    # row group at check SF, serializing the O(n^2) cosines onto one core
-    a = sided.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    # row group at check SF, serializing the anchor-block cosines onto
+    # one core
+    a = (
+        sided.where(anchor_pred)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .alias("a")
+    )
     b = sided.alias("b")
     cos = pair_cos_arrow()(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
     )
     truth = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .where(cos >= _RANGE_TAU)
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
         )
     )
-    # the 48 per-band sign folds are CPU-heavy per row — same
-    # single-row-group hazard as the truth join, so spread them too
-    keyed = e.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id",
-        *[c for r in _TUNE_GRID_R for c in _tune_band_sign_cols(F.col("embedding"), r)],
+    # the 48 per-band signatures come from ONE Arrow matmul pass
+    # (interpreted folds cost ~7 s here at sf0.1); spread the rows —
+    # same single-row-group hazard as the truth join
+    names = [f"r{r}b{band}" for r in _TUNE_GRID_R for band in range(max(_TUNE_GRID_L))]
+    keyed = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _tune_band_sign_arrow()(F.col("embedding")).alias("sigs"))
+        .select("vec_id", *[F.col("sigs")[i].alias(n) for i, n in enumerate(names)])
     )
     ka = keyed.select(
         F.col("vec_id").alias("_ka"),

@@ -751,3 +751,28 @@ def test_capped_band_postings_cap_is_noop_at_test_sf(spark, sf_dir):
     )
     mx = keyed.groupBy("band_key").count().agg(F.max("count")).collect()[0][0]
     assert mx <= _EMB_BUCKET_CAP
+
+
+def test_tune_band_sign_arrow_matches_jvm_fold(spark, sf_dir):
+    # The report's Arrow signature kernel must be bit-exact with the
+    # interpreted JVM fold twin (_tune_band_sign_cols) — the same
+    # sequential-left-fold contract every Arrow kernel here carries.
+    from parquet_processor_spark.ops.vector import (
+        _TUNE_GRID_L,
+        _TUNE_GRID_R,
+        _tune_band_sign_arrow,
+        _tune_band_sign_cols,
+    )
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings").limit(200)
+    names = [f"r{r}b{b}" for r in _TUNE_GRID_R for b in range(max(_TUNE_GRID_L))]
+    jvm = e.select(
+        "vec_id", *[c for r in _TUNE_GRID_R for c in _tune_band_sign_cols(F.col("embedding"), r)]
+    )
+    arr = e.select(
+        "vec_id", _tune_band_sign_arrow()(F.col("embedding")).alias("s")
+    ).select("vec_id", *[F.col("s")[i].alias(n) for i, n in enumerate(names)])
+    a = {r["vec_id"]: tuple(r[n] for n in names) for r in jvm.collect()}
+    b = {r["vec_id"]: tuple(r[n] for n in names) for r in arr.collect()}
+    assert a == b
