@@ -2392,8 +2392,10 @@ def agg_auc(spark: SparkSession, sf: str) -> DataFrame:
     w_tie = Window.partitionBy("score")
     r = u.select(
         "label",
+        # rank() is IntegerType — cast BEFORE doubling, or the 2*rank
+        # term overflows 32-bit (ANSI error) past ~2^30 spine rows
         (
-            2 * F.rank().over(w_rank)
+            2 * F.rank().over(w_rank).cast("long")
             + F.count(F.lit(1)).over(w_tie).cast("long")
             - 1
         ).alias("rank2"),

@@ -790,9 +790,14 @@ def recall_sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(n.cast("long").alias("n_exact"), _gate(hit, n, 0.75).alias("overlap_ok"))
 
 
-@query(
-    "error_dp_counts",
-    oracle="""
+def _error_dp_oracle() -> str:
+    """Built from curation._dp_sql so the noise spelling (hash key
+    format, _DP_SEED) has exactly ONE source of truth — a seed or
+    key-format change updates both DP oracles together instead of
+    silently leaving this one stale."""
+    from parquet_processor_spark.ops.curation import _dp_sql
+
+    return f"""
     with g as (
       select c_mktsegment as qi_segment, c_nationkey as qi_nation,
              cast(count(*) as bigint) as n
@@ -800,14 +805,7 @@ def recall_sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     ),
     m as (
       select n,
-             cast(greatest(n
-               + (case when ('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':1:42'), 1, 15))::bigint = 0 then 60
-                       else length(bin((('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':1:42'), 1, 15))::bigint)
-                                        & -(('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':1:42'), 1, 15))::bigint))) - 1 end)
-               - (case when ('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':2:42'), 1, 15))::bigint = 0 then 60
-                       else length(bin((('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':2:42'), 1, 15))::bigint)
-                                        & -(('0x' || substr(md5(qi_segment || ':' || cast(qi_nation as varchar) || ':2:42'), 1, 15))::bigint))) - 1 end),
-               0) as bigint) as dp_n
+             cast(greatest(n + {_dp_sql('1')} - {_dp_sql('2')}, 0) as bigint) as dp_n
       from g
     )
     select cast(count(*) as bigint) as n_groups,
@@ -815,7 +813,12 @@ def recall_sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
            cast(sum(abs(dp_n - n)) as bigint) as total_abs_err,
            max(abs(dp_n - n)) <= 20 as error_bounded
     from m
-    """,
+    """
+
+
+@query(
+    "error_dp_counts",
+    oracle=_error_dp_oracle(),
     tags=("curation", "privacy", "dp", "evidence"),
 )
 def error_dp_counts(spark: SparkSession, sf: str) -> DataFrame:

@@ -94,15 +94,19 @@ def pipeline_media_dispatch(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "pipeline_cost_estimate",
     # model quantities are pure functions of the manifest; the two
-    # booleans restate the C1 gate and its extrapolation (the fake
-    # transport's per-record time is microseconds against a 30 s/record
-    # budget, so both are stable facts, not flaky measurements)
+    # booleans restate the C1 gate and its extrapolation. canary_ok is
+    # derived from the gate's own min-records rule (canary size >= 8)
+    # rather than hardcoded true, so an under-8-document fixture flips
+    # BOTH engines instead of failing the parity check as a false
+    # alarm; cost_within_budget stays a stable fact (the fake
+    # transport's per-record time is microseconds against a
+    # 30 s/record budget).
     oracle="""
     select cast(count(*) as bigint) as n_manifest,
            cast(least(10, count(*)) as bigint) as n_canary,
            cast(count(*) - least(10, count(*)) as bigint) as n_remaining,
            cast(ceil(cast(count(*) as double) / 5000) as int) as est_segments,
-           true as canary_ok,
+           least(10, count(*)) >= 8 as canary_ok,
            true as cost_within_budget
     from documents
     """,
