@@ -44,75 +44,44 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately. Round 8 window policy, in priority order:
-# (1) queries still awaiting their FIRST driver row, (2) queries whose
+# catalog deliberately. Round 9 window policy, in priority order:
+# (1) queries still awaiting their FIRST driver row (none this round —
+# every query has at least one green row), (2) queries whose
 # implementation or oracle changed this round, (3) the standing
-# oldest-checked-first rotation; new round-8 operators displace the
+# oldest-checked-first rotation; new operators displace the
 # newest rotation pins as they land. The window contents are enforced
 # by an automated assertion
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # ---- driver 50-slot check window (round 8) ----
-    # 1-19: round-7 additions awaiting their FIRST driver row
-    "streaming_changepoint",
-    "anonymize_l_diversity",
-    "sim_topk_batch",
-    "text_rake_keywords",
-    "sample_hard_negatives",
-    "multimodal_dedup_audio_incr",
-    "agg_log_histogram",
-    "error_log_quantile",
-    "sink_snapshot_expire",
-    "events_path_trigrams",
-    "anonymize_t_closeness",
-    "events_growth_accounting",
-    "multimodal_audio_trim",
-    "pipeline_privacy_audit",
-    "sim_mmr_rerank",
-    "agg_mannwhitney",
-    "agg_ks_test",
-    "agg_chi_square",
-    "agg_ab_power",
-    # 20-27: changed this round (Welch SE fix, undirected wedge fix,
-    # fused LSH tuning agg + all-pairs repartition, new hash-checked
-    # oracles for sim_topk_ivfpq / dedup_embedding_lsh, det codebook
-    # feeding the ann index roundtrip) — each needs a fresh green row
-    "agg_ab_test",
-    "graph_link_prediction",
-    "report_lsh_tuning",
-    "recall_range_search",
-    "sim_topk_ivfpq",
-    "recall_sim_topk_ivfpq",
-    "sink_ann_index_roundtrip",
+    # ---- driver 50-slot check window (round 9) ----
+    # 1-17: implementation or oracle changed this round — the
+    # cross-engine minhash rebuild (md5-60bit + universal-hash
+    # permutations => new oracles for dedup_near /
+    # dedup_connected_lsh / dedup_incremental_minhash and fresh
+    # rows for every consumer/gate), the hyperplane-LSH hot-bucket
+    # cap (dedup_embedding_lsh, sim_range_search, sim_knn_graph +
+    # gates), the sampled Arrow-kernel report_lsh_tuning, the
+    # agg_auc long-cast, and the re-derived DP / canary oracles
+    "dedup_near",
+    "dedup_connected_lsh",
+    "dedup_incremental_minhash",
+    "recall_dedup_near",
+    "recall_dedup_connected_lsh",
+    "recall_dedup_incremental_minhash",
+    "error_minhash_estimate",
     "dedup_embedding_lsh",
-    # 28-38: standing rotation, oldest first — full round-1 cohort
-    "filter_temporal",
-    "filter_compound",
-    "fn_regexp_extract",
-    "fn_date_format",
-    "fn_ts_diff",
-    "sink_parquet",
-    "sink_csv_roundtrip",
-    "scan_range",
-    # 39-50: NEW round-8 operators (first driver row)
-    "anonymize_dp_counts",
-    "error_dp_counts",
-    "text_readability",
-    "report_ivf_balance",
-    "events_forecast_linear",
+    "sim_range_search",
+    "recall_range_search",
     "sim_knn_graph",
     "recall_sim_knn_graph",
-    "multimodal_scene_cut",
-    "streaming_forecast",
-    "sample_curriculum_mix",
-    "graph_bfs_distances",
-    "sink_checked_publish",
-    "agg_decile_lift",
-    "pipeline_cost_estimate",
+    "recall_dedup_embedding_lsh",
+    "report_lsh_tuning",
     "agg_auc",
-    # ---- slots 51+: rotation backlog, oldest-checked first (rest of
-    # r1/r2, then r3/r4/r5/r6 cohorts, then the just-checked r7 block) ----
+    "error_dp_counts",
+    "pipeline_cost_estimate",
+    # 18-50: standing rotation, oldest-checked first (the r1
+    # cohort, then the stalest r2 rows — none checked since r2)
     "join_cross",
     "fn_concat",
     "fn_least_cast",
@@ -128,49 +97,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_json",
     "fn_json_extract",
     "case_when_dispatch",
-    "multimodal_dedup_audio",
-    "recall_dedup_audio",
-    "text_bm25_topk",
-    "graph_kcore",
-    "events_changepoint",
-    "sample_coreset_kcenter",
-    "agg_count_min",
-    "error_count_min",
-    "anonymize_k_anonymity",
-    "sample_importance_dsir",
-    "agg_bitmap_index",
-    "sim_range_search",
-    "embedding_random_projection",
-    "error_random_projection",
-    "multimodal_clip_pairs",
-    "streaming_count_min",
-    "monitor_feature_drift",
-    "quality_ccnet_buckets",
-    "dedup_cluster_report",
-    "tokenizer_bpe_eval",
-    "multimodal_frame_dedup",
-    "events_survival_table",
-    "events_bot_detection",
-    "curation_contamination_spans",
-    "events_seasonality",
-    "sink_codec_roundtrip",
-    "sink_manifest_pruned_scan",
-    "sink_partition_overwrite_dynamic",
-    "pipeline_curate_media",
-    "dedup_verbatim_spans",
-    "dedup_span_removal",
-    "graph_label_propagation",
-    "table_expectations",
-    "streaming_expectations",
-    "sink_training_shards",
-    "error_approx_intersection",
-    "join_fuzzy_names",
-    "dedup_semdedup",
-    "sink_versioned_snapshots",
-    "tokenizer_bpe_apply",
-    "sink_partitioned_roundtrip",
-    "multimodal_dedup_perceptual",
-    "recall_dedup_perceptual",
     "filter_error_rows",
     "sample_hash",
     "sample_stratified",
@@ -189,6 +115,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_cte",
     "window_session",
     "window_sliding",
+    # ---- slots 51+: rotation backlog, oldest-checked first ----
     "text_stats",
     "token_count",
     "lang_id",
@@ -265,7 +192,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_connected",
-    "dedup_connected_lsh",
     "curation_cap_per_source",
     "curation_contamination",
     "curation_pii_scrub",
@@ -278,11 +204,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_frames",
     "kmeans_ivf_train",
     "recall_sim_topk_lsh",
-    "recall_dedup_embedding_lsh",
-    "recall_dedup_near",
     "recall_dedup_simhash",
     "error_approx_distinct",
-    "recall_dedup_connected_lsh",
     "scan_parquet",
     "project_filter_notnull",
     "fn_string_normalize",
@@ -352,14 +275,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_zorder_roundtrip",
     "streaming_sliding",
     "embedding_quantize",
-    "error_minhash_estimate",
     "table_checksum",
     "window_percent_rank",
-    "dedup_near",
     "dedup_simhash",
     "agg_approx_distinct",
-    "dedup_incremental_minhash",
-    "recall_dedup_incremental_minhash",
     "sim_topk_ivf_nprobe",
     "recall_sim_topk_ivf_nprobe",
     "quality_diversity",
@@ -398,6 +317,90 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "multimodal_bytes",
     "multimodal_resize",
     "filter_prefix",
+    "multimodal_dedup_audio",
+    "recall_dedup_audio",
+    "text_bm25_topk",
+    "graph_kcore",
+    "events_changepoint",
+    "sample_coreset_kcenter",
+    "agg_count_min",
+    "error_count_min",
+    "anonymize_k_anonymity",
+    "sample_importance_dsir",
+    "agg_bitmap_index",
+    "embedding_random_projection",
+    "error_random_projection",
+    "multimodal_clip_pairs",
+    "streaming_count_min",
+    "monitor_feature_drift",
+    "quality_ccnet_buckets",
+    "dedup_cluster_report",
+    "tokenizer_bpe_eval",
+    "multimodal_frame_dedup",
+    "events_survival_table",
+    "events_bot_detection",
+    "curation_contamination_spans",
+    "events_seasonality",
+    "sink_codec_roundtrip",
+    "sink_manifest_pruned_scan",
+    "sink_partition_overwrite_dynamic",
+    "pipeline_curate_media",
+    "dedup_verbatim_spans",
+    "dedup_span_removal",
+    "graph_label_propagation",
+    "table_expectations",
+    "streaming_expectations",
+    "sink_training_shards",
+    "error_approx_intersection",
+    "join_fuzzy_names",
+    "dedup_semdedup",
+    "sink_versioned_snapshots",
+    "tokenizer_bpe_apply",
+    "sink_partitioned_roundtrip",
+    "multimodal_dedup_perceptual",
+    "recall_dedup_perceptual",
+    "streaming_changepoint",
+    "anonymize_l_diversity",
+    "sim_topk_batch",
+    "text_rake_keywords",
+    "sample_hard_negatives",
+    "multimodal_dedup_audio_incr",
+    "agg_log_histogram",
+    "error_log_quantile",
+    "sink_snapshot_expire",
+    "events_path_trigrams",
+    "anonymize_t_closeness",
+    "events_growth_accounting",
+    "multimodal_audio_trim",
+    "pipeline_privacy_audit",
+    "sim_mmr_rerank",
+    "agg_mannwhitney",
+    "agg_ks_test",
+    "agg_chi_square",
+    "agg_ab_power",
+    "agg_ab_test",
+    "graph_link_prediction",
+    "sim_topk_ivfpq",
+    "recall_sim_topk_ivfpq",
+    "sink_ann_index_roundtrip",
+    "filter_temporal",
+    "filter_compound",
+    "fn_regexp_extract",
+    "fn_date_format",
+    "fn_ts_diff",
+    "sink_parquet",
+    "sink_csv_roundtrip",
+    "scan_range",
+    "anonymize_dp_counts",
+    "text_readability",
+    "report_ivf_balance",
+    "events_forecast_linear",
+    "multimodal_scene_cut",
+    "streaming_forecast",
+    "sample_curriculum_mix",
+    "graph_bfs_distances",
+    "sink_checked_publish",
+    "agg_decile_lift",
 )
 
 

@@ -42,45 +42,34 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # (a) the 19 round-7 additions still awaiting their FIRST driver
-    # row, (b) everything whose implementation or oracle changed in
-    # round 8, (c) the standing oldest-checked-first rotation (the
-    # full r1 cohort + the stalest r2 rows). The r7-checked block just
-    # earned green rows, so it rotated to the back of the backlog.
+    # (a) everything whose implementation or oracle changed in round 9
+    # (the cross-engine minhash rebuild + its consumers/gates, the
+    # hyperplane-LSH hot-bucket cap + its gates, the sampled
+    # report_lsh_tuning, the agg_auc cast, the re-derived DP/canary
+    # oracles), then (b) the standing oldest-checked-first rotation
+    # (the full r1 cohort and the stalest r2 rows — none re-verified
+    # since round 2 while six rounds of code churned around them).
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # 19 round-7 additions with no driver row yet
-        "streaming_changepoint", "anonymize_l_diversity", "sim_topk_batch",
-        "text_rake_keywords", "sample_hard_negatives",
-        "multimodal_dedup_audio_incr", "agg_log_histogram",
-        "error_log_quantile", "sink_snapshot_expire", "events_path_trigrams",
-        "anonymize_t_closeness", "events_growth_accounting",
-        "multimodal_audio_trim", "pipeline_privacy_audit", "sim_mmr_rerank",
-        "agg_mannwhitney", "agg_ks_test", "agg_chi_square", "agg_ab_power",
-        # changed in round 8: Welch SE fix / undirected-wedge fix /
-        # fused LSH tuning + all-pairs repartition / new hash-checked
-        # oracles / deterministic PQ codebook
-        "agg_ab_test", "graph_link_prediction", "report_lsh_tuning",
-        "recall_range_search", "sim_topk_ivfpq", "recall_sim_topk_ivfpq",
-        "sink_ann_index_roundtrip", "dedup_embedding_lsh",
-        # rotation: round-1 cohort (latest driver row r1; fn_least_cast
-        # displaced to backlog top by error_dp_counts — it leads round 9)
-        "filter_temporal", "filter_compound", "fn_regexp_extract",
-        "fn_date_format", "fn_ts_diff", "sink_parquet", "sink_csv_roundtrip",
-        "scan_range",
-        # new round-8 operators (first driver row)
-        "anonymize_dp_counts", "error_dp_counts", "text_readability",
-        "report_ivf_balance",
-        "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph",
-        "multimodal_scene_cut", "streaming_forecast",
-        "sample_curriculum_mix", "graph_bfs_distances",
-        "sink_checked_publish", "agg_decile_lift", "pipeline_cost_estimate",
-        "agg_auc",
-        # the full r2 rotation cohort (sim_pairs_blocked and the rest)
-        # was displaced to the backlog top by the 12 new round-8 ops —
-        # new queries need their FIRST driver row more than r2 greens
-        # need refreshing; the r2 cohort leads the round-9 rotation
+        # changed in round 9
+        "dedup_near", "dedup_connected_lsh", "dedup_incremental_minhash",
+        "recall_dedup_near", "recall_dedup_connected_lsh",
+        "recall_dedup_incremental_minhash", "error_minhash_estimate",
+        "dedup_embedding_lsh", "sim_range_search", "recall_range_search",
+        "sim_knn_graph", "recall_sim_knn_graph", "recall_dedup_embedding_lsh",
+        "report_lsh_tuning", "agg_auc", "error_dp_counts",
+        "pipeline_cost_estimate",
+        # rotation: r1 cohort + stalest r2 rows (oldest driver row first)
+        "join_cross", "fn_concat", "fn_least_cast", "sim_pairs_blocked",
+        "sim_topk", "sim_topk_ivf", "agg_count_if", "agg_ratio",
+        "agg_groupby_count", "agg_cube", "join_range", "multimodal_features",
+        "scan_json", "fn_json_extract", "case_when_dispatch",
+        "filter_error_rows", "sample_hash", "sample_stratified",
+        "split_train_test", "sample_weighted_mix", "filter_by_quantile",
+        "pack_sequences", "fn_array_ops", "fn_map_ops", "join_skew_salted",
+        "join_bucketed", "union_by_name", "distinct_dedup", "set_intersect",
+        "agg_grouping_sets", "sql_cte", "window_session", "window_sliding",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
