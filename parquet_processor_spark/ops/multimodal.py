@@ -527,7 +527,9 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("media_id") + 1_000_000_000).alias("media_id"),
         F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
     )
-    media = docs.unionByName(reenc)
+    # spread the Arrow dHash pass — 1-2 row groups at check SF would
+    # confine the fingerprint CPU to two cores (single-row-group hazard)
+    media = docs.unionByName(reenc).repartition(spark.sparkContext.defaultParallelism)
     return _phash_dedup(media)
 
 
@@ -717,6 +719,10 @@ def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
     media = docs.unionByName(reenc).select(
         "media_id", F.col("content").cast("binary").alias("content")
     )
+    # spread the per-frame Arrow dHash — the parquet is 1-2 row groups
+    # at check SF, which confines the ~20 s of fingerprint CPU to two
+    # cores (the report_lsh_tuning single-row-group hazard)
+    media = media.repartition(spark.sparkContext.defaultParallelism)
     frames = sample_frames(media, n_frames=4).select(
         (F.col("media_id") * 4 + F.col("frame_idx")).alias("media_id"),
         F.col("frame").cast("string").alias("content"),
