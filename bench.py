@@ -78,6 +78,8 @@ HEADLINE = [
 # passes) so the headline total stays comparable to BASELINE_BENCH
 # across rounds while their cost is still on record.
 EXTENDED = [
+    "agg_calibration",
+    "sink_targeted_delete",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

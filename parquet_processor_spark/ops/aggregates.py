@@ -2414,3 +2414,101 @@ def agg_auc(spark: SparkSession, sf: str) -> DataFrame:
         / (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
     )
     return s.select("n", "n_pos", (F.col("n") - F.col("n_pos")).alias("n_neg"), auc.alias("auc"))
+
+
+# Calibration reliability table — the third leg of the model-eval kit
+# (agg_auc: ranking quality; agg_decile_lift: where the score
+# discriminates; THIS: whether the score's magnitude means what it
+# says). Users are binned into score deciles; each bin reports the
+# mean normalized prediction vs the realized positive rate and their
+# absolute gap — the per-bin summands of expected calibration error
+# (ECE, Naeini et al. 2015). Every double is ONE division of exact
+# int64s (the gap folds to |sum_score - max*n_pos| / (n*max), an
+# all-integer numerator), so the table hash-checks bitwise.
+@query(
+    "agg_calibration",
+    oracle="""
+    with u as (
+      select user_id,
+             cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint)
+               as score,
+             cast(max(case when event_type = 'purchase' then 1 else 0 end) as bigint)
+               as label
+      from events group by user_id
+    ),
+    m as (select cast(max(score) as bigint) as mx from u),
+    d as (
+      select label, score,
+             ntile(10) over (order by score, user_id) as bin
+      from u
+    ),
+    per as (
+      select bin,
+             cast(count(*) as bigint) as n_users,
+             cast(sum(score) as bigint) as sum_score,
+             cast(sum(label) as bigint) as n_pos
+      from d group by bin
+    )
+    select cast(bin as int) as bin, n_users, sum_score, n_pos,
+           case when mx = 0 then null
+                else cast(sum_score as double) / (n_users * mx) end as mean_pred,
+           cast(n_pos as double) / n_users as frac_pos,
+           case when mx = 0 then null
+                else cast(abs(sum_score - mx * n_pos) as double) / (n_users * mx) end
+             as abs_gap
+    from per, m
+    """,
+    tags=("agg", "eval", "stats", "calibration"),
+)
+def agg_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability table: per score-decile mean normalized prediction
+    vs realized positive rate, plus the |gap| each bin contributes to
+    ECE. The view-count score normalizes by the corpus max (broadcast
+    1-row), and a score-free corpus (max = 0) yields NULL predictions,
+    not a divide-by-zero.
+
+    100 TB shape: the corpus collapses to the user spine map-side;
+    ntile is one sort of the collapsed spine (the agg_auc precedent —
+    at extreme user counts the production form bins on a fixed score
+    histogram instead); the bin aggregate is map-side combined and the
+    1-row max broadcasts into the projection.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("score"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    m = u.agg(F.max("score").cast("long").alias("mx"))
+    w = Window.orderBy("score", "user_id")
+    d = u.select("label", "score", F.ntile(10).over(w).alias("bin"))
+    per = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    null_d = F.lit(None).cast("double")
+    return per.crossJoin(F.broadcast(m)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_users",
+        "sum_score",
+        "n_pos",
+        F.when(F.col("mx") == 0, null_d)
+        .otherwise(F.col("sum_score").cast("double") / (F.col("n_users") * F.col("mx")))
+        .alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n_users")).alias("frac_pos"),
+        F.when(F.col("mx") == 0, null_d)
+        .otherwise(
+            F.abs(F.col("sum_score") - F.col("mx") * F.col("n_pos")).cast("double")
+            / (F.col("n_users") * F.col("mx"))
+        )
+        .alias("abs_gap"),
+    )

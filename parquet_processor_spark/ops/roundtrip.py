@@ -1005,3 +1005,171 @@ def sink_checked_publish(spark: SparkSession, sf: str) -> DataFrame:
         "version int, n_candidate bigint, n_violations bigint, "
         "published boolean, is_current boolean, n_visible bigint",
     ).orderBy("version")
+
+
+# Targeted delete — the right-to-be-forgotten path (GDPR art. 17 /
+# CCPA): remove every row belonging to a target-key set from a
+# partitioned table at rest, rewriting ONLY the partitions that
+# contain a target (copy-on-write delete, the Delta/Iceberg
+# DELETE FROM shape). Targets are a deterministic md5 sample of
+# customers, so both engines derive the same key set; the audit row
+# is pure key/count arithmetic the oracle replays, plus two physical
+# facts the Spark side verifies directly (untouched partitions
+# byte-stable, zero target rows visible after) that are true by
+# construction.
+_RTBF_BUCKETS = 16
+_RTBF_MOD = 97  # ~1% of customers ask to be forgotten
+
+
+def _rtbf_target_pred(key: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("long")
+        % _RTBF_MOD
+        == 0
+    )
+
+
+@query(
+    "sink_targeted_delete",
+    oracle=f"""
+    with targets as (
+      select c_custkey from customer
+      where ('0x' || substr(md5(cast(c_custkey as varchar)), 1, 13))::bigint
+              % {_RTBF_MOD} = 0
+    ),
+    o as (select o_orderkey, o_custkey, o_custkey % {_RTBF_BUCKETS} as bucket
+          from orders),
+    stats as (
+      select cast(count(*) as bigint) as rows_before,
+             cast(count(distinct bucket) as bigint) as n_partitions,
+             cast(sum(case when t.c_custkey is not null then 1 else 0 end)
+                  as bigint) as rows_deleted,
+             cast(count(distinct case when t.c_custkey is not null
+                                      then bucket end) as bigint)
+               as n_partitions_rewritten
+      from o left join targets t on o.o_custkey = t.c_custkey
+    )
+    select n_partitions, n_partitions_rewritten, rows_before, rows_deleted,
+           rows_before - rows_deleted as rows_after,
+           cast(0 as bigint) as targets_remaining,
+           true as untouched_intact
+    from stats
+    """,
+    tags=("sink", "governance", "privacy", "delete"),
+)
+def sink_targeted_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write targeted delete over a bucket-partitioned orders
+    table: write the table partitioned by ``o_custkey % {_RTBF_BUCKETS}``,
+    pick the ~1% md5-sampled target customers, rewrite ONLY the
+    partitions holding a target (dynamic partition overwrite with the
+    targets anti-joined out), and emit one audit row. Two facts are
+    verified PHYSICALLY, not assumed: every untouched partition's
+    file listing is identical before and after (no spurious rewrite),
+    and a full re-read finds zero target rows (the deletion took).
+
+    100 TB shape: the rewrite cost is proportional to the AFFECTED
+    partitions, not the table — the target-bucket filter prunes the
+    scan to those directories (partition pruning on the read,
+    dynamic-overwrite on the write replaces only matching dirs), and
+    the anti-join broadcasts the (tiny) target-key set. Production
+    swaps the modulo bucketing for the table's existing partition
+    columns + a key->partition index; deletion-vector formats avoid
+    even the partition rewrite, but the audit contract (counts +
+    untouched-stability + zero-visible-targets) is format-agnostic.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_rtbf_")
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.pmod(F.col("o_custkey"), F.lit(_RTBF_BUCKETS)).alias("bucket"),
+    )
+    o.write.partitionBy("bucket").mode("overwrite").parquet(out)
+    targets = (
+        t(spark, sf, "customer")
+        .where(_rtbf_target_pred(F.col("c_custkey")))
+        .select(F.col("c_custkey").alias("target_key"))
+    )
+    stats = (
+        o.join(F.broadcast(targets), o["o_custkey"] == F.col("target_key"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.countDistinct("bucket").cast("long").alias("n_partitions"),
+            F.sum(F.when(F.col("target_key").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("rows_deleted"),
+            F.countDistinct(
+                F.when(F.col("target_key").isNotNull(), F.col("bucket"))
+            )
+            .cast("long")
+            .alias("n_partitions_rewritten"),
+        )
+        .collect()[0]  # eager-by-design: the audit row gates the rewrite
+    )
+    if int(stats["rows_before"]) == 0:
+        # empty table: the partitioned write produced no directories
+        # (nothing to re-read or rewrite) — the audit row is all-zero
+        # and vacuously intact
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, 0, 0, True)],
+            "n_partitions bigint, n_partitions_rewritten bigint, rows_before bigint, "
+            "rows_deleted bigint, rows_after bigint, targets_remaining bigint, "
+            "untouched_intact boolean",
+        )
+    tb = [
+        r["bucket"]
+        for r in targets.select(
+            F.pmod(F.col("target_key"), F.lit(_RTBF_BUCKETS)).alias("bucket")
+        )
+        .distinct()
+        .collect()  # eager-by-design: the affected-partition list IS catalog state (<= _RTBF_BUCKETS rows)
+    ]
+    listing_before = {
+        b: sorted(os.listdir(os.path.join(out, f"bucket={b}")))
+        for b in range(_RTBF_BUCKETS)
+        if os.path.isdir(os.path.join(out, f"bucket={b}"))
+    }
+    if tb:
+        remaining = (
+            spark.read.parquet(out)
+            .where(F.col("bucket").isin(tb))
+            .join(F.broadcast(targets), F.col("o_custkey") == F.col("target_key"), "left_anti")
+            .select("o_orderkey", "o_custkey", "bucket")
+        )
+        (
+            remaining.write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    listing_after = {
+        b: sorted(os.listdir(os.path.join(out, f"bucket={b}")))
+        for b in range(_RTBF_BUCKETS)
+        if os.path.isdir(os.path.join(out, f"bucket={b}"))
+    }
+    untouched_intact = all(
+        listing_before[b] == listing_after.get(b)
+        for b in listing_before
+        if b not in set(tb)
+    )
+    after = spark.read.parquet(out)
+    targets_remaining = (
+        after.join(F.broadcast(targets), F.col("o_custkey") == F.col("target_key"), "left_semi")
+        .count()  # eager-by-design: sink round-trip barrier — proves the delete took
+    )
+    rows_after = int(stats["rows_before"]) - int(stats["rows_deleted"])
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_partitions"]),
+                int(stats["n_partitions_rewritten"]),
+                int(stats["rows_before"]),
+                int(stats["rows_deleted"]),
+                rows_after,
+                int(targets_remaining),
+                bool(untouched_intact),
+            )
+        ],
+        "n_partitions bigint, n_partitions_rewritten bigint, rows_before bigint, "
+        "rows_deleted bigint, rows_after bigint, targets_remaining bigint, "
+        "untouched_intact boolean",
+    )

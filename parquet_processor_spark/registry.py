@@ -55,7 +55,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # ---- driver 50-slot check window (round 9) ----
-    # 1-17: implementation or oracle changed this round — the
+    # 1-2: NEW round-9 operators (first driver row)
+    "agg_calibration",
+    "sink_targeted_delete",
+    # 3-19: implementation or oracle changed this round — the
     # cross-engine minhash rebuild (md5-60bit + universal-hash
     # permutations => new oracles for dedup_near /
     # dedup_connected_lsh / dedup_incremental_minhash and fresh
@@ -80,7 +83,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_auc",
     "error_dp_counts",
     "pipeline_cost_estimate",
-    # 18-50: standing rotation, oldest-checked first (the r1
+    # 20-50: standing rotation, oldest-checked first (the r1
     # cohort, then the stalest r2 rows — none checked since r2)
     "join_cross",
     "fn_concat",
@@ -115,7 +118,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_cte",
     "window_session",
     "window_sliding",
-    # ---- slots 51+: rotation backlog, oldest-checked first ----
+    # ---- slots 51+: rotation backlog, oldest-checked first
+    # (window_session/window_sliding displaced by the 2 new r9 ops) ----
     "text_stats",
     "token_count",
     "lang_id",

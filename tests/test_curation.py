@@ -1009,3 +1009,52 @@ def test_auc_matches_a_pairwise_witness(spark, sf_dir):
         assert 0.0 <= row["auc"] <= 1.0
     else:
         assert row["auc"] is None
+
+
+def test_calibration_matches_a_python_witness(spark, sf_dir):
+    # N-family model-eval: replay the reliability table in plain
+    # Python (same spine, same ascending ntile, same one-division
+    # algebra) and require bin-for-bin equality.
+    from parquet_processor_spark.ops.aggregates import agg_calibration
+    from parquet_processor_spark.tables import t
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    spine = {}
+    for r in ev:
+        s = spine.setdefault(r["user_id"], [0, 0])
+        if r["event_type"] == "view":
+            s[0] += 1
+        if r["event_type"] == "purchase":
+            s[1] = 1
+    users = sorted(spine.items(), key=lambda kv: (kv[0],))
+    ordered = sorted(users, key=lambda kv: (kv[1][0], kv[0]))
+    n = len(ordered)
+    mx = max((s for (_, (s, _)) in ordered), default=0)
+    base, extra = divmod(n, 10)
+    want = {}
+    idx = 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        chunk = ordered[idx : idx + size]
+        idx += size
+        if not chunk:
+            continue
+        n_u = len(chunk)
+        ss = sum(s for (_, (s, _)) in chunk)
+        np_ = sum(l for (_, (_, l)) in chunk)
+        want[b] = (
+            n_u,
+            ss,
+            np_,
+            ss / (n_u * mx) if mx else None,
+            np_ / n_u,
+            abs(ss - mx * np_) / (n_u * mx) if mx else None,
+        )
+    got = {
+        r["bin"]: (
+            r["n_users"], r["sum_score"], r["n_pos"],
+            r["mean_pred"], r["frac_pos"], r["abs_gap"],
+        )
+        for r in agg_calibration(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -115,6 +115,7 @@ REPRESENTATIVE = [
     "report_ivf_balance",      # left join from empty centroid table
     "sim_knn_graph",           # posting-list knn over empty buckets
     "multimodal_scene_cut",    # frame windows over an empty media set
+    "agg_calibration",         # ntile reliability bins over an empty spine
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)

@@ -11,7 +11,9 @@ from parquet_processor_spark.session import get_spark
 from parquet_processor_spark.registry import all_queries
 from parquet_processor_spark.tables import TABLES, t
 
-spark = get_spark("scalex"); spark.sparkContext.setLogLevel("ERROR")
+# session.py disables the UI by default; the REST stage API is this
+# script's shuffle-bytes source (extra_conf overrides the default)
+spark = get_spark("scalex", extra_conf={"spark.ui.enabled": "true"}); spark.sparkContext.setLogLevel("ERROR")
 SRC = "/root/testdata/sf0.1"; DST = "/tmp/ppspark_sf1"
 KEYED = {
   "lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
@@ -106,12 +108,35 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "report_lsh_tuning",
          # round-8 additions
          "anonymize_dp_counts", "text_readability", "report_ivf_balance",
-         "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph", "multimodal_scene_cut", "streaming_forecast", "sample_curriculum_mix", "graph_bfs_distances", "sink_checked_publish", "agg_decile_lift", "pipeline_cost_estimate", "error_dp_counts", "agg_auc"]
+         "events_forecast_linear", "sim_knn_graph", "recall_sim_knn_graph", "multimodal_scene_cut", "streaming_forecast", "sample_curriculum_mix", "graph_bfs_distances", "sink_checked_publish", "agg_decile_lift", "pipeline_cost_estimate", "error_dp_counts", "agg_auc",
+         # round-9 re-measured (cross-engine minhash, LSH bucket caps,
+         # sampled tuning report, spread dHash passes)
+         "dedup_connected_lsh", "dedup_embedding_lsh",
+         # round-9 additions
+         "agg_calibration", "sink_targeted_delete"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
     sel = set(sys.argv[1:])
     NAMES = [n for n in NAMES if n in sel]
+def _shuffle_write_bytes() -> int:
+    """Total shuffle-write bytes across completed stages (UI REST API)
+    — delta around a query gives its shuffle volume."""
+    import json as _js
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _js.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:  # noqa: BLE001 — UI disabled => wall-clock-only run
+        return 0
+
+
 for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
@@ -119,8 +144,12 @@ for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
     # dedup tail). A cluster gives each job its own executors.
     spark.catalog.clearCache()
     times = {}
+    shuffles = {}
     for name in NAMES:
+        s0 = _shuffle_write_bytes()
         t0 = time.perf_counter()
         q[name](spark, sfdir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 2)
+        shuffles[name] = _shuffle_write_bytes() - s0
     print(label, times, "total", round(sum(times.values()), 2))
+    print(label, "shuffle_write_bytes", shuffles)
