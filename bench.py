@@ -80,6 +80,8 @@ HEADLINE = [
 EXTENDED = [
     "agg_calibration",
     "sink_targeted_delete",
+    "search_hybrid_rrf",
+    "embedding_matryoshka_eval",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

@@ -1319,11 +1319,10 @@ def tokenizer_bpe_eval(spark: SparkSession, sf: str) -> DataFrame:
 _BM25_TERMS = ("window", "join", "stream")
 _BM25_K = 10
 
-
-@query(
-    "text_bm25_topk",
-    oracle=rf"""
-    with {_TOK_CTE},
+# The tf/dl/stats/dfreq/w CTE chain — ONE spelling shared by the
+# per-term posting query and the hybrid-RRF fusion, so the weight
+# algebra can never drift between them.
+_BM25_W_CTES = rf"""{_TOK_CTE},
     tf as (select doc_id, tok, count(*) as tf from tok group by doc_id, tok),
     dl as (select doc_id, count(*) as dl from tok group by doc_id),
     stats as (select count(*) as n_docs,
@@ -1343,7 +1342,50 @@ _BM25_K = 10
       join dfreq q on q.tok = f.tok
       join dl d on d.doc_id = f.doc_id
       cross join stats s
+    )"""
+
+
+def _bm25_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """(term, doc_id, tf, dl, weight) for the fixed query terms — the
+    Spark twin of the ``w`` CTE in ``_BM25_W_CTES``."""
+    tok = _corpus_tokens(spark, sf)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
     )
+    dfreq = (
+        tf.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    sat = (22 * F.col("t_tokens") * F.col("tf")).cast("double") / (
+        10 * F.col("t_tokens") * F.col("tf")
+        + 3 * F.col("t_tokens")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("tok").alias("term"),
+            "doc_id",
+            "tf",
+            "dl",
+            (idf * sat).alias("weight"),
+        )
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=rf"""
+    with {_BM25_W_CTES}
     select term, doc_id, cast(tf as bigint) as tf, cast(dl as bigint) as dl, weight
     from (select *, row_number() over (partition by term order by weight desc, doc_id) as rn
           from w)
@@ -1376,38 +1418,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    tok = _corpus_tokens(spark, sf)
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("t_tokens"),
-    )
-    dfreq = (
-        tf.where(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    idf = (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double") / (
-        2 * F.col("df") + 1
-    ).cast("double")
-    sat = (22 * F.col("t_tokens") * F.col("tf")).cast("double") / (
-        10 * F.col("t_tokens") * F.col("tf")
-        + 3 * F.col("t_tokens")
-        + 9 * F.col("dl") * F.col("n_docs")
-    ).cast("double")
-    w = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col("tok").alias("term"),
-            "doc_id",
-            "tf",
-            "dl",
-            (idf * sat).alias("weight"),
-        )
-    )
+    w = _bm25_weights(spark, sf)
     win = Window.partitionBy("term").orderBy(F.col("weight").desc(), "doc_id")
     return (
         w.withColumn("rn", F.row_number().over(win))
@@ -1613,3 +1624,118 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
         F.when(has_words, grade).alias("fk_grade"),
         F.when(has_words, F.floor(grade).cast("int")).alias("grade_band"),
     )
+
+
+# Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009) —
+# the canonical modern search shape: a lexical ranker (the BM25 family
+# above) and a dense ranker (cosine over the embeddings table, query =
+# vec 0) each nominate a top-_RRF_POOL pool, and every pooled doc
+# scores sum(1/(60 + rank)) over the lists that retrieved it. RRF is
+# the fusion production systems actually run (needs no score
+# calibration between systems — only ranks). Determinism: each rank
+# reciprocal is ONE IEEE division of exact ints, the per-doc sum adds
+# the two terms in fixed (text, vector) order, and the 3-term text
+# score folds in fixed alphabetical term order — bitwise cross-engine.
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from parquet_processor_spark.ops.vector import _cos_sql
+
+    tsum = " + ".join(
+        f"coalesce(max(case when term = '{t}' then weight end), cast(0 as double))"
+        for t in sorted(_BM25_TERMS)
+    )
+    return f"""
+    with {_BM25_W_CTES},
+    tscore as (
+      select doc_id, {tsum} as t_score
+      from w where doc_id <> 0 group by doc_id
+    ),
+    tpool as (
+      select doc_id,
+             cast(row_number() over (order by t_score desc, doc_id) as int)
+               as text_rank
+      from tscore qualify text_rank <= {_RRF_POOL}
+    ),
+    vscore as (
+      select b.vec_id as doc_id, {_cos_sql('b', 'q')} as cos_sim
+      from embeddings b
+      cross join (select embedding from embeddings where vec_id = 0) q
+      where b.vec_id <> 0
+    ),
+    vpool as (
+      select doc_id,
+             cast(row_number() over (order by cos_sim desc, doc_id) as int)
+               as vec_rank
+      from vscore qualify vec_rank <= {_RRF_POOL}
+    )
+    select coalesce(t.doc_id, v.doc_id) as doc_id, t.text_rank, v.vec_rank,
+           coalesce(cast(1 as double) / ({_RRF_K} + t.text_rank), cast(0 as double))
+           + coalesce(cast(1 as double) / ({_RRF_K} + v.vec_rank), cast(0 as double))
+             as rrf_score
+    from tpool t full outer join vpool v on t.doc_id = v.doc_id
+    order by rrf_score desc, doc_id
+    limit {_RRF_TOPK}
+    """
+
+
+@query("search_hybrid_rrf", oracle=_rrf_oracle(), tags=("text", "vector", "retrieval", "rrf"))
+def search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{_RRF_TOPK} hybrid search results: BM25 (fixed query terms)
+    and dense cosine (query = vec 0) pools of {_RRF_POOL} fused by
+    reciprocal-rank fusion, score = sum 1/({_RRF_K} + rank).
+
+    100 TB shape: each system ranks only its own COLLAPSED score spine
+    (per-doc aggregates — the agg_auc precedent; production serves the
+    pools from the BM25 impact index and the IVF-PQ index, both built
+    here, so the global sorts become index reads); the fusion joins
+    two {_RRF_POOL}-row pools — broadcast-sized by construction —
+    and the output is {_RRF_TOPK} rows.
+    """
+    from pyspark.sql import Window
+
+    from parquet_processor_spark.ops.vector import dot, norm
+
+    w = _bm25_weights(spark, sf).where(F.col("doc_id") != 0)
+    tsum = None
+    for term in sorted(_BM25_TERMS):
+        piece = F.coalesce(
+            F.max(F.when(F.col("term") == term, F.col("weight"))), F.lit(0.0)
+        )
+        tsum = piece if tsum is None else tsum + piece
+    tscore = w.groupBy("doc_id").agg(tsum.alias("t_score"))
+    tw = Window.orderBy(F.col("t_score").desc(), "doc_id")
+    tpool = (
+        tscore.withColumn("text_rank", F.row_number().over(tw).cast("int"))
+        .where(F.col("text_rank") <= _RRF_POOL)
+        .select("doc_id", "text_rank")
+    )
+    e = t(spark, sf, "embeddings")
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
+    cos = dot(F.col("embedding"), F.col("q_emb")) / (
+        norm(F.col("embedding")) * norm(F.col("q_emb"))
+    )
+    vscore = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q_emb))
+        .select(F.col("vec_id").alias("v_doc"), cos.alias("cos_sim"))
+    )
+    vw = Window.orderBy(F.col("cos_sim").desc(), "v_doc")
+    vpool = (
+        vscore.withColumn("vec_rank", F.row_number().over(vw).cast("int"))
+        .where(F.col("vec_rank") <= _RRF_POOL)
+        .select("v_doc", "vec_rank")
+    )
+    fused = tpool.join(vpool, tpool["doc_id"] == vpool["v_doc"], "full_outer").select(
+        F.coalesce(F.col("doc_id"), F.col("v_doc")).alias("doc_id"),
+        "text_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(_RRF_TOPK)

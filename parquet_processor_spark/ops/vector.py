@@ -2266,3 +2266,125 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         directed.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= _KNN_K)
     )
+
+
+# Matryoshka truncation evaluation (Kusupati et al. 2022) — the
+# dimension-budget study every modern embedding deployment runs:
+# MRL-style models pack coarse-to-fine signal into prefix dimensions,
+# so serving can truncate vectors (4-8x index shrink) if retrieval
+# survives. For each prefix width this measures, against the full-dim
+# top-K for the fixture query, (a) the top-K overlap and (b) whether
+# the top-1 survived — the two numbers that decide a truncation
+# rollout. All ranking is exact (same fold-order cosine over sliced
+# arrays), ties to vec_id, so the report hash-checks.
+_MRL_DIMS = (8, 16, 32)
+_MRL_K = 10
+
+
+def _cos_prefix_sql(x: str, y: str, dims: int) -> str:
+    """DuckDB cosine over the first ``dims`` dims — the same
+    sequential folds as _cos_sql on the sliced arrays."""
+    dot_ = (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"[cast({x}.embedding[i] as double) * cast({y}.embedding[i] as double) "
+        f"for i in generate_series(1, least({dims}, len({x}.embedding)))]), (acc, v) -> acc + v)"
+    )
+
+    def nrm(tbl: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(cast(0 as double), "
+            f"[cast({tbl}.embedding[i] as double) * cast({tbl}.embedding[i] as double) "
+            f"for i in generate_series(1, least({dims}, len({tbl}.embedding)))]), (acc, v) -> acc + v))"
+        )
+
+    return f"{dot_} / ({nrm(x)} * {nrm(y)})"
+
+
+def _mrl_oracle() -> str:
+    arms = []
+    for dims in _MRL_DIMS:
+        arms.append(f"""
+    t{dims} as (
+      select b.vec_id from embeddings b
+      cross join (select embedding from embeddings where vec_id = 0) q
+      where b.vec_id <> 0
+      order by {_cos_prefix_sql('b', 'q', dims)} desc, b.vec_id
+      limit {_MRL_K}
+    )""")
+        arms.append(f"""
+    m{dims} as (
+      select {dims} as dims,
+             cast((select count(*) from t{dims} x join tfull f on x.vec_id = f.vec_id)
+                  as bigint) as n_overlap,
+             (select min(vec_id) from (select vec_id from tfull
+                                       order by r limit 1))
+               in (select vec_id from t{dims}) as top1_kept
+      from (select 1)
+    )""")
+    union = " union all ".join(f"select * from m{d}" for d in _MRL_DIMS)
+    return f"""
+    with tfull as (
+      select b.vec_id, row_number() over (
+        order by {_cos_sql('b', 'q')} desc, b.vec_id) as r
+      from embeddings b
+      cross join (select embedding from embeddings where vec_id = 0) q
+      where b.vec_id <> 0
+      qualify r <= {_MRL_K}
+    ),
+    {", ".join(a.strip() for a in arms)}
+    select dims, n_overlap,
+           cast(n_overlap as double) / {_MRL_K} as overlap_frac, top1_kept
+    from ({union})
+    order by dims
+    """
+
+
+@query("embedding_matryoshka_eval", oracle=_mrl_oracle(), tags=("vector", "eval", "matryoshka"))
+def embedding_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per prefix width in {_MRL_DIMS}: top-{_MRL_K} overlap with the
+    full-dimension ranking and whether the top-1 survived truncation.
+
+    100 TB shape: each arm is the sim_topk serving plan over a SLICED
+    column (narrower folds, identical shuffle story — broadcast query,
+    TakeOrderedAndProject); the comparison joins K-row lists. The
+    decision this feeds — serve at 8/16/32 dims — multiplies directly
+    into IVF-PQ index size and ADC bandwidth.
+    """
+    e = t(spark, sf, "embeddings")
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
+    corpus = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q_emb))
+
+    def topk(dims: int | None) -> DataFrame:
+        b = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
+        qv = F.col("q_emb") if dims is None else F.slice("q_emb", 1, dims)
+        cos = dot(b, qv) / (norm(b) * norm(qv))
+        return (
+            corpus.select("vec_id", cos.alias("c"))
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(_MRL_K)
+        )
+
+    full = topk(None).select("vec_id").localCheckpoint(eager=True)  # eager-by-design: K rows, read by every arm
+    top1 = topk(None).limit(1).select(F.col("vec_id").alias("t1"))
+    out = None
+    for dims in _MRL_DIMS:
+        arm = topk(dims).select(F.col("vec_id").alias("a_id"))
+        n_overlap = (
+            arm.join(full, arm["a_id"] == full["vec_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+        kept = (
+            arm.join(F.broadcast(top1), arm["a_id"] == F.col("t1"), "left_semi")
+            .agg((F.count(F.lit(1)) > 0).alias("top1_kept"))
+        )
+        row = (
+            n_overlap.crossJoin(F.broadcast(kept))
+            .select(
+                F.lit(dims).cast("int").alias("dims"),
+                "n_overlap",
+                (F.col("n_overlap").cast("double") / F.lit(float(_MRL_K))).alias("overlap_frac"),
+                "top1_kept",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dims")

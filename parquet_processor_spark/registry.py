@@ -55,10 +55,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # ---- driver 50-slot check window (round 9) ----
-    # 1-2: NEW round-9 operators (first driver row)
+    # 1-4: NEW round-9 operators (first driver row)
     "agg_calibration",
     "sink_targeted_delete",
-    # 3-19: implementation or oracle changed this round — the
+    "search_hybrid_rrf",
+    "embedding_matryoshka_eval",
+    # 5-21: implementation or oracle changed this round — the
     # cross-engine minhash rebuild (md5-60bit + universal-hash
     # permutations => new oracles for dedup_near /
     # dedup_connected_lsh / dedup_incremental_minhash and fresh
@@ -83,7 +85,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_auc",
     "error_dp_counts",
     "pipeline_cost_estimate",
-    # 20-50: standing rotation, oldest-checked first (the r1
+    # 22-50: standing rotation, oldest-checked first (the r1
     # cohort, then the stalest r2 rows — none checked since r2)
     "join_cross",
     "fn_concat",
@@ -114,12 +116,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "union_by_name",
     "distinct_dedup",
     "set_intersect",
+    # ---- slots 51+: rotation backlog, oldest-checked first
+    # (agg_grouping_sets/sql_cte/window_session/window_sliding
+    # displaced by the 4 new r9 ops) ----
     "agg_grouping_sets",
     "sql_cte",
     "window_session",
     "window_sliding",
-    # ---- slots 51+: rotation backlog, oldest-checked first
-    # (window_session/window_sliding displaced by the 2 new r9 ops) ----
     "text_stats",
     "token_count",
     "lang_id",

@@ -116,6 +116,7 @@ REPRESENTATIVE = [
     "sim_knn_graph",           # posting-list knn over empty buckets
     "multimodal_scene_cut",    # frame windows over an empty media set
     "agg_calibration",         # ntile reliability bins over an empty spine
+    "search_hybrid_rrf",       # two empty pools full-outer fused
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
@@ -125,6 +126,8 @@ REPRESENTATIVE = [
     # canary_gate, is covered by the r8 host-side rate fix)
     # (sink_snapshot_expire emits one row per version even when all
     # snapshots are empty — covered by the version-count test below)
+    # (embedding_matryoshka_eval emits one summary row PER PREFIX WIDTH
+    # on empty input — n_overlap 0, top1_kept false — covered below)
     # (kmeans_ivf_train excluded: global-aggregate queries emit one
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
@@ -151,6 +154,12 @@ def test_versioned_snapshots_summary_rows_on_empty_input(spark, empty_sf):
     rows = all_queries()["sink_versioned_snapshots"](spark, empty_sf).collect()
     assert [r["version"] for r in rows] == [1, 2]
     assert all(r["n_rows"] == 0 for r in rows)
+
+
+def test_matryoshka_summary_rows_on_empty_input(spark, empty_sf):
+    rows = all_queries()["embedding_matryoshka_eval"](spark, empty_sf).collect()
+    assert [r["dims"] for r in rows] == [8, 16, 32]
+    assert all(r["n_overlap"] == 0 and r["top1_kept"] is False for r in rows)
 
 
 def test_kmeans_summary_row_on_empty_input(spark, empty_sf):
