@@ -82,6 +82,7 @@ EXTENDED = [
     "sink_targeted_delete",
     "search_hybrid_rrf",
     "embedding_matryoshka_eval",
+    "multimodal_keyframes",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

@@ -1583,3 +1583,80 @@ def multimodal_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("scene_id"),
     )
+
+
+# Keyframe selection — the step AFTER scene segmentation in every
+# video pipeline (sample -> scene-cut -> keyframe -> caption/embed):
+# per detected scene, pick ONE representative frame. Rule: the frame
+# with the most content (longest payload — the fake-decode analog of
+# highest-entropy frame selection), ties to the earliest frame; plus
+# the scene extent facts (first frame, frame count) a clip-level
+# index stores. Pure composition: scene ids come from the hash-checked
+# scene_cut window pass, the argmax is one more keyed aggregate.
+def _keyframes_oracle() -> str:
+    return f"""
+    with s as ({_scene_cut_oracle()}),
+    fl as (
+      select media_id // 4 as media, cast(media_id % 4 as int) as fi,
+             cast(len(content) as bigint) as n_chars
+      from ({_scene_frames_cte()})
+    ),
+    j as (
+      select s.media_id, s.scene_id, s.frame_idx, fl.n_chars
+      from s join fl on fl.media = s.media_id and fl.fi = s.frame_idx
+    )
+    select media_id, scene_id,
+           cast(count(*) as bigint) as n_frames,
+           cast(min(frame_idx) as int) as first_idx,
+           cast(min(keyfi) as int) as keyframe_idx,
+           cast(max(n_chars) as bigint) as keyframe_chars
+    from (
+      select *,
+             case when row_number() over (
+                    partition by media_id, scene_id
+                    order by n_chars desc, frame_idx) = 1
+                  then frame_idx end as keyfi
+      from j
+    )
+    group by media_id, scene_id
+    """
+
+
+@query("multimodal_keyframes", oracle=_keyframes_oracle(), tags=("multimodal", "video", "keyframes"))
+def multimodal_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    """One keyframe per detected scene: the longest frame (ties to the
+    earliest), with the scene's extent facts. Composes the
+    hash-checked scene_cut segmentation with one argmax aggregate.
+
+    100 TB shape: scene ids ride scene_cut's single media-keyed
+    exchange; the frame-length join is on the (media, frame) spine
+    (payloads stayed at the sampler); the argmax is a map-side-
+    combined max_by over 4-row groups. Downstream, only keyframes —
+    1/scene instead of all frames — enter the expensive caption/embed
+    stages, which is the point of the operator.
+    """
+    scenes = multimodal_scene_cut(spark, sf).select("media_id", "scene_id", "frame_idx")
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("content"),
+    )
+    fl = sample_frames(docs, n_frames=4).select(
+        F.col("media_id").alias("media"),
+        F.col("frame_idx").alias("fi"),
+        F.length(F.col("frame").cast("string")).cast("long").alias("n_chars"),
+    )
+    j = scenes.join(
+        fl,
+        (F.col("media") == F.col("media_id")) & (F.col("fi") == F.col("frame_idx")),
+    )
+    return j.groupBy("media_id", "scene_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min("frame_idx").cast("int").alias("first_idx"),
+        F.max_by(
+            "frame_idx",
+            F.struct(F.col("n_chars").alias("c"), (-F.col("frame_idx")).alias("t")),
+        )
+        .cast("int")
+        .alias("keyframe_idx"),
+        F.max("n_chars").cast("long").alias("keyframe_chars"),
+    )

@@ -117,6 +117,7 @@ REPRESENTATIVE = [
     "multimodal_scene_cut",    # frame windows over an empty media set
     "agg_calibration",         # ntile reliability bins over an empty spine
     "search_hybrid_rrf",       # two empty pools full-outer fused
+    "multimodal_keyframes",    # scene argmax over an empty frame spine
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)

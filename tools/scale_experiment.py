@@ -114,7 +114,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "dedup_connected_lsh", "dedup_embedding_lsh",
          # round-9 additions
          "agg_calibration", "sink_targeted_delete",
-         "search_hybrid_rrf", "embedding_matryoshka_eval"]
+         "search_hybrid_rrf", "embedding_matryoshka_eval",
+         "multimodal_keyframes"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
