@@ -83,6 +83,7 @@ EXTENDED = [
     "search_hybrid_rrf",
     "embedding_matryoshka_eval",
     "multimodal_keyframes",
+    "sink_ann_index_upsert",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

@@ -1131,6 +1131,14 @@ def _ivfpq_serve(ix: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# Incremental index maintenance: vectors with id past this fraction of
+# the id range play the newly-arriving delta (the dedup-family
+# _INCR_DEDUP_CUTOFF_FRAC convention); the codebook and IVF centroids
+# train on the CORPUS only and are FROZEN for the delta — the
+# production invariant that makes an upsert an append, not a retrain.
+_UPSERT_CUTOFF_FRAC = 0.8
+
+
 def _ivfpq_d2_sql(s: str, c: str) -> str:
     """The oracle twin of _det_l2sq — identical left-associated tree."""
     return " + ".join(
@@ -1139,13 +1147,16 @@ def _ivfpq_d2_sql(s: str, c: str) -> str:
     )
 
 
-def _ivfpq_oracle() -> str:
-    """Unrolled-Lloyd DuckDB twin of the full IVF-PQ pipeline (the
-    _kcore_oracle pattern): unit-normalize, quantize subvectors to
-    exact ints, replay {iters} integer-Lloyd rounds, assign IVF cells,
-    probe, ADC via an order-pinned list fold, exact-cosine refine.
-    Hash-checkable because every float is either one IEEE division of
-    exact integers or a pinned-order fold."""
+def _ivfpq_ctes(corpus_only: bool = False) -> str:
+    """Unrolled-Lloyd DuckDB CTE chain of the IVF-PQ pipeline (the
+    _kcore_oracle pattern) through the ADC ``short`` list:
+    unit-normalize, quantize subvectors to exact ints, replay {iters}
+    integer-Lloyd rounds, assign IVF cells, probe, ADC via an
+    order-pinned list fold. Hash-checkable because every float is
+    either one IEEE division of exact integers or a pinned-order fold.
+    With ``corpus_only`` the Lloyd rounds train on the pre-cutoff
+    corpus rows while encoding/serving still covers every vector —
+    the frozen-codebook upsert contract."""
     unorm = (
         "sqrt(list_reduce(list_prepend(cast(0 as double), "
         "[cast(x as double) * cast(x as double) for x in embedding]), (acc, v) -> acc + v))"
@@ -1168,17 +1179,32 @@ def _ivfpq_oracle() -> str:
         select s.vec_id, s.m, c.cid,
                row_number() over (partition by s.vec_id, s.m
                                   order by {_ivfpq_d2_sql('s', 'c')}, c.cid) as rn
-        from subsq s join {prev} c on s.m = c.m
+        from strain s join {prev} c on s.m = c.m
       ) where rn = 1
     ),
     cb{r} as materialized (
       select s.m, a.cell as cid, {upcols}
-      from subsq s join a{r} a on s.vec_id = a.vec_id and s.m = a.m
+      from strain s join a{r} a on s.vec_id = a.vec_id and s.m = a.m
       group by s.m, a.cell
     )""")
         prev = f"cb{r}"
-    return f"""
-    with u as materialized (
+    cutoff = (
+        f"""cutoff as (
+      select cast(floor(min(vec_id)
+                        + {_UPSERT_CUTOFF_FRAC} * (max(vec_id) - min(vec_id)))
+                  as bigint) as c
+      from embeddings
+    ),
+    """
+        if corpus_only
+        else ""
+    )
+    strain = (
+        "strain as materialized (select s.* from subsq s, cutoff where s.vec_id < cutoff.c)"
+        if corpus_only
+        else "strain as materialized (select * from subsq)"
+    )
+    return f"""{cutoff}u as materialized (
       select vec_id,
              [cast(cast(x as double) / {unorm} as real) for x in embedding] as embedding
       from embeddings
@@ -1187,9 +1213,10 @@ def _ivfpq_oracle() -> str:
       select u.vec_id, ms.m, {qcols}
       from u cross join (select unnest(generate_series(0, {_IVFPQ_M - 1})) as m) ms
     ),
+    {strain},
     cb0 as materialized (
       select m, vec_id as cid, {c0cols}
-      from subsq where vec_id between 1 and {_IVFPQ_K}
+      from strain where vec_id between 1 and {_IVFPQ_K}
     ),
     {",".join(rounds)},
     enc as materialized (
@@ -1230,7 +1257,13 @@ def _ivfpq_oracle() -> str:
       join dtab dt on dt.m = e.m and dt.cid = e.cell
       group by cd.vec_id
     ),
-    short as (select vec_id, cell from adc order by adc_dist, vec_id limit {_IVFPQ_R})
+    short as (select vec_id, cell from adc order by adc_dist, vec_id limit {_IVFPQ_R})"""
+
+
+def _ivfpq_oracle() -> str:
+    """The full-table-trained serve: CTE chain + exact-cosine refine."""
+    return f"""
+    with {_ivfpq_ctes()}
     select b.vec_id, cast(s.cell as bigint) as cell, {_cos_sql('b', 'a')} as cos_sim
     from short s
     join u b on b.vec_id = s.vec_id
@@ -2425,3 +2458,153 @@ def embedding_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dims")
+
+
+# Incremental ANN index maintenance — the ingestion-side sibling of
+# sink_ann_index_roundtrip: the standing index (trained on the corpus,
+# persisted at rest) absorbs a NEW batch of vectors WITHOUT retraining
+# — delta vectors are assigned to the frozen IVF centroids, encoded
+# with the frozen PQ codebook, and their rows APPENDED to the
+# persisted parts; the serve then reads the merged index. This is how
+# every production vector index actually grows between periodic
+# retrains (FAISS add(), not train()). The audit row carries the count
+# ledger (oracle-recomputable) plus a physical parity fact: serving
+# from the merged at-rest parts must match, row for row including the
+# float score, serving from an in-memory build with the same frozen
+# codebook.
+def _upsert_oracle() -> str:
+    return f"""
+    with {_ivfpq_ctes(corpus_only=True)},
+    fin as (
+      select b.vec_id, {_cos_sql('b', 'a')} as cos_sim
+      from short s
+      join u b on b.vec_id = s.vec_id
+      cross join (select embedding from u where vec_id = 0) a
+      order by cos_sim desc, b.vec_id
+      limit 1
+    )
+    select
+      cast((select count(*) from u, cutoff where vec_id < c) as bigint) as n_corpus,
+      cast((select count(*) from u, cutoff where vec_id >= c) as bigint) as n_delta,
+      cast((select count(*) from enc) as bigint) as n_codes_total,
+      cast((select count(distinct a.cell) from assign a, cutoff where a.vec_id >= c)
+           as bigint) as n_cells_delta_hit,
+      cast((select vec_id from fin) as bigint) as top1_id,
+      true as serve_parity_ok
+    """
+
+
+@query(
+    "sink_ann_index_upsert",
+    oracle=_upsert_oracle(),
+    tags=("sink", "vector", "ivfpq", "incremental"),
+)
+def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Grow the persisted IVF-PQ index by a delta batch with a FROZEN
+    corpus-trained codebook: train on vectors below the
+    {_UPSERT_CUTOFF_FRAC} id-range cutoff, persist the corpus parts,
+    encode + assign the delta against the frozen codebook/centroids,
+    APPEND its rows to the at-rest parts, and serve the query from the
+    merged index. Parity is physical: the merged-at-rest serve must
+    equal the in-memory frozen-codebook serve bit-for-bit.
+
+    100 TB shape: per batch the work is O(delta) — one broadcast-
+    codebook argmin per delta subvector and an appended parquet write;
+    the standing corpus is neither rescanned nor re-encoded (its codes
+    are 10 bytes/vector at rest). Retraining stays a scheduled offline
+    event (the roundtrip op); this is the path between retrains.
+    """
+    import tempfile
+
+    e = _unit(t(spark, sf, "embeddings").select("vec_id", "embedding"))
+    bounds = e.agg(
+        F.floor(
+            F.min("vec_id")
+            + F.lit(_UPSERT_CUTOFF_FRAC) * (F.max("vec_id") - F.min("vec_id"))
+        )
+        .cast("long")
+        .alias("c")
+    ).collect()[0]  # eager-by-design: the cutoff is catalog state (1 row)
+    if bounds["c"] is None:
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, None, True)],
+            "n_corpus bigint, n_delta bigint, n_codes_total bigint, "
+            "n_cells_delta_hit bigint, top1_id bigint, serve_parity_ok boolean",
+        )
+    c = int(bounds["c"])
+    subsq = _ivfpq_qsubs(e).localCheckpoint(eager=True)
+    cb, _ = _ivfpq_train_det(subsq.where(F.col("vec_id") < c), _IVFPQ_K, _IVFPQ_ITERS)
+    enc_all = _ivfpq_assign_det(subsq, cb)  # FROZEN codebook for corpus AND delta
+    codes_all = enc_all.select(
+        "vec_id", F.col("m").alias("cm"), F.col("cell").alias("code")
+    ).localCheckpoint(eager=True)  # eager-by-design: feeds both writes + the in-memory serve
+    cent = e.where(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assign = assign_cells(e, cent).select("vec_id", "cell").localCheckpoint(eager=True)
+    out = tempfile.mkdtemp(prefix="ppspark_annupsert_")
+    # v1: the standing corpus index at rest
+    codes_all.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/codes")
+    assign.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/assign")
+    cb.write.mode("overwrite").parquet(f"{out}/cb")
+    # the upsert: delta rows appended, nothing corpus-sized rewritten
+    codes_all.where(F.col("vec_id") >= c).write.mode("append").parquet(f"{out}/codes")
+    assign.where(F.col("vec_id") >= c).write.mode("append").parquet(f"{out}/assign")
+    # serve from the merged at-rest parts vs the in-memory frozen build
+    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    probe = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(F.col("cid").alias("q_cell"), cell_cos.alias("s"))
+        .orderBy(F.desc("s"), F.asc("q_cell"))
+        .limit(_IVF_NPROBE)
+        .select("q_cell")
+    )
+    qsub = subsq.where(F.col("vec_id") == 0).select(
+        "m", *[f"q{d}" for d in range(1, _IVFPQ_SUBDIM + 1)]
+    )
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    base = {"e": e, "probe": probe, "qsub": qsub, "q_emb": q_emb}
+    fresh = _ivfpq_serve({**base, "assign": assign, "cb": cb, "codes": codes_all})
+    served = _ivfpq_serve(
+        {
+            **base,
+            "assign": spark.read.parquet(f"{out}/assign"),
+            "cb": spark.read.parquet(f"{out}/cb"),
+            "codes": spark.read.parquet(f"{out}/codes"),
+        }
+    )
+    j = fresh.alias("f").join(
+        served.alias("s"),
+        (F.col("f.vec_id") == F.col("s.vec_id"))
+        & (F.col("f.cell") == F.col("s.cell"))
+        & (F.col("f.cos_sim") == F.col("s.cos_sim")),
+        "left",
+    )
+    hits = F.coalesce(
+        F.sum(F.when(F.col("s.vec_id").isNotNull(), 1).otherwise(0)), F.lit(0)
+    )
+    parity = j.agg((hits == F.count(F.lit(1))).alias("ok")).collect()[0]["ok"]  # eager-by-design: sink round-trip barrier
+    counts = e.agg(
+        F.sum(F.when(F.col("vec_id") < c, 1).otherwise(0)).cast("long").alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") >= c, 1).otherwise(0)).cast("long").alias("n_delta"),
+    ).collect()[0]  # eager-by-design: audit ledger
+    n_codes_total = spark.read.parquet(f"{out}/codes").count()  # physical: proves the append landed
+    n_cells_delta = (
+        assign.where(F.col("vec_id") >= c).select("cell").distinct().count()
+    )
+    top1 = fresh.limit(1).collect()
+    return spark.createDataFrame(
+        [
+            (
+                int(counts["n_corpus"]),
+                int(counts["n_delta"]),
+                int(n_codes_total),
+                int(n_cells_delta),
+                int(top1[0]["vec_id"]) if top1 else None,
+                bool(parity),
+            )
+        ],
+        "n_corpus bigint, n_delta bigint, n_codes_total bigint, "
+        "n_cells_delta_hit bigint, top1_id bigint, serve_parity_ok boolean",
+    )

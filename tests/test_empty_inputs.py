@@ -142,6 +142,12 @@ def test_expectations_all_pass_on_empty_input(spark, empty_sf):
     assert all(r["n_checked"] == 0 and r["n_violations"] == 0 and r["ok"] for r in rows)
 
 
+def test_ann_index_upsert_vacuous_on_empty_input(spark, empty_sf):
+    rows = all_queries()["sink_ann_index_upsert"](spark, empty_sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_codes_total"] == 0 and rows[0]["serve_parity_ok"] is True
+
+
 def test_ann_index_roundtrip_vacuous_parity_on_empty_input(spark, empty_sf):
     # global-aggregate semantics: zero served rows -> parity vacuously true
     rows = all_queries()["sink_ann_index_roundtrip"](spark, empty_sf).collect()
