@@ -84,6 +84,7 @@ EXTENDED = [
     "embedding_matryoshka_eval",
     "multimodal_keyframes",
     "sink_ann_index_upsert",
+    "dedup_url",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

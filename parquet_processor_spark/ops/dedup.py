@@ -1996,3 +1996,122 @@ def curation_contamination_spans(spark: SparkSession, sf: str) -> DataFrame:
         F.max("max_span").cast("long").alias("max_span_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
     )
+
+
+# URL canonicalization dedup — the FIRST dedup every web-crawl
+# pipeline runs, before any text hashing: the same page arrives under
+# scheme/host case variants, tracking parameters (utm_*, ref),
+# fragments, and trailing slashes. The fixture has no URL column, so
+# the operator derives one deterministically per document (source ->
+# host, doc_id mod _URL_PAGES -> page path => real cross-doc URL
+# duplicates) and injects the variant noise by doc_id mod 3; the
+# oracle replays the derivation and the canonicalizer (the audio-
+# injection precedent). Canonical form: lowercase scheme+host, path
+# without the trailing slash, fragment dropped, utm_*/ref params
+# removed, surviving params sorted — all regexp/array primitives both
+# engines share.
+_URL_PAGES = 200
+
+
+def _raw_url() -> F.Column:
+    base = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % _URL_PAGES).cast("string"),
+    )
+    m = F.col("doc_id") % 3
+    return (
+        F.when(m == 0, F.concat(F.upper(base), F.lit("?utm_source=feed&b=2&ref=x&a=1")))
+        .when(m == 1, F.concat(base, F.lit("/?a=1&b=2#frag")))
+        .otherwise(F.concat(base, F.lit("?b=2&a=1")))
+    )
+
+
+def _canonical_url(url: F.Column) -> F.Column:
+    # split off fragment, then query, lowercase the scheme://host part
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    path_part = F.regexp_replace(F.regexp_extract(no_frag, r"^([^?]*)", 1), r"/$", "")
+    host = F.lower(F.regexp_extract(path_part, r"^(https?://[^/]*)", 1))
+    path = F.regexp_replace(path_part, r"^https?://[^/]*", "")
+    qs = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|ref)="),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host, F.lower(path), F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept))
+    )
+
+
+_URL_CANON_SQL = f"""
+    raw as (
+      select doc_id,
+             case
+               when doc_id % 3 = 0 then upper('https://' || source || '.example.com/page/'
+                    || cast(doc_id % {_URL_PAGES} as varchar)) || '?utm_source=feed&b=2&ref=x&a=1'
+               when doc_id % 3 = 1 then 'https://' || source || '.example.com/page/'
+                    || cast(doc_id % {_URL_PAGES} as varchar) || '/?a=1&b=2#frag'
+               else 'https://' || source || '.example.com/page/'
+                    || cast(doc_id % {_URL_PAGES} as varchar) || '?b=2&a=1'
+             end as url
+      from documents
+    ),
+    canon as (
+      select doc_id, url,
+        lower(regexp_extract(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1), '/$', ''), '^(https?://[^/]*)', 1))
+        || lower(regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1), '/$', ''), '^https?://[^/]*', ''))
+        || case when array_to_string(list_sort(list_filter(
+                  regexp_split_to_array(regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1), '&'),
+                  p -> p <> '' and not regexp_matches(p, '^(utm_[^=]*|ref)='))), '&') = ''
+                then ''
+                else '?' || array_to_string(list_sort(list_filter(
+                  regexp_split_to_array(regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1), '&'),
+                  p -> p <> '' and not regexp_matches(p, '^(utm_[^=]*|ref)='))), '&')
+           end as canonical_url
+      from raw
+    )
+"""
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+    with {_URL_CANON_SQL}
+    select c.doc_id, c.canonical_url,
+           min(c.doc_id) over (partition by c.canonical_url) as keep_id,
+           c.doc_id > min(c.doc_id) over (partition by c.canonical_url) as is_dup
+    from canon c
+    """,
+    tags=("dedup", "url", "curation"),
+)
+def dedup_url(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup: normalize each document's (derived) URL —
+    lowercase scheme/host+path, strip fragment and trailing slash,
+    drop utm_*/ref tracking params, sort survivors — and keep the
+    smallest doc_id per canonical form. The three injected variants of
+    every page (upper-cased + tracking params / trailing slash +
+    fragment / reordered params) all collapse to one canonical URL.
+
+    100 TB shape: canonicalization is pure per-row string codegen
+    beside the scan; the survivor rule is ONE window (or groupBy) on
+    the canonical key — the cheapest dedup in the whole family, which
+    is exactly why crawl pipelines run it first and cut the corpus
+    before any content hashing.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    canon = d.select("doc_id", _canonical_url(_raw_url()).alias("canonical_url"))
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        F.min("doc_id").over(w).alias("keep_id"),
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_dup"),
+    )

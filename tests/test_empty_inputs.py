@@ -118,6 +118,7 @@ REPRESENTATIVE = [
     "agg_calibration",         # ntile reliability bins over an empty spine
     "search_hybrid_rrf",       # two empty pools full-outer fused
     "multimodal_keyframes",    # scene argmax over an empty frame spine
+    "dedup_url",               # canonical-key window over no rows
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
