@@ -2589,11 +2589,11 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("vec_id") < c, 1).otherwise(0)).cast("long").alias("n_corpus"),
         F.sum(F.when(F.col("vec_id") >= c, 1).otherwise(0)).cast("long").alias("n_delta"),
     ).collect()[0]  # eager-by-design: audit ledger
-    n_codes_total = spark.read.parquet(f"{out}/codes").count()  # physical: proves the append landed
+    n_codes_total = spark.read.parquet(f"{out}/codes").count()  # eager-by-design: physical audit — proves the append landed
     n_cells_delta = (
-        assign.where(F.col("vec_id") >= c).select("cell").distinct().count()
+        assign.where(F.col("vec_id") >= c).select("cell").distinct().count()  # eager-by-design: audit ledger
     )
-    top1 = fresh.limit(1).collect()
+    top1 = fresh.limit(1).collect()  # eager-by-design: audit ledger (1 row)
     return spark.createDataFrame(
         [
             (
