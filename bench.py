@@ -85,6 +85,7 @@ EXTENDED = [
     "multimodal_keyframes",
     "sink_ann_index_upsert",
     "dedup_url",
+    "sim_topk_filtered",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

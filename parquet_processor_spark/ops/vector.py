@@ -2608,3 +2608,55 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
         "n_corpus bigint, n_delta bigint, n_codes_total bigint, "
         "n_cells_delta_hit bigint, top1_id bigint, serve_parity_ok boolean",
     )
+
+
+# Filtered vector search — the serving feature every production vector
+# store exposes (pgvector WHERE clauses, Qdrant payload filters,
+# FAISS IDSelector): top-k cosine restricted to rows passing a
+# metadata predicate (here: the query's own label — "same collection"
+# filtering). Strategy matters at scale: POST-filtering a top-k list
+# under-fills when the filter is selective (ask for 10, filter eats
+# 9); this operator PRE-filters — the predicate joins before any
+# cosine is evaluated, so the top-k is exact over the filtered
+# population by construction.
+@query(
+    "sim_topk_filtered",
+    oracle=f"""
+    select b.vec_id, cast(b.label as int) as label, {_cos_sql('b', 'a')} as cos_sim
+    from embeddings b
+    cross join (select embedding, label from embeddings where vec_id = 0) a
+    where b.vec_id <> 0 and b.label = a.label
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """,
+    tags=("vector", "serving", "filtered"),
+)
+def sim_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec 0 among vectors sharing its
+    label — exact PRE-filtered search (the predicate prunes before any
+    scoring, so the result is the true top-k of the filtered
+    population, never an under-filled post-filtered list).
+
+    100 TB shape: the 1-row query (embedding, label) broadcasts; the
+    label equi-condition prunes map-side before the fold evaluates
+    (and in a label-partitioned layout becomes partition pruning —
+    the at-rest analog); top-k plans as TakeOrderedAndProject. The
+    IVF composition (probe cells AND filter) reuses assign_cells
+    unchanged — the filter simply rides the candidate stream.
+    """
+    e = t(spark, sf, "embeddings")
+    q = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q_emb"), F.col("label").alias("q_label"))
+        .limit(1)
+    )
+    cos = dot(F.col("embedding"), F.col("q_emb")) / (
+        norm(F.col("embedding")) * norm(F.col("q_emb"))
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("label") == F.col("q_label"))
+        .select("vec_id", F.col("label").cast("int").alias("label"), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

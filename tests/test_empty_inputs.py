@@ -119,6 +119,7 @@ REPRESENTATIVE = [
     "search_hybrid_rrf",       # two empty pools full-outer fused
     "multimodal_keyframes",    # scene argmax over an empty frame spine
     "dedup_url",               # canonical-key window over no rows
+    "sim_topk_filtered",       # broadcast-filtered topk over no rows
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
