@@ -86,6 +86,7 @@ EXTENDED = [
     "sink_ann_index_upsert",
     "dedup_url",
     "sim_topk_filtered",
+    "report_lsh_bucket_pressure",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

@@ -2660,3 +2660,64 @@ def sim_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# LSH bucket-pressure report — the serving-ops diagnostic behind the
+# hot-bucket cap (the report_ivf_balance twin for the hyperplane
+# family): per band, the bucket-count/size distribution, the pair
+# mass the buckets would expand to, and how many buckets sit OVER the
+# cap (and are therefore being dropped by capped_band_postings). When
+# n_over_cap rises above zero in production, recall is silently paying
+# for corpus correlation and the response is raising r (planes per
+# band) so selectivity tracks corpus size — this report is the
+# tripwire that says so BEFORE the recall gates catch it downstream.
+@query(
+    "report_lsh_bucket_pressure",
+    oracle=f"""
+    with {_keyed_post_sql(16)},
+    sizes as (
+      select band_key // 8 as band, band_key,
+             cast(count(*) as bigint) as sz
+      from keyed group by band_key
+    )
+    select cast(band as int) as band,
+           cast(count(*) as bigint) as n_buckets,
+           cast(max(sz) as bigint) as max_bucket,
+           cast(sum(sz * (sz - 1) / 2) as bigint) as pair_mass,
+           cast(sum(case when sz > {_EMB_BUCKET_CAP} then 1 else 0 end) as bigint)
+             as n_over_cap
+    from sizes
+    group by band
+    """,
+    tags=("vector", "lsh", "report"),
+)
+def report_lsh_bucket_pressure(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-band posting-list pressure: bucket count, largest bucket,
+    the candidate-pair mass the buckets expand to, and the number of
+    buckets over the {_EMB_BUCKET_CAP} cap (currently being dropped).
+    Zero over-cap buckets means the caps are pure insurance; a
+    non-zero count means blocking selectivity no longer matches the
+    corpus and r needs raising (the ×10 replication soak in SCALE.md
+    shows exactly this signature).
+
+    100 TB shape: one Arrow band pass, one map-side-combined count per
+    bucket, then a 16-row aggregate — the report never expands a pair.
+    """
+    e = t(spark, sf, "embeddings")
+    keyed = e.select(
+        F.explode_outer(lsh_band_keys_arrow(16)(F.col("embedding"))).alias("band_key")
+    )
+    sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return (
+        sizes.select((F.col("band_key") / 8).cast("long").alias("band"), "sz")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("pair_mass"),
+            F.sum(F.when(F.col("sz") > _EMB_BUCKET_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+        .select(F.col("band").cast("int").alias("band"), "n_buckets", "max_bucket", "pair_mass", "n_over_cap")
+    )

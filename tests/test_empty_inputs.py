@@ -120,6 +120,7 @@ REPRESENTATIVE = [
     "multimodal_keyframes",    # scene argmax over an empty frame spine
     "dedup_url",               # canonical-key window over no rows
     "sim_topk_filtered",       # broadcast-filtered topk over no rows
+    "report_lsh_bucket_pressure",  # band aggregate over no buckets
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
