@@ -87,6 +87,7 @@ EXTENDED = [
     "dedup_url",
     "sim_topk_filtered",
     "report_lsh_bucket_pressure",
+    "sample_class_balance",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

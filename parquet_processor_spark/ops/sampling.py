@@ -999,3 +999,59 @@ def sample_curriculum_mix(spark: SparkSession, sf: str) -> DataFrame:
         share.alias("share_pct"),
         (h < F.col("share_pct")).alias("selected"),
     )
+
+
+# Class-balanced resampling — the class-imbalance staple of training
+# prep (downsample every class to the MINORITY class's size so the
+# trained model can't win by majority-guessing): per language, keep
+# the first min-class-count documents by deterministic md5 order.
+# Distinct from sample_stratified's FIXED per-stratum quota: the quota
+# here is DATA-DERIVED (the global minimum), so the output is exactly
+# balanced whatever the input skew.
+@query(
+    "sample_class_balance",
+    oracle="""
+    with counts as (
+      select lang, count(*) as n from documents group by lang
+    ),
+    m as (select cast(min(n) as bigint) as m from counts),
+    ranked as (
+      select doc_id, lang,
+             cast(row_number() over (
+               partition by lang
+               order by md5(cast(doc_id as varchar)), doc_id) as bigint) as rk
+      from documents
+    )
+    select r.doc_id, r.lang, r.rk
+    from ranked r, m
+    where r.rk <= m.m
+    """,
+    tags=("sampling", "balance", "curation"),
+)
+def sample_class_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Downsample every language class to the minority class's size:
+    per-class deterministic md5-ordered ranks, quota = the global
+    minimum class count (1-row broadcast). Output is exactly balanced
+    regardless of input skew, and stable across runs/partitionings.
+
+    100 TB shape: one map-side-combined count per class (a tiny
+    broadcast), one per-class window that ships at most quota rows per
+    task once Catalyst rewrites rank<=k to WindowGroupLimit-style
+    partial limits; no shuffle touches the document payload — the
+    selection is on the (doc_id, lang) spine.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    m = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").cast("long").alias("m")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", "rk")
+    )
