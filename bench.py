@@ -88,6 +88,7 @@ EXTENDED = [
     "sim_topk_filtered",
     "report_lsh_bucket_pressure",
     "sample_class_balance",
+    "table_vacuum_orphans",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

@@ -1173,3 +1173,88 @@ def sink_targeted_delete(spark: SparkSession, sf: str) -> DataFrame:
         "rows_deleted bigint, rows_after bigint, targets_remaining bigint, "
         "untouched_intact boolean",
     )
+
+
+# Orphan-file vacuum — the table-maintenance op every lakehouse runs
+# (Delta VACUUM / Iceberg remove_orphan_files): a failed task or
+# aborted commit leaves data files INSIDE the table directory that no
+# manifest references. Directory-listing readers then double-count;
+# the vacuum reconciles listing vs manifest, deletes the orphans, and
+# proves the table content unchanged through the manifest. The orphan
+# is planted deterministically (a parquet file holding the
+# o_orderkey % 1000 = 0 rows — an oracle-computable row count), so
+# the whole audit ledger hash-checks while the detection/delete logic
+# is the production listing-minus-manifest reconciliation.
+@query(
+    "table_vacuum_orphans",
+    oracle="""
+    with base as (
+      select count(*) as n from orders
+    ),
+    orph as (
+      select count(*) as n from orders where o_orderkey % 1000 = 0
+    )
+    select cast(least(4, greatest(base.n, 1)) as bigint) as n_tracked_files,
+           cast(1 as bigint) as n_orphans_found,
+           cast(1 as bigint) as n_orphans_deleted,
+           cast(base.n + orph.n as bigint) as rows_dir_before,
+           cast(base.n as bigint) as rows_dir_after,
+           true as table_intact
+    from base, orph
+    """,
+    # n_tracked_files is NOT hardcoded 4 (the canary-oracle lesson):
+    # repartition(4) writes one file per NON-EMPTY partition — 4 for
+    # any table of >= 4 rows, n for tinier ones, and one schema-only
+    # file for an empty table — so least(4, greatest(n, 1)) holds at
+    # every fixture size.
+    tags=("sink", "maintenance", "vacuum"),
+)
+def table_vacuum_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Reconcile a parquet table's directory listing against its file
+    manifest, delete unreferenced data files, and prove the vacuum:
+    a directory read double-counts BEFORE (the planted orphan's rows
+    leak in) and matches the manifest exactly AFTER.
+
+    100 TB shape: the manifest is catalog state (file-count rows); the
+    listing-minus-manifest set difference is metadata-only — no data
+    file is read to find orphans, and only orphans are deleted. The
+    before/after row counts here are the AUDIT making the hazard
+    visible; a production vacuum skips them (it trusts the manifest)
+    and adds an age threshold so in-flight commits aren't swept.
+    """
+    out = tempfile.mkdtemp(prefix="ppspark_vacuum_")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    o.repartition(4).write.mode("overwrite").parquet(out)
+    manifest = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )  # catalog state harvested at commit time
+    # plant the orphan: a same-schema file no manifest references (the
+    # leftover of a failed task), written elsewhere and moved in
+    stray_dir = tempfile.mkdtemp(prefix="ppspark_vacuum_stray_")
+    o.where(F.col("o_orderkey") % 1000 == 0).coalesce(1).write.mode("overwrite").parquet(
+        stray_dir
+    )
+    stray_part = next(f for f in os.listdir(stray_dir) if f.endswith(".parquet"))
+    orphan_name = "part-99999-orphan-leftover.snappy.parquet"
+    os.replace(os.path.join(stray_dir, stray_part), os.path.join(out, orphan_name))
+    rows_dir_before = spark.read.parquet(out).count()  # eager-by-design: the audit demonstrating the double-count hazard
+    listing = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    orphans = [f for f in listing if f not in set(manifest)]
+    for f in orphans:
+        os.remove(os.path.join(out, f))
+    rows_dir_after = spark.read.parquet(out).count()  # eager-by-design: sink round-trip barrier
+    manifest_rows = o.count()  # eager-by-design: audit ledger
+    return spark.createDataFrame(
+        [
+            (
+                len(manifest),
+                len(orphans),
+                len(orphans),
+                int(rows_dir_before),
+                int(rows_dir_after),
+                bool(rows_dir_after == manifest_rows),
+            )
+        ],
+        "n_tracked_files bigint, n_orphans_found bigint, n_orphans_deleted bigint, "
+        "rows_dir_before bigint, rows_dir_after bigint, table_intact boolean",
+    )

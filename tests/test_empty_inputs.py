@@ -167,6 +167,12 @@ def test_versioned_snapshots_summary_rows_on_empty_input(spark, empty_sf):
     assert all(r["n_rows"] == 0 for r in rows)
 
 
+def test_vacuum_orphans_audit_row_on_empty_input(spark, empty_sf):
+    r = all_queries()["table_vacuum_orphans"](spark, empty_sf).collect()[0]
+    assert r["n_orphans_deleted"] == 1 and r["table_intact"] is True
+    assert r["rows_dir_before"] == 0 and r["rows_dir_after"] == 0
+
+
 def test_matryoshka_summary_rows_on_empty_input(spark, empty_sf):
     rows = all_queries()["embedding_matryoshka_eval"](spark, empty_sf).collect()
     assert [r["dims"] for r in rows] == [8, 16, 32]
