@@ -89,6 +89,7 @@ EXTENDED = [
     "report_lsh_bucket_pressure",
     "sample_class_balance",
     "table_vacuum_orphans",
+    "embedding_knn_classify",
     "dedup_connected",
     "dedup_connected_lsh",
     "quality_unigram_rarity",

@@ -2721,3 +2721,76 @@ def report_lsh_bucket_pressure(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("band").cast("int").alias("band"), "n_buckets", "max_bucket", "pair_mass", "n_over_cap")
     )
+
+
+# k-NN classification over the embedding graph — the pseudo-labeling
+# step semi-supervised pipelines run (predict a label for every vector
+# from its neighbors' majority vote, then keep high-agreement
+# predictions as training labels). Composes the hash-checked
+# sim_knn_graph: per vector, majority label among its top-{_KNN_K}
+# cosine neighbors (ties to the smallest label id), plus agreement
+# count and whether the vote matches the vector's actual label — the
+# per-row facts an auto-labeling gate thresholds on.
+def _knn_classify_oracle() -> str:
+    return f"""
+    with g as ({_knn_graph_oracle()}),
+    cnt as (
+      select g.src, e.label as nlabel, count(*) as n
+      from g join embeddings e on e.vec_id = g.dst
+      group by g.src, e.label
+    ),
+    pred as (
+      select src, nlabel as pred_label, n as n_agree from (
+        select *, row_number() over (partition by src
+                                     order by n desc, nlabel) as rn
+        from cnt
+      ) where rn = 1
+    )
+    select p.src as vec_id, cast(p.pred_label as int) as pred_label,
+           cast(p.n_agree as bigint) as n_agree,
+           cast(e.label as int) as true_label,
+           p.pred_label = e.label as correct
+    from pred p join embeddings e on e.vec_id = p.src
+    """
+
+
+@query("embedding_knn_classify", oracle=_knn_classify_oracle(), tags=("vector", "knn", "labeling"))
+def embedding_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Majority-vote label prediction per vector from its
+    top-{_KNN_K} cosine neighbors (ties to the smallest label id),
+    with the agreement count and actual-label match — the
+    pseudo-labeling primitive a semi-supervised pipeline gates on
+    (keep predictions with n_agree >= threshold as new labels).
+
+    100 TB shape: rides sim_knn_graph's capped-bucket candidate plan
+    (K rows per vector cross the wire); the vote is one
+    map-side-combined count per (src, label) + a WindowGroupLimit-
+    style argmax; labels join back by id on the K-row-per-vector
+    spine — embeddings themselves never re-shuffle.
+    """
+    from pyspark.sql import Window
+
+    g = sim_knn_graph(spark, sf).select("src", "dst")
+    lab = t(spark, sf, "embeddings").select("vec_id", "label")
+    nl = lab.select(F.col("vec_id").alias("n_id"), F.col("label").alias("nlabel"))
+    cnt = (
+        g.join(nl, F.col("dst") == F.col("n_id"))
+        .groupBy("src", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("nlabel"))
+    pred = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("nlabel").alias("pred_label"), F.col("n").alias("n_agree"))
+    )
+    return (
+        pred.join(lab, pred["src"] == lab["vec_id"])
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.col("label").cast("int").alias("true_label"),
+            (F.col("pred_label") == F.col("label")).alias("correct"),
+        )
+    )

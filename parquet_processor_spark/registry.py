@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # ---- driver 50-slot check window (round 9) ----
-    # 1-11: NEW round-9 operators (first driver row)
+    # 1-12: NEW round-9 operators (first driver row)
     "agg_calibration",
     "sink_targeted_delete",
     "search_hybrid_rrf",
@@ -67,7 +67,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "report_lsh_bucket_pressure",
     "sample_class_balance",
     "table_vacuum_orphans",
-    # 12-28: implementation or oracle changed this round — the
+    "embedding_knn_classify",
+    # 13-29: implementation or oracle changed this round — the
     # cross-engine minhash rebuild (md5-60bit + universal-hash
     # permutations => new oracles for dedup_near /
     # dedup_connected_lsh / dedup_incremental_minhash and fresh
@@ -92,7 +93,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_auc",
     "error_dp_counts",
     "pipeline_cost_estimate",
-    # 29-50: standing rotation, oldest-checked first (the r1
+    # 30-50: standing rotation, oldest-checked first (the r1
     # cohort, then the stalest r2 rows — none checked since r2)
     "join_cross",
     "fn_concat",
@@ -115,12 +116,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "split_train_test",
     "sample_weighted_mix",
     "filter_by_quantile",
-    "pack_sequences",
     # ---- slots 51+: rotation backlog, oldest-checked first
-    # (fn_array_ops/fn_map_ops/join_skew_salted/join_bucketed/
-    # union_by_name/distinct_dedup/set_intersect/agg_grouping_sets/
-    # sql_cte/window_session/window_sliding displaced by the 11 new
-    # r9 ops) ----
+    # (pack_sequences/fn_array_ops/fn_map_ops/join_skew_salted/
+    # join_bucketed/union_by_name/distinct_dedup/set_intersect/
+    # agg_grouping_sets/sql_cte/window_session/window_sliding displaced
+    # by the 12 new r9 ops) ----
+    "pack_sequences",
     "fn_array_ops",
     "fn_map_ops",
     "join_skew_salted",

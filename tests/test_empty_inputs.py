@@ -122,6 +122,7 @@ REPRESENTATIVE = [
     "sim_topk_filtered",       # broadcast-filtered topk over no rows
     "report_lsh_bucket_pressure",  # band aggregate over no buckets
     "sample_class_balance",    # data-derived quota over no classes
+    "embedding_knn_classify",  # majority vote over an empty knn graph
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)

@@ -67,13 +67,13 @@ def test_check_priority_window():
         "scan_json", "fn_json_extract", "case_when_dispatch",
         "filter_error_rows", "sample_hash", "sample_stratified",
         "split_train_test", "sample_weighted_mix", "filter_by_quantile",
-        "pack_sequences",
         # new round-9 operators (first driver row)
         "agg_calibration", "sink_targeted_delete",
         "search_hybrid_rrf", "embedding_matryoshka_eval",
         "multimodal_keyframes", "sink_ann_index_upsert", "dedup_url",
         "sim_topk_filtered", "report_lsh_bucket_pressure",
         "sample_class_balance", "table_vacuum_orphans",
+        "embedding_knn_classify",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

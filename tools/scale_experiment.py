@@ -117,7 +117,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "search_hybrid_rrf", "embedding_matryoshka_eval",
          "multimodal_keyframes", "sink_ann_index_upsert", "dedup_url",
          "sim_topk_filtered", "report_lsh_bucket_pressure",
-         "sample_class_balance", "table_vacuum_orphans"]
+         "sample_class_balance", "table_vacuum_orphans",
+         "embedding_knn_classify"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged)
 if len(sys.argv) > 1:
