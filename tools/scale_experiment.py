@@ -15,6 +15,12 @@ from parquet_processor_spark.tables import TABLES, t
 # script's shuffle-bytes source (extra_conf overrides the default)
 spark = get_spark("scalex", extra_conf={"spark.ui.enabled": "true"}); spark.sparkContext.setLogLevel("ERROR")
 SRC = "/root/testdata/sf0.1"; DST = "/tmp/ppspark_sf1"
+# SPARK_GRAFT_SCALE_X100=1 adds a x100 tier (the x10 corpus replicated
+# tenfold again with a second disjoint key offset) and measures
+# [x10, x100] instead of [x1, x10] — the deeper soak for operators
+# whose x10 row looked flat.
+X100 = os.environ.get("SPARK_GRAFT_SCALE_X100") == "1"
+DST2 = "/tmp/ppspark_sf10"
 KEYED = {
   "lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
   "customer": ["c_custkey"], "documents": ["doc_id"], "embeddings": ["vec_id"],
@@ -38,6 +44,25 @@ if not os.path.exists(DST):
             out = df
         out.write.mode("overwrite").parquet(f"{DST}/{tab}.parquet")
     print("built", DST)
+
+if X100 and not os.path.exists(DST2):
+    os.makedirs(DST2)
+    for tab in TABLES:
+        df = t(spark, DST, tab)
+        if tab in KEYED:
+            parts = []
+            for i in range(10):
+                p = df
+                for k in KEYED[tab]:
+                    p = p.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{DST2}/{tab}.parquet")
+    print("built", DST2)
 
 q = all_queries()
 q["agg_count"](spark, DST).collect()  # warm
@@ -142,7 +167,8 @@ def _shuffle_write_bytes() -> int:
         return 0
 
 
-for sfdir, label in [(SRC, "sf0.1"), (DST, "sf1.0")]:
+_TIERS = [(DST, "sf1.0"), (DST2, "sf10")] if X100 else [(SRC, "sf0.1"), (DST, "sf1.0")]
+for sfdir, label in _TIERS:
     # fresh caches per corpus: cached minhash signatures from the small
     # scale otherwise coexist with the x10 shuffle and thrash the shared
     # local[32] heap (SCALE.md "Operational note" - measured ~2x on the
