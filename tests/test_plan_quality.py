@@ -1101,3 +1101,29 @@ def test_dedup_near_postings_are_capped_via_broadcast_anti_join(spark):
     plan = plan_of(spark, "dedup_near")
     assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sim_topk_filtered_is_broadcast_prefilter_takeordered(spark):
+    # N175 claim: the metadata predicate joins via broadcast BEFORE any
+    # scoring, and top-k plans as TakeOrderedAndProject — no global
+    # sort, no cartesian.
+    plan = plan_of(spark, "sim_topk_filtered")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_fuses_pools_without_cartesian(spark):
+    # N170 claim: two collapsed score spines, 50-row pool fusion — the
+    # only nested-loop is the 1-row broadcast query vector.
+    plan = plan_of(spark, "search_hybrid_rrf")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_classify_vote_argmax_no_cartesian(spark):
+    # N179 claim: the vote rides the capped knn-graph plan (anti-join
+    # cap present) and adds only keyed aggregates — never a cartesian.
+    plan = plan_of(spark, "embedding_knn_classify")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
