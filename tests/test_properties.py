@@ -457,3 +457,68 @@ def test_forecast_recovers_an_exact_line(spark, spine, a0, b0):
         assert r["r2"] is None  # constant y: zero variance, r2 undefined
     assert r["forecast_next"] == float(a0 + b0 * (xs[-1] - xs[0] + 1))
     assert r["forecast_7d"] == float(a0 + b0 * (xs[-1] - xs[0] + 7))
+
+
+# Calibration-table invariants (N168): for ANY (score, label) spine —
+# not just the fixture — the deciles must partition the population
+# (sizes differ by <= 1, counts sum to n), per-bin rates must be
+# consistent with the raw sums, and the ECE identity must hold in
+# EXACT integers: sum over bins of n_users * abs_gap * (n_users * mx)
+# ... folded back, |sum_score - mx * n_pos| summed equals the same
+# statistic computed directly from the spine.
+_cal_spine = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),   # score (views)
+        st.integers(min_value=0, max_value=1),    # label (purchased)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=_cal_spine)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_calibration_bins_partition_and_gap_identity(spark, tmp_path_factory, data):
+    import os
+
+    from parquet_processor_spark.registry import all_queries
+
+    d = tempfile.mkdtemp(prefix="prop_cal_", dir=tmp_path_factory.getbasetemp())
+    # synthesize an events table producing exactly this (score, label)
+    # spine: user u emits `score` views and `label` purchases
+    ev = []
+    eid = 0
+    for u, (score, label) in enumerate(data):
+        for _ in range(score):
+            ev.append((eid, u, "view")); eid += 1
+        if label:
+            ev.append((eid, u, "purchase")); eid += 1
+        if score == 0 and not label:
+            ev.append((eid, u, "click")); eid += 1  # keep the user visible
+    spark.createDataFrame(
+        [(e, "2024-01-01 00:00:00", u, t_, 1.0, "{}") for (e, u, t_) in ev],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    rows_ = all_queries()["agg_calibration"](spark, d).collect()
+    n = len(data)
+    sizes = [r["n_users"] for r in rows_]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    mx = max(s for s, _ in data)
+    direct = sum(abs(s - mx * l) for s, l in data) if mx else None
+    for r in rows_:
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        if mx == 0:
+            assert r["mean_pred"] is None and r["abs_gap"] is None
+        else:
+            assert 0.0 <= r["mean_pred"] <= 1.0
+    if mx:
+        # ECE identity: per-bin |sum_score - mx*n_pos| recovered from
+        # the emitted gap (abs_gap * n_users * mx is exactly integral)
+        recovered = sum(round(r["abs_gap"] * r["n_users"] * mx) for r in rows_)
+        # bin-level |.| <= spine-level sum of |.| (triangle inequality),
+        # and both sides agree when recomputed bin-by-bin
+        per_bin = sum(abs(r["sum_score"] - mx * r["n_pos"]) for r in rows_)
+        assert recovered == per_bin <= direct
