@@ -145,10 +145,14 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "sample_class_balance", "table_vacuum_orphans",
          "embedding_knn_classify"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
-# times only those queries (corpus build unchanged)
+# times only those queries (corpus build unchanged); any REGISTERED
+# query name is accepted, not just the standing NAMES list — an
+# unknown name fails loudly instead of being silently dropped
 if len(sys.argv) > 1:
-    sel = set(sys.argv[1:])
-    NAMES = [n for n in NAMES if n in sel]
+    known = set(q)
+    unknown = [n for n in sys.argv[1:] if n not in known]
+    assert not unknown, f"not registered queries: {unknown}"
+    NAMES = list(dict.fromkeys(sys.argv[1:]))
 def _shuffle_write_bytes() -> int:
     """Total shuffle-write bytes across completed stages (UI REST API)
     — delta around a query gives its shuffle volume."""
