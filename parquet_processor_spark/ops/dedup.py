@@ -461,18 +461,23 @@ def _band_rows(sig_df: DataFrame) -> DataFrame:
 
 def _capped_band_blocks(bands: DataFrame, cap: int = _MH_BUCKET_CAP) -> DataFrame:
     """Sorted (band, band_sig, docs) posting lists with hot buckets
-    (> cap docs) dropped BEFORE collection — count pre-aggregate +
-    broadcast anti-join, the capped_band_postings recipe. ``bands``
-    derives from the cached signature table, so the two passes read
-    the cache, not the corpus."""
-    hot = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > cap)
-        .select("band", "band_sig")
-    )
+    (> cap docs) dropped BEFORE collection — a window ``count``
+    over the band key followed by the cap filter, the oracle's
+    ``qualify count(*) over (partition by band_sig) <= cap`` replayed
+    verbatim. One exchange total: the window hash-partitions on
+    (band, band_sig) and the collect_list aggregate reuses that
+    partitioning (HashAggregate with no second Exchange — pinned in
+    test_plan_quality). The earlier count-preagg + broadcast-anti-join
+    shape paid two exchanges plus a broadcast for the same row set
+    (r9 verdict: dedup_near the only >2x-baseline query). Scale note:
+    a degenerate hot bucket is buffered ONCE by WindowExec
+    (spill-backed UnsafeExternalSorter, O(bucket) disk, no OOM) and
+    then filtered — it still never reaches collect_list, so no
+    unbounded array materializes."""
+    w = Window.partitionBy("band", "band_sig")
     return (
-        bands.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+        bands.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= cap)
         .groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
         .where(F.size("docs") >= 2)
@@ -1357,26 +1362,33 @@ def _incremental_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     # The standing index: one posting list per (band, band_sig),
     # df-capped like every posting family (hot buckets dropped BEFORE
-    # collection via the broadcast anti-join — mirrored in the
-    # oracle's qualify filter over corpus rows). A production
-    # pipeline persists exactly this table and appends each batch's
-    # survivors to it; the probe below touches only buckets a delta
-    # band key actually hits.
-    hot_c = (
-        corpus_bands.groupBy("band", "band_sig")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > _MH_BUCKET_CAP)
-        .select("band", "band_sig")
-    )
+    # collection via the window qualify — the _capped_band_blocks
+    # shape, mirrored in the oracle's qualify filter over corpus
+    # rows). A production pipeline persists exactly this table and
+    # appends each batch's survivors to it; the probe below touches
+    # only buckets a delta band key actually hits.
+    wb = Window.partitionBy("band", "band_sig")
     postings = (
-        corpus_bands.join(F.broadcast(hot_c), ["band", "band_sig"], "left_anti")
+        corpus_bands.withColumn("df", F.count(F.lit(1)).over(wb))
+        .where(F.col("df") <= _MH_BUCKET_CAP)
         .groupBy("band", "band_sig")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("docs"))
+    )
+    # The PROBE side is capped by the same per-bucket df rule, counted
+    # over DELTA rows only — without it a degenerate delta bucket
+    # (empty docs, boilerplate batch) probes the standing index
+    # cap×cap quadratically, and the oracle (whose corpus-probe arm
+    # joins cpost against the CAPPED dpost) would diverge from an
+    # uncapped Spark probe exactly when the cap engages (r9 ADVICE).
+    delta_capped = (
+        delta_bands.withColumn("df", F.count(F.lit(1)).over(wb))
+        .where(F.col("df") <= _MH_BUCKET_CAP)
+        .drop("df")
     )
     # No round(): one IEEE division of exact ints (numeric.py).
     est = _sig_est("sig_a", "sig_b")
     probe_pairs = (
-        delta_bands.join(postings, ["band", "band_sig"])
+        delta_capped.join(postings, ["band", "band_sig"])
         .select(
             F.col("doc_id").alias("doc_b"),
             F.col("sig").alias("sig_b"),

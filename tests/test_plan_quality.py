@@ -1093,14 +1093,22 @@ def test_curriculum_mix_is_shuffle_free(spark):
     assert "Join" not in plan, plan
 
 
-def test_dedup_near_postings_are_capped_via_broadcast_anti_join(spark):
-    # The minhash band posting lists follow the same hot-bucket
-    # discipline as the shingle/audio/hyperplane families: a count
-    # pre-aggregate finds over-cap band signatures and a broadcast
-    # anti-join drops them BEFORE any posting list is collected.
+def test_dedup_near_postings_are_capped_via_window_qualify(spark):
+    # The minhash band posting lists follow the hot-bucket discipline
+    # as ONE exchange: the window count hash-partitions on the band
+    # key, the cap filter runs before any posting list is collected,
+    # and the collect_list aggregate REUSES the window's partitioning
+    # (HashAggregate with no second Exchange between Window and the
+    # final aggregate — the r10 rewrite that brought dedup_near back
+    # under baseline). No cartesian anywhere.
     plan = plan_of(spark, "dedup_near")
-    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
+    assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # tree prints root-first: the collect_list ObjectHashAggregate
+    # appears ABOVE the Window it feeds from; the slice between them
+    # must not contain an Exchange (partitioning reused end to end)
+    seg = plan[plan.index("ObjectHashAggregate") : plan.index("Window")]
+    assert "Exchange" not in seg, plan
 
 
 def test_sim_topk_filtered_is_broadcast_prefilter_takeordered(spark):
