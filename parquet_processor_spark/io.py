@@ -14,8 +14,34 @@ layout dirs; CSV/JSON sinks exist for interchange parity, not as the
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# --- scratch lifecycle ----------------------------------------------------
+
+# One process-scoped scratch root for every sink/index roundtrip op.
+# The old per-op bare mkdtemp calls stranded GBs in /tmp across
+# repeated driver checks + soak runs (r9 verdict hygiene item): the
+# written parquet is read back LAZILY by the returned DataFrame, so an
+# op can never rmtree its own dir eagerly — but every dir can die with
+# the process. atexit registration happens once, on first use.
+_SCRATCH_ROOT: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory under the process-scoped root
+    (``ppspark_session_<pid>``), removed by atexit when the process
+    exits. Drop-in for ``tempfile.mkdtemp(prefix=...)``."""
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix=f"ppspark_session_{os.getpid()}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
 # --- sources -------------------------------------------------------------

@@ -798,39 +798,113 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
 _SIMHASH_BITS = 64
 
 
-@query("dedup_simhash", tags=("dedup", "simhash"))
+def _simhash_oracle() -> str:
+    """The full simhash construction replayed in DuckDB: same
+    shingles, 64 signature bits drawn as two 32-bit md5 halves, same
+    +1/-1 votes with the >0 tie rule, two's-complement assembly (bit
+    63 is the sign term — (1::bigint << 63) would overflow; adding
+    the exact min-long constant when b63 wins is the same bit
+    pattern Spark's shiftleft(1, 63) OR produces), and the same
+    arithmetic-shift + mask chunk extraction (both engines shift
+    arithmetically; the & 65535 mask makes the fill bits moot)."""
+    sums = ",\n             ".join(
+        f"sum(case when ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1 "
+        f"then 1 else -1 end) as b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    assemble = "\n               + ".join(
+        f"(case when b{i} > 0 then (1::bigint << {i}) else 0::bigint end)"
+        for i in range(_SIMHASH_BITS - 1)
+    )
+    return rf"""
+    with sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+        ))) as shingle
+      from documents
+    ),
+    hx as (
+      select doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::bigint as h1,
+             ('0x' || substr(md5(shingle), 9, 8))::bigint as h2
+      from sh
+    ),
+    votes as (
+      select doc_id,
+             {sums}
+      from hx group by doc_id
+    ),
+    sigs as (
+      select doc_id,
+             (case when b63 > 0 then (-9223372036854775807 - 1) else 0 end)
+               + {assemble}
+             as simhash
+      from votes
+    )
+    select doc_id, simhash, chunk,
+           (simhash >> (chunk * 16)) & 65535 as chunk_val
+    from sigs, (select unnest([0, 1, 2, 3]) as chunk)
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash signatures + 16-bit-chunk LSH buckets (rows-only check:
-    the bit-voting needs all 64 bits of xxhash64 — the md5-60bit
-    shared primitive would leave 4 signature bits constant — and
-    DuckDB cannot replay xxhash64; quality evidence is the
-    hash-checked ``recall_dedup_simhash`` gate).
+    """SimHash signatures + 16-bit-chunk LSH buckets — HASH-CHECKED
+    end to end since r10: the 64 signature bits are two 32-bit md5
+    halves per shingle (the shared md5 primitive, full hex parse both
+    engines), so DuckDB replays the bit votes, the two's-complement
+    assembly, and the chunk extraction verbatim. The earlier xxhash64
+    bits were engine-internal (rows-only forever); md5-60bit alone
+    was never enough — it left 4 of 64 bits constant — but the
+    128-bit digest has 64 independent bits to spare. Quality evidence
+    stays in the ``recall_dedup_simhash`` gate.
 
     Distributed bit-voting: explode features, one groupBy with 64
     partially-aggregated vote sums (map-side combine does the heavy
     lifting — the shuffle carries 64 ints per doc, not features).
     Fully JVM-side, no Python UDF.
 
-    Features are the 3-gram SHINGLE hashes (same feature space as the
-    Jaccard family), not whole tokens: on a small shared vocabulary,
-    token votes are near-tied on most bits, so random-pair Hamming
-    collapses (measured median 14/64 — true pairs indistinguishable).
-    Shingles are high-cardinality, giving proper simhash behavior:
-    true near-dup pairs land at Hamming <= 12, random pairs at median
-    32 (gated by ``recall_dedup_simhash``).
+    Features are the 3-gram SHINGLE strings (same feature space as
+    the Jaccard family), not whole tokens: on a small shared
+    vocabulary, token votes are near-tied on most bits, so
+    random-pair Hamming collapses (measured median 14/64 — true
+    pairs indistinguishable). Shingles are high-cardinality, giving
+    proper simhash behavior: true near-dup pairs land at Hamming <=
+    12, random pairs at median 32 (gated by
+    ``recall_dedup_simhash``).
     """
     # explode_outer + null guard (not plain explode): see
     # _explode_shingles — the inferred size>0 filter would re-run the
-    # whole shingle expression per row.
+    # whole shingle expression per row. The md5 hex string is
+    # computed ONCE per shingle and both halves parse from it.
+    words = F.col("words")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
     tok = (
         split_words(spark, sf)
-        .select("doc_id", F.explode_outer(shingle_hashes()).alias("h"))
-        .where(F.col("h").isNotNull())
+        .select("doc_id", F.explode_outer(shingles).alias("s"))
+        .where(F.col("s").isNotNull())
+        .select("doc_id", F.md5("s").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
+        )
     )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(_SIMHASH_BITS)
         ]

@@ -7,13 +7,13 @@ K1/K2/K3/K4 with a real correctness check rather than a rows-only pass.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_processor_spark import io as pio
 from parquet_processor_spark.numeric import dsum, dsum_sql
+from parquet_processor_spark.io import scratch_dir
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -31,7 +31,7 @@ def _subset(spark: SparkSession, sf: str) -> DataFrame:
 # K1+K4: partitioned parquet write, read back through the partition layout.
 @query("sink_parquet", oracle=_SELECT, tags=("sink",))
 def sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="ppspark_sink_parquet_")
+    out = scratch_dir("ppspark_sink_parquet_")
     pio.write_parquet(_subset(spark, sf), out, mode="overwrite", partition_by=("l_returnflag",))
     back = pio.read_parquet(spark, out)
     # partition column comes back typed as read; restore column order/types
@@ -72,7 +72,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     only matching directories (PartitionFilters in the scan — whole
     segments/months are skipped without opening a footer).
     """
-    out = tempfile.mkdtemp(prefix="ppspark_sink_part_")
+    out = scratch_dir("ppspark_sink_part_")
     src = t(spark, sf, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -106,7 +106,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # K2: CSV round trip with explicit read schema (no inference drift).
 @query("sink_csv_roundtrip", oracle=_SELECT, tags=("sink",))
 def sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="ppspark_sink_csv_")
+    out = scratch_dir("ppspark_sink_csv_")
     pio.write_csv(_subset(spark, sf), out)
     return pio.read_csv(
         spark,
@@ -118,7 +118,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # K3: JSON-lines round trip.
 @query("sink_json_roundtrip", oracle=_SELECT, tags=("sink",))
 def sink_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="ppspark_sink_json_")
+    out = scratch_dir("ppspark_sink_json_")
     pio.write_json(_subset(spark, sf), out)
     return pio.read_json(
         spark,
@@ -131,7 +131,7 @@ def sink_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # write→read-back→oracle-compare contract as the parquet sink.
 @query("sink_orc_roundtrip", oracle=_SELECT, tags=("sink",))
 def sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="ppspark_sink_orc_")
+    out = scratch_dir("ppspark_sink_orc_")
     _subset(spark, sf).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -193,7 +193,7 @@ def sink_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     the query is meaningful at every SF). tests/test_plan_quality.py
     verifies the layout claim directly on the parquet footers: per-file
     min/max is narrow on BOTH dimensions and the box skips files."""
-    out = tempfile.mkdtemp(prefix="ppspark_sink_zorder_")
+    out = scratch_dir("ppspark_sink_zorder_")
     cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
     li = t(spark, sf, "lineitem").select(*cols)
     maxes = li.agg(
@@ -237,7 +237,7 @@ def sink_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sink", "layout"),
 )
 def sink_sorted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="ppspark_sink_sorted_")
+    out = scratch_dir("ppspark_sink_sorted_")
     (
         t(spark, sf, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
@@ -282,7 +282,7 @@ def sink_mergeschema_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     lands, which is the point: an append-only corpus evolves for free
     and every reader sees one logical schema.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_mergeschema_")
+    out = scratch_dir("ppspark_mergeschema_")
     base = _subset(spark, sf)
     v1 = base.where(F.col("l_linenumber") % 2 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
@@ -325,8 +325,8 @@ def sink_compacted_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     and incremental. Row-count stands in for the byte target the
     fixture cannot exercise (fixed-width rows).
     """
-    frag = tempfile.mkdtemp(prefix="ppspark_frag_")
-    out = tempfile.mkdtemp(prefix="ppspark_compact_")
+    frag = scratch_dir("ppspark_frag_")
+    out = scratch_dir("ppspark_compact_")
     _subset(spark, sf).repartition(64).write.mode("overwrite").parquet(frag)
     small = spark.read.parquet(frag)
     n_files = max(1, -(-small.count() // _COMPACT_TARGET_ROWS))  # ceil; eager-by-design: footer-metadata count sizes the rewrite
@@ -368,7 +368,7 @@ def scan_csv_badrecords(spark: SparkSession, sf: str) -> DataFrame:
     same filter-fanout as the fetch stage's dead-letter (T4). The
     FAILFAST/DROPMALFORMED modes are the same reader one option away.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_badcsv_")
+    out = scratch_dir("ppspark_badcsv_")
     sub = (
         t(spark, sf, "lineitem")
         .where(F.col("l_quantity") >= 40)
@@ -441,7 +441,7 @@ def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
     oversized blobs are the ONE caveat (a single file must fit in a
     task), which is inherent to whole-file semantics.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_binscan_")
+    out = scratch_dir("ppspark_binscan_")
     (
         t(spark, sf, "documents")
         .select(F.coalesce(F.col("text"), F.lit("")).alias("value"))
@@ -521,7 +521,7 @@ def sink_versioned_snapshots(spark: SparkSession, sf: str) -> DataFrame:
     version N are never blocked or torn by the writer of N+1; vacuum
     = delete unreferenced snap-*/ directories older than a horizon.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_snapshots_")
+    out = scratch_dir("ppspark_snapshots_")
     orders = t(spark, sf, "orders")
     v1 = orders.where(F.col("o_orderdate") < F.lit(f"{_SNAP_CUT} 00:00:00").cast("timestamp"))
     publish_snapshot(v1, out, 1)
@@ -599,7 +599,7 @@ def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
         "shard",
         (F.expr(f"instr('{_SHARD_HEX}', substring(hh, 1, 1))") - 1).cast("int"),
     )
-    out = tempfile.mkdtemp(prefix="ppspark_shards_")
+    out = scratch_dir("ppspark_shards_")
     (
         docs.repartition("shard")
         .sortWithinPartitions("hh")
@@ -664,7 +664,7 @@ def sink_codec_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     digests = []
     for codec in _CODECS:
-        out = tempfile.mkdtemp(prefix=f"ppspark_sink_codec_{codec}_")
+        out = scratch_dir(f"ppspark_sink_codec_{codec}_")
         base.write.mode("overwrite").option("compression", codec).parquet(out)
         back = spark.read.parquet(out)
         digests.append(
@@ -735,7 +735,7 @@ def sink_manifest_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     never depends on the pruning: files are selected by stats that
     BOUND their contents, and the residual filter still runs.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_sink_manifest_")
+    out = scratch_dir("ppspark_sink_manifest_")
     o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
     (
         o.repartitionByRange(_MANIFEST_FILES, "o_orderdate")
@@ -800,7 +800,7 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     the partition key. The summary aggregate rides decimal so the
     oracle hash is exact.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_sink_restate_")
+    out = scratch_dir("ppspark_sink_restate_")
     e = (
         t(spark, sf, "events")
         .where(F.col("ts").isNotNull())
@@ -872,7 +872,7 @@ def sink_snapshot_expire(spark: SparkSession, sf: str) -> DataFrame:
     """
     import shutil
 
-    out = tempfile.mkdtemp(prefix="ppspark_expire_")
+    out = scratch_dir("ppspark_expire_")
     orders = t(spark, sf, "orders")
     cut = F.col("o_orderdate") < F.lit(f"{_SNAP_CUT} 00:00:00").cast("timestamp")
     publish_snapshot(orders.where(cut), out, 1)
@@ -979,7 +979,7 @@ def sink_checked_publish(spark: SparkSession, sf: str) -> DataFrame:
     every write path here feeds (expectations -> gate -> flip), made
     into one auditable operator.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_wap_")
+    out = scratch_dir("ppspark_wap_")
     orders = t(spark, sf, "orders")
     rows = []
     audits = [
@@ -1040,9 +1040,13 @@ def _rtbf_target_pred(key: F.Column) -> F.Column:
     o as (select o_orderkey, o_custkey, o_custkey % {_RTBF_BUCKETS} as bucket
           from orders),
     stats as (
+      -- coalesce: sum() over an EMPTY orders table is NULL, and the
+      -- Spark side early-returns an all-zero audit row there — the
+      -- empty-fixture rows must match (r9 ADVICE)
       select cast(count(*) as bigint) as rows_before,
              cast(count(distinct bucket) as bigint) as n_partitions,
-             cast(sum(case when t.c_custkey is not null then 1 else 0 end)
+             cast(coalesce(sum(case when t.c_custkey is not null
+                                    then 1 else 0 end), 0)
                   as bigint) as rows_deleted,
              cast(count(distinct case when t.c_custkey is not null
                                       then bucket end) as bigint)
@@ -1077,7 +1081,7 @@ def sink_targeted_delete(spark: SparkSession, sf: str) -> DataFrame:
     even the partition rewrite, but the audit contract (counts +
     untouched-stability + zero-visible-targets) is format-agnostic.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_rtbf_")
+    out = scratch_dir("ppspark_rtbf_")
     o = t(spark, sf, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -1222,7 +1226,7 @@ def table_vacuum_orphans(spark: SparkSession, sf: str) -> DataFrame:
     visible; a production vacuum skips them (it trusts the manifest)
     and adds an age threshold so in-flight commits aren't swept.
     """
-    out = tempfile.mkdtemp(prefix="ppspark_vacuum_")
+    out = scratch_dir("ppspark_vacuum_")
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     o.repartition(4).write.mode("overwrite").parquet(out)
     manifest = sorted(
@@ -1230,7 +1234,7 @@ def table_vacuum_orphans(spark: SparkSession, sf: str) -> DataFrame:
     )  # catalog state harvested at commit time
     # plant the orphan: a same-schema file no manifest references (the
     # leftover of a failed task), written elsewhere and moved in
-    stray_dir = tempfile.mkdtemp(prefix="ppspark_vacuum_stray_")
+    stray_dir = scratch_dir("ppspark_vacuum_stray_")
     o.where(F.col("o_orderkey") % 1000 == 0).coalesce(1).write.mode("overwrite").parquet(
         stray_dir
     )

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_processor_spark.io import scratch_dir
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -1322,10 +1323,9 @@ def sink_ann_index_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     corpus floats beyond the R-row refine. The index write is an
     ordinary parquet sink; a serving fleet reads it like any table.
     """
-    import tempfile
 
     ix = _ivfpq_build(spark, sf)
-    out = tempfile.mkdtemp(prefix="ppspark_annindex_")
+    out = scratch_dir("ppspark_annindex_")
     for part in ("assign", "codes", "cb"):
         ix[part].write.mode("overwrite").parquet(f"{out}/{part}")
     fresh = _ivfpq_serve(ix)
@@ -2514,7 +2514,6 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
     are 10 bytes/vector at rest). Retraining stays a scheduled offline
     event (the roundtrip op); this is the path between retrains.
     """
-    import tempfile
 
     e = _unit(t(spark, sf, "embeddings").select("vec_id", "embedding"))
     bounds = e.agg(
@@ -2557,7 +2556,7 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     assign = assign_cells(e, cent).select("vec_id", "cell").localCheckpoint(eager=True)
-    out = tempfile.mkdtemp(prefix="ppspark_annupsert_")
+    out = scratch_dir("ppspark_annupsert_")
     # v1: the standing corpus index at rest
     codes_all.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/codes")
     assign.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/assign")
@@ -2589,17 +2588,23 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
             "codes": spark.read.parquet(f"{out}/codes"),
         }
     )
-    j = fresh.alias("f").join(
-        served.alias("s"),
-        (F.col("f.vec_id") == F.col("s.vec_id"))
-        & (F.col("f.cell") == F.col("s.cell"))
-        & (F.col("f.cos_sim") == F.col("s.cos_sim")),
-        "left",
+    # SYMMETRIC parity (r9 ADVICE): a one-sided left join cannot see
+    # extra or duplicated at-rest rows (a double-appended delta joins
+    # clean). Compare exact row MULTISETS instead: group each serve by
+    # the full row, full-outer join the (row -> count) maps, and any
+    # count difference on either side fails parity.
+    fa = fresh.groupBy("vec_id", "cell", "cos_sim").agg(F.count(F.lit(1)).alias("n_f"))
+    sa = served.groupBy("vec_id", "cell", "cos_sim").agg(F.count(F.lit(1)).alias("n_s"))
+    bad = F.sum(
+        F.when(
+            F.coalesce("n_f", F.lit(0)) != F.coalesce("n_s", F.lit(0)), 1
+        ).otherwise(0)
     )
-    hits = F.coalesce(
-        F.sum(F.when(F.col("s.vec_id").isNotNull(), 1).otherwise(0)), F.lit(0)
-    )
-    parity = j.agg((hits == F.count(F.lit(1))).alias("ok")).collect()[0]["ok"]  # eager-by-design: sink round-trip barrier
+    parity = (
+        fa.join(sa, ["vec_id", "cell", "cos_sim"], "full_outer")
+        .agg((F.coalesce(bad, F.lit(0)) == 0).alias("ok"))
+        .collect()[0]["ok"]
+    )  # eager-by-design: sink round-trip barrier
     counts = e.agg(
         F.sum(F.when(F.col("vec_id") < c, 1).otherwise(0)).cast("long").alias("n_corpus"),
         F.sum(F.when(F.col("vec_id") >= c, 1).otherwise(0)).cast("long").alias("n_delta"),

@@ -17,11 +17,11 @@ batch twin: ``window_tumbling`` (ops/windows.py) for
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_processor_spark.io import scratch_dir
 from parquet_processor_spark.ops import temporal as _temporal  # noqa: F401 — registers the donor oracle below
 from parquet_processor_spark.registry import _ORACLES, query
 from parquet_processor_spark.streaming.jobs import (
@@ -37,7 +37,7 @@ from parquet_processor_spark.streaming.jobs import (
 def _run_stream(df: DataFrame, mode: str) -> DataFrame:
     spark = df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ppspark_ckpt_")
+    checkpoint = scratch_dir("ppspark_ckpt_")
     # The state-store partition count is frozen into the checkpoint at
     # first start, so a fresh query must pick it deliberately rather
     # than inherit whatever spark.sql.shuffle.partitions happens to be
@@ -234,7 +234,7 @@ def streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
     from parquet_processor_spark.streaming.jobs import run_with_upsert
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
-    base = tempfile.mkdtemp(prefix="ppspark_upsert_")
+    base = scratch_dir("ppspark_upsert_")
     q = run_with_upsert(events, f"{base}/state", f"{base}/ckpt")
     q.awaitTermination(120)
     return spark.read.parquet(f"{base}/state")
@@ -271,7 +271,7 @@ def streaming_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
     from parquet_processor_spark.streaming.jobs import run_with_tombstones
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
-    base = tempfile.mkdtemp(prefix="ppspark_cdc_")
+    base = scratch_dir("ppspark_cdc_")
     q = run_with_tombstones(events, f"{base}/state", f"{base}/ckpt")
     q.awaitTermination(120)
     from pyspark.sql import functions as F

@@ -38,6 +38,17 @@ def test_check_priority_names_are_registered():
     assert list(names)[: len(_CHECK_PRIORITY)] == list(_CHECK_PRIORITY)
 
 
+def test_rows_only_list_is_exactly_the_documented_exception():
+    # README "Rows-only policy": agg_approx_distinct is the ONE
+    # registered query without a DuckDB oracle (HLL sketch internals
+    # are engine-specific by definition). Everything else — simhash
+    # included since its r10 md5-halves rebuild — is hash-checked.
+    from parquet_processor_spark.registry import all_oracles, all_queries
+
+    rows_only = sorted(set(all_queries()) - set(all_oracles()))
+    assert rows_only == ["agg_approx_distinct"], rows_only
+
+
 def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
