@@ -4,15 +4,21 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (noop sink) after a warm-up of
-the session; times are wall-clock per query, BEST-OF-N (default 2
-passes, $SPARK_GRAFT_BENCH_PASSES to override): single-pass timings in
-a shared long-lived JVM swing 3-6x run-to-run from GC/codegen-cache
+the session; times are wall-clock per query, MEDIAN-OF-N (default 3
+passes, $SPARK_GRAFT_BENCH_PASSES to override; the old min-of-passes
+number is kept as value_min/queries_min): single-pass timings in a
+shared long-lived JVM swing 3-6x run-to-run from GC/codegen-cache
 pressure (r3's recorded 89 s vs the same code's steady-state 45 s), so
-one cold sample per query is not a usable regression gate. Queries
-still >1.5x their standing baseline after the passes get one extra
-fresh re-run before reporting; per-query spread (max/min across
-passes) goes to stderr and a "spread" summary field into the JSON so
-the recorded number carries its own noise estimate.
+one cold sample per query is not a usable regression gate, and r9
+showed min-of-2 still moves ~1.35x with session weather. A FIXED
+calibration probe (constant plan + data, catalog-independent) is timed
+before and after the headline passes and recorded in the JSON: if
+calibration moved, the round's deltas are weather; if calibration is
+flat and a query moved >1.3x, that's code. Queries still >1.5x their
+standing baseline after the passes get one extra fresh re-run before
+reporting; per-query spread (max/min across passes) goes to stderr and
+a "spread" summary field into the JSON so the recorded number carries
+its own noise estimate.
 """
 
 from __future__ import annotations
@@ -254,13 +260,38 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Calibration probe: one FIXED workload (constant plan, constant
+    # data, independent of the query catalog and the SF) timed before
+    # and after the headline passes. Its wall-clock moves with the
+    # session/box weather, never with repo code — so a round where
+    # every query reads ~1.35x (r9) shows up as a ~1.35x calibration,
+    # while a real regression leaves calibration flat. Median of 3.
+    def calibration_probe() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 20_000_000, 1, 32)
+                .selectExpr("id % 9973 as k", "id")
+                .groupBy("k")
+                .sum("id")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            runs.append(time.perf_counter() - t0)
+        return sorted(runs)[1]
+
     for name in HEADLINE:
         try:
             run_once(name)  # untimed target-SF warm pass
         except Exception:
             pass
 
-    n_passes = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")), 1)
+    calibration_probe()  # untimed: pays the probe's own codegen
+    calib_start = round(calibration_probe(), 3)
+
+    n_passes = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")), 1)
     # Passes run CONSECUTIVELY per query (not interleaved across the
     # whole set): interleaving lets the JVM code cache / GC state drift
     # between a query's two samples, which is where the r5 spread_max
@@ -306,12 +337,26 @@ def main() -> None:
             print(f"EXTENDED FAILED {name}: {exc}", file=sys.stderr)
             extended[name] = None
 
-    times = {name: round(min(ts), 3) for name, ts in samples.items()}
+    calib_end = round(calibration_probe(), 3)
+
+    # Headline per-query number = MEDIAN of the passes (r9 verdict:
+    # min-of-2 was too noisy to steer by — a real 1.3x regression was
+    # indistinguishable from session weather). The min is kept
+    # alongside (queries_min / value_min and BENCH_LOCAL) so rounds
+    # recorded under the old min policy stay comparable.
+    def median(ts: list[float]) -> float:
+        s = sorted(ts)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    times = {name: round(median(ts), 3) for name, ts in samples.items()}
+    times_min = {name: round(min(ts), 3) for name, ts in samples.items()}
     spread = {
         name: round(max(ts) / min(ts), 2) if min(ts) > 0 else 1.0
         for name, ts in samples.items()
     }
     total = round(sum(times.values()), 3)
+    total_min = round(sum(times_min.values()), 3)
 
     # Per-query delta vs the standing baseline, on stderr so stdout
     # stays one JSON line. >1.5x on a query is a regression to
@@ -340,16 +385,26 @@ def main() -> None:
     ext_line = {"metric": "extended_queries_wall", "unit": "sec", "sf": sf_val, "extended": extended}
     headline_line = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": total,  # sum of per-query MEDIANS (see bench policy note)
+        "value_min": total_min,  # old min-of-passes policy, for cross-round comparison
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
         "passes": n_passes,
         "spread_max": max(spread.values()),
         "spread_median": sorted(spread.values())[len(spread) // 2],
+        # fixed-workload probe timed before/after the headline passes:
+        # a session-wide multiplier (GC/code-cache weather) moves these,
+        # repo code cannot — compare across rounds before reading deltas
+        "calibration_start_sec": calib_start,
+        "calibration_end_sec": calib_end,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        json.dump({**headline_line, "extended": extended, "spread": spread}, f, indent=1)
+        json.dump(
+            {**headline_line, "queries_min": times_min, "extended": extended, "spread": spread},
+            f,
+            indent=1,
+        )
     print(json.dumps(ext_line, separators=(",", ":")))
     print(json.dumps(headline_line, separators=(",", ":")))
 

@@ -44,380 +44,381 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately. Round 9 window policy, in priority order:
-# (1) queries still awaiting their FIRST driver row (none this round —
-# every query has at least one green row), (2) queries whose
-# implementation or oracle changed this round, (3) the standing
-# oldest-checked-first rotation; new operators displace the
-# newest rotation pins as they land. The window contents are enforced
-# by an automated assertion
+# catalog deliberately. Round 10 window policy, in priority order:
+# (1) queries whose implementation or oracle changed this round (incl.
+# dedup_simhash's first-ever oracle), (2) the standing
+# oldest-checked-first rotation — this round aimed squarely at the r9
+# verdict's staleness item: the entire r2 cohort plus the stalest r3
+# TPC-H headliners; new operators displace the newest rotation pins as
+# they land. The full catalog is ordered (all 347 names), so the
+# backlog ordering is explicit, not incidental. The window contents
+# are enforced by an automated assertion
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # ---- driver 50-slot check window (round 9) ----
-    # 1-12: NEW round-9 operators (first driver row)
-    "agg_calibration",
-    "sink_targeted_delete",
-    "search_hybrid_rrf",
-    "embedding_matryoshka_eval",
-    "multimodal_keyframes",
-    "sink_ann_index_upsert",
-    "dedup_url",
-    "sim_topk_filtered",
-    "report_lsh_bucket_pressure",
-    "sample_class_balance",
-    "table_vacuum_orphans",
-    "embedding_knn_classify",
-    # 13-29: implementation or oracle changed this round — the
-    # cross-engine minhash rebuild (md5-60bit + universal-hash
-    # permutations => new oracles for dedup_near /
-    # dedup_connected_lsh / dedup_incremental_minhash and fresh
-    # rows for every consumer/gate), the hyperplane-LSH hot-bucket
-    # cap (dedup_embedding_lsh, sim_range_search, sim_knn_graph +
-    # gates), the sampled Arrow-kernel report_lsh_tuning, the
-    # agg_auc long-cast, and the re-derived DP / canary oracles
+    # ---- driver 50-slot check window (round 10) ----
+    # 1-7: implementation or oracle changed this round — the simhash
+    # cross-engine rebuild (md5 32-bit halves => first-ever oracle for
+    # dedup_simhash + fresh rows for its recall gate), the minhash
+    # hot-bucket cap collapsed to one window exchange (dedup_near /
+    # dedup_connected_lsh) + the capped incremental probe side
+    # (dedup_incremental_minhash), the coalesce'd empty-table delete
+    # oracle (sink_targeted_delete), and the symmetric multiset serve
+    # parity (sink_ann_index_upsert)
+    "dedup_simhash",
+    "recall_dedup_simhash",
     "dedup_near",
-    "dedup_connected_lsh",
     "dedup_incremental_minhash",
-    "recall_dedup_near",
-    "recall_dedup_connected_lsh",
-    "recall_dedup_incremental_minhash",
-    "error_minhash_estimate",
-    "dedup_embedding_lsh",
-    "sim_range_search",
-    "recall_range_search",
-    "sim_knn_graph",
-    "recall_sim_knn_graph",
-    "recall_dedup_embedding_lsh",
-    "report_lsh_tuning",
-    "agg_auc",
-    "error_dp_counts",
-    "pipeline_cost_estimate",
-    # 30-50: standing rotation, oldest-checked first (the r1
-    # cohort, then the stalest r2 rows — none checked since r2)
-    "join_cross",
-    "fn_concat",
-    "fn_least_cast",
-    "sim_pairs_blocked",
-    "sim_topk",
-    "sim_topk_ivf",
-    "agg_count_if",
-    "agg_ratio",
-    "agg_groupby_count",
-    "agg_cube",
-    "join_range",
-    "multimodal_features",
-    "scan_json",
-    "fn_json_extract",
-    "case_when_dispatch",
-    "filter_error_rows",
-    "sample_hash",
-    "sample_stratified",
-    "split_train_test",
-    "sample_weighted_mix",
-    "filter_by_quantile",
-    # ---- slots 51+: rotation backlog, oldest-checked first
-    # (pack_sequences/fn_array_ops/fn_map_ops/join_skew_salted/
-    # join_bucketed/union_by_name/distinct_dedup/set_intersect/
-    # agg_grouping_sets/sql_cte/window_session/window_sliding displaced
-    # by the 12 new r9 ops) ----
-    "pack_sequences",
-    "fn_array_ops",
-    "fn_map_ops",
-    "join_skew_salted",
-    "join_bucketed",
-    "union_by_name",
-    "distinct_dedup",
-    "set_intersect",
-    "agg_grouping_sets",
-    "sql_cte",
-    "window_session",
-    "window_sliding",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "fn_edit_distance",
-    "q22_idle_customers",
+    "dedup_connected_lsh",
+    "sink_targeted_delete",
+    "sink_ann_index_upsert",
+    # 8-36: the ENTIRE r2 cohort — last driver row six rounds old
+    # (r9 verdict staleness item); after this round no query's
+    # latest row predates r4 except the r3 tail queued below
     "q11_important_stock",
     "q15_top_supplier",
     "q20_part_promotion",
+    "q22_idle_customers",
+    "agg_grouping_sets",
     "bucket_range",
-    "window_running_sum",
-    "window_rank",
-    "window_lag",
-    "window_tumbling",
+    "distinct_dedup",
+    "doc_fingerprint",
+    "fn_array_ops",
+    "fn_edit_distance",
+    "fn_map_ops",
+    "join_bucketed",
+    "join_skew_salted",
+    "lang_id",
     "limit_offset",
+    "pack_sequences",
+    "quality_score",
+    "set_intersect",
+    "sql_cte",
+    "text_stats",
+    "token_count",
     "topk_order_limit",
-    "streaming_stateful",
-    "dedup_embedding",
-    "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "fn_string_funcs",
-    "fn_date_parts",
-    "fn_date_arith",
-    "fn_null_funcs",
-    "fn_url_parse",
-    "agg_string_concat",
-    "agg_stats_manual",
-    "explode_positional",
-    "fn_struct_ops",
-    "window_range_frame",
-    "agg_bool_bit",
-    "set_except",
-    "subquery_scalar",
-    "subquery_correlated",
-    "agg_pivot",
-    "sql_recursive_cte",
-    "join_lateral",
-    "join_asof",
+    "union_by_name",
+    "window_lag",
+    "window_rank",
+    "window_running_sum",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+    # 37-50: the stalest r3 rows, TPC-H headliners first
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q12_priority_class",
+    "q13_order_distribution",
     "q14_promo_share",
+    "q16_part_supplier_types",
+    # ---- slots 51+: rotation backlog, oldest-checked first
+    # (TPC-H boosted within a staleness tier; the r3 remainder
+    # rotates into the r11 window) ----
+    "q17_small_quantity",
     "q18_large_orders",
     "q19_brand_bands",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q13_order_distribution",
-    "q17_small_quantity",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q16_part_supplier_types",
     "q21_waiting_suppliers",
-    "window_ntile",
-    "window_moving_avg",
-    "window_row_number",
+    "agg_bool_bit",
+    "agg_pivot",
+    "agg_stats_manual",
+    "agg_string_concat",
+    "dedup_embedding",
+    "explode_positional",
+    "fn_date_arith",
+    "fn_date_parts",
+    "fn_null_funcs",
+    "fn_string_funcs",
+    "fn_struct_ops",
+    "fn_url_parse",
+    "join_asof",
+    "join_lateral",
     "pipeline_fetch",
     "pipeline_media_dispatch",
-    "agg_count",
+    "set_except",
+    "sink_json_roundtrip",
+    "sink_orc_roundtrip",
+    "sql_recursive_cte",
+    "streaming_stateful",
+    "subquery_correlated",
+    "subquery_scalar",
+    "window_moving_avg",
+    "window_ntile",
+    "window_range_frame",
+    "window_row_number",
     "agg_avg",
-    "agg_median",
-    "agg_max",
-    "agg_sum",
-    "agg_multi",
-    "agg_max_by",
+    "agg_count",
     "agg_having",
-    "agg_rollup",
-    "agg_unpivot",
+    "agg_max",
+    "agg_max_by",
+    "agg_median",
+    "agg_multi",
     "agg_percentiles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_connected",
+    "agg_rollup",
+    "agg_sum",
+    "agg_unpivot",
     "curation_cap_per_source",
     "curation_contamination",
     "curation_pii_scrub",
     "curation_repetition",
-    "join_broadcast_equi",
-    "join_left_anti",
-    "join_left_semi",
-    "join_left_outer",
-    "join_full_outer",
-    "multimodal_frames",
-    "kmeans_ivf_train",
-    "recall_sim_topk_lsh",
-    "recall_dedup_simhash",
+    "dedup_connected",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
     "error_approx_distinct",
-    "scan_parquet",
-    "project_filter_notnull",
-    "fn_string_normalize",
-    "fn_string_firstline",
-    "sink_sorted_roundtrip",
-    "fn_math",
-    "set_intersect_all",
-    "set_except_all",
     "events_funnel",
-    "window_first_last",
+    "fn_math",
+    "fn_string_firstline",
+    "fn_string_normalize",
+    "join_broadcast_equi",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "kmeans_ivf_train",
     "limit_n",
-    "streaming_tumbling",
-    "streaming_session",
+    "multimodal_frames",
+    "project_filter_notnull",
+    "recall_sim_topk_lsh",
+    "scan_parquet",
+    "set_except_all",
+    "set_intersect_all",
+    "sink_sorted_roundtrip",
     "streaming_dedup",
-    "streaming_stream_join",
+    "streaming_session",
     "streaming_static_join",
-    "fn_try_arith",
-    "agg_mode",
-    "agg_corr",
-    "quality_unigram_rarity",
-    "sim_topk_lsh",
-    "dedup_keep_best",
-    "dedup_containment",
-    "doc_chunk_windows",
-    "error_approx_quantile",
-    "sessionize_events",
-    "agg_sketch_merge",
-    "quality_tfidf",
-    "vocab_coverage",
-    "streaming_upsert",
-    "graph_pagerank",
-    "tokenize_to_ids",
-    "agg_count_distinct_multi",
-    "agg_histogram",
-    "agg_key_skew",
-    "agg_percentile_disc",
-    "events_anomaly_p99",
-    "events_retention",
-    "join_asof_tolerance",
-    "scd2_intervals",
-    "join_interval_overlap",
-    "profile_columns",
-    "feature_zscore",
-    "agg_heavy_hitters",
-    "quality_bigram_lm",
-    "join_bloom_filtered",
-    "events_gap_fill",
-    "agg_incremental_merge",
-    "agg_copurchase_pairs",
-    "join_range_bucketed",
-    "sample_temperature_mix",
-    "events_markov",
-    "events_rolling_distinct",
-    "agg_rfm_scores",
-    "dedup_repeated_ngrams",
-    "error_approx_topk",
-    "window_rolling_median",
-    "events_funnel_windowed",
+    "streaming_stream_join",
+    "streaming_tumbling",
+    "window_first_last",
     "agg_abc_analysis",
     "agg_affinity_lift",
-    "orders_open_over_time",
-    "join_scd2_pointintime",
+    "agg_copurchase_pairs",
+    "agg_corr",
+    "agg_count_distinct_multi",
     "agg_gini",
-    "sample_budget_mix",
-    "join_asof_nearest",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_incremental_merge",
+    "agg_key_skew",
+    "agg_mode",
+    "agg_percentile_disc",
+    "agg_rfm_scores",
+    "agg_sketch_merge",
+    "dedup_containment",
     "dedup_incremental",
-    "sink_zorder_roundtrip",
-    "streaming_sliding",
-    "embedding_quantize",
-    "table_checksum",
-    "window_percent_rank",
-    "dedup_simhash",
+    "dedup_keep_best",
+    "dedup_repeated_ngrams",
+    "doc_chunk_windows",
+    "error_approx_quantile",
+    "error_approx_topk",
+    "events_anomaly_p99",
+    "events_funnel_windowed",
+    "events_gap_fill",
+    "events_markov",
+    "events_retention",
+    "events_rolling_distinct",
+    "feature_zscore",
+    "fn_try_arith",
+    "graph_pagerank",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_bloom_filtered",
+    "join_interval_overlap",
+    "join_range_bucketed",
+    "join_scd2_pointintime",
+    "orders_open_over_time",
+    "profile_columns",
+    "quality_bigram_lm",
+    "quality_tfidf",
+    "quality_unigram_rarity",
+    "sample_budget_mix",
+    "sample_temperature_mix",
+    "scd2_intervals",
+    "sessionize_events",
+    "sim_topk_lsh",
+    "streaming_upsert",
+    "tokenize_to_ids",
+    "vocab_coverage",
+    "window_rolling_median",
     "agg_approx_distinct",
-    "sim_topk_ivf_nprobe",
-    "recall_sim_topk_ivf_nprobe",
-    "quality_diversity",
-    "agg_heavy_hitters_grouped",
-    "table_diff",
-    "sink_mergeschema_roundtrip",
-    "agg_weighted_median",
-    "sink_compacted_roundtrip",
-    "sample_negative_pairs",
-    "scan_csv_badrecords",
-    "split_leakage_safe",
-    "sample_downweight_dups",
-    "doc_novelty",
-    "window_ewma",
-    "events_attribution",
-    "feature_mad_outliers",
-    "cdc_apply_tombstones",
-    "graph_triangles",
-    "scan_binary_files",
-    "agg_regression",
-    "streaming_cdc_tombstones",
-    "feature_winsorize",
-    "text_boilerplate",
-    "embedding_pq_train",
-    "tokenizer_bpe_train",
-    "pipeline_curate_corpus",
-    "text_html_strip",
-    "window_drawdown",
     "agg_benford",
-    "join_null_safe",
-    "quality_gopher_rules",
-    "multimodal_dedup_bytes",
-    "graph_local_clustering",
-    "scd2_apply_changes",
+    "agg_heavy_hitters_grouped",
+    "agg_regression",
+    "agg_weighted_median",
+    "cdc_apply_tombstones",
+    "doc_novelty",
+    "embedding_pq_train",
+    "embedding_quantize",
+    "events_attribution",
     "events_cohort_ltv",
-    "multimodal_bytes",
-    "multimodal_resize",
+    "feature_mad_outliers",
+    "feature_winsorize",
     "filter_prefix",
-    "multimodal_dedup_audio",
-    "recall_dedup_audio",
-    "text_bm25_topk",
-    "graph_kcore",
-    "events_changepoint",
-    "sample_coreset_kcenter",
-    "agg_count_min",
-    "error_count_min",
-    "anonymize_k_anonymity",
-    "sample_importance_dsir",
+    "graph_local_clustering",
+    "graph_triangles",
+    "join_null_safe",
+    "multimodal_bytes",
+    "multimodal_dedup_bytes",
+    "multimodal_resize",
+    "pipeline_curate_corpus",
+    "quality_diversity",
+    "quality_gopher_rules",
+    "recall_sim_topk_ivf_nprobe",
+    "sample_downweight_dups",
+    "sample_negative_pairs",
+    "scan_binary_files",
+    "scan_csv_badrecords",
+    "scd2_apply_changes",
+    "sim_topk_ivf_nprobe",
+    "sink_compacted_roundtrip",
+    "sink_mergeschema_roundtrip",
+    "sink_zorder_roundtrip",
+    "split_leakage_safe",
+    "streaming_cdc_tombstones",
+    "streaming_sliding",
+    "table_checksum",
+    "table_diff",
+    "text_boilerplate",
+    "text_html_strip",
+    "tokenizer_bpe_train",
+    "window_drawdown",
+    "window_ewma",
+    "window_percent_rank",
     "agg_bitmap_index",
-    "embedding_random_projection",
-    "error_random_projection",
-    "multimodal_clip_pairs",
-    "streaming_count_min",
-    "monitor_feature_drift",
-    "quality_ccnet_buckets",
-    "dedup_cluster_report",
-    "tokenizer_bpe_eval",
-    "multimodal_frame_dedup",
-    "events_survival_table",
-    "events_bot_detection",
+    "agg_count_min",
+    "anonymize_k_anonymity",
     "curation_contamination_spans",
+    "dedup_cluster_report",
+    "dedup_semdedup",
+    "dedup_span_removal",
+    "dedup_verbatim_spans",
+    "embedding_random_projection",
+    "error_approx_intersection",
+    "error_count_min",
+    "error_random_projection",
+    "events_bot_detection",
+    "events_changepoint",
     "events_seasonality",
+    "events_survival_table",
+    "graph_kcore",
+    "graph_label_propagation",
+    "join_fuzzy_names",
+    "monitor_feature_drift",
+    "multimodal_clip_pairs",
+    "multimodal_dedup_audio",
+    "multimodal_dedup_perceptual",
+    "multimodal_frame_dedup",
+    "pipeline_curate_media",
+    "quality_ccnet_buckets",
+    "recall_dedup_audio",
+    "recall_dedup_perceptual",
+    "sample_coreset_kcenter",
+    "sample_importance_dsir",
     "sink_codec_roundtrip",
     "sink_manifest_pruned_scan",
     "sink_partition_overwrite_dynamic",
-    "pipeline_curate_media",
-    "dedup_verbatim_spans",
-    "dedup_span_removal",
-    "graph_label_propagation",
-    "table_expectations",
-    "streaming_expectations",
-    "sink_training_shards",
-    "error_approx_intersection",
-    "join_fuzzy_names",
-    "dedup_semdedup",
-    "sink_versioned_snapshots",
-    "tokenizer_bpe_apply",
     "sink_partitioned_roundtrip",
-    "multimodal_dedup_perceptual",
-    "recall_dedup_perceptual",
-    "streaming_changepoint",
-    "anonymize_l_diversity",
-    "sim_topk_batch",
-    "text_rake_keywords",
-    "sample_hard_negatives",
-    "multimodal_dedup_audio_incr",
-    "agg_log_histogram",
-    "error_log_quantile",
-    "sink_snapshot_expire",
-    "events_path_trigrams",
-    "anonymize_t_closeness",
-    "events_growth_accounting",
-    "multimodal_audio_trim",
-    "pipeline_privacy_audit",
-    "sim_mmr_rerank",
-    "agg_mannwhitney",
-    "agg_ks_test",
-    "agg_chi_square",
+    "sink_training_shards",
+    "sink_versioned_snapshots",
+    "streaming_count_min",
+    "streaming_expectations",
+    "table_expectations",
+    "text_bm25_topk",
+    "tokenizer_bpe_apply",
+    "tokenizer_bpe_eval",
     "agg_ab_power",
     "agg_ab_test",
-    "graph_link_prediction",
-    "sim_topk_ivfpq",
-    "recall_sim_topk_ivfpq",
-    "sink_ann_index_roundtrip",
-    "filter_temporal",
-    "filter_compound",
-    "fn_regexp_extract",
-    "fn_date_format",
-    "fn_ts_diff",
-    "sink_parquet",
-    "sink_csv_roundtrip",
-    "scan_range",
-    "anonymize_dp_counts",
-    "text_readability",
-    "report_ivf_balance",
-    "events_forecast_linear",
-    "multimodal_scene_cut",
-    "streaming_forecast",
-    "sample_curriculum_mix",
-    "graph_bfs_distances",
-    "sink_checked_publish",
+    "agg_chi_square",
     "agg_decile_lift",
+    "agg_ks_test",
+    "agg_log_histogram",
+    "agg_mannwhitney",
+    "anonymize_dp_counts",
+    "anonymize_l_diversity",
+    "anonymize_t_closeness",
+    "error_log_quantile",
+    "events_forecast_linear",
+    "events_growth_accounting",
+    "events_path_trigrams",
+    "filter_compound",
+    "filter_temporal",
+    "fn_date_format",
+    "fn_regexp_extract",
+    "fn_ts_diff",
+    "graph_bfs_distances",
+    "graph_link_prediction",
+    "multimodal_audio_trim",
+    "multimodal_dedup_audio_incr",
+    "multimodal_scene_cut",
+    "pipeline_privacy_audit",
+    "recall_sim_topk_ivfpq",
+    "report_ivf_balance",
+    "sample_curriculum_mix",
+    "sample_hard_negatives",
+    "scan_range",
+    "sim_mmr_rerank",
+    "sim_topk_batch",
+    "sim_topk_ivfpq",
+    "sink_ann_index_roundtrip",
+    "sink_checked_publish",
+    "sink_csv_roundtrip",
+    "sink_parquet",
+    "sink_snapshot_expire",
+    "streaming_changepoint",
+    "streaming_forecast",
+    "text_rake_keywords",
+    "text_readability",
+    "agg_auc",
+    "agg_calibration",
+    "agg_count_if",
+    "agg_cube",
+    "agg_groupby_count",
+    "agg_ratio",
+    "case_when_dispatch",
+    "dedup_embedding_lsh",
+    "dedup_url",
+    "embedding_knn_classify",
+    "embedding_matryoshka_eval",
+    "error_dp_counts",
+    "error_minhash_estimate",
+    "filter_by_quantile",
+    "filter_error_rows",
+    "fn_concat",
+    "fn_json_extract",
+    "fn_least_cast",
+    "join_cross",
+    "join_range",
+    "multimodal_features",
+    "multimodal_keyframes",
+    "pipeline_cost_estimate",
+    "recall_dedup_connected_lsh",
+    "recall_dedup_embedding_lsh",
+    "recall_dedup_incremental_minhash",
+    "recall_dedup_near",
+    "recall_range_search",
+    "recall_sim_knn_graph",
+    "report_lsh_bucket_pressure",
+    "report_lsh_tuning",
+    "sample_class_balance",
+    "sample_hash",
+    "sample_stratified",
+    "sample_weighted_mix",
+    "scan_json",
+    "search_hybrid_rrf",
+    "sim_knn_graph",
+    "sim_pairs_blocked",
+    "sim_range_search",
+    "sim_topk",
+    "sim_topk_filtered",
+    "sim_topk_ivf",
+    "split_train_test",
+    "table_vacuum_orphans",
 )
 
 

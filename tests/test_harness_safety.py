@@ -53,38 +53,34 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # (a) everything whose implementation or oracle changed in round 9
-    # (the cross-engine minhash rebuild + its consumers/gates, the
-    # hyperplane-LSH hot-bucket cap + its gates, the sampled
-    # report_lsh_tuning, the agg_auc cast, the re-derived DP/canary
-    # oracles), then (b) the standing oldest-checked-first rotation
-    # (the full r1 cohort and the stalest r2 rows — none re-verified
-    # since round 2 while six rounds of code churned around them).
+    # (a) everything whose implementation or oracle changed in round
+    # 10 (simhash's first oracle, the one-exchange minhash cap, the
+    # capped incremental probe, the coalesce'd delete oracle, the
+    # symmetric upsert parity), then (b) the staleness rotation the
+    # r9 verdict named: the ENTIRE r2 cohort (29 queries, six rounds
+    # without a driver row) and the stalest r3 TPC-H headliners.
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # changed in round 9
-        "dedup_near", "dedup_connected_lsh", "dedup_incremental_minhash",
-        "recall_dedup_near", "recall_dedup_connected_lsh",
-        "recall_dedup_incremental_minhash", "error_minhash_estimate",
-        "dedup_embedding_lsh", "sim_range_search", "recall_range_search",
-        "sim_knn_graph", "recall_sim_knn_graph", "recall_dedup_embedding_lsh",
-        "report_lsh_tuning", "agg_auc", "error_dp_counts",
-        "pipeline_cost_estimate",
-        # rotation: r1 cohort + stalest r2 rows (oldest driver row first)
-        "join_cross", "fn_concat", "fn_least_cast", "sim_pairs_blocked",
-        "sim_topk", "sim_topk_ivf", "agg_count_if", "agg_ratio",
-        "agg_groupby_count", "agg_cube", "join_range", "multimodal_features",
-        "scan_json", "fn_json_extract", "case_when_dispatch",
-        "filter_error_rows", "sample_hash", "sample_stratified",
-        "split_train_test", "sample_weighted_mix", "filter_by_quantile",
-        # new round-9 operators (first driver row)
-        "agg_calibration", "sink_targeted_delete",
-        "search_hybrid_rrf", "embedding_matryoshka_eval",
-        "multimodal_keyframes", "sink_ann_index_upsert", "dedup_url",
-        "sim_topk_filtered", "report_lsh_bucket_pressure",
-        "sample_class_balance", "table_vacuum_orphans",
-        "embedding_knn_classify",
+        # changed in round 10
+        "dedup_simhash", "recall_dedup_simhash", "dedup_near",
+        "dedup_incremental_minhash", "dedup_connected_lsh",
+        "sink_targeted_delete", "sink_ann_index_upsert",
+        # rotation: the full r2 cohort
+        "agg_grouping_sets", "bucket_range", "distinct_dedup",
+        "doc_fingerprint", "fn_array_ops", "fn_edit_distance",
+        "fn_map_ops", "join_bucketed", "join_skew_salted", "lang_id",
+        "limit_offset", "pack_sequences", "q11_important_stock",
+        "q15_top_supplier", "q20_part_promotion", "q22_idle_customers",
+        "quality_score", "set_intersect", "sql_cte", "text_stats",
+        "token_count", "topk_order_limit", "union_by_name",
+        "window_lag", "window_rank", "window_running_sum",
+        "window_session", "window_sliding", "window_tumbling",
+        # rotation: stalest r3 TPC-H headliners
+        "q1_pricing_summary", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q10_returned_items",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

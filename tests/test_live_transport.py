@@ -218,3 +218,107 @@ def test_browser_transport_through_fetch_stage(spark):
     assert rows[0]["media_type"] == "mesh"
     assert rows[1]["media_type"] == "volumetric image series"
     assert rows[0]["error"] is None and rows[1]["error"] is None
+
+
+def test_browser_transport_default_factory_selenium_wiring(monkeypatch):
+    # The default selenium path has never met a browser in this
+    # sandbox (r9 verdict gap #1). Run the default_factory CODE —
+    # headless options composed, driver constructed with them,
+    # page-load timeout applied — against a stubbed selenium package,
+    # so the only thing left untested is the Chrome binary itself.
+    import sys
+    import types
+
+    built = {}
+
+    class _Options:
+        def __init__(self):
+            self.args = []
+
+        def add_argument(self, a):
+            self.args.append(a)
+
+    class _ChromeDriver:
+        def __init__(self, options=None):
+            built["options"] = options
+            self.timeout = None
+
+        def set_page_load_timeout(self, s):
+            built["timeout"] = s
+
+        def get(self, url):
+            self.page_source = "<html><title>t</title></html>"
+
+    sel = types.ModuleType("selenium")
+    webdriver = types.ModuleType("selenium.webdriver")
+    webdriver.Chrome = _ChromeDriver
+    chrome = types.ModuleType("selenium.webdriver.chrome")
+    options_mod = types.ModuleType("selenium.webdriver.chrome.options")
+    options_mod.Options = _Options
+    sel.webdriver = webdriver
+    webdriver.chrome = chrome
+    chrome.options = options_mod
+    for name, mod in {
+        "selenium": sel,
+        "selenium.webdriver": webdriver,
+        "selenium.webdriver.chrome": chrome,
+        "selenium.webdriver.chrome.options": options_mod,
+    }.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from parquet_processor_spark.pipeline.fetch import make_browser_transport
+
+    transport = make_browser_transport(page_load_timeout_s=7.5)
+    page = transport("http://example.org/meta/1")
+    assert page["title"] == "t"
+    assert built["timeout"] == 7.5
+    assert "--headless" in built["options"].args
+    assert "--no-sandbox" in built["options"].args
+
+
+class _FlakyTimeoutDriver:
+    """get() times out on URLs containing 'slow'; otherwise renders."""
+
+    def __init__(self):
+        self.calls = []
+
+    def get(self, url):
+        self.calls.append(url)
+        if "slow" in url:
+            raise TimeoutError(f"page load timed out: {url}")
+        ident = int("".join(ch for ch in url if ch.isdigit()) or "0")
+        self.page_source = (
+            f"<html><title>ok {ident}</title><body>"
+            '<div class="field-name">Media Type</div><div>mesh</div>'
+            "</body></html>"
+        )
+
+
+def test_browser_transport_timeout_dead_letters_and_driver_survives(spark):
+    # The reference's per-record retry/timeout loop
+    # (test_parquet_processor.py:294-350) must hold for the browser
+    # transport too: a timing-out page exhausts its attempts and
+    # dead-letters WITHOUT killing the shared per-worker driver — the
+    # next URL on the same worker reuses it and succeeds.
+    from parquet_processor_spark.pipeline.fetch import fetch_stage, make_browser_transport
+
+    drivers = []
+
+    def factory():
+        d = _FlakyTimeoutDriver()
+        drivers.append(d)
+        return d
+
+    transport = make_browser_transport(driver_factory=factory)
+    urls = spark.createDataFrame(
+        [("http://x/slow/9", 0), ("http://x/fast/8", 1)],
+        "url string, batch_index long",
+    ).coalesce(1)  # one worker => one shared driver for both URLs
+    rows = {
+        r["batch_index"]: r
+        for r in fetch_stage(urls, transport, max_attempts=2).collect()
+    }
+    assert rows[0]["error"] is not None and "TimeoutError" in rows[0]["error"]
+    assert rows[0]["attempt"] == 2  # retried before dead-lettering
+    assert rows[1]["error"] is None
+    assert rows[1]["media_type"] == "mesh"
