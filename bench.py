@@ -225,6 +225,11 @@ EXTENDED = [
     "agg_decile_lift",
     "pipeline_cost_estimate",
     "agg_auc",
+    # round-10 additions
+    "mine_bitext_mutual",
+    "feature_target_encode",
+    "agg_cohens_kappa",
+    "curation_contamination_semantic",
 ]
 
 

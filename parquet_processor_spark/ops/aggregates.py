@@ -2512,3 +2512,174 @@ def agg_calibration(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("abs_gap"),
     )
+
+
+# N181: leave-one-out target encoding (the CatBoost/Kaggle categorical
+# encoder, leakage-safe form): each row's category is replaced by the
+# mean target of the OTHER rows in its category — encode_i =
+# (sum_cat - y_i) / (n_cat - 1). Encoding with the row's own target
+# included leaks the label into the feature; LOO is the standard fix
+# a training-data pipeline applies before the label ever meets the
+# model. Singleton categories have no "others" and fall back to the
+# global LOO mean (same rule both engines — the zero-denominator CASE
+# every new ratio needs, r8 lesson).
+@query(
+    "feature_target_encode",
+    oracle="""
+    with g as (
+      select count(*) as n_all,
+             cast(sum(cast(l_quantity as decimal(18,1))) as double) as s_all
+      from lineitem
+    ),
+    c as (
+      select l_returnflag,
+             count(*) as n_cat,
+             cast(sum(cast(l_quantity as decimal(18,1))) as double) as s_cat
+      from lineitem group by l_returnflag
+    )
+    select l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           cast(l.l_quantity as double) as y,
+           case when c.n_cat > 1
+                then (c.s_cat - cast(l.l_quantity as double)) / (c.n_cat - 1)
+                else (g.s_all - cast(l.l_quantity as double)) / (g.n_all - 1)
+           end as te
+    from lineitem l
+    join c on l.l_returnflag = c.l_returnflag
+    cross join g
+    """,
+    tags=("agg", "ml", "encode"),
+)
+def feature_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of l_returnflag against l_quantity.
+
+    100 TB shape: the feature_zscore pattern — per-category sums are
+    ONE map-side-combined aggregate whose handful of rows broadcasts
+    back onto the scan (never a window sort over the fact table), the
+    global fallback is a 1-row broadcast crossJoin (no driver
+    scalar), and the encode itself is map-side arithmetic inside
+    codegen. Determinism: sums are exact decimals cast to double
+    once; (s - y) / (n - 1) is the same IEEE sequence both engines.
+    """
+    x = F.col("l_quantity").cast("decimal(18,1)")
+    li = t(spark, sf, "lineitem")
+    cat = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum(x).cast("double").alias("s_cat")
+    )
+    glob = li.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum(x).cast("double").alias("s_all")
+    )
+    y = F.col("l_quantity").cast("double")
+    te = F.when(
+        F.col("n_cat") > 1, (F.col("s_cat") - y) / (F.col("n_cat") - 1)
+    ).otherwise((F.col("s_all") - y) / (F.col("n_all") - 1))
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .join(F.broadcast(cat), "l_returnflag")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            y.alias("y"),
+            te.alias("te"),
+        )
+    )
+
+
+# N182: Cohen's kappa — chance-corrected agreement between two
+# raters. The annotation-quality audit every labeled-data pipeline
+# runs before trusting labels: raw agreement overstates quality when
+# the label distribution is skewed; kappa subtracts the agreement two
+# independent raters would reach by chance. Raters here are two
+# deterministic order classifiers (priority-based vs price-based), so
+# the contingency table is exact and both engines replay the same
+# integer counts; kappa = (po - pe) / (1 - pe) with po/pe each ONE
+# exact-int division.
+@query(
+    "agg_cohens_kappa",
+    oracle="""
+    with lab as (
+      select (case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                   then 1 else 0 end) as r1,
+             (case when o_totalprice > 150000 then 1 else 0 end) as r2
+      from orders
+    ),
+    ct as (
+      -- coalesce: sum() over an empty orders table is NULL; the
+      -- counts must stay exact zeros so the n = 0 row is well-typed
+      select cast(count(*) as bigint) as n,
+             cast(coalesce(sum(case when r1 = 1 and r2 = 1 then 1 else 0 end), 0) as bigint) as n11,
+             cast(coalesce(sum(case when r1 = 0 and r2 = 0 then 1 else 0 end), 0) as bigint) as n00,
+             cast(coalesce(sum(r1), 0) as bigint) as n1x,
+             cast(coalesce(sum(r2), 0) as bigint) as nx1
+      from lab
+    )
+    select n, n11, n00, n1x, nx1,
+           case when n = 0 then null
+                else cast(n11 + n00 as double) / n end as po,
+           case when n = 0 then null
+                else (cast(n1x as double) / n) * (cast(nx1 as double) / n)
+                     + (cast(n - n1x as double) / n) * (cast(n - nx1 as double) / n)
+           end as pe,
+           case when n = 0 then null
+                when (cast(n1x as double) / n) * (cast(nx1 as double) / n)
+                     + (cast(n - n1x as double) / n) * (cast(n - nx1 as double) / n) = 1
+                then cast(0 as double)
+                else (cast(n11 + n00 as double) / n
+                      - ((cast(n1x as double) / n) * (cast(nx1 as double) / n)
+                         + (cast(n - n1x as double) / n) * (cast(n - nx1 as double) / n)))
+                     / (1 - ((cast(n1x as double) / n) * (cast(nx1 as double) / n)
+                             + (cast(n - n1x as double) / n) * (cast(n - nx1 as double) / n)))
+           end as kappa
+    from ct
+    """,
+    tags=("agg", "ml", "labels", "evidence"),
+)
+def agg_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two deterministic binary raters.
+
+    100 TB shape: ONE map-side-combined aggregate over the fact scan
+    (the contingency table is 4 exact counts — the shuffle carries
+    one partial row per task); kappa is scalar arithmetic on the
+    1-row result. Determinism: po and pe are divisions of exact
+    integers; the kappa expression repeats the pe subtree verbatim in
+    both engines (same IEEE sequence), with the degenerate pe=1 case
+    (both raters constant) pinned to 0 on both sides.
+    """
+    o = t(spark, sf, "orders")
+    r1 = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    r2 = F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+    ct = o.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n11"),
+        F.coalesce(
+            F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n00"),
+        F.coalesce(F.sum("r1"), F.lit(0)).cast("long").alias("n1x"),
+        F.coalesce(F.sum("r2"), F.lit(0)).cast("long").alias("nx1"),
+    )
+    n = F.col("n")
+    po_raw = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe_raw = (F.col("n1x").cast("double") / n) * (F.col("nx1").cast("double") / n) + (
+        (n - F.col("n1x")).cast("double") / n
+    ) * ((n - F.col("nx1")).cast("double") / n)
+    # n = 0 guard FIRST (ANSI divide-by-zero on an empty table — the
+    # recurring r8 bug class); then the degenerate pe = 1 case.
+    po = F.when(n == 0, F.lit(None).cast("double")).otherwise(po_raw)
+    pe = F.when(n == 0, F.lit(None).cast("double")).otherwise(pe_raw)
+    kappa = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(pe_raw == 1, F.lit(0.0))
+        .otherwise((po_raw - pe_raw) / (1 - pe_raw))
+    )
+    return ct.select(
+        "n", "n11", "n00", "n1x", "nx1", po.alias("po"), pe.alias("pe"), kappa.alias("kappa")
+    )

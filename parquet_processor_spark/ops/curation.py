@@ -660,3 +660,86 @@ def pipeline_privacy_audit(spark: SparkSession, sf: str) -> DataFrame:
         pass_t.alias("pass_t"),
         (pass_k & pass_l & pass_t).alias("releasable"),
     )
+
+
+# N183: semantic benchmark decontamination — the EMBEDDING member of
+# the contamination family (n-gram overlap = curation_contamination,
+# exact spans = curation_contamination_spans). Paraphrased benchmark
+# leakage survives both lexical checks; the standard third screen
+# (run for the GPT-4/Llama data cards) flags corpus docs whose
+# embedding sits too close to ANY benchmark item. The benchmark set
+# here is the deterministic vec_id % 50 == 0 slice standing in for a
+# held-out eval suite.
+_SEM_CONTAM_TAU = 0.35
+
+
+@query(
+    "curation_contamination_semantic",
+    oracle=f"""
+    with bench as (
+      select vec_id as bench_id, embedding from embeddings where vec_id % 50 = 0
+    ),
+    corpus as (
+      select vec_id, embedding from embeddings where vec_id % 50 <> 0
+    ),
+    scored as (
+      select c.vec_id, b.bench_id,
+             list_reduce(list_prepend(cast(0 as double),
+               [cast(c.embedding[i] as double) * cast(b.embedding[i] as double)
+                for i in generate_series(1, len(c.embedding))]), (acc, v) -> acc + v)
+             / (sqrt(list_reduce(list_prepend(cast(0 as double),
+                  [cast(x as double) * cast(x as double) for x in c.embedding]),
+                  (acc, v) -> acc + v))
+                * sqrt(list_reduce(list_prepend(cast(0 as double),
+                    [cast(x as double) * cast(x as double) for x in b.embedding]),
+                    (acc, v) -> acc + v))) as cos
+      from corpus c cross join bench b
+    )
+    select vec_id,
+           max(cos) as max_cos,
+           cast(sum(case when cos >= {_SEM_CONTAM_TAU} then 1 else 0 end) as bigint)
+             as n_bench_hits,
+           max(cos) >= {_SEM_CONTAM_TAU} as is_contaminated
+    from scored group by vec_id
+    """,
+    tags=("curation", "vector", "contamination"),
+)
+def curation_contamination_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Flag corpus vectors within cosine {tau} of any benchmark vector.
+
+    100 TB shape: the benchmark side is SMALL by nature (an eval
+    suite, not a corpus) — broadcast it and score map-side in one
+    pass over the corpus scan; the per-doc max/hit-count is a
+    map-side-combined aggregate keyed by vec_id. No LSH needed and no
+    corpus shuffle beyond the final keyed aggregate of 3-column rows.
+    Determinism: cosine is the shared sequential-fold spelling
+    (bitwise identical both engines); max over identical IEEE doubles
+    and the exact hit count follow.
+    """
+    from parquet_processor_spark.ops.vector import dot, norm
+
+    e = t(spark, sf, "embeddings")
+    bench = (
+        e.where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("b_emb"),
+            norm(F.col("embedding")).alias("nb"),
+        )
+    )
+    corpus = e.where(F.col("vec_id") % 50 != 0).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nc")
+    )
+    cos = dot(F.col("embedding"), F.col("b_emb")) / (F.col("nc") * F.col("nb"))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_cos"),
+            F.sum(F.when(F.col("cos") >= _SEM_CONTAM_TAU, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bench_hits"),
+            (F.max("cos") >= _SEM_CONTAM_TAU).alias("is_contaminated"),
+        )
+    )

@@ -2814,3 +2814,135 @@ def embedding_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("pred_label") == F.col("label")).alias("correct"),
         )
     )
+
+
+# N180: margin-free mutual-best bitext mining (Artetxe & Schwenk
+# 2019's "intersection" criterion): candidate translation pairs are
+# mined between two language slices of the corpus by pairing inside
+# hyperplane-LSH buckets, scoring exact cosine on the candidates, and
+# keeping pairs where EACH side is the other's best candidate (mutual
+# argmax) above a floor. The reference pipeline has no multilingual
+# story; this is the training-data operator every parallel-corpus
+# build runs (WMT/CCMatrix shape).
+_BITEXT_SRC = "en"
+_BITEXT_TGT = "de"
+_BITEXT_BANDS = 16  # recall knob: probes cost map work only (sim_topk_lsh)
+_BITEXT_TAU = 0.2
+
+
+def _bitext_oracle() -> str:
+    keys = ", ".join(_band_key_sql("v", b) for b in range(_BITEXT_BANDS))
+    return f"""
+    with v as (
+      select e.vec_id, d.lang, e.embedding
+      from embeddings e join documents d on d.doc_id = e.vec_id
+      where d.lang in ('{_BITEXT_SRC}', '{_BITEXT_TGT}')
+    ),
+    keyed as (
+      select v.vec_id, v.lang, unnest([{keys}]) as band_key from v
+    ),
+    post as (
+      select vec_id, lang, band_key from keyed
+      qualify count(*) over (partition by band_key) <= {_EMB_BUCKET_CAP}
+    ),
+    cand as (
+      select distinct a.vec_id as src_id, b.vec_id as tgt_id
+      from post a join post b using (band_key)
+      where a.lang = '{_BITEXT_SRC}' and b.lang = '{_BITEXT_TGT}'
+    ),
+    scored as (
+      select c.src_id, c.tgt_id, {_cos_sql('a', 'b')} as cos_sim
+      from cand c
+      join embeddings a on a.vec_id = c.src_id
+      join embeddings b on b.vec_id = c.tgt_id
+    ),
+    ranked as (
+      select src_id, tgt_id, cos_sim,
+             row_number() over (partition by src_id
+                                order by cos_sim desc, tgt_id) as r_src,
+             row_number() over (partition by tgt_id
+                                order by cos_sim desc, src_id) as r_tgt
+      from scored
+    )
+    select src_id, tgt_id, cos_sim from ranked
+    where r_src = 1 and r_tgt = 1 and cos_sim >= {_BITEXT_TAU}
+    """
+
+
+@query("mine_bitext_mutual", oracle=_bitext_oracle(), tags=("vector", "text", "mining", "lsh"))
+def mine_bitext_mutual(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-best cross-lingual pair mining over LSH candidates.
+
+    HASH-CHECKED end to end: band keys are the engine-neutral literal
+    hyperplanes (lsh_band_keys / _band_key_sql), the hot-bucket cap is
+    the mirrored qualify filter, cosine is the shared sequential-fold
+    spelling (bitwise identical), and the mutual-argmax window ranks
+    order by that exact float with id tie-breaks — so both engines
+    keep the same pairs.
+
+    100 TB shape: candidacy never leaves LSH buckets (narrow
+    (vec_id, lang, band_key) rows, capped per bucket — no cross-lang
+    cartesian anywhere), embeddings join back BY ID only for
+    deduplicated candidates, and the mutual filter is two window
+    ranks over the candidate table, not the corpus. Raising recall is
+    a band-count knob (map-side cost only), exactly the sim_topk_lsh
+    trade.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings")
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    v = (
+        e.join(d, e["vec_id"] == d["doc_id"])
+        .where(F.col("lang").isin(_BITEXT_SRC, _BITEXT_TGT))
+        .select("vec_id", "lang", "embedding")
+    )
+    keyed = v.select(
+        "vec_id",
+        "lang",
+        F.explode_outer(lsh_band_keys_arrow(_BITEXT_BANDS)(F.col("embedding"))).alias(
+            "band_key"
+        ),
+    )
+    # one-exchange hot-bucket cap (the r10 _capped_band_blocks shape),
+    # then posting lists of (vec_id, lang) structs; cross-lang pairs
+    # stream out of one generator per bucket — never a band-key
+    # self-join (two ArrowEvalPython passes) or a cartesian.
+    wb = Window.partitionBy("band_key")
+    blocks = (
+        keyed.withColumn("df", F.count(F.lit(1)).over(wb))
+        .where(F.col("df") <= _EMB_BUCKET_CAP)
+        .groupBy("band_key")
+        .agg(F.collect_list(F.struct("vec_id", "lang")).alias("docs"))
+    )
+    cand = (
+        blocks.select(F.explode("docs").alias("a"), F.col("docs"))
+        .where(F.col("a.lang") == _BITEXT_SRC)
+        .select(F.col("a.vec_id").alias("src_id"), F.explode("docs").alias("b"))
+        .where(F.col("b.lang") == _BITEXT_TGT)
+        .select("src_id", F.col("b.vec_id").alias("tgt_id"))
+        .dropDuplicates(["src_id", "tgt_id"])
+    )
+    # norms once per vector on the id-keyed side (dedup_embedding_lsh)
+    ea = e.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+    scored = (
+        cand.join(ea, F.col("src_id") == F.col("ida"))
+        .join(eb, F.col("tgt_id") == F.col("idb"))
+        .select("src_id", "tgt_id", cos.alias("cos_sim"))
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("tgt_id"))
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cos_sim"), F.asc("src_id"))
+    return (
+        scored.withColumn("r_src", F.row_number().over(w_src))
+        .withColumn("r_tgt", F.row_number().over(w_tgt))
+        .where((F.col("r_src") == 1) & (F.col("r_tgt") == 1) & (F.col("cos_sim") >= _BITEXT_TAU))
+        .select("src_id", "tgt_id", "cos_sim")
+    )

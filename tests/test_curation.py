@@ -1058,3 +1058,83 @@ def test_calibration_matches_a_python_witness(spark, sf_dir):
         for r in agg_calibration(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    # kappa's internal identities against its own exact counts: po and
+    # pe recompute from the contingency table, kappa = (po-pe)/(1-pe),
+    # and all three land in their theoretical ranges.
+    from parquet_processor_spark.ops.aggregates import agg_cohens_kappa
+
+    r = agg_cohens_kappa(spark, sf_dir).collect()[0]
+    n, n11, n00, n1x, nx1 = r["n"], r["n11"], r["n00"], r["n1x"], r["nx1"]
+    assert n > 0 and 0 <= n11 + n00 <= n and n11 <= min(n1x, nx1)
+    po = (n11 + n00) / n
+    pe = (n1x / n) * (nx1 / n) + ((n - n1x) / n) * ((n - nx1) / n)
+    assert r["po"] == po
+    assert abs(r["pe"] - pe) < 1e-12
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_target_encode_loo_identity(spark, sf_dir):
+    # leave-one-out identity: te_i * (n_cat - 1) + y_i == sum_cat for
+    # every row of a multi-member category — checked in one plan by
+    # joining the encode back to the recomputed category sums.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.aggregates import feature_target_encode
+    from parquet_processor_spark.tables import t
+
+    te = feature_target_encode(spark, sf_dir)
+    cat = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_cat"),
+            F.sum(F.col("l_quantity").cast("decimal(18,1)")).cast("double").alias("s_cat"),
+        )
+    )
+    bad = (
+        te.join(cat, "l_returnflag")
+        .where(F.col("n_cat") > 1)
+        .where(
+            F.abs(F.col("te") * (F.col("n_cat") - 1) + F.col("y") - F.col("s_cat"))
+            > 1e-6
+        )
+        .count()
+    )
+    assert bad == 0
+    # label never leaks: a constant-target category would encode to the
+    # same constant; spot-check the value range is sane
+    stats = te.agg(F.min("te"), F.max("te")).collect()[0]
+    assert 1.0 <= stats[0] <= stats[1] <= 50.0  # l_quantity domain
+
+
+def test_semantic_contamination_matches_brute_force(spark, sf_dir):
+    # the broadcast-probe max_cos must equal a brute-force recompute
+    # (numpy, float64 — same fold order per pair) for every corpus id,
+    # and the flag must be exactly max_cos >= tau.
+    import numpy as np
+
+    from parquet_processor_spark.ops.curation import (
+        _SEM_CONTAM_TAU,
+        curation_contamination_semantic,
+    )
+    from parquet_processor_spark.tables import t
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in t(spark, sf_dir, "embeddings").collect()
+    }
+    bench = {k: v for k, v in emb.items() if k % 50 == 0}
+    rows = curation_contamination_semantic(spark, sf_dir).collect()
+    assert len(rows) == len(emb) - len(bench)
+    for r in rows[:50]:
+        v = emb[r["vec_id"]]
+        best = max(
+            float(np.dot(v, b)) / (float(np.sqrt(np.dot(v, v))) * float(np.sqrt(np.dot(b, b))))
+            for b in bench.values()
+        )
+        assert abs(r["max_cos"] - best) < 1e-9
+        assert r["is_contaminated"] == (r["max_cos"] >= _SEM_CONTAM_TAU)

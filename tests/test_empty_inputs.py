@@ -123,6 +123,12 @@ REPRESENTATIVE = [
     "report_lsh_bucket_pressure",  # band aggregate over no buckets
     "sample_class_balance",    # data-derived quota over no classes
     "embedding_knn_classify",  # majority vote over an empty knn graph
+    "mine_bitext_mutual",      # mutual argmax over empty LSH buckets
+    "feature_target_encode",   # LOO encode over an empty fact table
+    "curation_contamination_semantic",  # broadcast bench probe, no corpus
+    # (agg_cohens_kappa is a global aggregate: one row with null
+    # po/pe/kappa on empty input — the n = 0 ANSI guard is asserted by
+    # its dedicated empty-table test below)
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
@@ -210,3 +216,12 @@ def test_snapshot_expire_version_rows_on_empty_input(spark, empty_sf):
         (1, True, False), (2, False, True), (3, False, True)
     ]
     assert all(r["n_rows"] == 0 for r in rows if r["readable"])
+
+
+def test_cohens_kappa_null_stats_on_empty_input(spark, empty_sf):
+    # global aggregate: one row, exact zero counts, and NULL po/pe/
+    # kappa — the n = 0 CASE must fire BEFORE any division evaluates
+    # (ANSI divide-by-zero, the r8 bug class)
+    [r] = all_queries()["agg_cohens_kappa"](spark, empty_sf).collect()
+    assert (r["n"], r["n11"], r["n00"], r["n1x"], r["nx1"]) == (0, 0, 0, 0, 0)
+    assert r["po"] is None and r["pe"] is None and r["kappa"] is None

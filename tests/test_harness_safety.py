@@ -62,6 +62,9 @@ def test_check_priority_window():
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
+        # new round-10 operators (first driver row)
+        "mine_bitext_mutual", "feature_target_encode",
+        "agg_cohens_kappa", "curation_contamination_semantic",
         # changed in round 10
         "dedup_simhash", "recall_dedup_simhash", "dedup_near",
         "dedup_incremental_minhash", "dedup_connected_lsh",

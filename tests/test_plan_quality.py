@@ -1135,3 +1135,37 @@ def test_knn_classify_vote_argmax_no_cartesian(spark):
     plan = plan_of(spark, "embedding_knn_classify")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
+
+
+def test_bitext_mutual_capped_window_no_cartesian(spark):
+    # N180 claim: candidacy never leaves LSH buckets — the band UDF is
+    # ONE ArrowEvalPython pass, the hot-bucket cap is the one-exchange
+    # window shape (no anti-join, no second exchange before the
+    # posting-list aggregate), and no cartesian forms anywhere (the
+    # cross-lang pairing streams out of posting-list generators).
+    plan = plan_of(spark, "mine_bitext_mutual")
+    assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_target_encode_is_broadcast_not_window(spark):
+    # N181 claim: the per-category stats broadcast back onto the scan
+    # (the feature_zscore pattern) — scoring must be a broadcast hash
+    # join plus map-side arithmetic, never a window sort over the fact
+    # table or a sort-merge join.
+    plan = plan_of(spark, "feature_target_encode")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_semantic_contamination_broadcasts_benchmark(spark):
+    # N183 claim: the benchmark side broadcasts (BroadcastNestedLoopJoin
+    # over the tiny bench set is the plan's ONLY pairing operator — no
+    # CartesianProduct, which would mean a partitioned nested loop of
+    # corpus x corpus) and the per-doc rollup is a keyed aggregate.
+    plan = plan_of(spark, "curation_contamination_semantic")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -143,7 +143,13 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "multimodal_keyframes", "sink_ann_index_upsert", "dedup_url",
          "sim_topk_filtered", "report_lsh_bucket_pressure",
          "sample_class_balance", "table_vacuum_orphans",
-         "embedding_knn_classify"]
+         "embedding_knn_classify",
+         # round-10 re-measured (one-exchange minhash cap, md5-halves
+         # simhash, capped incremental probe)
+         "dedup_simhash",
+         # round-10 additions
+         "mine_bitext_mutual", "feature_target_encode",
+         "agg_cohens_kappa", "curation_contamination_semantic"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
