@@ -230,6 +230,10 @@ EXTENDED = [
     "feature_target_encode",
     "agg_cohens_kappa",
     "curation_contamination_semantic",
+    "events_sequence_negation",
+    "agg_gini_impurity",
+    "feature_hashing_trick",
+    "sink_bloom_pruned_scan",
 ]
 
 

@@ -2683,3 +2683,56 @@ def agg_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     return ct.select(
         "n", "n11", "n00", "n1x", "nx1", po.alias("po"), pe.alias("pe"), kappa.alias("kappa")
     )
+
+
+# N185: Gini impurity per group (the CART split criterion / label-
+# purity audit: 1 - sum_l p_l^2 over the label distribution within
+# each group). The feature-selection primitive a labeled-data
+# pipeline runs to rank which metadata column predicts the label;
+# here: how pure each document source is in language. Exact-rational:
+# impurity = (n^2 - sum_l n_l^2) / n^2 — every term an exact integer,
+# ONE division.
+@query(
+    "agg_gini_impurity",
+    oracle="""
+    with c as (
+      select source, lang, count(*) as n_l from documents group by source, lang
+    ),
+    g as (
+      select source,
+             cast(sum(n_l) as bigint) as n,
+             cast(count(*) as bigint) as n_langs,
+             cast(sum(n_l * n_l) as bigint) as sum_sq
+      from c group by source
+    )
+    select source, n, n_langs,
+           cast(n * n - sum_sq as double) / (n * n) as gini_impurity
+    from g
+    """,
+    tags=("agg", "ml", "labels"),
+)
+def agg_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Gini impurity of the language distribution.
+
+    100 TB shape: two stacked map-side-combined aggregates — the
+    (source, lang) counts collapse the corpus first (the shuffle
+    carries one row per live pair), then the per-source moment
+    aggregate runs over that tiny table. Determinism: one exact-int
+    division per group; no transcendentals (entropy needs ln, Gini
+    impurity doesn't — which is why THIS is the cross-engine purity
+    measure).
+    """
+    c = (
+        t(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    g = c.groupBy("source").agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("n_l") * F.col("n_l")).cast("long").alias("sum_sq"),
+    )
+    imp = (F.col("n") * F.col("n") - F.col("sum_sq")).cast("double") / (
+        F.col("n") * F.col("n")
+    )
+    return g.select("source", "n", "n_langs", imp.alias("gini_impurity"))

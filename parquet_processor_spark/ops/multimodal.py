@@ -375,6 +375,13 @@ def multimodal_dedup_bytes(spark: SparkSession, sf: str) -> DataFrame:
 _PHASH_PIX = 65       # 64 gradient bits from 65 "resized" samples
 _PHASH_BANDS = 8      # 8 bands x 8 bits
 _PHASH_MAX_HAM = 6    # <=6 flips -> >=2 clean bands -> shared pair-key (pigeonhole)
+# Hot-bucket document-frequency cap for the band-pair posting lists —
+# the _MH_BUCKET_CAP / _EMB_BUCKET_CAP discipline applied to the
+# perceptual family (r10: the uncapped ×100 replication soak went
+# quadratic in one bucket and OOM-killed the JVM). Mirrored in the
+# oracle's qualify filter; at the test SFs the largest bucket is far
+# below the cap, so it provably changes nothing locally.
+_PHASH_BUCKET_CAP = 1000
 _PHASH_COMBOS = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (2, 3), (2, 4), (2, 5), (2, 6), (2, 7), (3, 4), (3, 5), (3, 6), (3, 7), (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
 
 
@@ -423,11 +430,16 @@ def _phash_oracle(media_cte: str = _PHASH_MEDIA_CTE) -> str:
         ) as chunks
       from px
     ),
-    keys as (
+    keysr as (
       select media_id, chunks, unnest([
         {duck_structs}
       ], recursive := true)
       from h
+    ),
+    keys as (
+      -- the _PHASH_BUCKET_CAP hot-bucket filter, mirrored (r10)
+      select * from keysr
+      qualify count(*) over (partition by band, bval) <= {_PHASH_BUCKET_CAP}
     ),
     cand as (
       select distinct a.media_id as ida, b.media_id as idb
@@ -555,15 +567,33 @@ def _phash_dedup(media: DataFrame) -> DataFrame:
     keys = sig.select("media_id", F.explode(key_structs).alias("kb")).select(
         "media_id", F.col("kb.band").alias("band"), F.col("kb.bval").alias("bval")
     )
+    # Hot-bucket cap + posting-list pair expansion (the r10 shape every
+    # posting family uses — window qualify, ONE exchange, collect_list
+    # reusing the window's partitioning). The earlier band-key
+    # self-join had no cap: on a max-correlation corpus (the ×100
+    # replication soak — every payload duplicated 100-way, identical
+    # dHashes) one 16-bit bucket holds the whole corpus and the pair
+    # join goes quadratic; at ×100 it OOM-killed the JVM. The cap
+    # bounds every bucket's pair mass at cap²/2 and is mirrored in the
+    # oracle's qualify filter; report_lsh_bucket_pressure is the
+    # standing tripwire pattern for when a real corpus approaches it.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bval")
+    blocks = (
+        keys.withColumn("df", F.count(F.lit(1)).over(wb))
+        .where(F.col("df") <= _PHASH_BUCKET_CAP)
+        .groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     cand = (
-        keys.alias("a")
-        .join(
-            keys.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+        blocks.select("ids", F.posexplode("ids").alias("i", "ida"))
+        .select(
+            "ida",
+            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("idb"),
         )
-        .select(F.col("a.media_id").alias("ida"), F.col("b.media_id").alias("idb"))
+        .where(F.col("idb").isNotNull())
         .distinct()
     )
     sa = sig.select(F.col("media_id").alias("ida"), *[F.col(f"b{c}").alias(f"ab{c}") for c in range(_PHASH_BANDS)])

@@ -1262,3 +1262,219 @@ def table_vacuum_orphans(spark: SparkSession, sf: str) -> DataFrame:
         "n_tracked_files bigint, n_orphans_found bigint, n_orphans_deleted bigint, "
         "rows_dir_before bigint, rows_dir_after bigint, table_intact boolean",
     )
+
+
+# N187: at-rest bloom-index pruned point lookup — the lakehouse
+# point-lookup complement to the min/max manifest (N128): min/max
+# stats prune RANGE predicates but are useless for high-cardinality
+# equality keys scattered across files; per-partition bloom filters
+# (what Parquet column indexes / Delta bloom options provide) prune
+# those. The index here is the engine's md5 bloom (join_bloom_filtered
+# recipe, k=2 seeds, fixed m) persisted as flat (bucket, pos) parquet
+# — so the WHOLE construction, index bits included, replays in the
+# oracle; physical pruning is proven by the partition-filtered
+# read-back (plan-pinned), not promised.
+_BLOOMIX_BUCKETS = 16
+_BLOOMIX_M = 4096
+_BLOOMIX_SEEDS = (1, 2)
+_BLOOMIX_TARGET_MOD = 37
+
+
+def _bloomix_pos(seed: int, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOMIX_M
+    )
+
+
+def _bloomix_pos_sql(seed: int, key_sql: str) -> str:
+    return (
+        f"('0x' || substr(md5('{seed}:' || cast({key_sql} as varchar)), 1, 6))::bigint"
+        f" % {_BLOOMIX_M}"
+    )
+
+
+@query(
+    "sink_bloom_pruned_scan",
+    oracle=f"""
+    with o as (
+      select o_orderkey, o_custkey, o_custkey % {_BLOOMIX_BUCKETS} as bucket
+      from orders
+    ),
+    ix as (
+      select distinct bucket, pos from (
+        select bucket, unnest([{_bloomix_pos_sql(_BLOOMIX_SEEDS[0], "o_custkey")},
+                               {_bloomix_pos_sql(_BLOOMIX_SEEDS[1], "o_custkey")}]) as pos
+        from o
+      )
+    ),
+    targets as (
+      select c_custkey from customer
+      where ('0x' || substr(md5(cast(c_custkey as varchar)), 1, 13))::bigint
+              % {_BLOOMIX_TARGET_MOD} = 0
+    ),
+    tpos as (
+      select c_custkey, b.bucket,
+             {_bloomix_pos_sql(_BLOOMIX_SEEDS[0], "c_custkey")} as p1,
+             {_bloomix_pos_sql(_BLOOMIX_SEEDS[1], "c_custkey")} as p2
+      from targets cross join (select distinct bucket from ix) b
+    ),
+    probed as (
+      select t.c_custkey, t.bucket
+      from tpos t
+      join ix i1 on i1.bucket = t.bucket and i1.pos = t.p1
+      join ix i2 on i2.bucket = t.bucket and i2.pos = t.p2
+    ),
+    hits as (
+      select t.c_custkey,
+             cast(count(distinct p.bucket) as bigint) as n_buckets_probed,
+             cast(coalesce(sum(case when o.o_orderkey is not null then 1 else 0 end), 0)
+                  as bigint) as n_rows_found
+      from targets t
+      left join probed p on p.c_custkey = t.c_custkey
+      left join o on o.bucket = p.bucket and o.o_custkey = t.c_custkey
+      group by t.c_custkey
+    ),
+    full_cnt as (
+      select t.c_custkey,
+             cast(coalesce(sum(case when o.o_orderkey is not null then 1 else 0 end), 0)
+                  as bigint) as n_rows_full
+      from targets t left join o on o.o_custkey = t.c_custkey
+      group by t.c_custkey
+    )
+    select h.c_custkey, h.n_buckets_probed, h.n_rows_found, f.n_rows_full,
+           h.n_rows_found = f.n_rows_full as no_false_negatives
+    from hits h join full_cnt f using (c_custkey)
+    """,
+    tags=("sink", "bloom", "layout", "scale"),
+)
+def sink_bloom_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Write orders bucket-partitioned + a per-bucket bloom index at
+    rest; answer point lookups by probing the index and scanning ONLY
+    qualifying partitions.
+
+    HASH-CHECKED end to end INCLUDING the index bits: positions are
+    md5 arithmetic (engine-neutral literals), the index is flat
+    (bucket, pos) rows, and the probe/count joins replay in DuckDB.
+    The no-false-negatives column is the bloom guarantee as a FACT
+    per key: the pruned scan finds exactly the full scan's rows.
+
+    100 TB shape: the index is ~m bits per partition regardless of
+    partition size (m rows/bucket at rest, worst case) and is read
+    INSTEAD of the data for the membership decision; the data scan
+    then touches only qualifying directories (PartitionFilters — the
+    bucket-list predicate is pinned in test_plan_quality). The probed
+    bucket list per key is a broadcast-scale intermediate (≤ B rows
+    per target); the only collect is the audit's scan barrier.
+    """
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_custkey") % _BLOOMIX_BUCKETS).alias("bucket")
+    )
+    out = scratch_dir("ppspark_bloomix_")
+    o.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out}/table"
+    )
+    ix = (
+        o.select(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[_bloomix_pos(s, F.col("o_custkey")) for s in _BLOOMIX_SEEDS]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    ix.write.mode("overwrite").parquet(f"{out}/index")
+    ix_at_rest = spark.read.parquet(f"{out}/index")
+    targets = (
+        t(spark, sf, "customer")
+        .where(
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            % _BLOOMIX_TARGET_MOD
+            == 0
+        )
+        .select("c_custkey")
+    )
+    buckets = ix_at_rest.select("bucket").distinct()
+    tpos = targets.crossJoin(F.broadcast(buckets)).select(
+        "c_custkey",
+        "bucket",
+        _bloomix_pos(_BLOOMIX_SEEDS[0], F.col("c_custkey")).alias("p1"),
+        _bloomix_pos(_BLOOMIX_SEEDS[1], F.col("c_custkey")).alias("p2"),
+    )
+    i1 = ix_at_rest.select(F.col("bucket").alias("b1"), F.col("pos").alias("pos1"))
+    i2 = ix_at_rest.select(F.col("bucket").alias("b2"), F.col("pos").alias("pos2"))
+    probed = (
+        tpos.join(
+            F.broadcast(i1), (F.col("bucket") == F.col("b1")) & (F.col("p1") == F.col("pos1"))
+        )
+        .join(
+            F.broadcast(i2), (F.col("bucket") == F.col("b2")) & (F.col("p2") == F.col("pos2"))
+        )
+        .select("c_custkey", "bucket")
+    )
+    # the PHYSICAL pruned scan: read back only the qualifying
+    # partition directories (eager-by-design: the probed bucket list
+    # is <= B * n_targets rows — the audit's scan barrier)
+    probe_rows = probed.collect()
+    probed_buckets = sorted({r["bucket"] for r in probe_rows})
+    at_rest = spark.read.schema("o_orderkey long, o_custkey long, bucket int").parquet(
+        f"{out}/table"
+    )
+    pruned = at_rest.where(F.col("bucket").isin([int(b) for b in probed_buckets] or [-1]))
+    pairs = spark.createDataFrame(
+        [(int(r["c_custkey"]), int(r["bucket"])) for r in probe_rows],
+        "c_custkey long, p_bucket int",
+    )
+    found = (
+        targets.join(pairs, "c_custkey", "left")
+        .join(
+            pruned.select(
+                F.col("o_orderkey").alias("f_orderkey"),
+                F.col("o_custkey").alias("f_custkey"),
+                F.col("bucket").alias("f_bucket"),
+            ),
+            (F.col("p_bucket") == F.col("f_bucket"))
+            & (F.col("c_custkey") == F.col("f_custkey")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.countDistinct("p_bucket").cast("long").alias("n_buckets_probed"),
+            F.coalesce(
+                F.sum(F.when(F.col("f_orderkey").isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_rows_found"),
+        )
+    )
+    full = (
+        targets.join(
+            o.select(
+                F.col("o_orderkey").alias("g_orderkey"), F.col("o_custkey").alias("g_custkey")
+            ),
+            F.col("c_custkey") == F.col("g_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("g_orderkey").isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_rows_full")
+        )
+    )
+    return found.join(full, "c_custkey").select(
+        "c_custkey",
+        "n_buckets_probed",
+        "n_rows_found",
+        "n_rows_full",
+        (F.col("n_rows_found") == F.col("n_rows_full")).alias("no_false_negatives"),
+    )

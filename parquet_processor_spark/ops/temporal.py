@@ -2403,3 +2403,93 @@ def forecast_of_daily(daily: DataFrame) -> DataFrame:
         (intercept + slope * (F.col("x_max") + 1)).alias("forecast_next"),
         (intercept + slope * (F.col("x_max") + 7)).alias("forecast_7d"),
     )
+
+
+# N184: sequence match with NEGATION (the CEP / MATCH_RECOGNIZE
+# pattern class the plain funnel can't express): purchases preceded
+# by a view with NO error event between the view and the purchase.
+# Funnels (N20/N54) assert "A then B"; real abandonment/attribution
+# analysis needs "A then B WITHOUT C between" — the negation is what
+# makes it a different operator, not a funnel variant.
+@query(
+    "events_sequence_negation",
+    oracle="""
+    with sp as (
+      select user_id, event_id, ts, event_type
+      from events where event_type in ('view', 'error', 'purchase')
+    ),
+    w1 as (
+      select *,
+        sum(case when event_type = 'view' then 1 else 0 end)
+          over (partition by user_id order by ts, event_id) as cum_views,
+        max(case when event_type = 'view' then ts end)
+          over (partition by user_id order by ts, event_id) as last_view_ts
+      from sp
+    ),
+    w2 as (
+      select *,
+        sum(case when event_type = 'error' then 1 else 0 end)
+          over (partition by user_id, cum_views order by ts, event_id)
+          as err_in_grp
+      from w1
+    )
+    select user_id, event_id as purchase_id, last_view_ts,
+           cast(err_in_grp as bigint) as n_errors_between,
+           err_in_grp = 0 as clean
+    from w2 where event_type = 'purchase' and cum_views >= 1
+    """,
+    tags=("events", "temporal", "cep"),
+)
+def events_sequence_negation(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> purchase pairs with the no-error-between negation.
+
+    The gaps-and-islands trick makes the negation a COUNT instead of
+    an anti-join: cum_views labels each row with its "since the last
+    view" island, so errors-between is just the error running count
+    WITHIN the island — no per-purchase range join back to the error
+    stream (which at 100 TB is a second full shuffle of events joined
+    on an inequality). Two keyed windows = two exchanges: one on
+    user_id, one on (user_id, island); both hash-partitioned, never a
+    global sort. Determinism: ordering is the unique (ts, event_id)
+    chain; counts are exact ints; both engines default to the same
+    RANGE frame, which equals ROWS under a unique ordering.
+    """
+    ev = t(spark, sf, "events").where(
+        F.col("event_type").isin("view", "error", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    with_views = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("cum_views"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("last_view_ts"),
+    )
+    w2 = Window.partitionBy("user_id", "cum_views").orderBy("ts", "event_id")
+    flagged = with_views.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cum_views",
+        "last_view_ts",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w2)
+        .alias("err_in_grp"),
+    )
+    return flagged.where(
+        (F.col("event_type") == "purchase") & (F.col("cum_views") >= 1)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "last_view_ts",
+        F.col("err_in_grp").cast("long").alias("n_errors_between"),
+        (F.col("err_in_grp") == 0).alias("clean"),
+    )

@@ -1739,3 +1739,53 @@ def search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(_RRF_TOPK)
+
+
+# N186: feature hashing (the "hashing trick" — sklearn
+# HashingVectorizer / VW feature hashing): tokens map to a fixed
+# D-bucket space by hash, so the featurizer needs NO vocabulary pass,
+# no fit state, and new tokens never resize anything — the property
+# that makes it the default text featurizer for streaming/huge
+# corpora. Emitted flat as (doc_id, bucket, cnt) rows (the engine's
+# no-complex-output contract); a trainer pivots per doc downstream.
+_FH_BUCKETS = 64
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=f"""
+    with tok as (
+      select doc_id, unnest(regexp_split_to_array(text, '\\s+')) as tok
+      from documents
+    )
+    select doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::bigint % {_FH_BUCKETS} as bucket,
+           cast(count(*) as bigint) as cnt
+    from tok group by doc_id, bucket
+    """,
+    tags=("text", "ml", "encode"),
+)
+def feature_hashing_trick(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash token counts into a fixed {D}-bucket feature space.
+
+    HASH-CHECKED: the bucket is the shared md5-60bit primitive mod D
+    (engine-neutral), the counts exact. 100 TB shape: one narrow
+    (doc_id, bucket) aggregate, map-side combined — the shuffle
+    carries at most D rows per doc; no vocabulary table exists at
+    all (the hashing trick's whole point at corpus scale — compare
+    tokenize_to_ids, which ships a vocab).
+    """
+    # explode_outer: split() never returns an empty array, and plain
+    # explode would infer a size>0 guard that re-evaluates the split
+    # (the _explode_shingles discipline)
+    tok = t(spark, sf, "documents").select(
+        "doc_id", F.explode_outer(F.split("text", r"\s+")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % _FH_BUCKETS
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

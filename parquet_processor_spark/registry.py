@@ -57,12 +57,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # ---- driver 50-slot check window (round 10) ----
-    # 1-4: NEW round-10 operators (first driver row)
+    # 1-8: NEW round-10 operators (first driver row)
     "mine_bitext_mutual",
     "feature_target_encode",
     "agg_cohens_kappa",
     "curation_contamination_semantic",
-    # 5-11: implementation or oracle changed this round — the simhash
+    "events_sequence_negation",
+    "agg_gini_impurity",
+    "feature_hashing_trick",
+    "sink_bloom_pruned_scan",
+    # 9-16: implementation or oracle changed this round (see below) +
+    # the perceptual-family bucket cap (multimodal_dedup_perceptual —
+    # the ×100 OOM fix, oracle gained the qualify filter)
+    "multimodal_dedup_perceptual",
+    # (cont.) changed this round — the simhash
     # cross-engine rebuild (md5 32-bit halves => first-ever oracle for
     # dedup_simhash + fresh rows for its recall gate), the minhash
     # hot-bucket cap collapsed to one window exchange (dedup_near /
@@ -77,7 +85,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_connected_lsh",
     "sink_targeted_delete",
     "sink_ann_index_upsert",
-    # 12-40: the ENTIRE r2 cohort — last driver row six rounds old
+    # 17-45: the ENTIRE r2 cohort — last driver row six rounds old
     # (r9 verdict staleness item); after this round no query's
     # latest row predates r4 except the r3 tail queued below
     "q11_important_stock",
@@ -109,7 +117,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_session",
     "window_sliding",
     "window_tumbling",
-    # 41-50: the stalest r3 rows, TPC-H headliners first
+    # 46-50: the stalest r3 rows, TPC-H headliners first
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -317,7 +325,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "monitor_feature_drift",
     "multimodal_clip_pairs",
     "multimodal_dedup_audio",
-    "multimodal_dedup_perceptual",
     "multimodal_frame_dedup",
     "pipeline_curate_media",
     "quality_ccnet_buckets",

@@ -1138,3 +1138,96 @@ def test_semantic_contamination_matches_brute_force(spark, sf_dir):
         )
         assert abs(r["max_cos"] - best) < 1e-9
         assert r["is_contaminated"] == (r["max_cos"] >= _SEM_CONTAM_TAU)
+
+
+def test_sequence_negation_matches_brute_force(spark, sf_dir):
+    # recompute the CEP semantics row-by-row in python: for every
+    # purchase with a prior view, errors strictly between the LAST
+    # view and the purchase (ordering by the unique (ts, event_id)).
+    from collections import defaultdict
+
+    from parquet_processor_spark.ops.temporal import events_sequence_negation
+    from parquet_processor_spark.tables import t
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where("event_type in ('view','error','purchase')")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    expect = {}
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last_view, err_since = None, 0
+        for r in rows:
+            if r["event_type"] == "view":
+                last_view, err_since = r["ts"], 0
+            elif r["event_type"] == "error":
+                err_since += 1
+            elif r["event_type"] == "purchase" and last_view is not None:
+                expect[r["event_id"]] = (u, last_view, err_since, err_since == 0)
+    got = {
+        r["purchase_id"]: (r["user_id"], r["last_view_ts"], r["n_errors_between"], r["clean"])
+        for r in events_sequence_negation(spark, sf_dir).collect()
+    }
+    assert got == expect and expect  # non-trivial fixture
+
+
+def test_gini_impurity_bounds_and_recompute(spark, sf_dir):
+    from parquet_processor_spark.ops.aggregates import agg_gini_impurity
+    from parquet_processor_spark.tables import t
+
+    rows = agg_gini_impurity(spark, sf_dir).collect()
+    assert rows
+    counts = (
+        t(spark, sf_dir, "documents").groupBy("source", "lang").count().collect()
+    )
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in counts:
+        per_src[r["source"]].append(r["count"])
+    for r in rows:
+        ls = per_src[r["source"]]
+        n = sum(ls)
+        assert r["n"] == n and r["n_langs"] == len(ls)
+        assert r["gini_impurity"] == (n * n - sum(x * x for x in ls)) / (n * n)
+        assert 0.0 <= r["gini_impurity"] < 1.0
+
+
+def test_feature_hashing_conserves_token_mass(spark, sf_dir):
+    # per doc: sum of bucket counts == whitespace token count, and
+    # every bucket id is inside the fixed space
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.text import _FH_BUCKETS, feature_hashing_trick
+    from parquet_processor_spark.tables import t
+
+    fh = feature_hashing_trick(spark, sf_dir)
+    assert fh.where((F.col("bucket") < 0) | (F.col("bucket") >= _FH_BUCKETS)).count() == 0
+    mass = fh.groupBy("doc_id").agg(F.sum("cnt").alias("m"))
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tok")
+    )
+    bad = mass.join(tok, "doc_id").where(F.col("m") != F.col("n_tok")).count()
+    assert bad == 0
+
+
+def test_bloom_pruned_scan_never_misses_and_prunes(spark, sf_dir):
+    from parquet_processor_spark.ops.roundtrip import (
+        _BLOOMIX_BUCKETS,
+        sink_bloom_pruned_scan,
+    )
+
+    rows = sink_bloom_pruned_scan(spark, sf_dir).collect()
+    assert rows, "target sample must be non-empty"
+    assert all(r["no_false_negatives"] for r in rows)
+    assert all(0 <= r["n_buckets_probed"] <= _BLOOMIX_BUCKETS for r in rows)
+    # every key with orders must probe at least its true bucket
+    assert all(r["n_buckets_probed"] >= 1 for r in rows if r["n_rows_full"] > 0)
+    # the index must actually PRUNE for at least one key (not scan all
+    # buckets) — with 2 hash functions at ~37% fill this is certain
+    assert any(r["n_buckets_probed"] < _BLOOMIX_BUCKETS for r in rows)

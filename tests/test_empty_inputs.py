@@ -126,6 +126,10 @@ REPRESENTATIVE = [
     "mine_bitext_mutual",      # mutual argmax over empty LSH buckets
     "feature_target_encode",   # LOO encode over an empty fact table
     "curation_contamination_semantic",  # broadcast bench probe, no corpus
+    "events_sequence_negation",  # island windows over empty timelines
+    "agg_gini_impurity",       # stacked aggregates over no groups
+    "feature_hashing_trick",   # bucket counts over an empty corpus
+    "sink_bloom_pruned_scan",  # bloom index + probe over empty buckets
     # (agg_cohens_kappa is a global aggregate: one row with null
     # po/pe/kappa on empty input — the n = 0 ANSI guard is asserted by
     # its dedicated empty-table test below)

@@ -65,6 +65,10 @@ def test_check_priority_window():
         # new round-10 operators (first driver row)
         "mine_bitext_mutual", "feature_target_encode",
         "agg_cohens_kappa", "curation_contamination_semantic",
+        "events_sequence_negation", "agg_gini_impurity",
+        "feature_hashing_trick", "sink_bloom_pruned_scan",
+        # changed in round 10 (perceptual bucket cap — the x100 OOM fix)
+        "multimodal_dedup_perceptual",
         # changed in round 10
         "dedup_simhash", "recall_dedup_simhash", "dedup_near",
         "dedup_incremental_minhash", "dedup_connected_lsh",
@@ -82,8 +86,6 @@ def test_check_priority_window():
         # rotation: stalest r3 TPC-H headliners
         "q1_pricing_summary", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q10_returned_items",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

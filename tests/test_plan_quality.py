@@ -1169,3 +1169,44 @@ def test_semantic_contamination_broadcasts_benchmark(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_sequence_negation_one_keyed_exchange_no_cartesian(spark):
+    # N184 claim: the negation is a running count inside islands —
+    # never a range join back to the error stream, never a
+    # single-partition sort. Catalyst even reuses the user_id hash
+    # exchange for the (user_id, island) window (a user_id clustering
+    # satisfies the finer key), so the WHOLE pattern is ONE exchange
+    # plus two sorts.
+    plan = plan_of(spark, "events_sequence_negation")
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert not _single_partition_sorts(plan), plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_gini_impurity_is_two_stacked_aggregates(spark):
+    # N185 claim: corpus collapses to (source, lang) pairs first; no
+    # window, no join — two partial+final aggregate rounds.
+    plan = plan_of(spark, "agg_gini_impurity")
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_feature_hashing_is_one_keyed_aggregate(spark):
+    # N186 claim: no vocabulary table exists — no join anywhere; one
+    # map-side-combined aggregate keyed on (doc_id, bucket).
+    plan = plan_of(spark, "feature_hashing_trick")
+    assert "Join" not in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bloom_pruned_scan_reads_only_probed_partitions(spark):
+    # N187 claim: the point-lookup data scan carries the probed bucket
+    # list as a PARTITION filter (directories skipped, not rows).
+    plan = plan_of(spark, "sink_bloom_pruned_scan")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln and "[]" not in ln for ln in pf), plan
