@@ -234,6 +234,8 @@ EXTENDED = [
     "agg_gini_impurity",
     "feature_hashing_trick",
     "sink_bloom_pruned_scan",
+    "report_source_overlap",
+    "anonymize_pseudonymize",
 ]
 
 

@@ -743,3 +743,98 @@ def curation_contamination_semantic(spark: SparkSession, sf: str) -> DataFrame:
             (F.max("cos") >= _SEM_CONTAM_TAU).alias("is_contaminated"),
         )
     )
+
+
+# N189: deterministic keyed pseudonymization (GDPR art. 4(5): replace
+# identifiers with a keyed token such that re-identification needs the
+# key, while JOINS still work). The privacy family's TRANSFORM member
+# — k-anonymity/l-diversity/t-closeness suppress, the DP release adds
+# noise, the RTBF delete removes; pseudonymization keeps every row and
+# every relationship. The audit proves referential integrity survived:
+# the customer-orders join cardinality is IDENTICAL under pseudonyms.
+_PSEUDO_SECRET = "ppspark-release-2026"  # stand-in release key (a literal, not a secret)
+
+
+def _pseudonym(key) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(_PSEUDO_SECRET + ":"), key.cast("string"))), 1, 16
+    )
+
+
+@query(
+    "anonymize_pseudonymize",
+    oracle=f"""
+    with c as (
+      select substr(md5('{_PSEUDO_SECRET}:' || cast(c_custkey as varchar)), 1, 16)
+               as pseudo_id,
+             c_custkey
+      from customer
+    ),
+    o as (
+      select substr(md5('{_PSEUDO_SECRET}:' || cast(o_custkey as varchar)), 1, 16)
+               as pseudo_id,
+             o_custkey, o_totalprice
+      from orders
+    )
+    select c.pseudo_id,
+           cast(count(o.o_custkey) as bigint) as n_orders,
+           cast(coalesce(sum(floor(o.o_totalprice * 100 + 0.5)), 0) as bigint)
+             as total_cents,
+           (count(o.o_custkey) =
+            (select count(*) from orders oo where oo.o_custkey = c.c_custkey))
+             as integrity_ok
+    from c left join o on o.pseudo_id = c.pseudo_id
+    group by c.pseudo_id, c.c_custkey
+    """,
+    tags=("curation", "privacy", "pseudonymize"),
+)
+def anonymize_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed pseudonym join: one row per pseudonymized customer with
+    order count + exact-cents revenue, and a per-row integrity flag
+    proving the pseudonym join matches the raw-key join.
+
+    100 TB shape: the pseudonym is a map-side keyed hash (no lookup
+    table to build, store, or leak — the classic tokenization-service
+    failure mode); both tables transform in their own scans and the
+    join shuffles on the 16-char token exactly as it would on the raw
+    key. The integrity flag is computed from the SAME aggregate plus
+    a broadcast raw-key count — at scale you sample it; here every
+    row carries it. Determinism: md5 literal both engines; cents via
+    floor(x*100+0.5) (the numeric.py rounding rule).
+    """
+    c = t(spark, sf, "customer").select(
+        _pseudonym(F.col("c_custkey")).alias("pseudo_id"), "c_custkey"
+    )
+    o = t(spark, sf, "orders").select(
+        _pseudonym(F.col("o_custkey")).alias("pseudo_id_o"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    raw_counts = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    agg = (
+        c.join(o, F.col("pseudo_id") == F.col("pseudo_id_o"), "left")
+        .groupBy("pseudo_id", "c_custkey")
+        .agg(
+            F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("total_cents"),
+        )
+    )
+    return (
+        agg.join(
+            F.broadcast(raw_counts), agg["c_custkey"] == raw_counts["o_custkey"], "left"
+        )
+        .select(
+            "pseudo_id",
+            "n_orders",
+            "total_cents",
+            (F.col("n_orders") == F.coalesce(F.col("n_raw"), F.lit(0))).alias(
+                "integrity_ok"
+            ),
+        )
+    )

@@ -2201,3 +2201,97 @@ def dedup_url(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").over(w).alias("keep_id"),
         (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_dup"),
     )
+
+
+# N188: cross-source overlap matrix — the release-report diagnostic
+# every multi-source corpus ships (Dolma/RedPajama overlap tables):
+# for every ordered source pair (a, b), the fraction of a's distinct
+# 3-gram shingles that also appear in b. Within-pair duplication is
+# N2's job; this is the BETWEEN-SOURCES contamination/overlap view
+# that decides whether two "different" crawls are really one.
+@query(
+    "report_source_overlap",
+    oracle=rf"""
+    with sh as (
+      select distinct d.source,
+        unnest(list_distinct(
+          list_transform(
+            generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+            i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+          ))) as shingle
+      from documents d
+    ),
+    hashed as (
+      select source, ('0x' || substr(md5(shingle), 1, 15))::bigint as h from sh
+    ),
+    capped as (
+      select source, h from hashed
+      qualify count(*) over (partition by h) <= {_SHINGLE_DF_CAP}
+    ),
+    tot as (select source, cast(count(*) as bigint) as n_shingles from capped group by source),
+    hits as (
+      select a.source as source_a, b.source as source_b,
+             cast(count(distinct a.h) as bigint) as n_shared
+      from capped a join capped b on a.h = b.h and a.source <> b.source
+      group by a.source, b.source
+    )
+    select t1.source as source_a, t2.source as source_b,
+           t1.n_shingles as n_shingles_a,
+           coalesce(h.n_shared, 0) as n_shared,
+           cast(coalesce(h.n_shared, 0) as double) / t1.n_shingles as overlap_frac
+    from tot t1
+    join tot t2 on t1.source <> t2.source
+    left join hits h on h.source_a = t1.source and h.source_b = t2.source
+    """,
+    tags=("dedup", "report", "curation"),
+)
+def report_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-pair shingle overlap fractions between document sources.
+
+    100 TB shape: the corpus collapses FIRST to distinct
+    (source, shingle-hash) pairs (map-side-combined distinct — the
+    only pass that touches text), hot shingles past _SHINGLE_DF_CAP
+    drop before the pair join (a stop-phrase shared by every source
+    carries no overlap signal and is the only way this join grows
+    superlinearly), and the matrix itself is |sources|² rows. The
+    md5-60bit hash makes the whole report hash-checkable.
+    Determinism: counts exact; one division per pair row.
+    """
+    w = Window.partitionBy("h")
+    sh = (
+        split_words(spark, sf)
+        .join(
+            t(spark, sf, "documents").select("doc_id", "source"), "doc_id"
+        )
+        .select("source", F.explode_outer(shingle_hashes_md5()).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select("source", "h")
+        .distinct()
+        .withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= _SHINGLE_DF_CAP)
+        .select("source", "h")
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    hits = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("source_a") != F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("h").cast("long").alias("n_shared"))
+    )
+    t1 = tot.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_shingles_a"))
+    t2 = tot.select(F.col("source").alias("source_b"))
+    return (
+        t1.crossJoin(t2)
+        .where(F.col("source_a") != F.col("source_b"))
+        .join(hits, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shingles_a",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_shingles_a")
+            ).alias("overlap_frac"),
+        )
+    )

@@ -1422,7 +1422,7 @@ def sink_bloom_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     # the PHYSICAL pruned scan: read back only the qualifying
     # partition directories (eager-by-design: the probed bucket list
     # is <= B * n_targets rows — the audit's scan barrier)
-    probe_rows = probed.collect()
+    probe_rows = probed.collect()  # eager-by-design: <= B * n_targets rows — the pruned scan's partition list
     probed_buckets = sorted({r["bucket"] for r in probe_rows})
     at_rest = spark.read.schema("o_orderkey long, o_custkey long, bucket int").parquet(
         f"{out}/table"

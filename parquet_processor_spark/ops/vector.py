@@ -2603,8 +2603,8 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
     parity = (
         fa.join(sa, ["vec_id", "cell", "cos_sim"], "full_outer")
         .agg((F.coalesce(bad, F.lit(0)) == 0).alias("ok"))
-        .collect()[0]["ok"]
-    )  # eager-by-design: sink round-trip barrier
+        .collect()[0]["ok"]  # eager-by-design: sink round-trip barrier
+    )
     counts = e.agg(
         F.sum(F.when(F.col("vec_id") < c, 1).otherwise(0)).cast("long").alias("n_corpus"),
         F.sum(F.when(F.col("vec_id") >= c, 1).otherwise(0)).cast("long").alias("n_delta"),

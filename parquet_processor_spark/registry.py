@@ -57,7 +57,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # ---- driver 50-slot check window (round 10) ----
-    # 1-8: NEW round-10 operators (first driver row)
+    # 1-10: NEW round-10 operators (first driver row)
+    "report_source_overlap",
+    "anonymize_pseudonymize",
     "mine_bitext_mutual",
     "feature_target_encode",
     "agg_cohens_kappa",

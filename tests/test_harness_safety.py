@@ -67,6 +67,7 @@ def test_check_priority_window():
         "agg_cohens_kappa", "curation_contamination_semantic",
         "events_sequence_negation", "agg_gini_impurity",
         "feature_hashing_trick", "sink_bloom_pruned_scan",
+        "report_source_overlap", "anonymize_pseudonymize",
         # changed in round 10 (perceptual bucket cap — the x100 OOM fix)
         "multimodal_dedup_perceptual",
         # changed in round 10
@@ -85,7 +86,7 @@ def test_check_priority_window():
         "window_session", "window_sliding", "window_tumbling",
         # rotation: stalest r3 TPC-H headliners
         "q1_pricing_summary", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+        "q3_shipping_priority",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

@@ -151,7 +151,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "mine_bitext_mutual", "feature_target_encode",
          "agg_cohens_kappa", "curation_contamination_semantic",
          "events_sequence_negation", "agg_gini_impurity",
-         "feature_hashing_trick", "sink_bloom_pruned_scan"]
+         "feature_hashing_trick", "sink_bloom_pruned_scan",
+         "report_source_overlap", "anonymize_pseudonymize"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
