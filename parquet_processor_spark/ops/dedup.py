@@ -415,8 +415,27 @@ def _minhash_sig_cached(spark: SparkSession, sf: str) -> DataFrame:
         # stays one-entry-per-(live session, sf)
         for k in [k for k in _SIG_MEMO if k[:2] != key[:2]]:
             _SIG_MEMO.pop(k, None)
+        # The BUILD runs at defaultParallelism (split_words repartition:
+        # the shingle+md5 pass is CPU-bound and must not inherit a
+        # single-file layout), but the CACHE is compacted to a
+        # row-count-proportional partition count (~64k sig rows ≈ 8 MB
+        # per partition, unclamped above so a 100 TB corpus still gets
+        # hundreds of thousands of cache partitions). Inheriting the
+        # build's fixed fan-out instead meant every downstream query —
+        # dedup_near, the LSH closure, the incremental probe, the
+        # recall gates, every bench pass — launched defaultParallelism
+        # scan tasks over kilobyte partitions: pure scheduler overhead
+        # that at sf0.1 dominated the whole hot path (the r9 verdict's
+        # one >2x-baseline query). count() on parquet is a metadata
+        # read, so sizing costs no data pass.
+        n_docs = t(spark, sf, "documents").count()  # eager-by-design: cache-partition sizing
+        target = max(1, -(-n_docs // 64_000))
         hashed = split_words(spark, sf).select("doc_id", shingle_hashes_md5().alias("hashes"))
-        sig = hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig")).cache()
+        sig = (
+            hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig"))
+            .repartition(target, "doc_id")
+            .cache()
+        )
         sig.count()  # eager-by-design: materialize the reused-signature cache
         _SIG_MEMO[key] = sig
     return sig
