@@ -2736,3 +2736,142 @@ def agg_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n") * F.col("n")
     )
     return g.select("source", "n", "n_langs", imp.alias("gini_impurity"))
+
+
+# Poisson-bootstrap confidence interval (Chamandy et al. 2012, "Estimating
+# uncertainty for massive data streams" — the Google recipe for CIs on
+# data too large to resample by index): replicate b reweights every row
+# by an independent Poisson(1) draw, so all B resamples happen in ONE
+# pass with no row-index materialization and no second scan. Draws are
+# deterministic here — replicate seed + event_id through the engine's
+# shared md5-60bit primitive, mapped through the exact Poisson(1)
+# inverse CDF — so the "random" weights are a pure function both
+# engines replay bitwise.
+_BOOT_B = 32
+_BOOT_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)  # cumulative Poisson(1) at k=0..5; u >= all -> w=6 (P ~ 6e-4)
+_BOOT_SCALE = str(1 << 60)  # md5-60bit -> uniform via exact /2^60
+_BOOT_K = 2  # CI = (k-th, (B+1-k)-th) order statistics of the B means
+
+
+def _boot_w(u: F.Column) -> F.Column:
+    w = F.lit(6)
+    for k in reversed(range(len(_BOOT_CDF))):
+        w = F.when(u < float(_BOOT_CDF[k]), k).otherwise(w)
+    return w.cast("long")
+
+
+def _boot_oracle() -> str:
+    def u(b: int) -> str:
+        return (
+            f"(('0x' || substr(md5(concat('boot:{b}:', event_id)), 1, 15))::bigint"
+            f"::double / {_BOOT_SCALE})"
+        )
+
+    def w(b: int) -> str:
+        cases = " ".join(
+            f"when {u(b)} < {c} then {k}" for k, c in enumerate(_BOOT_CDF)
+        )
+        return f"(case {cases} else 6 end)"
+
+    sums = ",\n             ".join(
+        f"cast(sum({w(b)}) as bigint) as sw{b}, "
+        f"cast(sum({w(b)} * cents) as bigint) as swx{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(
+        f"cast(swx{b} as double) / (100.0 * sw{b})" for b in range(_BOOT_B)
+    )
+    return f"""
+    with m as (
+      select event_id, cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where event_type = 'purchase' and value is not null
+    ),
+    s as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(cents) as bigint) as sx,
+             {sums}
+      from m
+    ),
+    o as (
+      select n, sx, list_sort([{means}]) as ms from s
+    )
+    select n,
+           cast(sx as double) / (100.0 * n) as point_mean,
+           ms[{_BOOT_K}] as ci_lo,
+           ms[{_BOOT_B + 1 - _BOOT_K}] as ci_hi,
+           cast({_BOOT_B} as int) as b_replicates
+    from o
+    """
+
+
+@query("agg_bootstrap_ci", oracle=_boot_oracle(), tags=("agg", "stats", "bootstrap"))
+def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-bootstrap CI for mean purchase value via the Poisson
+    bootstrap: B={B} deterministic replicate weights per row, every
+    replicate's (Σw, Σw·x) accumulated as exact bigints in one
+    aggregate, CI = the ({K}th, {BK}th) order statistics of the B
+    replicate means (a ~94% central interval at B=32; production runs
+    B=512 for 95%+ and the plan shape is unchanged).
+
+    100 TB shape: THE point of the Poisson trick — one scan, zero
+    shuffles beyond the single 1-row aggregate exchange, no
+    row-number assignment, no per-replicate pass (index-based
+    bootstrap needs B scans or a B-way explode). The 2B sums are all
+    map-side combined longs; the sort + order-statistic selection
+    happens on ONE row of B doubles. Weights stay integer (0-6), so
+    every shuffled value is exact; the only IEEE ops are the final
+    per-replicate divisions and they are identical in both engines.
+    """.format(B=_BOOT_B, K=_BOOT_K, BK=_BOOT_B + 1 - _BOOT_K)
+    m = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+    ]
+    for b in range(_BOOT_B):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"boot:{b}:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        )
+        w = _boot_w(u)
+        aggs.append(F.sum(w).cast("long").alias(f"sw{b}"))
+        aggs.append(F.sum(w * F.col("cents")).cast("long").alias(f"swx{b}"))
+    s = m.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"swx{b}").cast("double") / (F.lit(100.0) * F.col(f"sw{b}"))
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return s.select(
+        "n",
+        (F.col("sx").cast("double") / (F.lit(100.0) * F.col("n"))).alias("point_mean"),
+        F.element_at(means, _BOOT_K).alias("ci_lo"),
+        F.element_at(means, _BOOT_B + 1 - _BOOT_K).alias("ci_hi"),
+        F.lit(_BOOT_B).cast("int").alias("b_replicates"),
+    )

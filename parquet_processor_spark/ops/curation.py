@@ -838,3 +838,124 @@ def anonymize_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# Curation-funnel yield report: the observability artifact every
+# corpus-prep run publishes next to its output — how many documents
+# survived each gate, in gate order, with cumulative retention. The
+# gates here are the pipeline's own cheap screens (target-language,
+# Gopher length band, lexical-diversity floor, exact-dup canonical),
+# applied CUMULATIVELY so each row answers "of what reached this
+# stage, what left it" — the number a pipeline owner actually tunes
+# against (a gate that drops 60% of what reaches it is either wrong
+# or doing all the work).
+_FUNNEL_LANGS = ("en", "de", "fr", "es")
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_MAX_CHARS = 500
+_FUNNEL_MIN_DISTINCT_RATIO = 0.5
+
+
+@query(
+    "report_curation_funnel",
+    oracle=rf"""
+    with flags as (
+      select doc_id,
+             lang in {tuple(_FUNNEL_LANGS)} as f_lang,
+             n_chars between {_FUNNEL_MIN_CHARS} and {_FUNNEL_MAX_CHARS} as f_len,
+             cast(len(list_distinct(regexp_split_to_array(text, '\s+'))) as double)
+               / len(regexp_split_to_array(text, '\s+'))
+               >= {_FUNNEL_MIN_DISTINCT_RATIO} as f_div,
+             doc_id = min(doc_id) over (partition by md5(text)) as f_canon
+      from documents
+    ),
+    c as (
+      select cast(count(*) as bigint) as n0,
+             cast(sum(case when f_lang then 1 else 0 end) as bigint) as n1,
+             cast(sum(case when f_lang and f_len then 1 else 0 end) as bigint) as n2,
+             cast(sum(case when f_lang and f_len and f_div
+                           then 1 else 0 end) as bigint) as n3,
+             cast(sum(case when f_lang and f_len and f_div and f_canon
+                           then 1 else 0 end) as bigint) as n4
+      from flags
+    )
+    select stage, stage_name, n_in, n_out,
+           n_in - n_out as n_dropped,
+           cast(n_out as double) / n0 as retained_frac
+    from (
+      select n0, 0 as stage, 'ingest' as stage_name, n0 as n_in, n0 as n_out from c
+      union all
+      select n0, 1, 'lang_filter', n0, n1 from c
+      union all
+      select n0, 2, 'length_gate', n1, n2 from c
+      union all
+      select n0, 3, 'diversity_gate', n2, n3 from c
+      union all
+      select n0, 4, 'exact_dedup', n3, n4 from c
+    )
+    order by stage
+    """,
+    tags=("curation", "report", "pipeline"),
+)
+def report_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-gate survivor counts for the standard curation screen
+    chain: target-language keep-set → Gopher-style length band →
+    lexical-diversity floor (distinct/total tokens, the repetition
+    screen) → exact-dup canonical (corpus-wide keep-lowest-id).
+
+    100 TB shape: ONE pass computes every gate flag per document —
+    three are narrow codegen expressions beside the scan, and the
+    dedup flag is a min-over-fingerprint window (the only shuffle,
+    keyed on md5(text) like dedup_exact). The five cumulative counts
+    collapse into a single map-side-combined aggregate row; the
+    five-stage output is a driver-side unpivot of that one row (a
+    constant-size array explode, no second pass). Retention fractions
+    are IEEE divisions on the final row only.
+    """
+    words = F.split("text", r"\s+")
+    flags = t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("lang").isin(*_FUNNEL_LANGS).alias("f_lang"),
+        F.col("n_chars").between(_FUNNEL_MIN_CHARS, _FUNNEL_MAX_CHARS).alias("f_len"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / F.size(words)
+            >= _FUNNEL_MIN_DISTINCT_RATIO
+        ).alias("f_div"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("f_canon"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    c = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        one(F.col("f_lang")).alias("n1"),
+        one(F.col("f_lang") & F.col("f_len")).alias("n2"),
+        one(F.col("f_lang") & F.col("f_len") & F.col("f_div")).alias("n3"),
+        one(
+            F.col("f_lang") & F.col("f_len") & F.col("f_div") & F.col("f_canon")
+        ).alias("n4"),
+    )
+    names = ["ingest", "lang_filter", "length_gate", "diversity_gate", "exact_dedup"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(names[i]).alias("stage_name"),
+                F.col(f"n{max(i - 1, 0)}").alias("n_in"),
+                F.col(f"n{i}").alias("n_out"),
+            )
+            for i in range(5)
+        ]
+    )
+    return (
+        c.select(F.col("n0").alias("total"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.n_in").alias("n_in"),
+            F.col("s.n_out").alias("n_out"),
+            (F.col("s.n_in") - F.col("s.n_out")).alias("n_dropped"),
+            (F.col("s.n_out").cast("double") / F.col("total")).alias("retained_frac"),
+        )
+        .orderBy("stage")
+    )

