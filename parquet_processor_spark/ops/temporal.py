@@ -2493,3 +2493,89 @@ def events_sequence_negation(spark: SparkSession, sf: str) -> DataFrame:
         F.col("err_in_grp").cast("long").alias("n_errors_between"),
         (F.col("err_in_grp") == 0).alias("clean"),
     )
+
+
+# OHLC bar aggregation — the time-series resample primitive (candles
+# in finance, "downsample to bars" in any metric store): per
+# (series, hour) the first/max/min/last value plus count and volume.
+# First/last are ORDER-dependent aggregates, which is exactly what
+# makes the operator worth pinning cross-engine: both engines resolve
+# them through an explicit (ts, event_id) tiebreak, never through
+# input order (which at scale is partitioning luck).
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    with m as (
+      select event_type, time_bucket(interval 1 hour, ts) as bar_start,
+             ts, event_id,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where value is not null
+    ),
+    r as (
+      select *,
+             row_number() over (partition by event_type, bar_start
+                                order by ts, event_id) as rn_a,
+             row_number() over (partition by event_type, bar_start
+                                order by ts desc, event_id desc) as rn_d
+      from m
+    )
+    select event_type, bar_start,
+           cast(count(*) as bigint) as n_events,
+           cast(max(case when rn_a = 1 then cents end) as bigint) as open_cents,
+           cast(max(cents) as bigint) as high_cents,
+           cast(min(cents) as bigint) as low_cents,
+           cast(max(case when rn_d = 1 then cents end) as bigint) as close_cents,
+           cast(sum(cents) as bigint) as volume_cents
+    from r
+    group by event_type, bar_start
+    """,
+    tags=("temporal", "window", "ohlc", "resample"),
+)
+def events_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bars per event type over the purchase-value stream:
+    open/close = first/last value in the bar under the deterministic
+    (ts, event_id) order, high/low = extremes, volume = exact-cents
+    sum. The deterministic tiebreak is the contract: first_value by
+    arrival order is non-reproducible under retries/repartitioning.
+
+    100 TB shape: ONE hash exchange on (event_type, bar) serves both
+    rank windows (ascending + descending sorts over the same
+    partitioning) and the final aggregate reuses it — no second
+    shuffle, no global sort; bar state is bounded by bars x series,
+    not events. Values shuffle as exact cents (floor(x*100+0.5)
+    bigints, the numeric.py rule), so every aggregate is integer-exact
+    in both engines.
+    """
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.window("ts", "1 hour")["start"].alias("bar_start"),
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    wa = Window.partitionBy("event_type", "bar_start").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bar_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "event_type",
+            "bar_start",
+            "cents",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_cents"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+        )
+    )

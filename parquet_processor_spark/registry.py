@@ -145,6 +145,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_epoch_repeat",
     "agg_bootstrap_ci",
     "sink_merge_upsert",
+    "events_ohlc_bars",
     # Then: oldest-checked first (TPC-H boosted within a staleness
     # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",

@@ -1363,3 +1363,34 @@ def test_merge_upsert_audit_and_physical_flags(spark, sf_dir):
     assert r["rows_after"] == len(keys) - n_del + n_ins
     assert r["untouched_intact"] and r["merge_ok"]
     assert r["n_partitions_rewritten"] <= r["n_partitions"]
+
+
+def test_ohlc_bars_match_a_python_witness(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_processor_spark.ops.temporal import events_ohlc_bars
+    from parquet_processor_spark.tables import t
+
+    rows = {
+        (r["event_type"], r["bar_start"]): r
+        for r in events_ohlc_bars(spark, sf_dir).collect()
+    }
+    raw = (
+        t(spark, sf_dir, "events")
+        .where("value is not null")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    bars = defaultdict(list)
+    for e in raw:
+        hr = e["ts"].replace(minute=0, second=0, microsecond=0)
+        cents = int((e["value"] * 100 + 0.5) // 1)
+        bars[(e["event_type"], hr)].append((e["ts"], e["event_id"], cents))
+    assert set(bars) == set(rows)
+    for k, evs in bars.items():
+        evs.sort()
+        r = rows[k]
+        assert r["open_cents"] == evs[0][2] and r["close_cents"] == evs[-1][2]
+        cs = [c for _, _, c in evs]
+        assert (r["high_cents"], r["low_cents"]) == (max(cs), min(cs))
+        assert (r["n_events"], r["volume_cents"]) == (len(evs), sum(cs))
