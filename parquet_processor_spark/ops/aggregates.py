@@ -2875,3 +2875,96 @@ def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(means, _BOOT_B + 1 - _BOOT_K).alias("ci_hi"),
         F.lit(_BOOT_B).cast("int").alias("b_replicates"),
     )
+
+
+# Multiple regression via exact normal equations (the agg_regression
+# recipe widened to two features): per group, beta = (X'X)^-1 X'y for
+# X = [1, x1, x2] solved in closed form by Cramer's rule over NINE
+# exact decimal moment sums. The determinant expansions are defined
+# ONCE as formula text and parsed by BOTH engines (F.expr on the
+# Spark side, inlined in the oracle), so the IEEE operation tree —
+# and therefore the bitwise result — is identical by construction,
+# not by careful transcription.
+_REG3_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_REG3_D0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_REG3_D1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_REG3_D2 = (
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+
+@query(
+    "agg_regression_multi",
+    oracle=f"""
+    with s as (
+      select l_returnflag,
+             cast(count(*) as double) as n,
+             cast(sum(cast(l_quantity as decimal(18,1))) as double) as s1,
+             cast(sum(cast(l_discount as decimal(18,2))) as double) as s2,
+             cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sy,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_quantity as decimal(18,1))) as double) as s11,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_discount as decimal(18,2))) as double) as s12,
+             cast(sum(cast(l_discount as decimal(18,2))
+                      * cast(l_discount as decimal(18,2))) as double) as s22,
+             cast(sum(cast(l_quantity as decimal(18,1))
+                      * cast(l_extendedprice as decimal(18,2))) as double) as s1y,
+             cast(sum(cast(l_discount as decimal(18,2))
+                      * cast(l_extendedprice as decimal(18,2))) as double) as s2y
+      from lineitem group by l_returnflag
+    )
+    select l_returnflag, cast(n as bigint) as n,
+           {_REG3_D0} / {_REG3_DET} as intercept,
+           {_REG3_D1} / {_REG3_DET} as beta_quantity,
+           {_REG3_D2} / {_REG3_DET} as beta_discount
+    from s
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def agg_regression_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on (quantity, discount):
+    intercept + two slopes from the closed-form 3x3 normal equations.
+
+    100 TB shape: the data pass is ONE map-side-combined aggregate of
+    nine exact decimal sums per group (the agg_corr digit-budget
+    discipline — nothing but decimals cross the shuffle); the solve
+    is scalar arithmetic on each group's single moment row. This is
+    how distributed OLS is actually run (sufficient statistics, not
+    row-level least squares), and the determinant form means adding a
+    feature changes the moment list, not the plan shape.
+    """
+    d = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,1)").alias("x1"),
+        F.col("l_discount").cast("decimal(18,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.expr(f"{_REG3_D0} / {_REG3_DET}").alias("intercept"),
+        F.expr(f"{_REG3_D1} / {_REG3_DET}").alias("beta_quantity"),
+        F.expr(f"{_REG3_D2} / {_REG3_DET}").alias("beta_discount"),
+    )

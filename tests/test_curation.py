@@ -1394,3 +1394,33 @@ def test_ohlc_bars_match_a_python_witness(spark, sf_dir):
         cs = [c for _, _, c in evs]
         assert (r["high_cents"], r["low_cents"]) == (max(cs), min(cs))
         assert (r["n_events"], r["volume_cents"]) == (len(evs), sum(cs))
+
+
+def test_regression_multi_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    from parquet_processor_spark.ops.aggregates import agg_regression_multi
+    from parquet_processor_spark.tables import t
+
+    got = {r["l_returnflag"]: r for r in agg_regression_multi(spark, sf_dir).collect()}
+    raw = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in raw:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_discount"], r["l_extendedprice"])
+        )
+    for flag, rows in by_flag.items():
+        a = np.array(rows)
+        X = np.column_stack([np.ones(len(a)), a[:, 0], a[:, 1]])
+        beta, *_ = np.linalg.lstsq(X, a[:, 2], rcond=None)
+        g = got[flag]
+        assert g["n"] == len(rows)
+        # closed-form Cramer vs numpy lstsq: agreement to float noise
+        scale = max(1.0, abs(beta[0]))
+        assert abs(g["intercept"] - beta[0]) < 1e-6 * scale
+        assert abs(g["beta_quantity"] - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
+        assert abs(g["beta_discount"] - beta[2]) < 1e-4 * max(1.0, abs(beta[2]))
