@@ -870,12 +870,12 @@ _FUNNEL_MIN_DISTINCT_RATIO = 0.5
     ),
     c as (
       select cast(count(*) as bigint) as n0,
-             cast(sum(case when f_lang then 1 else 0 end) as bigint) as n1,
-             cast(sum(case when f_lang and f_len then 1 else 0 end) as bigint) as n2,
-             cast(sum(case when f_lang and f_len and f_div
-                           then 1 else 0 end) as bigint) as n3,
-             cast(sum(case when f_lang and f_len and f_div and f_canon
-                           then 1 else 0 end) as bigint) as n4
+             cast(coalesce(sum(case when f_lang then 1 else 0 end), 0) as bigint) as n1,
+             cast(coalesce(sum(case when f_lang and f_len then 1 else 0 end), 0) as bigint) as n2,
+             cast(coalesce(sum(case when f_lang and f_len and f_div
+                           then 1 else 0 end), 0) as bigint) as n3,
+             cast(coalesce(sum(case when f_lang and f_len and f_div and f_canon
+                           then 1 else 0 end), 0) as bigint) as n4
       from flags
     )
     select stage, stage_name, n_in, n_out,
@@ -925,7 +925,11 @@ def report_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
             == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
         ).alias("f_canon"),
     )
-    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    # coalesce: sum() over an EMPTY corpus is NULL; the stage counts
+    # must read 0 (mirrored in the oracle)
+    one = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
     c = flags.agg(
         F.count(F.lit(1)).cast("long").alias("n0"),
         one(F.col("f_lang")).alias("n1"),
@@ -955,7 +959,11 @@ def report_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
             F.col("s.n_in").alias("n_in"),
             F.col("s.n_out").alias("n_out"),
             (F.col("s.n_in") - F.col("s.n_out")).alias("n_dropped"),
-            (F.col("s.n_out").cast("double") / F.col("total")).alias("retained_frac"),
+            # try_divide: an empty corpus has total = 0 and must yield
+            # NULL (DuckDB's x/0), not an ANSI divide error
+            F.try_divide(F.col("s.n_out").cast("double"), F.col("total")).alias(
+                "retained_frac"
+            ),
         )
         .orderBy("stage")
     )

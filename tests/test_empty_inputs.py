@@ -132,6 +132,14 @@ REPRESENTATIVE = [
     "sink_bloom_pruned_scan",  # bloom index + probe over empty buckets
     "report_source_overlap",   # pair matrix over an empty shingle set
     "anonymize_pseudonymize",  # keyed-token join over empty tables
+    "sample_epoch_repeat",     # tier CASE + sequence generator, no rows
+    "events_ohlc_bars",        # rank windows + bar aggregate over no bars
+    # (report_curation_funnel emits its 5 stage rows with zero counts on
+    # an empty corpus — asserted by its dedicated test below;
+    # sink_merge_upsert early-returns its all-zero audit row — likewise;
+    # agg_bootstrap_ci / agg_regression_multi are global aggregates:
+    # one row with null replicate means / null betas on empty input —
+    # the same class as agg_cohens_kappa below)
     # (agg_cohens_kappa is a global aggregate: one row with null
     # po/pe/kappa on empty input — the n = 0 ANSI guard is asserted by
     # its dedicated empty-table test below)
@@ -150,6 +158,20 @@ REPRESENTATIVE = [
     # summary row on empty input by SQL semantics — covered below;
     # recall_* gates likewise emit one vacuously-true row)
 ]
+
+
+def test_curation_funnel_all_zero_on_empty_input(spark, empty_sf):
+    rows = all_queries()["report_curation_funnel"](spark, empty_sf).collect()
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r["n_in"] == 0 and r["n_out"] == 0 and r["n_dropped"] == 0 for r in rows)
+
+
+def test_merge_upsert_zero_audit_row_on_empty_input(spark, empty_sf):
+    rows = all_queries()["sink_merge_upsert"](spark, empty_sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rows_before"] == r["rows_after"] == 0
+    assert r["untouched_intact"] and r["merge_ok"]
 
 
 def test_expectations_all_pass_on_empty_input(spark, empty_sf):
