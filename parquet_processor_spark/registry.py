@@ -147,6 +147,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_merge_upsert",
     "events_ohlc_bars",
     "agg_regression_multi",
+    "streaming_ohlc",
     # Then: oldest-checked first (TPC-H boosted within a staleness
     # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",

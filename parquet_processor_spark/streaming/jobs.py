@@ -429,3 +429,46 @@ def run_with_tombstones(events: DataFrame, state_dir: str, checkpoint: str) -> S
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_bars(
+    events: DataFrame, window_len: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming OHLC bars — the streaming twin of
+    ops/temporal.events_ohlc_bars: per (bar, series) first/max/min/last
+    value + count + exact-cents volume under a watermarked tumbling
+    window. Open/close use min_by/max_by over the (ts, event_id)
+    struct: ORDER-KEYED aggregates whose partial states merge
+    commutatively, so the result is independent of micro-batch
+    arrival order — the property a streaming first_value cannot give
+    (arrival order is trigger luck). State per bar is one struct per
+    extreme, bounded by bars x series like every watermarked agg."""
+    e = events.where(F.col("value").isNotNull()).select(
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ordkey = F.struct("ts", "event_id")
+    return (
+        e.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by("cents", ordkey).cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max_by("cents", ordkey).cast("long").alias("close_cents"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "n_events",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume_cents",
+        )
+    )

@@ -544,3 +544,42 @@ def streaming_forecast(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
     return forecast_of_daily(_run_stream(daily, "complete"))
+
+
+@query(
+    "streaming_ohlc",
+    # the batch twin's semantics spelled natively: DuckDB has no
+    # composite arg_min, so the (ts, event_id) order key is encoded as
+    # ONE hugeint epoch_us(ts)*C + event_id (event_id < C, so the
+    # encoding is order-isomorphic to the struct Spark's min_by sorts)
+    oracle="""
+    with m as (
+      select time_bucket(interval 1 hour, ts) as bar_start, event_type,
+             epoch_us(ts)::hugeint * 10000000000 + event_id as ord,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where value is not null
+    )
+    select bar_start, event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(arg_min(cents, ord) as bigint) as open_cents,
+           cast(max(cents) as bigint) as high_cents,
+           cast(min(cents) as bigint) as low_cents,
+           cast(arg_max(cents, ord) as bigint) as close_cents,
+           cast(sum(cents) as bigint) as volume_cents
+    from m group by bar_start, event_type
+    """,
+    tags=("streaming", "ohlc", "resample"),
+)
+def streaming_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """T6 extension — the resample-to-bars job as a genuine
+    Structured Streaming query (availableNow over the static fixture,
+    complete mode): watermarked hourly windows whose open/close come
+    from order-keyed min_by/max_by state, so bars are identical
+    whatever the micro-batch arrival order. With one static file the
+    watermark drops nothing and the result equals the batch twin
+    (ops/temporal.events_ohlc_bars), which is what the oracle replays.
+    """
+    from parquet_processor_spark.streaming.jobs import ohlc_bars
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    return _run_stream(ohlc_bars(events), "complete")

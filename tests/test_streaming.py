@@ -378,3 +378,16 @@ def test_streaming_forecast_equals_batch_twin(spark, sf_dir):
                 b["forecast_next"], b["forecast_7d"]) == (
             s["n_days"], s["slope"], s["intercept"], s["r2"],
             s["forecast_next"], s["forecast_7d"])
+
+
+def test_streaming_ohlc_matches_the_batch_twin(spark, sf_dir):
+    # Order-keyed min_by/max_by state must make the streamed bars equal
+    # the batch bars exactly, whatever micro-batch order delivered them.
+    from parquet_processor_spark.ops.temporal import events_ohlc_bars
+    from parquet_processor_spark.streaming.queries import streaming_ohlc
+
+    cols = ["bar_start", "event_type", "n_events", "open_cents",
+            "high_cents", "low_cents", "close_cents", "volume_cents"]
+    batch = {tuple(r[c] for c in cols) for r in events_ohlc_bars(spark, sf_dir).collect()}
+    stream = {tuple(r[c] for c in cols) for r in streaming_ohlc(spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
