@@ -148,6 +148,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_ohlc_bars",
     "agg_regression_multi",
     "streaming_ohlc",
+    "error_bootstrap_ci",
     # Then: oldest-checked first (TPC-H boosted within a staleness
     # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",
