@@ -236,6 +236,15 @@ EXTENDED = [
     "sink_bloom_pruned_scan",
     "report_source_overlap",
     "anonymize_pseudonymize",
+    # round-10 second-wave additions
+    "report_curation_funnel",
+    "sample_epoch_repeat",
+    "agg_bootstrap_ci",
+    "sink_merge_upsert",
+    "events_ohlc_bars",
+    "agg_regression_multi",
+    "streaming_ohlc",
+    "error_bootstrap_ci",
 ]
 
 

@@ -1210,3 +1210,64 @@ def test_bloom_pruned_scan_reads_only_probed_partitions(spark):
     plan = plan_of(spark, "sink_bloom_pruned_scan")
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("bucket" in ln and "[]" not in ln for ln in pf), plan
+
+
+# --- round-10 second-wave operators -------------------------------------
+
+
+def test_epoch_repeat_is_shuffle_free(spark):
+    # N191 claim: scan -> CASE -> generate, no exchange anywhere (the
+    # SCALE.md soak measures 0 shuffle bytes at every tier; this pins
+    # the plan so a regression can't reintroduce one silently).
+    plan = plan_of(spark, "sample_epoch_repeat")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_ohlc_bars_single_exchange_serves_windows_and_agg(spark):
+    # N194 claim: ONE hash exchange on (event_type, bar) feeds both
+    # rank windows and the final aggregate (AQE adds the 1-row result
+    # stage exchange only if the agg were global — it is keyed, so the
+    # keyed exchange must be the only one).
+    import re
+
+    plan = plan_of(spark, "events_ohlc_bars")
+    # formatted explain lists each node once in the tree and once as a
+    # "(n) Op" detail header — count the detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_bootstrap_ci_is_one_partial_agg_pass(spark):
+    # N192 claim: one scan, one 1-row aggregate merge — no window, no
+    # join, no generator; the only exchange carries the partial-agg row.
+    import re
+
+    plan = plan_of(spark, "agg_bootstrap_ci")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    for op in ("Window", "Join", "Generate"):
+        assert op not in plan, plan
+
+
+def test_regression_multi_moments_only_exchange(spark):
+    # N195 claim: the only shuffle is the per-group moment row merge
+    # (nine decimal sums); no window, no join.
+    import re
+
+    plan = plan_of(spark, "agg_regression_multi")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    for op in ("Window", "Join"):
+        assert op not in plan, plan
+
+
+def test_curation_funnel_one_window_shuffle(spark):
+    # N190 claim: the dedup flag's md5(text) window is the ONLY keyed
+    # shuffle; the five counts collapse in a global aggregate (second
+    # exchange is that 1-row merge) and the stage table is a
+    # constant-size explode of the single row.
+    import re
+
+    plan = plan_of(spark, "report_curation_funnel")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "Join" not in plan, plan
