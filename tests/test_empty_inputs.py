@@ -134,6 +134,7 @@ REPRESENTATIVE = [
     "anonymize_pseudonymize",  # keyed-token join over empty tables
     "sample_epoch_repeat",     # tier CASE + sequence generator, no rows
     "events_ohlc_bars",        # rank windows + bar aggregate over no bars
+    "streaming_ohlc",          # complete-mode bar stream over an empty source
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
