@@ -930,3 +930,33 @@ def error_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_BOOT_RATIO).alias("width_ratio"),
         F.expr(_BOOT_OK).alias("width_ok"),
     )
+
+
+@query(
+    "recall_sim_topk_lsh_multiprobe",
+    oracle=(
+        "select count(*) as n_brute, true as overlap_ok, true as dominates_ok "
+        f"from ({_ORACLES['sim_topk']})"
+    ),
+    tags=("vector", "lsh", "multiprobe", "evidence"),
+)
+def recall_sim_topk_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 overlap of multiprobe LSH vs brute-force cosine, PLUS the
+    dominance fact that makes multiprobe worth shipping: its candidate
+    set is a superset of single-probe's by construction, so its overlap
+    may never be lower. Gates: overlap >= 0.8 (the single-probe bar)
+    and overlap(multiprobe) >= overlap(single-probe)."""
+    brute = vector.sim_topk(spark, sf).select("vec_id")
+    multi = vector.sim_topk_lsh_multiprobe(spark, sf).select(F.col("vec_id").alias("m_id"))
+    single = vector.sim_topk_lsh(spark, sf).select(F.col("vec_id").alias("s_id"))
+    j = brute.join(multi, F.col("vec_id") == F.col("m_id"), "left").join(
+        single, F.col("vec_id") == F.col("s_id"), "left"
+    )
+    hit_m = F.sum(F.when(F.col("m_id").isNotNull(), 1).otherwise(0))
+    hit_s = F.sum(F.when(F.col("s_id").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return j.agg(
+        n.alias("n_brute"),
+        _gate(hit_m, n, 0.8).alias("overlap_ok"),
+        (hit_m >= hit_s).alias("dominates_ok"),
+    )

@@ -2946,3 +2946,92 @@ def mine_bitext_mutual(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("r_src") == 1) & (F.col("r_tgt") == 1) & (F.col("cos_sim") >= _BITEXT_TAU))
         .select("src_id", "tgt_id", "cos_sim")
     )
+
+
+# Multiprobe LSH (Lv et al. 2007, "Multi-Probe LSH"): besides the
+# query's own bucket in each band, probe the Hamming-1 perturbations
+# of its r-bit sign signature — the buckets a near neighbor most
+# likely fell into when ONE hyperplane's sign disagreed. Standard
+# practice (FAISS/FLANN) for buying recall without more hash tables:
+# same L bands, (r+1)x the probe keys, zero extra index state. The
+# band key layout (band*2^r + sig, sig in the low r bits) makes the
+# perturbations literal XORs of the key: key ^ 1, key ^ 2, key ^ 4.
+def _multiprobe_keys(col: F.Column) -> F.Column:
+    return F.array(
+        col,
+        *[col.bitwiseXOR(F.lit(1 << j)) for j in range(_PLANES_PER_BAND)],
+    )
+
+
+def _sim_topk_lsh_multiprobe_oracle(n_bands: int) -> str:
+    keys = ", ".join(_band_key_sql("e", b) for b in range(n_bands))
+    flips = ", ".join(f"xor(band_key, {1 << j})" for j in range(_PLANES_PER_BAND))
+    return f"""
+    with keyed as (
+      select e.vec_id, unnest([{keys}]) as band_key from embeddings e
+    ),
+    qk as (
+      select distinct unnest([band_key, {flips}]) as band_key
+      from keyed where vec_id = 0
+    ),
+    cand as (
+      select distinct k.vec_id from keyed k join qk using (band_key)
+      where k.vec_id <> 0
+    )
+    select b.vec_id, {_cos_sql('b', 'a')} as cos_sim
+    from embeddings b
+    join cand c on b.vec_id = c.vec_id
+    cross join (select embedding from embeddings where vec_id = 0) a
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """
+
+
+@query(
+    "sim_topk_lsh_multiprobe",
+    oracle=_sim_topk_lsh_multiprobe_oracle(_LSH_TOPK_BANDS),
+    tags=("vector", "lsh", "multiprobe"),
+)
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-LSH ANN top-k with Hamming-1 multiprobe: candidates =
+    vectors sharing any of the query's L band keys OR any single-bit
+    perturbation of them ((r+1)·L = 64 probe keys vs L = 16). Recovers
+    neighbors that one hyperplane's sign flipped into an adjacent
+    bucket — the recall knob that costs probe keys, not index state.
+
+    100 TB shape: identical to sim_topk_lsh — the corpus side's band
+    keys are the SAME Arrow kernel output (an at-rest index shared by
+    every probe policy), and the widened probe side is still a
+    broadcast of 64 longs feeding the same map-side equi-join; no new
+    shuffle, no second index. Hash-checked end to end (the XOR
+    perturbations are engine-neutral integer ops).
+    """
+    n_bands = _LSH_TOPK_BANDS
+    e = t(spark, sf, "embeddings")
+    keyed = e.select(
+        "vec_id",
+        "embedding",
+        F.explode_outer(lsh_band_keys_arrow(n_bands)(F.col("embedding"))).alias("band_key"),
+    )
+    q_keys = (
+        keyed.where(F.col("vec_id") == 0)
+        .select(F.explode(_multiprobe_keys(F.col("band_key"))).alias("q_key"))
+        .dropDuplicates(["q_key"])
+    )
+    q_emb = (
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
+    )
+    cand = (
+        keyed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q_keys), F.col("band_key") == F.col("q_key"))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        cand.crossJoin(F.broadcast(q_emb))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.col("cos_raw").alias("cos_sim"))
+    )

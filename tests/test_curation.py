@@ -1424,3 +1424,42 @@ def test_regression_multi_matches_numpy_lstsq(spark, sf_dir):
         assert abs(g["intercept"] - beta[0]) < 1e-6 * scale
         assert abs(g["beta_quantity"] - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
         assert abs(g["beta_discount"] - beta[2]) < 1e-4 * max(1.0, abs(beta[2]))
+
+
+def test_ohlc_bars_invariant_to_input_order_and_layout(spark, tmp_path):
+    # The deterministic (ts, event_id) tiebreak is the operator's
+    # contract: bars must be identical when the input file holds the
+    # same rows in reverse order and a different partition layout.
+    from parquet_processor_spark.ops.temporal import events_ohlc_bars
+    from parquet_processor_spark.tables import t
+
+    src = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in events_ohlc_bars(spark, src).collect()}
+    alt = str(tmp_path / "alt")
+    (
+        t(spark, src, "events")
+        .orderBy("value", "event_id", ascending=False)
+        .repartition(7)
+        .write.parquet(f"{alt}/events.parquet")
+    )
+    shuffled = {tuple(r) for r in events_ohlc_bars(spark, alt).collect()}
+    assert shuffled == base and len(base) > 0
+
+
+def test_bootstrap_ci_invariant_to_partition_layout(spark, tmp_path):
+    # Replicate weights are a pure function of event_id, and the sums
+    # are exact integers — so the CI must be BITWISE identical under
+    # any partitioning of the same rows.
+    from parquet_processor_spark.ops.aggregates import agg_bootstrap_ci
+    from parquet_processor_spark.tables import t
+
+    src = "/root/testdata/sf0.001"
+    base = agg_bootstrap_ci(spark, src).collect()[0]
+    alt = str(tmp_path / "alt")
+    (
+        t(spark, src, "events")
+        .repartition(13, "event_type")
+        .write.parquet(f"{alt}/events.parquet")
+    )
+    other = agg_bootstrap_ci(spark, alt).collect()[0]
+    assert tuple(base) == tuple(other)
