@@ -967,3 +967,135 @@ def report_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# Generalization-ladder k-anonymity (Samarati 2001, full-domain
+# generalization; the OTHER half of the Sweeney mechanism
+# anonymize_k_anonymity suppresses with): rather than nulling small QI
+# groups, generalize the geography attribute — nation -> region -> '*'
+# here, with the region level coming from the nation dimension (a
+# genuine hierarchy table, not a hand map) — to the MINIMAL level at
+# which EVERY group clears k. One level for the whole release
+# (full-domain), which is what makes the property provable: per-row
+# "minimal" generalization fragments the anonymity set (a row released
+# at region level is NOT hidden among rows that released their exact
+# nation), a classic broken-anonymizer bug this operator exists to
+# avoid. The achieved level and group size are emitted per row so the
+# release is auditable; the k property over the RELEASED values is
+# asserted by the pytest suite, not just promised.
+_KGEN = 10  # the release ladder climbs until EVERY group clears this
+# (the fixture picks different levels at different SFs — the point)
+
+
+@query(
+    "anonymize_generalize",
+    oracle=f"""
+    with c as (
+      select c_custkey, c_mktsegment, c_nationkey, n.n_regionkey
+      from customer join nation n on c_nationkey = n.n_nationkey
+    ),
+    m as (
+      select
+        (select coalesce(min(n), 0) from (
+           select count(*) as n from c group by c_mktsegment, c_nationkey)) as min0,
+        (select coalesce(min(n), 0) from (
+           select count(*) as n from c group by c_mktsegment, n_regionkey)) as min1,
+        (select coalesce(min(n), 0) from (
+           select count(*) as n from c group by c_mktsegment)) as min2
+    ),
+    lvl as (
+      select case when min0 >= {_KGEN} then 0
+                  when min1 >= {_KGEN} then 1
+                  when min2 >= {_KGEN} then 2
+                  else 3 end as gen_level
+      from m
+    ),
+    rel as (
+      select c.c_custkey, l.gen_level,
+             case when l.gen_level <= 2 then c.c_mktsegment else '*' end
+               as qi_segment,
+             case l.gen_level
+               when 0 then cast(c.c_nationkey as varchar)
+               when 1 then 'region:' || cast(c.n_regionkey as varchar)
+               else '*' end as qi_geo
+      from c, lvl l
+    )
+    select c_custkey, gen_level, qi_segment, qi_geo,
+           cast(count(*) over (partition by qi_segment, qi_geo) as bigint)
+             as qi_group_n
+    from rel
+    """,
+    tags=("curation", "governance", "privacy", "generalize"),
+)
+def anonymize_generalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Release all customers at the minimal generalization level —
+    nation, region, geography-suppressed, or (last rung) fully
+    suppressed QI — at which EVERY released group reaches k={k}.
+    ``gen_level`` (same for all rows, full-domain) and each released
+    group's size make the ladder auditable; the last rung collapses
+    the release to ONE group, so the k property can only fail if the
+    whole population is under k (in which case nothing is releasable
+    and the audit column shows it).
+
+    100 TB shape: the level decision is two map-side-combined count
+    aggregates collapsed to a 1-row broadcast (min group size per
+    level); the hierarchy join broadcasts the nation dimension; the
+    released-group sizes are one window over the released QI key —
+    the only fact-table shuffle, and it's the same exchange a
+    release-audit count would pay anyway. Adding ladder rungs adds
+    1-row broadcast minimums, never fact-table passes.
+    """.format(k=_KGEN)
+    c = (
+        t(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "n_regionkey")
+    )
+    min0 = (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.min("n"), F.lit(0)).alias("min0"))
+    )
+    min1 = (
+        c.groupBy("c_mktsegment", "n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.min("n"), F.lit(0)).alias("min1"))
+    )
+    min2 = (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.min("n"), F.lit(0)).alias("min2"))
+    )
+    lvl = min0.crossJoin(min1).crossJoin(min2).select(
+        F.when(F.col("min0") >= _KGEN, 0)
+        .when(F.col("min1") >= _KGEN, 1)
+        .when(F.col("min2") >= _KGEN, 2)
+        .otherwise(3)
+        .alias("gen_level")
+    )
+    rel = c.crossJoin(F.broadcast(lvl)).select(
+        "c_custkey",
+        "gen_level",
+        F.when(F.col("gen_level") <= 2, F.col("c_mktsegment"))
+        .otherwise(F.lit("*"))
+        .alias("qi_segment"),
+        F.when(F.col("gen_level") == 0, F.col("c_nationkey").cast("string"))
+        .when(
+            F.col("gen_level") == 1,
+            F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")),
+        )
+        .otherwise(F.lit("*"))
+        .alias("qi_geo"),
+    )
+    w = Window.partitionBy("qi_segment", "qi_geo")
+    return rel.select(
+        "c_custkey",
+        "gen_level",
+        "qi_segment",
+        "qi_geo",
+        F.count(F.lit(1)).over(w).cast("long").alias("qi_group_n"),
+    )

@@ -1463,3 +1463,33 @@ def test_bootstrap_ci_invariant_to_partition_layout(spark, tmp_path):
     )
     other = agg_bootstrap_ci(spark, alt).collect()[0]
     assert tuple(base) == tuple(other)
+
+
+def test_generalize_release_satisfies_k_anonymity(spark, sf_dir):
+    # The property itself, over RELEASED values: every (qi_segment,
+    # qi_geo) combination in the release must cover >= k individuals
+    # (full-domain generalization makes this provable; this measures it).
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.curation import _KGEN, anonymize_generalize
+    from parquet_processor_spark.tables import t
+
+    out = anonymize_generalize(spark, sf_dir)
+    groups = out.groupBy("qi_segment", "qi_geo").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(groups) > 0
+    assert all(g["n"] >= _KGEN for g in groups), sorted(g["n"] for g in groups)[:5]
+    # every customer appears exactly once, level is uniform (full-domain)
+    assert out.count() == t(spark, sf_dir, "customer").count()
+    assert out.select("gen_level").distinct().count() == 1
+    # and the level is MINIMAL: level-1 releases mean some level-0 group
+    # was under k (and so on) — recompute the would-be level-0 minimum
+    lvl = out.select("gen_level").first()["gen_level"]
+    if lvl >= 1:
+        m0 = (
+            t(spark, sf_dir, "customer")
+            .groupBy("c_mktsegment", "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.min("n").alias("m"))
+            .first()["m"]
+        )
+        assert m0 < _KGEN
