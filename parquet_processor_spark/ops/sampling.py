@@ -1114,3 +1114,92 @@ def sample_epoch_repeat(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1).cast("int"), F.col("epochs"))).alias("epoch"),
         )
     )
+
+
+# Concat-and-chunk packing — the GPT pretraining data layout: the
+# corpus is one global token stream (docs concatenated in a
+# deterministic order) cut into fixed-size training sequences, with
+# documents crossing sequence boundaries split across them. The other
+# packing shapes here — pack_sequences (greedy whole-doc bins) and
+# doc_chunk_windows (per-doc windows) — never split a doc across
+# bins; this one does, which is what makes every sequence EXACTLY the
+# training context length with zero padding.
+_CHUNK_SEQ_LEN = 512
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+    with d as (
+      select doc_id,
+             cast(len(regexp_split_to_array(text, '\\s+')) as bigint) as n_tokens
+      from documents
+    ),
+    g as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (
+                    order by doc_id rows between unbounded preceding
+                    and 1 preceding), 0) as bigint) as tok_start
+      from d
+    ),
+    spans as (
+      select doc_id, n_tokens, tok_start,
+             unnest(generate_series(tok_start // {_CHUNK_SEQ_LEN},
+                                    (tok_start + n_tokens - 1) // {_CHUNK_SEQ_LEN}))
+               as seq_id
+      from g
+    )
+    select doc_id, cast(seq_id as bigint) as seq_id,
+           cast(greatest(seq_id * {_CHUNK_SEQ_LEN}, tok_start) - tok_start
+                as bigint) as doc_tok_from,
+           cast(greatest(seq_id * {_CHUNK_SEQ_LEN}, tok_start)
+                - seq_id * {_CHUNK_SEQ_LEN} as bigint) as seq_tok_from,
+           cast(least((seq_id + 1) * {_CHUNK_SEQ_LEN}, tok_start + n_tokens)
+                - greatest(seq_id * {_CHUNK_SEQ_LEN}, tok_start) as bigint) as n_toks
+    from spans
+    """,
+    tags=("sampling", "packing", "text"),
+)
+def pack_concat_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign every document its (sequence, offset) spans in the
+    concatenated-corpus layout: sequences are exactly {B} tokens, a
+    doc whose tokens straddle a boundary emits one span row per
+    touched sequence with in-doc and in-sequence offsets — the
+    manifest a shard writer uses to materialize fixed-length training
+    rows without padding.
+
+    100 TB shape: the global token offset comes from the TWO-PHASE
+    cumulative sum (data-derived buckets, per-bucket window,
+    broadcast triangular offsets — windows.global_cumsum_before), so
+    no single-partition Window.orderBy ever sees the corpus; the span
+    expansion is a generator bounded by ceil(doc_len/{B})+1 rows per
+    doc. Only (doc_id, counts) longs move — text never shuffles; the
+    oracle spells the same arithmetic over a plain single-stream
+    window.
+    """.format(B=_CHUNK_SEQ_LEN)
+    from parquet_processor_spark.ops.windows import global_cumsum_before
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens")
+    )
+    g = global_cumsum_before(d, "doc_id", "n_tokens", out_col="tok_start")
+    B = _CHUNK_SEQ_LEN
+    s0 = (F.col("tok_start") / B).cast("long")
+    s1 = ((F.col("tok_start") + F.col("n_tokens") - 1) / B).cast("long")
+    spans = g.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.explode(F.sequence(s0, s1)).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("seq_id") * B, F.col("tok_start"))
+    seg_end = F.least(
+        (F.col("seq_id") + 1) * B, F.col("tok_start") + F.col("n_tokens")
+    )
+    return spans.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_start - F.col("tok_start")).cast("long").alias("doc_tok_from"),
+        (seg_start - F.col("seq_id") * B).cast("long").alias("seq_tok_from"),
+        (seg_end - seg_start).cast("long").alias("n_toks"),
+    )

@@ -263,3 +263,49 @@ def topk_order_limit(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .limit(10)
     )
+
+
+def global_cumsum_before(
+    df: DataFrame,
+    key: str,
+    val: str,
+    out_col: str = "cum_before",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Scalable EXCLUSIVE global running sum of ``val`` in ``key``
+    order — :func:`global_row_number` generalized from count to sum
+    (identical two-phase shape: data-derived buckets, local window,
+    triangular B-row offset join; see that docstring for why
+    repartitionByRange would be unsafe). Row i gets the sum of ``val``
+    over all rows with a strictly smaller key."""
+    spark = df.sparkSession
+    b = num_buckets or spark.sparkContext.defaultParallelism * 4
+    stats = df.agg(F.min(key).alias("_kmin"), F.max(key).alias("_kmax"))
+    bucketed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.floor(
+            (F.col(key) - F.col("_kmin"))
+            * F.lit(b)
+            / (F.col("_kmax") - F.col("_kmin") + F.lit(1))
+        ),
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_lcs", F.coalesce(F.sum(val).over(w), F.lit(0)).cast("long")
+    )
+    totals = local.groupBy("_bkt").agg(F.sum(val).cast("long").alias("_tot"))
+    x, y = totals.alias("x"), totals.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y._bkt") < F.col("x._bkt"), "left")
+        .groupBy(F.col("x._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("y._tot"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, F.col("_lcs") + F.col("_off"))
+        .drop("_bkt", "_lcs", "_off", "_kmin", "_kmax")
+    )

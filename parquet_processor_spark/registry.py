@@ -152,6 +152,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_topk_lsh_multiprobe",
     "recall_sim_topk_lsh_multiprobe",
     "anonymize_generalize",
+    "pack_concat_chunks",
     # Then: oldest-checked first (TPC-H boosted within a staleness
     # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",

@@ -1493,3 +1493,39 @@ def test_generalize_release_satisfies_k_anonymity(spark, sf_dir):
             .first()["m"]
         )
         assert m0 < _KGEN
+
+
+def test_concat_chunks_partition_the_token_stream_exactly(spark, sf_dir):
+    # The packing invariants: spans per doc cover the doc's tokens
+    # exactly once; every sequence except the last is exactly full.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.sampling import _CHUNK_SEQ_LEN, pack_concat_chunks
+    from parquet_processor_spark.tables import t
+
+    out = pack_concat_chunks(spark, sf_dir)
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+        .collect()
+    }
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id").agg(F.sum("n_toks").alias("s")).collect()
+    }
+    assert per_doc == docs
+    seqs = sorted(
+        (r["seq_id"], r["s"])
+        for r in out.groupBy("seq_id").agg(F.sum("n_toks").alias("s")).collect()
+    )
+    # contiguous sequence ids from 0; all full except possibly the last
+    assert [s for s, _ in seqs] == list(range(len(seqs)))
+    assert all(n == _CHUNK_SEQ_LEN for _, n in seqs[:-1])
+    assert 0 < seqs[-1][1] <= _CHUNK_SEQ_LEN
+    # offsets stay inside the sequence
+    bad = out.where(
+        (F.col("seq_tok_from") < 0)
+        | (F.col("seq_tok_from") + F.col("n_toks") > _CHUNK_SEQ_LEN)
+    ).count()
+    assert bad == 0
