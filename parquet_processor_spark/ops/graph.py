@@ -815,3 +815,110 @@ def graph_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
         nodes.join(dists, "node", "left")
         .select("node", "dist", F.col("dist").isNotNull().alias("reached"))
     )
+
+
+# Deterministic random-walk sampling (DeepWalk/node2vec corpus prep:
+# truncated walks from seed nodes become the "sentences" a skip-gram
+# embedding trains on). The walk is pseudo-random but PURE: the next
+# hop from node u in walk w at step s is the neighbor minimizing
+# md5(w:s:neighbor) — a keyed hash draw both engines replay, so the
+# sampled corpus is reproducible across runs, retries, and engines
+# (rand()-driven walks are none of these). Tie-break inside the
+# argmin key: the 32-hex md5 string concatenated with the zero-padded
+# neighbor id, so even a hash collision picks one winner everywhere.
+_WALK_STEPS = 3
+_WALK_SEED_MOD = 50  # customers with ck % 50 == 0 seed a walk
+
+
+def _walk_key_sql(w: str, s: int, v: str) -> str:
+    return f"md5(cast({w} as varchar) || ':{s}:' || cast({v} as varchar)) || lpad(cast({v} as varchar), 12, '0')"
+
+
+def _walk_step_sql(prev: str, s: int) -> str:
+    return f"""
+      select p.walk_id, {s} as step,
+             min_by(e.dst, {_walk_key_sql('p.walk_id', s, 'e.dst')}) as node
+      from {prev} p join edges e on e.src = p.node
+      group by p.walk_id
+    """
+
+
+@query(
+    "graph_random_walks",
+    oracle=f"""
+    with e0 as (
+      select distinct o_custkey as ck, l_suppkey as sk
+      from orders join lineitem on l_orderkey = o_orderkey
+    ),
+    edges as (
+      select cast(2 * ck as bigint) as src, cast(2 * sk + 1 as bigint) as dst from e0
+      union all
+      select cast(2 * sk + 1 as bigint) as src, cast(2 * ck as bigint) as dst from e0
+    ),
+    w0 as (
+      select distinct src as walk_id, 0 as step, src as node from edges
+      where src % 2 = 0 and (src / 2) % {_WALK_SEED_MOD} = 0
+    ),
+    w1 as ({_walk_step_sql('w0', 1)}),
+    w2 as ({_walk_step_sql('w1', 2)}),
+    w3 as ({_walk_step_sql('w2', 3)})
+    select walk_id, cast(step as int) as step, node from w0
+    union all select walk_id, cast(step as int), node from w1
+    union all select walk_id, cast(step as int), node from w2
+    union all select walk_id, cast(step as int), node from w3
+    """,
+    tags=("graph", "sampling", "iterative"),
+)
+def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-{K} hash-deterministic walks over the trade graph from
+    every {M}th customer node: per step, the frontier joins the edge
+    list and each walk keeps the neighbor with the minimal keyed md5
+    draw — the DeepWalk corpus sampler as a reproducible dataflow.
+
+    100 TB shape: each step is ONE keyed join of the (walk_id, node)
+    frontier against the edge list plus a map-side-combined argmin
+    per walk — cost is bounded by (walks x avg degree) per step,
+    never touching non-frontier nodes; K steps = K such rounds, the
+    same one-shuffle-per-round discipline as the PageRank/BFS/k-means
+    loops. The walk spine is two longs per row; nothing else moves.
+    """.format(K=_WALK_STEPS, M=_WALK_SEED_MOD)
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = e0.select(
+        (2 * F.col("o_custkey")).alias("src"), (2 * F.col("l_suppkey") + 1).alias("dst")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    frontier = (
+        edges.where((F.col("src") % 2 == 0) & ((F.col("src") / 2) % _WALK_SEED_MOD == 0))
+        .select(F.col("src").alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.lit(0).cast("int").alias("step"), F.col("walk_id").alias("node"))
+    )
+    out = frontier
+    for s in range(1, _WALK_STEPS + 1):
+        key = F.concat(
+            F.md5(
+                F.concat(
+                    F.col("walk_id").cast("string"),
+                    F.lit(f":{s}:"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            F.lpad(F.col("dst").cast("string"), 12, "0"),
+        )
+        frontier = (
+            frontier.select("walk_id", "node")
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy("walk_id")
+            .agg(F.min_by("dst", key).alias("node"))
+            .select("walk_id", F.lit(s).cast("int").alias("step"), "node")
+        )
+        out = out.unionByName(frontier)
+    return out

@@ -2579,3 +2579,55 @@ def events_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cents").cast("long").alias("volume_cents"),
         )
     )
+
+
+# Per-window trending top-k: the "what's hot this hour" dashboard
+# primitive — per hour, the k most active users. The point at scale is
+# the plan: rank<=k directly over a row_number window triggers Spark's
+# WindowGroupLimit rewrite, so each map task pre-prunes to its local
+# top-k per hour BEFORE the shuffle — a billion-event hour ships k
+# rows per task, not a billion (the curation_cap_per_source rewrite,
+# applied to the time axis).
+_TREND_K = 5
+
+
+@query(
+    "events_trending_topk",
+    oracle=f"""
+    with c as (
+      select time_bucket(interval 1 hour, ts) as hour_start, user_id,
+             cast(count(*) as bigint) as n_events
+      from events group by 1, 2
+    )
+    select hour_start, user_id, n_events, rk from (
+      select *, row_number() over (
+        partition by hour_start order by n_events desc, user_id) as rk
+      from c
+    ) where rk <= {_TREND_K}
+    """,
+    tags=("temporal", "window", "topk"),
+)
+def events_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} users per hour by event count, rank carried and ties
+    broken by user_id so the leaderboard is deterministic.
+
+    100 TB shape: one map-side-combined (hour, user) count, then a
+    WindowGroupLimit-rewritten rank filter — per-task partial top-k
+    before the hour-keyed exchange (plan-asserted). State per hour is
+    k rows; the full user×hour matrix never materializes anywhere
+    downstream of the first aggregate.
+    """.format(k=_TREND_K)
+    c = (
+        t(spark, sf, "events")
+        .groupBy(
+            F.window("ts", "1 hour")["start"].alias("hour_start"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        c.select("hour_start", "user_id", "n_events", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _TREND_K)
+    )

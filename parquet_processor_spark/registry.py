@@ -153,6 +153,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_sim_topk_lsh_multiprobe",
     "anonymize_generalize",
     "pack_concat_chunks",
+    "graph_random_walks",
+    "events_trending_topk",
     # Then: oldest-checked first (TPC-H boosted within a staleness
     # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",

@@ -1529,3 +1529,35 @@ def test_concat_chunks_partition_the_token_stream_exactly(spark, sf_dir):
         | (F.col("seq_tok_from") + F.col("n_toks") > _CHUNK_SEQ_LEN)
     ).count()
     assert bad == 0
+
+
+def test_random_walks_are_valid_paths(spark, sf_dir):
+    # Every walk must be a genuine path in the trade graph: step-s node
+    # adjacent to step-(s-1) node; walks alternate customer/supplier
+    # sides (bipartite); one row per (walk, step).
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.graph import _WALK_STEPS, graph_random_walks
+    from parquet_processor_spark.tables import t
+
+    rows = graph_random_walks(spark, sf_dir).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(walks) > 0
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_custkey", "l_suppkey"
+        ).distinct().collect()
+    }
+    def adjacent(a, b):
+        c, s = (a, b) if a % 2 == 0 else (b, a)
+        return c % 2 == 0 and s % 2 == 1 and (c // 2, s // 2) in pairs
+    for wid, steps in walks.items():
+        assert steps[0] == wid and wid % 2 == 0
+        for s in range(1, max(steps) + 1):
+            assert adjacent(steps[s - 1], steps[s]), (wid, s)
+        assert max(steps) <= _WALK_STEPS

@@ -1271,3 +1271,10 @@ def test_curation_funnel_one_window_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_trending_topk_uses_window_group_limit(spark):
+    # N-trending claim: rank<=k right above row_number triggers the
+    # WindowGroupLimit rewrite (per-task partial top-k pre-shuffle).
+    plan = plan_of(spark, "events_trending_topk")
+    assert "WindowGroupLimit" in plan, plan
