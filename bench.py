@@ -245,6 +245,11 @@ EXTENDED = [
     "agg_regression_multi",
     "streaming_ohlc",
     "error_bootstrap_ci",
+    "sim_topk_lsh_multiprobe",
+    "anonymize_generalize",
+    "pack_concat_chunks",
+    "graph_random_walks",
+    "events_trending_topk",
 ]
 
 

@@ -17,7 +17,7 @@ makes the fixpoint deterministic and the oracle hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_processor_spark.registry import query
@@ -828,6 +828,15 @@ def graph_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
 # neighbor id, so even a hash collision picks one winner everywhere.
 _WALK_STEPS = 3
 _WALK_SEED_MOD = 50  # customers with ck % 50 == 0 seed a walk
+# Hub cap — the df-cap discipline applied to walk sampling: a power-law
+# hub's walk step would otherwise enumerate its ENTIRE neighbor list
+# per visiting walk (walks x degree candidates — measured superlinear
+# on the x100 soak, where replication makes suppliers hubs). Each node
+# instead draws within a bounded neighbor subset chosen by a
+# walk-independent hash rank (md5(src:dst)) — precomputable once per
+# graph, so the per-step cost is bounded by walks x cap. Within-subset
+# draws stay keyed by (walk, step), so walks still diverge.
+_WALK_NEIGHBOR_CAP = 32
 
 
 def _walk_key_sql(w: str, s: int, v: str) -> str:
@@ -838,7 +847,7 @@ def _walk_step_sql(prev: str, s: int) -> str:
     return f"""
       select p.walk_id, {s} as step,
              min_by(e.dst, {_walk_key_sql('p.walk_id', s, 'e.dst')}) as node
-      from {prev} p join edges e on e.src = p.node
+      from {prev} p join ecap e on e.src = p.node
       group by p.walk_id
     """
 
@@ -854,6 +863,13 @@ def _walk_step_sql(prev: str, s: int) -> str:
       select cast(2 * ck as bigint) as src, cast(2 * sk + 1 as bigint) as dst from e0
       union all
       select cast(2 * sk + 1 as bigint) as src, cast(2 * ck as bigint) as dst from e0
+    ),
+    ecap as (
+      select src, dst from edges
+      qualify row_number() over (
+        partition by src
+        order by md5(cast(src as varchar) || '>' || cast(dst as varchar)), dst)
+        <= {_WALK_NEIGHBOR_CAP}
     ),
     w0 as (
       select distinct src as walk_id, 0 as step, src as node from edges
@@ -876,11 +892,14 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     draw — the DeepWalk corpus sampler as a reproducible dataflow.
 
     100 TB shape: each step is ONE keyed join of the (walk_id, node)
-    frontier against the edge list plus a map-side-combined argmin
-    per walk — cost is bounded by (walks x avg degree) per step,
-    never touching non-frontier nodes; K steps = K such rounds, the
-    same one-shuffle-per-round discipline as the PageRank/BFS/k-means
-    loops. The walk spine is two longs per row; nothing else moves.
+    frontier against the CAPPED neighbor lists plus a map-side
+    argmin per walk — cost is bounded by walks x cap per step (the
+    uncapped form paid walks x degree and went superlinear on the
+    hub-dense x100 soak), never touching non-frontier nodes; K steps
+    = K one-shuffle rounds (the PageRank/BFS/k-means loop
+    discipline). The cap subset is walk-independent (md5(src:dst)
+    rank), so it is computed once per graph — at rest in production —
+    and the WindowGroupLimit rewrite prunes it map-side here.
     """.format(K=_WALK_STEPS, M=_WALK_SEED_MOD)
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
@@ -895,6 +914,17 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    wc = Window.partitionBy("src").orderBy(
+        F.md5(
+            F.concat(F.col("src").cast("string"), F.lit(">"), F.col("dst").cast("string"))
+        ),
+        "dst",
+    )
+    ecap = (
+        edges.withColumn("_rk", F.row_number().over(wc))
+        .where(F.col("_rk") <= _WALK_NEIGHBOR_CAP)
+        .drop("_rk")
+    ).localCheckpoint()  # eager-by-design: the capped adjacency feeds every walk step — pay the cap window once, not once per step (production keeps it at rest)
     frontier = (
         edges.where((F.col("src") % 2 == 0) & ((F.col("src") / 2) % _WALK_SEED_MOD == 0))
         .select(F.col("src").alias("walk_id"))
@@ -915,7 +945,7 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
         )
         frontier = (
             frontier.select("walk_id", "node")
-            .join(edges, F.col("node") == F.col("src"))
+            .join(ecap, F.col("node") == F.col("src"))
             .groupBy("walk_id")
             .agg(F.min_by("dst", key).alias("node"))
             .select("walk_id", F.lit(s).cast("int").alias("step"), "node")

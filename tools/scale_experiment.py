@@ -156,7 +156,9 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          # round-10 second-wave additions
          "report_curation_funnel", "sample_epoch_repeat",
          "agg_bootstrap_ci", "sink_merge_upsert", "events_ohlc_bars",
-         "agg_regression_multi"]
+         "agg_regression_multi", "streaming_ohlc", "error_bootstrap_ci",
+         "sim_topk_lsh_multiprobe", "anonymize_generalize",
+         "pack_concat_chunks", "graph_random_walks", "events_trending_topk"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
