@@ -135,6 +135,11 @@ REPRESENTATIVE = [
     "sample_epoch_repeat",     # tier CASE + sequence generator, no rows
     "events_ohlc_bars",        # rank windows + bar aggregate over no bars
     "streaming_ohlc",          # complete-mode bar stream over an empty source
+    "sim_topk_lsh_multiprobe", # XOR-widened probe keys over empty buckets
+    "anonymize_generalize",    # ladder release over an empty population
+    "pack_concat_chunks",      # two-phase global cumsum over no docs
+    "graph_random_walks",      # seed frontier over an empty edge list
+    "events_trending_topk",    # per-hour WindowGroupLimit over no events
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
