@@ -250,6 +250,7 @@ EXTENDED = [
     "pack_concat_chunks",
     "graph_random_walks",
     "events_trending_topk",
+    "agg_classification_report",
 ]
 
 

@@ -1789,3 +1789,101 @@ def feature_hashing_trick(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+# Per-class classification report (precision / recall / F1 + support)
+# — the standard eval artifact for ANY labeler in the pipeline,
+# computed here over the lang_id heuristic against gold labels. The
+# ratio formulas are ONE shared text parsed by both engines (the
+# agg_regression_multi recipe), with try-division semantics: a class
+# never predicted has NULL precision, a class absent from gold has
+# NULL recall, F1 NULL when either is (sklearn emits 0 there; NULL is
+# the honest value and survives the hash check).
+_CR_PREC = "(cast(tp as double) / nullif(tp + fp, 0))"
+_CR_REC = "(cast(tp as double) / nullif(tp + fn, 0))"
+_CR_F1 = (
+    f"(2 * {_CR_PREC} * {_CR_REC} / nullif({_CR_PREC} + {_CR_REC}, 0.0))"
+)
+
+
+def _classification_report_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    return f"""
+    with pred as ( {_ORACLES['lang_id']} ),
+    a as (
+      select lang as cls, cast(count(*) as bigint) as n_actual,
+             cast(sum(case when predicted_lang = lang then 1 else 0 end)
+                  as bigint) as tp
+      from pred group by lang
+    ),
+    p as (
+      select predicted_lang as cls, cast(count(*) as bigint) as n_pred
+      from pred group by predicted_lang
+    ),
+    m as (
+      select coalesce(a.cls, p.cls) as cls,
+             coalesce(a.tp, 0) as tp,
+             coalesce(p.n_pred, 0) - coalesce(a.tp, 0) as fp,
+             coalesce(a.n_actual, 0) - coalesce(a.tp, 0) as fn,
+             coalesce(a.n_actual, 0) as support
+      from a full outer join p on a.cls = p.cls
+    )
+    select cls, tp, fp, fn, support,
+           {_CR_PREC} as precision_c,
+           {_CR_REC} as recall_c,
+           {_CR_F1} as f1_c
+    from m
+    """
+
+
+@query(
+    "agg_classification_report",
+    oracle=_classification_report_oracle(),
+    tags=("agg", "eval", "text", "ml"),
+)
+def agg_classification_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class TP/FP/FN, support, precision, recall, F1 for the
+    lang_id labeler against gold ``lang`` — one row per class seen in
+    gold OR predictions (a never-predicted class like the corpus's
+    'zh' shows support with NULL precision; a hallucinated class
+    would show predictions with NULL recall).
+
+    100 TB shape: the prediction is map-side codegen beside the scan;
+    the report is two map-side-combined class-keyed counts (gold side
+    carries TP in the same pass) full-outer-joined on the tiny class
+    domain — the fact table is scanned once and never shuffled beyond
+    |classes| count rows. Ratios are IEEE divisions on the per-class
+    result rows from one shared formula text, so the report
+    hash-checks bitwise.
+    """
+    pred = lang_id(spark, sf)
+    a = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual"),
+        F.sum(F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp_a"),
+    )
+    p = pred.groupBy(F.col("predicted_lang").alias("cls_p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    m = (
+        a.join(p, a["cls"] == p["cls_p"], "full_outer")
+        .select(
+            F.coalesce(F.col("cls"), F.col("cls_p")).alias("cls"),
+            F.coalesce(F.col("tp_a"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp_a"), F.lit(0))).alias("fp"),
+            (F.coalesce(F.col("n_actual"), F.lit(0)) - F.coalesce(F.col("tp_a"), F.lit(0))).alias("fn"),
+            F.coalesce(F.col("n_actual"), F.lit(0)).alias("support"),
+        )
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.expr(_CR_PREC).alias("precision_c"),
+        F.expr(_CR_REC).alias("recall_c"),
+        F.expr(_CR_F1).alias("f1_c"),
+    )

@@ -155,6 +155,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pack_concat_chunks",
     "graph_random_walks",
     "events_trending_topk",
+    "agg_classification_report",
     # Then: oldest-checked first (TPC-H boosted within a staleness
     # tier; the r3 remainder rotates into the r11 window) ----
     "q17_small_quantity",

@@ -1561,3 +1561,34 @@ def test_random_walks_are_valid_paths(spark, sf_dir):
         for s in range(1, max(steps) + 1):
             assert adjacent(steps[s - 1], steps[s]), (wid, s)
         assert max(steps) <= _WALK_STEPS
+
+
+def test_classification_report_matches_sklearn_style_identities(spark, sf_dir):
+    from parquet_processor_spark.ops.text import agg_classification_report, lang_id
+    from parquet_processor_spark.tables import t
+
+    rows = {r["cls"]: r for r in agg_classification_report(spark, sf_dir).collect()}
+    pred = lang_id(spark, sf_dir).collect()
+    from collections import Counter
+
+    tp, actual, predicted = Counter(), Counter(), Counter()
+    for r in pred:
+        actual[r["lang"]] += 1
+        predicted[r["predicted_lang"]] += 1
+        if r["lang"] == r["predicted_lang"]:
+            tp[r["lang"]] += 1
+    assert set(rows) == set(actual) | set(predicted)
+    for c, r in rows.items():
+        assert (r["tp"], r["support"]) == (tp[c], actual[c])
+        assert r["fp"] == predicted[c] - tp[c] and r["fn"] == actual[c] - tp[c]
+        if predicted[c]:
+            assert abs(r["precision_c"] - tp[c] / predicted[c]) < 1e-12
+        else:
+            assert r["precision_c"] is None
+        if actual[c]:
+            assert abs(r["recall_c"] - tp[c] / actual[c]) < 1e-12
+        pr, rc = r["precision_c"], r["recall_c"]
+        if pr and rc:
+            assert abs(r["f1_c"] - 2 * pr * rc / (pr + rc)) < 1e-12
+    # totals: sum tp+fn == corpus size
+    assert sum(r["support"] for r in rows.values()) == len(pred)

@@ -158,7 +158,8 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "agg_bootstrap_ci", "sink_merge_upsert", "events_ohlc_bars",
          "agg_regression_multi", "streaming_ohlc", "error_bootstrap_ci",
          "sim_topk_lsh_multiprobe", "anonymize_generalize",
-         "pack_concat_chunks", "graph_random_walks", "events_trending_topk"]
+         "pack_concat_chunks", "graph_random_walks", "events_trending_topk",
+         "agg_classification_report"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
