@@ -2784,6 +2784,13 @@ def _boot_w(u: F.Column) -> F.Column:
     return w.cast("long")
 
 
+def _boot_mean_text(b: int) -> str:
+    # nullif keeps a zero-total-weight replicate (possible on tiny
+    # corpora: P = (1-1/e)^n per replicate) a NULL mean in BOTH engines
+    # instead of an ANSI divide-by-zero error on the Spark side.
+    return f"cast(swx{b} as double) / (100.0 * nullif(sw{b}, 0))"
+
+
 def _boot_oracle() -> str:
     def u(b: int) -> str:
         a_c, b_c = _boot_perm_consts()[b]
@@ -2803,9 +2810,7 @@ def _boot_oracle() -> str:
         f"cast(sum({w(b)} * cents) as bigint) as swx{b}"
         for b in range(_BOOT_B)
     )
-    means = ", ".join(
-        f"cast(swx{b} as double) / (100.0 * sw{b})" for b in range(_BOOT_B)
-    )
+    means = ", ".join(_boot_mean_text(b) for b in range(_BOOT_B))
     return f"""
     with m as (
       select ('0x' || substr(md5(concat('boot:', event_id)), 1, 15))::bigint as h,
@@ -2819,10 +2824,10 @@ def _boot_oracle() -> str:
       from m
     ),
     o as (
-      select n, sx, list_sort([{means}]) as ms from s
+      select n, sx, list_sort([{means}], 'ASC', 'NULLS LAST') as ms from s
     )
     select n,
-           cast(sx as double) / (100.0 * n) as point_mean,
+           cast(sx as double) / (100.0 * nullif(n, 0)) as point_mean,
            ms[{_BOOT_K}] as ci_lo,
            ms[{_BOOT_B + 1 - _BOOT_K}] as ci_hi,
            cast({_BOOT_B} as int) as b_replicates
@@ -2883,17 +2888,15 @@ def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         aggs.append(F.sum(w).cast("long").alias(f"sw{b}"))
         aggs.append(F.sum(w * F.col("cents")).cast("long").alias(f"swx{b}"))
     s = m.agg(*aggs)
+    # F.array_sort places NULLs last in ascending order — the oracle's
+    # list_sort(..., 'NULLS LAST') pins DuckDB to the same placement, so
+    # a NULL replicate mean lands at the same index in both engines.
     means = F.array_sort(
-        F.array(
-            *[
-                F.col(f"swx{b}").cast("double") / (F.lit(100.0) * F.col(f"sw{b}"))
-                for b in range(_BOOT_B)
-            ]
-        )
+        F.array(*[F.expr(_boot_mean_text(b)) for b in range(_BOOT_B)])
     )
     return s.select(
         "n",
-        (F.col("sx").cast("double") / (F.lit(100.0) * F.col("n"))).alias("point_mean"),
+        F.expr("cast(sx as double) / (100.0 * nullif(n, 0))").alias("point_mean"),
         F.element_at(means, _BOOT_K).alias("ci_lo"),
         F.element_at(means, _BOOT_B + 1 - _BOOT_K).alias("ci_hi"),
         F.lit(_BOOT_B).cast("int").alias("b_replicates"),
@@ -2948,9 +2951,9 @@ _REG3_D2 = (
       from lineitem group by l_returnflag
     )
     select l_returnflag, cast(n as bigint) as n,
-           {_REG3_D0} / {_REG3_DET} as intercept,
-           {_REG3_D1} / {_REG3_DET} as beta_quantity,
-           {_REG3_D2} / {_REG3_DET} as beta_discount
+           {_REG3_D0} / nullif({_REG3_DET}, 0.0) as intercept,
+           {_REG3_D1} / nullif({_REG3_DET}, 0.0) as beta_quantity,
+           {_REG3_D2} / nullif({_REG3_DET}, 0.0) as beta_discount
     from s
     """,
     tags=("agg", "stats", "regression"),
@@ -2987,7 +2990,7 @@ def agg_regression_multi(spark: SparkSession, sf: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        F.expr(f"{_REG3_D0} / {_REG3_DET}").alias("intercept"),
-        F.expr(f"{_REG3_D1} / {_REG3_DET}").alias("beta_quantity"),
-        F.expr(f"{_REG3_D2} / {_REG3_DET}").alias("beta_discount"),
+        F.expr(f"{_REG3_D0} / nullif({_REG3_DET}, 0.0)").alias("intercept"),
+        F.expr(f"{_REG3_D1} / nullif({_REG3_DET}, 0.0)").alias("beta_quantity"),
+        F.expr(f"{_REG3_D2} / nullif({_REG3_DET}, 0.0)").alias("beta_discount"),
     )

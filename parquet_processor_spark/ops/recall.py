@@ -859,9 +859,13 @@ def error_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
 # end to end — no `true`-literal verdict columns.
 _BOOT_THEORY = (
     "(2 * 1.96 * sqrt((cast(n2 as double) * ss2 - cast(sx2 as double) * sx2)"
-    " / (cast(n2 as double) * n2 * (n2 - 1) * 10000.0)))"
+    " / nullif(cast(n2 as double) * n2 * (n2 - 1) * 10000.0, 0.0)))"
 )
-_BOOT_RATIO = f"((ci_hi - ci_lo) / {_BOOT_THEORY})"
+# nullif on both denominators: n2<=1 zeroes the variance divisor, and a
+# constant-value corpus zeroes the theory width itself (n*ss - sx^2
+# cancels exactly in integer-derived doubles) — either case must yield
+# NULL in BOTH engines, not an ANSI divide-by-zero on the Spark side.
+_BOOT_RATIO = f"((ci_hi - ci_lo) / nullif({_BOOT_THEORY}, 0.0))"
 _BOOT_OK = f"({_BOOT_RATIO} between 0.4 and 2.5)"
 
 

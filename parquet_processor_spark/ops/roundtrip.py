@@ -1625,13 +1625,30 @@ def sink_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("I").alias("o_orderstatus"),
             F.pmod(-k, F.lit(_MERGE_BUCKETS)).alias("bucket"),
         )
+        merged = survivors.unionByName(inserts)
+        written = {
+            r["bucket"]
+            for r in merged.select("bucket").distinct().collect()
+            # eager-by-design: <= _MERGE_BUCKETS catalog rows, and it
+            # must evaluate BEFORE the overwrite mutates `out` (merged
+            # reads `out` lazily)
+        }
         (
-            survivors.unionByName(inserts)
-            .write.partitionBy("bucket")
+            merged.write.partitionBy("bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(out)
         )
+        # Dynamic overwrite only swaps directories it writes: a touched
+        # bucket whose every row was deleted (and that received no
+        # insert) gets NO new data, so its stale directory would stay
+        # visible. Drop those directories explicitly — the delete must
+        # commit even when it empties the bucket.
+        import shutil
+        for b in set(tb) - written:
+            p = os.path.join(out, f"bucket={b}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     listing_after = {
         b: sorted(os.listdir(os.path.join(out, f"bucket={b}")))
         for b in range(_MERGE_BUCKETS)

@@ -1592,3 +1592,48 @@ def test_classification_report_matches_sklearn_style_identities(spark, sf_dir):
             assert abs(r["f1_c"] - 2 * pr * rc / (pr + rc)) < 1e-12
     # totals: sum tp+fn == corpus size
     assert sum(r["support"] for r in rows.values()) == len(pred)
+
+
+def test_merge_upsert_partial_touch_and_delete_only_bucket(spark, tmp_path):
+    """The two regimes the sf fixture can't reach: a change batch that
+    touches 3 of 14 populated buckets (rewrite cost must track touched
+    partitions — untouched listings byte-stable), and a bucket whose
+    EVERY row is a delete with no insert landing in it (dynamic
+    overwrite writes nothing there, so the operator must drop the
+    stale directory explicitly for the delete to commit)."""
+    import datetime as _dt
+
+    from parquet_processor_spark.ops.roundtrip import sink_merge_upsert
+    from parquet_processor_spark.tables import TABLES, t
+
+    from .conftest import SF_SMALL
+
+    d = tmp_path / "merge_partial"
+    # untouched keys: bucket (k%16) not in {3,5,6}, k not divisible by
+    # 17 (delete), 11 (update), or 13 (insert trigger)
+    untouched = [1, 2, 4, 8, 9, 12, 14, 15, 18, 23, 24, 25, 28, 29, 30, 31, 32, 36, 40, 41]
+    keys = untouched + [
+        51, 323,  # 17*3, 17*19 -> both bucket 3: the DELETE-ONLY bucket
+        341,      # 11*31, bucket 5: the one update
+        26,       # 13*2, bucket 10: insert trigger -> -26 lands in bucket 6
+    ]
+    ts = _dt.datetime(2024, 1, 1)
+    rows = [(k, 1, "O", 100.0, ts, "1-URGENT") for k in keys]
+    for tab in TABLES:
+        base = t(spark, SF_SMALL, tab).limit(0)
+        if tab == "orders":
+            base = base.unionByName(spark.createDataFrame(rows, base.schema))
+        base.write.mode("overwrite").parquet(str(d / f"{tab}.parquet"))
+
+    [r] = sink_merge_upsert(spark, str(d)).collect()
+    assert r["rows_before"] == 24
+    assert (r["n_deleted"], r["n_updated"], r["n_inserted"]) == (2, 1, 1)
+    assert r["rows_after"] == 23
+    # 14 populated buckets, only {3 del, 5 upd, 6 ins-target} rewritten
+    assert r["n_partitions"] == 14
+    assert r["n_partitions_rewritten"] == 3
+    # untouched_intact: the 12 unaffected bucket listings are identical
+    # before/after; merge_ok: re-read shows zero bucket-3 survivors —
+    # i.e. the emptied bucket's stale directory was really dropped
+    assert r["untouched_intact"] is True
+    assert r["merge_ok"] is True

@@ -140,12 +140,13 @@ REPRESENTATIVE = [
     "pack_concat_chunks",      # two-phase global cumsum over no docs
     "graph_random_walks",      # seed frontier over an empty edge list
     "events_trending_topk",    # per-hour WindowGroupLimit over no events
+    "agg_regression_multi",    # groupBy normal equations: zero groups
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
-    # agg_bootstrap_ci / agg_regression_multi are global aggregates:
-    # one row with null replicate means / null betas on empty input —
-    # the same class as agg_cohens_kappa below)
+    # agg_bootstrap_ci / error_bootstrap_ci are global aggregates: one
+    # row with null replicate means on empty input — asserted by their
+    # dedicated empty + degenerate-tiny-input tests below)
     # (agg_cohens_kappa is a global aggregate: one row with null
     # po/pe/kappa on empty input — the n = 0 ANSI guard is asserted by
     # its dedicated empty-table test below)
@@ -259,3 +260,137 @@ def test_cohens_kappa_null_stats_on_empty_input(spark, empty_sf):
     [r] = all_queries()["agg_cohens_kappa"](spark, empty_sf).collect()
     assert (r["n"], r["n11"], r["n00"], r["n1x"], r["nx1"]) == (0, 0, 0, 0, 0)
     assert r["po"] is None and r["pe"] is None and r["kappa"] is None
+
+
+def test_bootstrap_ci_null_stats_on_empty_input(spark, empty_sf):
+    # global aggregate: one row, n = 0, and every mean NULL — the
+    # nullif(n, 0) / nullif(sw_b, 0) guards must fire instead of the
+    # ANSI divide-by-zero (the bug class the r10 advisor flagged)
+    [r] = all_queries()["agg_bootstrap_ci"](spark, empty_sf).collect()
+    assert r["n"] == 0
+    assert r["point_mean"] is None and r["ci_lo"] is None and r["ci_hi"] is None
+
+
+def test_error_bootstrap_ci_null_widths_on_empty_input(spark, empty_sf):
+    # n2 = 0 zeroes the theory-width divisor; the gate must come back
+    # NULL (unknown), not crash
+    [r] = all_queries()["error_bootstrap_ci"](spark, empty_sf).collect()
+    assert r["n"] == 0
+    assert r["width_theory"] is None and r["width_ratio"] is None
+    assert r["width_ok"] is None
+
+
+# Degenerate-but-non-empty inputs: the exact fixtures that zero the
+# denominators the nullif guards protect. One purchase event makes a
+# zero-total-weight bootstrap replicate near-certain (P = 1/e each) and
+# puts n2 = 1 in the theory-width divisor; a constant-discount lineitem
+# group cancels the 3x3 normal-equation determinant EXACTLY in
+# integer-derived doubles. Each query must both run (no ANSI
+# divide-by-zero) and still match its DuckDB oracle cell-for-cell on
+# the same fixture — NULL placement included.
+DEGENERATE_PARITY = ["agg_bootstrap_ci", "error_bootstrap_ci", "agg_regression_multi"]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(spark, tmp_path_factory):
+    import datetime as _dt
+
+    d = tmp_path_factory.mktemp("degenerate_sf")
+    for tab in TABLES:
+        base = t(spark, SF_SMALL, tab).limit(0)
+        if tab == "events":
+            rows = [
+                (1, _dt.datetime(2024, 1, 1), 7, "purchase", 19.99, "{}"),
+                (2, _dt.datetime(2024, 1, 2), 7, "view", None, "{}"),
+            ]
+            base = base.unionByName(spark.createDataFrame(rows, base.schema))
+        elif tab == "lineitem":
+            ship = _dt.datetime(2024, 1, 1)
+            rows = [
+                # group A: constant quantity AND zero discount -> rank-1
+                # design matrix, determinant exactly 0 -> NULL betas
+                (1, 1, 1, 1, 5.0, 100.0, 0.0, 0.0, "A", "O", ship),
+                (1, 2, 2, 2, 5.0, 200.0, 0.0, 0.0, "A", "O", ship),
+                # group B: single row -> singular normal equations
+                (2, 3, 3, 1, 7.0, 150.0, 0.05, 0.0, "B", "F", ship),
+                # group C: well-conditioned -> real betas, must still be
+                # bitwise-identical across engines
+                (3, 4, 4, 1, 1.0, 10.0, 0.00, 0.0, "C", "O", ship),
+                (3, 5, 5, 2, 2.0, 25.0, 0.10, 0.0, "C", "O", ship),
+                (3, 6, 6, 3, 4.0, 60.0, 0.05, 0.0, "C", "O", ship),
+                (3, 7, 7, 4, 8.0, 90.0, 0.02, 0.0, "C", "O", ship),
+            ]
+            base = base.unionByName(spark.createDataFrame(rows, base.schema))
+        base.write.mode("overwrite").parquet(str(d / f"{tab}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_PARITY)
+def test_degenerate_tiny_input_matches_oracle(spark, degenerate_sf, name):
+    import math
+
+    import duckdb
+
+    from parquet_processor_spark.registry import all_oracles
+
+    sdf = all_queries()[name](spark, degenerate_sf)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for tab in TABLES:
+        # Spark writes a part-file directory; DuckDB needs the glob
+        con.sql(
+            f"create view {tab} as select * from "
+            f"read_parquet('{degenerate_sf}/{tab}.parquet/*.parquet')"
+        )
+    rel = con.sql(all_oracles()[name])
+    d_rows = [tuple(r) for r in rel.fetchall()]
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(s_rows) == len(d_rows)
+
+    def _key(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, float):
+            return (1, "nan") if math.isnan(v) else (2, repr(v))
+        return (3, str(v))
+
+    def _norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            (tuple(r[i] for i in order) for r in rows),
+            key=lambda r: tuple(_key(v) for v in r),
+        )
+
+    def _eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            return (math.isnan(fa) and math.isnan(fb)) or fa == fb
+        return str(a) == str(b)
+
+    for sr, dr in zip(
+        _norm(s_rows, list(sdf.columns)), _norm(d_rows, list(rel.columns))
+    ):
+        assert all(_eq(a, b) for a, b in zip(sr, dr)), f"{sr} != {dr}"
+
+
+def test_degenerate_regression_nulls_where_singular(spark, degenerate_sf):
+    rows = {
+        r["l_returnflag"]: r
+        for r in all_queries()["agg_regression_multi"](spark, degenerate_sf).collect()
+    }
+    # only the constant-zero-discount group cancels the determinant
+    # EXACTLY in doubles; the 1-row group's det is float-rounding noise
+    # (identical noise in both engines — covered by the parity test)
+    assert rows["A"]["beta_quantity"] is None and rows["A"]["intercept"] is None
+    assert rows["C"]["beta_quantity"] is not None
+
+
+def test_degenerate_bootstrap_single_purchase(spark, degenerate_sf):
+    # one purchase row: every non-NULL replicate mean equals the point
+    # mean; zero-weight replicates are NULL and sort last
+    [r] = all_queries()["agg_bootstrap_ci"](spark, degenerate_sf).collect()
+    assert r["n"] == 1
+    assert abs(r["point_mean"] - 19.99) < 1e-9
+    assert r["ci_lo"] is None or abs(r["ci_lo"] - 19.99) < 1e-9
