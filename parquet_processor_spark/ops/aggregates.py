@@ -2278,14 +2278,16 @@ def agg_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
     the top decile's lift is the score's headline discrimination.
 
     100 TB shape: the corpus collapses to the user spine in ONE
-    map-side-combined aggregate; the global ntile follows the
-    agg_rfm_scores precedent (the window sorts the collapsed spine,
-    never events — at extreme user counts the production cut-over is
-    approx-percentile score cutoffs + a range bucket join, same
-    output contract); the per-decile rollup is 10 rows and the 1-row
+    map-side-combined aggregate and is localCheckpointed once; decile
+    boundaries come from EXACT multi-level rank selection over the
+    DESC view-count order (ops/ranked_bins.py — okey is the negated
+    count, so ascending selection reproduces the descending ntile),
+    and assignment is a literal 9-cut comparison in codegen. No
+    window ever sees the user spine (replaces the r8-r10 single-task
+    ntile sort); the per-decile rollup is 10 rows and the 1-row
     totals broadcast for the lift division.
     """
-    from pyspark.sql import Window
+    from parquet_processor_spark.ops.ranked_bins import exact_ntile_cuts, ntile_assign
 
     u = (
         t(spark, sf, "events")
@@ -2298,9 +2300,19 @@ def agg_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("purchased"),
         )
+        .select(
+            F.lit(0).alias("nf"),
+            (-F.col("n_views")).cast("double").alias("okey"),
+            F.col("user_id").alias("oid"),
+            "purchased",
+        )
+        .localCheckpoint()  # eager-by-design: O(users) spine reused by 4-5 selection jobs
     )
-    w = Window.orderBy(F.col("n_views").desc(), F.col("user_id"))
-    d = u.select("purchased", F.ntile(10).over(w).cast("int").alias("decile"))
+    cuts = exact_ntile_cuts(u, 10)
+    d = u.select(
+        "purchased",
+        ntile_assign(cuts, F.col("nf"), F.col("okey"), F.col("oid")).alias("decile"),
+    )
     tot = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum("purchased").cast("long").alias("n_pos"),
@@ -2367,12 +2379,17 @@ def agg_auc(spark: SparkSession, sf: str) -> DataFrame:
     purchase label (any model score in production): the Mann-Whitney
     identity over doubled average ranks, one int64 division at the end.
 
-    100 TB shape: the corpus collapses to the user spine in one
-    map-side aggregate; the rank pass is a global sort of the
-    COLLAPSED spine (the agg_rfm/decile-lift precedent — the
-    production cut-over at extreme user counts is a fixed score
-    histogram: AUC from binned counts is the same rank algebra over
-    |bins| rows); the final statistic reduces 3 integers.
+    100 TB shape: the corpus collapses to the user spine map-side,
+    then the spine collapses AGAIN to per-score-value counts — the
+    Mann-Whitney sum only needs (n_s, pos_s) per distinct score, so no
+    per-user rank is ever assigned: rank2 of every user at score s is
+    2*(users below s) + n_s + 1, and the positive-rank total is
+    sum(pos_s * that). The one window is a running count over the
+    collapsed SCORE DOMAIN (distinct view-counts — thousands of rows
+    at any corpus size, the agg_mannwhitney precedent), never the
+    user spine; the final statistic reduces 3 integers. This replaces
+    the r8-r10 plan whose rank window sorted the whole user spine in
+    one task (the empty-partition WindowExec scale-killer).
     """
     from pyspark.sql import Window
 
@@ -2388,22 +2405,20 @@ def agg_auc(spark: SparkSession, sf: str) -> DataFrame:
             .alias("label"),
         )
     )
-    w_rank = Window.orderBy("score")
-    w_tie = Window.partitionBy("score")
-    r = u.select(
-        "label",
-        # rank() is IntegerType — cast BEFORE doubling, or the 2*rank
-        # term overflows 32-bit (ANSI error) past ~2^30 spine rows
-        (
-            2 * F.rank().over(w_rank).cast("long")
-            + F.count(F.lit(1)).over(w_tie).cast("long")
-            - 1
-        ).alias("rank2"),
+    sc = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("label").cast("long").alias("pos_s"),
+    )
+    w_below = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    r = sc.select(
+        "n_s",
+        "pos_s",
+        F.coalesce(F.sum("n_s").over(w_below), F.lit(0)).alias("below"),
     )
     s = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("label").cast("long").alias("n_pos"),
-        F.sum(F.when(F.col("label") == 1, F.col("rank2")).otherwise(0))
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("pos_s") * (2 * F.col("below") + F.col("n_s") + 1))
         .cast("long")
         .alias("pos_rank2"),
     )
@@ -2467,13 +2482,17 @@ def agg_calibration(spark: SparkSession, sf: str) -> DataFrame:
     1-row), and a score-free corpus (max = 0) yields NULL predictions,
     not a divide-by-zero.
 
-    100 TB shape: the corpus collapses to the user spine map-side;
-    ntile is one sort of the collapsed spine (the agg_auc precedent —
-    at extreme user counts the production form bins on a fixed score
-    histogram instead); the bin aggregate is map-side combined and the
-    1-row max broadcasts into the projection.
+    100 TB shape: the corpus collapses to the user spine map-side and
+    is localCheckpointed once; the decile boundaries come from EXACT
+    multi-level rank selection (ops/ranked_bins.py — histogram
+    narrowing + tie-class id split, every shuffle bounded by control-
+    table size), and bin assignment is a literal 9-cut comparison in
+    codegen beside the spine scan feeding a map-side-combined 10-row
+    aggregate. No window ever sees the user spine — this replaces the
+    r7-r10 single-task ntile sort (the empty-partition WindowExec
+    scale-killer); the 1-row max broadcasts into the projection.
     """
-    from pyspark.sql import Window
+    from parquet_processor_spark.ops.ranked_bins import exact_ntile_cuts, ntile_assign
 
     u = (
         t(spark, sf, "events")
@@ -2486,10 +2505,22 @@ def agg_calibration(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("label"),
         )
+        .select(
+            F.lit(0).alias("nf"),
+            F.col("score").cast("double").alias("okey"),
+            F.col("user_id").alias("oid"),
+            "score",
+            "label",
+        )
+        .localCheckpoint()  # eager-by-design: O(users) spine reused by 4-5 selection jobs
     )
     m = u.agg(F.max("score").cast("long").alias("mx"))
-    w = Window.orderBy("score", "user_id")
-    d = u.select("label", "score", F.ntile(10).over(w).alias("bin"))
+    cuts = exact_ntile_cuts(u, 10)
+    d = u.select(
+        "label",
+        "score",
+        ntile_assign(cuts, F.col("nf"), F.col("okey"), F.col("oid")).alias("bin"),
+    )
     per = d.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("score").cast("long").alias("sum_score"),

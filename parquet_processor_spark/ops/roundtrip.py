@@ -1628,10 +1628,9 @@ def sink_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         merged = survivors.unionByName(inserts)
         written = {
             r["bucket"]
-            for r in merged.select("bucket").distinct().collect()
-            # eager-by-design: <= _MERGE_BUCKETS catalog rows, and it
-            # must evaluate BEFORE the overwrite mutates `out` (merged
-            # reads `out` lazily)
+            # eager-by-design: <= _MERGE_BUCKETS catalog rows, and it must
+            # evaluate BEFORE the overwrite mutates `out` (merged is lazy)
+            for r in merged.select("bucket").distinct().collect()  # eager-by-design
         }
         (
             merged.write.partitionBy("bucket")

@@ -1218,27 +1218,38 @@ def quality_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Head/middle/tail corpus terciles by bigram-LM score.
 
     100 TB shape: scoring is the quality_bigram_lm plan (map-only
-    bigram expansion, map-side-combined model, one score join); the
-    tercile assignment here is an exact ntile — a doc-granularity sort
-    CCNet itself performs — which at full scale swaps for two
-    approx-percentile cutoffs broadcast against the scores (same
-    bucket semantics, no global sort) when exact tie placement stops
-    mattering.
+    bigram expansion, map-side-combined model, one score join),
+    localCheckpointed once as the (doc, score) spine; the two tercile
+    boundaries come from EXACT multi-level rank selection over the
+    DESC-NULLS-LAST score order (ops/ranked_bins.py — nf=1 encodes
+    the null bigram-less docs sorting last, okey is the negated
+    score), and assignment is a literal 2-cut comparison in codegen
+    beside the spine scan. No window ever sees the doc spine — this
+    replaces the r7-r10 single-task ntile sort over CORPUS-MASS rows,
+    the worst of the empty-partition WindowExec class.
     """
-    from pyspark.sql import Window
+    from parquet_processor_spark.ops.ranked_bins import exact_ntile_cuts, ntile_assign
 
     d = t(spark, sf, "documents").select("doc_id")
     scored = quality_bigram_lm(spark, sf).select("doc_id", "avg_freq")
-    ranked = d.join(scored, "doc_id", "left").withColumn(
-        "tercile",
-        F.ntile(3).over(Window.orderBy(F.desc_nulls_last("avg_freq"), F.asc("doc_id"))),
+    spine = (
+        d.join(scored, "doc_id", "left")
+        .select(
+            F.when(F.col("avg_freq").isNull(), 1).otherwise(0).alias("nf"),
+            F.coalesce(-F.col("avg_freq"), F.lit(0.0)).alias("okey"),
+            F.col("doc_id").alias("oid"),
+            "avg_freq",
+        )
+        .localCheckpoint()  # eager-by-design: O(docs) spine reused by 4-5 selection jobs
     )
-    return ranked.select(
-        "doc_id",
+    cuts = exact_ntile_cuts(spine, 3)
+    tercile = ntile_assign(cuts, F.col("nf"), F.col("okey"), F.col("oid"))
+    return spine.select(
+        F.col("oid").alias("doc_id"),
         "avg_freq",
-        F.col("tercile").cast("int").alias("tercile"),
-        F.when(F.col("tercile") == 1, "head")
-        .when(F.col("tercile") == 2, "middle")
+        tercile.cast("int").alias("tercile"),
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

@@ -141,6 +141,7 @@ REPRESENTATIVE = [
     "graph_random_walks",      # seed frontier over an empty edge list
     "events_trending_topk",    # per-hour WindowGroupLimit over no events
     "agg_regression_multi",    # groupBy normal equations: zero groups
+    "quality_ccnet_buckets",   # cut selection + literal terciles, no docs
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;

@@ -922,10 +922,12 @@ def test_drift_monitor_single_pass_two_windows(spark):
 
 
 def test_ccnet_buckets_reuse_bigram_plan(spark):
-    # N118 claim: scoring is the quality_bigram_lm plan; the tercile
-    # ntile is the only window and runs at doc granularity.
+    # N118 claim (r11 form): tercile assignment is a literal 2-cut
+    # comparison from exact_ntile_cuts — the final plan reads the
+    # checkpointed (doc, score) spine with NO window and NO ntile (the
+    # bigram scoring ran once into the checkpoint).
     plan = plan_of(spark, "quality_ccnet_buckets")
-    assert plan.count("ntile") >= 1, plan
+    assert "ntile" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
@@ -1278,3 +1280,36 @@ def test_trending_topk_uses_window_group_limit(spark):
     # WindowGroupLimit rewrite (per-task partial top-k pre-shuffle).
     plan = plan_of(spark, "events_trending_topk")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_eval_ntile_family_has_no_entity_spine_window(spark):
+    # The r10 verdict's last scale-killer class: ntile/rank windows
+    # with an empty partition spec funneling an ENTITY spine (users,
+    # docs) through one task. agg_calibration / agg_decile_lift /
+    # quality_ccnet_buckets now assign bins via literal cuts from
+    # exact_ntile_cuts (ops/ranked_bins.py), so their FINAL plans must
+    # contain no Window at all — and no SinglePartition exchange
+    # feeding a Sort.
+    for name in ("agg_calibration", "agg_decile_lift", "quality_ccnet_buckets"):
+        plan = plan_of(spark, name)
+        assert not re.findall(r"^\(\d+\) Window", plan, re.M), (
+            f"{name}: entity-spine Window survived the cut rewrite:\n{plan}"
+        )
+        bad = _single_partition_sorts(plan)
+        assert not bad, f"{name}: single-partition sort: {bad}\n{plan}"
+
+
+def test_auc_windows_collapsed_score_domain_only(spark):
+    # agg_auc's one window is a running count over the collapsed SCORE
+    # DOMAIN (distinct view-count values): the user-spine aggregate
+    # AND the per-score aggregate must both sit between the Window and
+    # the scan, so no per-user rank is ever assigned.
+    plan = plan_of(spark, "agg_auc")
+    tree = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)\s*$", ln)]
+    win_i = next(i for i, ln in enumerate(tree) if "Window (" in ln)
+    scan_i = next(i for i, ln in enumerate(tree) if "Scan parquet" in ln)
+    assert win_i < scan_i, f"tree order unexpected:\n{plan}"
+    between = tree[win_i + 1 : scan_i]
+    assert sum("Aggregate" in ln for ln in between) >= 2, (
+        f"agg_auc: window input is not the twice-collapsed score domain:\n{plan}"
+    )

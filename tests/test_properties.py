@@ -522,3 +522,56 @@ def test_calibration_bins_partition_and_gap_identity(spark, tmp_path_factory, da
         # and both sides agree when recomputed bin-by-bin
         per_bin = sum(abs(r["sum_score"] - mx * r["n_pos"]) for r in rows_)
         assert recovered == per_bin <= direct
+
+
+# --- exact_ntile_cuts: the distributed-selection ntile must agree with
+# the real window ntile for ANY spine — heavy ties, null classes,
+# n < bins, single rows, clustered ids. The order key is drawn from a
+# tiny domain so tie classes straddle boundaries (the level-3 path) in
+# most examples.
+ntile_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda r: r[1],
+)
+
+
+@given(data=ntile_rows, n_bins=st.sampled_from([2, 3, 10]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_ntile_cuts_match_window_ntile(spark, data, n_bins):
+    from pyspark.sql import Window
+
+    from parquet_processor_spark.ops.ranked_bins import exact_ntile_cuts, ntile_assign
+
+    df = spark.createDataFrame(
+        [(1 if k is None else 0, 0.0 if k is None else float(k), oid) for k, oid in data],
+        "nf int, okey double, oid long",
+    )
+    # small num_buckets so multi-class buckets and bucket-straddling
+    # boundaries actually occur at test sizes
+    cuts = exact_ntile_cuts(df, n_bins, num_buckets=4)
+    got = {
+        r["oid"]: r["bin"]
+        for r in df.select(
+            "oid",
+            ntile_assign(cuts, F.col("nf"), F.col("okey"), F.col("oid")).alias("bin"),
+        ).collect()
+    }
+    want = {
+        r["oid"]: r["bin"]
+        for r in df.select(
+            "oid",
+            F.ntile(n_bins)
+            .over(Window.orderBy("nf", "okey", "oid"))
+            .alias("bin"),
+        ).collect()
+    }
+    assert got == want
