@@ -56,91 +56,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # ---- driver 50-slot check window (round 10) ----
-    # 1-10: NEW round-10 operators (first driver row)
-    "report_source_overlap",
-    "anonymize_pseudonymize",
-    "mine_bitext_mutual",
-    "feature_target_encode",
-    "agg_cohens_kappa",
-    "curation_contamination_semantic",
-    "events_sequence_negation",
-    "agg_gini_impurity",
-    "feature_hashing_trick",
-    "sink_bloom_pruned_scan",
-    # 9-16: implementation or oracle changed this round (see below) +
-    # the perceptual-family bucket cap (multimodal_dedup_perceptual —
-    # the ×100 OOM fix, oracle gained the qualify filter)
-    "multimodal_dedup_perceptual",
-    # (cont.) changed this round — the simhash
-    # cross-engine rebuild (md5 32-bit halves => first-ever oracle for
-    # dedup_simhash + fresh rows for its recall gate), the minhash
-    # hot-bucket cap collapsed to one window exchange (dedup_near /
-    # dedup_connected_lsh) + the capped incremental probe side
-    # (dedup_incremental_minhash), the coalesce'd empty-table delete
-    # oracle (sink_targeted_delete), and the symmetric multiset serve
-    # parity (sink_ann_index_upsert)
-    "dedup_simhash",
-    "recall_dedup_simhash",
-    "dedup_near",
-    "dedup_incremental_minhash",
-    "dedup_connected_lsh",
-    "sink_targeted_delete",
-    "sink_ann_index_upsert",
-    # 17-45: the ENTIRE r2 cohort — last driver row six rounds old
-    # (r9 verdict staleness item); after this round no query's
-    # latest row predates r4 except the r3 tail queued below
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q20_part_promotion",
-    "q22_idle_customers",
-    "agg_grouping_sets",
-    "bucket_range",
-    "distinct_dedup",
-    "doc_fingerprint",
-    "fn_array_ops",
-    "fn_edit_distance",
-    "fn_map_ops",
-    "join_bucketed",
-    "join_skew_salted",
-    "lang_id",
-    "limit_offset",
-    "pack_sequences",
-    "quality_score",
-    "set_intersect",
-    "sql_cte",
-    "text_stats",
-    "token_count",
-    "topk_order_limit",
-    "union_by_name",
-    "window_lag",
-    "window_rank",
-    "window_running_sum",
-    "window_session",
-    "window_sliding",
-    "window_tumbling",
-    # 46-50: the stalest r3 rows, TPC-H headliners first
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q16_part_supplier_types",
-    # ---- slots 51+: rotation backlog ----
-    # First: operators born mid-round-10 AFTER this round's window was
-    # frozen on the r9 staleness rotation (displacing r2-stale pins for
-    # them would undo the rotation the verdict asked for). They hold
-    # the head of the backlog so they take the r11 window's first
-    # slots; until then they're covered by the sf0.01 oracle-parity
-    # harness (tools/check_oracle.py) and the pytest suite.
+    # ---- driver 50-slot check window (round 11) ----
+    # 1-15: the round-10 operators born after the r10 window froze —
+    # never driver-checked (judge-run local parity only); four of them
+    # (agg_bootstrap_ci / error_bootstrap_ci / agg_regression_multi /
+    # sink_merge_upsert) ALSO changed this round (nullif divide
+    # guards, delete-only-bucket commit), so their first driver row
+    # covers the new code
     "report_curation_funnel",
     "sample_epoch_repeat",
     "agg_bootstrap_ci",
@@ -156,304 +78,59 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_random_walks",
     "events_trending_topk",
     "agg_classification_report",
-    # Then: oldest-checked first (TPC-H boosted within a staleness
-    # tier; the r3 remainder rotates into the r11 window) ----
+    # 16-19: implementation changed this round — the entity-spine
+    # ntile sorts replaced by exact distributed rank selection
+    # (ops/ranked_bins.py); oracles unchanged, plans rebuilt
+    "agg_auc",
+    "agg_calibration",
+    "agg_decile_lift",
+    "quality_ccnet_buckets",
+    # 20-50: the stalest r3 rows (31 of the 42 — TPC-H first, the
+    # remainder heads the r12 backlog below)
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q16_part_supplier_types",
     "q17_small_quantity",
     "q18_large_orders",
     "q19_brand_bands",
     "q21_waiting_suppliers",
-    "agg_bool_bit",
-    "agg_pivot",
-    "agg_stats_manual",
-    "agg_string_concat",
+    "window_row_number",
+    "streaming_stateful",
     "dedup_embedding",
-    "explode_positional",
-    "fn_date_arith",
-    "fn_date_parts",
-    "fn_null_funcs",
-    "fn_string_funcs",
-    "fn_struct_ops",
-    "fn_url_parse",
+    "subquery_scalar",
+    "subquery_correlated",
+    "sql_recursive_cte",
     "join_asof",
     "join_lateral",
-    "pipeline_fetch",
-    "pipeline_media_dispatch",
-    "set_except",
+    "agg_pivot",
+    "agg_string_concat",
+    "agg_stats_manual",
+    "agg_bool_bit",
+    "explode_positional",
+    "fn_struct_ops",
+    "window_range_frame",
+    "window_ntile",
+    # ---- slots 51+: rotation backlog (r12 window head) ----
+    # the r3 remainder (11 queries), oldest-first
+    "window_moving_avg",
+    "fn_string_funcs",
+    "fn_date_parts",
+    "fn_date_arith",
+    "fn_null_funcs",
+    "fn_url_parse",
     "sink_json_roundtrip",
     "sink_orc_roundtrip",
-    "sql_recursive_cte",
-    "streaming_stateful",
-    "subquery_correlated",
-    "subquery_scalar",
-    "window_moving_avg",
-    "window_ntile",
-    "window_range_frame",
-    "window_row_number",
-    "agg_avg",
-    "agg_count",
-    "agg_having",
-    "agg_max",
-    "agg_max_by",
-    "agg_median",
-    "agg_multi",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_sum",
-    "agg_unpivot",
-    "curation_cap_per_source",
-    "curation_contamination",
-    "curation_pii_scrub",
-    "curation_repetition",
-    "dedup_connected",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "error_approx_distinct",
-    "events_funnel",
-    "fn_math",
-    "fn_string_firstline",
-    "fn_string_normalize",
-    "join_broadcast_equi",
-    "join_full_outer",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "kmeans_ivf_train",
-    "limit_n",
-    "multimodal_frames",
-    "project_filter_notnull",
-    "recall_sim_topk_lsh",
-    "scan_parquet",
-    "set_except_all",
-    "set_intersect_all",
-    "sink_sorted_roundtrip",
-    "streaming_dedup",
-    "streaming_session",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "streaming_tumbling",
-    "window_first_last",
-    "agg_abc_analysis",
-    "agg_affinity_lift",
-    "agg_copurchase_pairs",
-    "agg_corr",
-    "agg_count_distinct_multi",
-    "agg_gini",
-    "agg_heavy_hitters",
-    "agg_histogram",
-    "agg_incremental_merge",
-    "agg_key_skew",
-    "agg_mode",
-    "agg_percentile_disc",
-    "agg_rfm_scores",
-    "agg_sketch_merge",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_repeated_ngrams",
-    "doc_chunk_windows",
-    "error_approx_quantile",
-    "error_approx_topk",
-    "events_anomaly_p99",
-    "events_funnel_windowed",
-    "events_gap_fill",
-    "events_markov",
-    "events_retention",
-    "events_rolling_distinct",
-    "feature_zscore",
-    "fn_try_arith",
-    "graph_pagerank",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_bloom_filtered",
-    "join_interval_overlap",
-    "join_range_bucketed",
-    "join_scd2_pointintime",
-    "orders_open_over_time",
-    "profile_columns",
-    "quality_bigram_lm",
-    "quality_tfidf",
-    "quality_unigram_rarity",
-    "sample_budget_mix",
-    "sample_temperature_mix",
-    "scd2_intervals",
-    "sessionize_events",
-    "sim_topk_lsh",
-    "streaming_upsert",
-    "tokenize_to_ids",
-    "vocab_coverage",
-    "window_rolling_median",
-    "agg_approx_distinct",
-    "agg_benford",
-    "agg_heavy_hitters_grouped",
-    "agg_regression",
-    "agg_weighted_median",
-    "cdc_apply_tombstones",
-    "doc_novelty",
-    "embedding_pq_train",
-    "embedding_quantize",
-    "events_attribution",
-    "events_cohort_ltv",
-    "feature_mad_outliers",
-    "feature_winsorize",
-    "filter_prefix",
-    "graph_local_clustering",
-    "graph_triangles",
-    "join_null_safe",
-    "multimodal_bytes",
-    "multimodal_dedup_bytes",
-    "multimodal_resize",
-    "pipeline_curate_corpus",
-    "quality_diversity",
-    "quality_gopher_rules",
-    "recall_sim_topk_ivf_nprobe",
-    "sample_downweight_dups",
-    "sample_negative_pairs",
-    "scan_binary_files",
-    "scan_csv_badrecords",
-    "scd2_apply_changes",
-    "sim_topk_ivf_nprobe",
-    "sink_compacted_roundtrip",
-    "sink_mergeschema_roundtrip",
-    "sink_zorder_roundtrip",
-    "split_leakage_safe",
-    "streaming_cdc_tombstones",
-    "streaming_sliding",
-    "table_checksum",
-    "table_diff",
-    "text_boilerplate",
-    "text_html_strip",
-    "tokenizer_bpe_train",
-    "window_drawdown",
-    "window_ewma",
-    "window_percent_rank",
-    "agg_bitmap_index",
-    "agg_count_min",
-    "anonymize_k_anonymity",
-    "curation_contamination_spans",
-    "dedup_cluster_report",
-    "dedup_semdedup",
-    "dedup_span_removal",
-    "dedup_verbatim_spans",
-    "embedding_random_projection",
-    "error_approx_intersection",
-    "error_count_min",
-    "error_random_projection",
-    "events_bot_detection",
-    "events_changepoint",
-    "events_seasonality",
-    "events_survival_table",
-    "graph_kcore",
-    "graph_label_propagation",
-    "join_fuzzy_names",
-    "monitor_feature_drift",
-    "multimodal_clip_pairs",
-    "multimodal_dedup_audio",
-    "multimodal_frame_dedup",
-    "pipeline_curate_media",
-    "quality_ccnet_buckets",
-    "recall_dedup_audio",
-    "recall_dedup_perceptual",
-    "sample_coreset_kcenter",
-    "sample_importance_dsir",
-    "sink_codec_roundtrip",
-    "sink_manifest_pruned_scan",
-    "sink_partition_overwrite_dynamic",
-    "sink_partitioned_roundtrip",
-    "sink_training_shards",
-    "sink_versioned_snapshots",
-    "streaming_count_min",
-    "streaming_expectations",
-    "table_expectations",
-    "text_bm25_topk",
-    "tokenizer_bpe_apply",
-    "tokenizer_bpe_eval",
-    "agg_ab_power",
-    "agg_ab_test",
-    "agg_chi_square",
-    "agg_decile_lift",
-    "agg_ks_test",
-    "agg_log_histogram",
-    "agg_mannwhitney",
-    "anonymize_dp_counts",
-    "anonymize_l_diversity",
-    "anonymize_t_closeness",
-    "error_log_quantile",
-    "events_forecast_linear",
-    "events_growth_accounting",
-    "events_path_trigrams",
-    "filter_compound",
-    "filter_temporal",
-    "fn_date_format",
-    "fn_regexp_extract",
-    "fn_ts_diff",
-    "graph_bfs_distances",
-    "graph_link_prediction",
-    "multimodal_audio_trim",
-    "multimodal_dedup_audio_incr",
-    "multimodal_scene_cut",
-    "pipeline_privacy_audit",
-    "recall_sim_topk_ivfpq",
-    "report_ivf_balance",
-    "sample_curriculum_mix",
-    "sample_hard_negatives",
-    "scan_range",
-    "sim_mmr_rerank",
-    "sim_topk_batch",
-    "sim_topk_ivfpq",
-    "sink_ann_index_roundtrip",
-    "sink_checked_publish",
-    "sink_csv_roundtrip",
-    "sink_parquet",
-    "sink_snapshot_expire",
-    "streaming_changepoint",
-    "streaming_forecast",
-    "text_rake_keywords",
-    "text_readability",
-    "agg_auc",
-    "agg_calibration",
-    "agg_count_if",
-    "agg_cube",
-    "agg_groupby_count",
-    "agg_ratio",
-    "case_when_dispatch",
-    "dedup_embedding_lsh",
-    "dedup_url",
-    "embedding_knn_classify",
-    "embedding_matryoshka_eval",
-    "error_dp_counts",
-    "error_minhash_estimate",
-    "filter_by_quantile",
-    "filter_error_rows",
-    "fn_concat",
-    "fn_json_extract",
-    "fn_least_cast",
-    "join_cross",
-    "join_range",
-    "multimodal_features",
-    "multimodal_keyframes",
-    "pipeline_cost_estimate",
-    "recall_dedup_connected_lsh",
-    "recall_dedup_embedding_lsh",
-    "recall_dedup_incremental_minhash",
-    "recall_dedup_near",
-    "recall_range_search",
-    "recall_sim_knn_graph",
-    "report_lsh_bucket_pressure",
-    "report_lsh_tuning",
-    "sample_class_balance",
-    "sample_hash",
-    "sample_stratified",
-    "sample_weighted_mix",
-    "scan_json",
-    "search_hybrid_rrf",
-    "sim_knn_graph",
-    "sim_pairs_blocked",
-    "sim_range_search",
-    "sim_topk",
-    "sim_topk_filtered",
-    "sim_topk_ivf",
-    "split_train_test",
-    "table_vacuum_orphans",
+    "set_except",
+    "pipeline_fetch",
+    "pipeline_media_dispatch",
 )
 
 

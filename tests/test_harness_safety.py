@@ -53,40 +53,37 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # (a) everything whose implementation or oracle changed in round
-    # 10 (simhash's first oracle, the one-exchange minhash cap, the
-    # capped incremental probe, the coalesce'd delete oracle, the
-    # symmetric upsert parity), then (b) the staleness rotation the
-    # r9 verdict named: the ENTIRE r2 cohort (29 queries, six rounds
-    # without a driver row) and the stalest r3 TPC-H headliners.
+    # (a) the 15 round-10 operators that have never had a driver row
+    # (born after the r10 window froze), (b) the four queries whose
+    # implementation changed in round 11 (bootstrap/regression nullif
+    # guards land inside (a); the ranked_bins ntile rewrites are
+    # these), then (c) 31 of the 42 stalest r3 rows, TPC-H first.
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # new round-10 operators (first driver row)
-        "mine_bitext_mutual", "feature_target_encode",
-        "agg_cohens_kappa", "curation_contamination_semantic",
-        "events_sequence_negation", "agg_gini_impurity",
-        "feature_hashing_trick", "sink_bloom_pruned_scan",
-        "report_source_overlap", "anonymize_pseudonymize",
-        # changed in round 10 (perceptual bucket cap — the x100 OOM fix)
-        "multimodal_dedup_perceptual",
-        # changed in round 10
-        "dedup_simhash", "recall_dedup_simhash", "dedup_near",
-        "dedup_incremental_minhash", "dedup_connected_lsh",
-        "sink_targeted_delete", "sink_ann_index_upsert",
-        # rotation: the full r2 cohort
-        "agg_grouping_sets", "bucket_range", "distinct_dedup",
-        "doc_fingerprint", "fn_array_ops", "fn_edit_distance",
-        "fn_map_ops", "join_bucketed", "join_skew_salted", "lang_id",
-        "limit_offset", "pack_sequences", "q11_important_stock",
-        "q15_top_supplier", "q20_part_promotion", "q22_idle_customers",
-        "quality_score", "set_intersect", "sql_cte", "text_stats",
-        "token_count", "topk_order_limit", "union_by_name",
-        "window_lag", "window_rank", "window_running_sum",
-        "window_session", "window_sliding", "window_tumbling",
-        # rotation: stalest r3 TPC-H headliners
-        "q1_pricing_summary", "q2_min_cost_supplier",
-        "q3_shipping_priority",
+        # never driver-checked (round-10 late wave)
+        "report_curation_funnel", "sample_epoch_repeat",
+        "agg_bootstrap_ci", "sink_merge_upsert", "events_ohlc_bars",
+        "agg_regression_multi", "streaming_ohlc", "error_bootstrap_ci",
+        "sim_topk_lsh_multiprobe", "recall_sim_topk_lsh_multiprobe",
+        "anonymize_generalize", "pack_concat_chunks",
+        "graph_random_walks", "events_trending_topk",
+        "agg_classification_report",
+        # implementation changed in round 11 (exact rank selection)
+        "agg_auc", "agg_calibration", "agg_decile_lift",
+        "quality_ccnet_buckets",
+        # rotation: stalest r3 rows, TPC-H first
+        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q10_returned_items", "q12_priority_class",
+        "q13_order_distribution", "q14_promo_share",
+        "q16_part_supplier_types", "q17_small_quantity",
+        "q18_large_orders", "q19_brand_bands", "q21_waiting_suppliers",
+        "window_row_number", "streaming_stateful", "dedup_embedding",
+        "subquery_scalar", "subquery_correlated", "sql_recursive_cte",
+        "join_asof", "join_lateral", "agg_pivot", "agg_string_concat",
+        "agg_stats_manual", "agg_bool_bit", "explode_positional",
+        "fn_struct_ops", "window_range_frame", "window_ntile",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
