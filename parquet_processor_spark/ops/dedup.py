@@ -430,9 +430,63 @@ def _minhash_sig_cached(spark: SparkSession, sf: str) -> DataFrame:
         # read, so sizing costs no data pass.
         n_docs = t(spark, sf, "documents").count()  # eager-by-design: cache-partition sizing
         target = max(1, -(-n_docs // 64_000))
-        hashed = split_words(spark, sf).select("doc_id", shingle_hashes_md5().alias("hashes"))
+        # ONE md5 pass for the whole text-dedup family (r10 verdict
+        # task: simhash parsed halves of the same digest minhash
+        # truncated, in a second full pass). Each distinct shingle's
+        # hex digest is computed once; the 60-bit minhash base and the
+        # two 32-bit simhash halves all parse from it, and one
+        # map-side-combined aggregate builds the k minhash minima AND
+        # the 64 simhash bit votes together. The cache stays O(docs):
+        # (doc_id, sig array, simhash long) — the exploded shingle
+        # rows are never cached.
+        words = F.col("words")
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            )
+        )
+        tok = (
+            split_words(spark, sf)
+            # null-proof words so every doc keeps its one ""-shingle row
+            # (concat_ws over a null slice was already "" in the
+            # array-based build; membership must not change)
+            .select("doc_id", F.coalesce(words, F.array(F.lit(""))).alias("words"))
+            .select("doc_id", F.explode_outer(shingles).alias("s"))
+            .select("doc_id", F.md5("s").alias("m"))
+            .select(
+                "doc_id",
+                F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("h"),
+                F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
+            )
+        )
+        aggs = [
+            F.min((F.lit(a) * (F.col("h") % _MH_P) + F.lit(b)) % _MH_P).alias(f"_s{j}")
+            for j, (a, b) in enumerate(_mh_perm_consts())
+        ]
+        aggs += [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+        votes = tok.groupBy("doc_id").agg(*aggs)
+        simhash = F.lit(0).cast("long")
+        for i in range(64):
+            bit = F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            simhash = simhash.bitwiseOR(F.shiftleft(bit, i))
         sig = (
-            hashed.select("doc_id", minhash_signature(F.col("hashes")).alias("sig"))
+            votes.select(
+                "doc_id",
+                F.array(*[F.col(f"_s{j}") for j in range(_K)]).alias("sig"),
+                simhash.alias("simhash"),
+            )
             .repartition(target, "doc_id")
             .cache()
         )
@@ -894,45 +948,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     12, random pairs at median 32 (gated by
     ``recall_dedup_simhash``).
     """
-    # explode_outer + null guard (not plain explode): see
-    # _explode_shingles — the inferred size>0 filter would re-run the
-    # whole shingle expression per row. The md5 hex string is
-    # computed ONCE per shingle and both halves parse from it.
-    words = F.col("words")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
-    )
-    tok = (
-        split_words(spark, sf)
-        .select("doc_id", F.explode_outer(shingles).alias("s"))
-        .where(F.col("s").isNotNull())
-        .select("doc_id", F.md5("s").alias("m"))
-        .select(
-            "doc_id",
-            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
-        )
-    )
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32).bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
-    )
-    simhash = F.lit(0).cast("long")
-    for i in range(_SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        simhash = simhash.bitwiseOR(F.shiftleft(bit, i))
-    sig = votes.select("doc_id", simhash.alias("simhash"))
+    # The signature comes from the SHARED family cache
+    # (_minhash_sig_cached): one md5 pass per session computes each
+    # distinct shingle's digest and folds both 32-bit simhash halves
+    # AND the 60-bit minhash base into one aggregate — this query and
+    # the whole minhash family (dedup_near, the LSH closure, the
+    # incremental probe) reuse the same O(docs) cached rows.
+    sig = _minhash_sig_cached(spark, sf).select("doc_id", "simhash")
     # 4 × 16-bit chunks: near-dups (Hamming distance ≤ 3) share ≥1 chunk.
     chunks = F.array(
         *[
