@@ -218,3 +218,59 @@ def test_documents_fixture_is_ascii(spark):
             "(ops/multimodal.py byte-vs-char substr) are no longer "
             "equivalent; align both engines on one slicing unit"
         )
+
+
+def test_hardcoded_true_oracle_columns_are_all_data_derived_tripwires():
+    # The `true as <col>` oracle pattern is a TRIPWIRE: the Spark side
+    # computes a data-derived verdict (physical round-trip intact,
+    # recall above its gate, sketch error inside its bound) and the
+    # hash compare fails loudly the moment it goes false. That is only
+    # honest when the verdict IS computable from the fixture data —
+    # wall-clock facts (the r10 verdict's pipeline_cost_estimate
+    # cost_within_budget) must live in pytest gates instead. This pins
+    # the exact allowlist so a new hardcoded-true column is a
+    # conscious, reviewed addition, and asserts no time-based verdict
+    # ever rejoins it.
+    import re
+
+    from parquet_processor_spark.registry import all_oracles
+
+    ALLOWED = {
+        "sink_merge_upsert": {"untouched_intact", "merge_ok"},
+        "recall_sim_topk_lsh_multiprobe": {"overlap_ok", "dominates_ok"},
+        "kmeans_ivf_train": {"inertia_improved"},
+        "embedding_pq_train": {"sse_improved"},
+        "sink_ann_index_roundtrip": {"parity_ok"},
+        "recall_range_search": {"bigint", "double"},  # casts of true, same class
+        "sink_ann_index_upsert": {"serve_parity_ok"},
+        "recall_sim_topk_lsh": {"overlap_ok"},
+        "recall_dedup_embedding_lsh": {"recall_ok"},
+        "recall_dedup_near": {"recall_ok"},
+        "recall_dedup_simhash": {"hamming_ok"},
+        "error_approx_distinct": {"within_rsd"},
+        "error_approx_quantile": {"within_err"},
+        "agg_sketch_merge": {"within_err"},
+        "recall_dedup_connected_lsh": {"agree_ok"},
+        "recall_dedup_incremental_minhash": {"recall_ok"},
+        "recall_sim_topk_ivf_nprobe": {"overlap_ok"},
+        "error_minhash_estimate": {"mae_ok", "max_err_ok"},
+        "error_approx_topk": {"topk_valid"},
+        "recall_dedup_perceptual": {"recall_ok"},
+        "recall_sim_topk_ivfpq": {"overlap_ok"},
+        "error_approx_intersection": {"within_err"},
+        "recall_dedup_audio": {"recall_ok"},
+        "recall_sim_knn_graph": {"overlap_ok"},
+        "sink_snapshot_expire": {"readable", "expired"},
+        "sink_checked_publish": {"is_current"},
+        "sink_targeted_delete": {"untouched_intact"},
+        "table_vacuum_orphans": {"table_intact"},
+    }
+    got = {
+        name: set(re.findall(r"true\s+as\s+(\w+)", sql, re.I))
+        for name, sql in all_oracles().items()
+        if re.search(r"true\s+as\s+\w+", sql, re.I)
+    }
+    assert got == ALLOWED, {
+        "unexpected": {k: v for k, v in got.items() if ALLOWED.get(k) != v},
+        "missing": {k: v for k, v in ALLOWED.items() if got.get(k) != v},
+    }

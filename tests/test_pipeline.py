@@ -134,3 +134,28 @@ def test_scrape_schema_contract():
     for col in REQUIRED_COLUMNS:
         assert col in names
     assert len(names) == len(set(names))  # no dup columns after catalog union
+
+
+def test_cost_estimate_budget_verdict(spark, sf_dir):
+    # The wall-clock half of C2, moved OUT of the hash-checked row
+    # (r10 verdict #6: time is not an oracle-computable fact): the
+    # canary's measured per-record time extrapolated over the
+    # remaining manifest must sit inside the coordinator's
+    # 30 s/record budget, and the gate itself must pass.
+    from parquet_processor_spark.pipeline.fetch import fake_transport, fetch_stage
+    from parquet_processor_spark.pipeline.run import canary_gate
+    from parquet_processor_spark.tables import t
+    from pyspark.sql import functions as F
+
+    urls = t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://example.org/concern/media/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("doc_id").alias("batch_index"),
+    )
+    n = urls.count()
+    canary = fetch_stage(urls.orderBy("batch_index").limit(10), fake_transport)
+    metrics = canary_gate(canary)
+    n_remaining = n - min(10, n)
+    assert metrics.success
+    assert metrics.avg_time * n_remaining < 30.0 * max(n_remaining, 1)

@@ -391,3 +391,40 @@ def test_streaming_ohlc_matches_the_batch_twin(spark, sf_dir):
     batch = {tuple(r[c] for c in cols) for r in events_ohlc_bars(spark, sf_dir).collect()}
     stream = {tuple(r[c] for c in cols) for r in streaming_ohlc(spark, sf_dir).collect()}
     assert stream == batch and len(batch) > 0
+
+
+def test_streaming_ohlc_incremental_batches_read_only_the_new_slice(
+    spark, events_dir, tmp_path
+):
+    # r10 verdict item: the OHLC stream's per-batch cost must be bound
+    # by the NEW slice, not history (the availableNow backfill re-reads
+    # everything by definition; this pins the incremental property of
+    # the trigger path). Two part-files + maxFilesPerTrigger=1 => two
+    # micro-batches; each batch's numInputRows must equal that file's
+    # row count — the windowed min_by/max_by state carries the past, so
+    # no batch ever rescans delivered data — and the converged bars
+    # must still equal the batch twin exactly.
+    from parquet_processor_spark.ops.temporal import events_ohlc_bars
+    from parquet_processor_spark.streaming.jobs import ohlc_bars
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = _run(ohlc_bars(stream), "ohlc_incr", str(tmp_path / "ck_ohlc"))
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    per_file = [
+        r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy((F.col("event_id") % 2).alias("half"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(progress) == 2, [p["numInputRows"] for p in q.recentProgress]
+    assert sorted(p["numInputRows"] for p in progress) == sorted(per_file)
+    total = sum(per_file)
+    assert all(p["numInputRows"] < total for p in progress), (
+        "a micro-batch re-read history instead of its slice"
+    )
+    cols = ["bar_start", "event_type", "n_events", "open_cents",
+            "high_cents", "low_cents", "close_cents", "volume_cents"]
+    got = {tuple(r[c] for c in cols) for r in spark.table("ohlc_incr").collect()}
+    want = {tuple(r[c] for c in cols) for r in events_ohlc_bars(spark, SF_SMALL).collect()}
+    assert got == want and len(want) > 0
