@@ -8,6 +8,7 @@ non-http(s) schemes and networkless defaults refuse loudly.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -322,3 +323,51 @@ def test_browser_transport_timeout_dead_letters_and_driver_survives(spark):
     assert rows[0]["attempt"] == 2  # retried before dead-lettering
     assert rows[1]["error"] is None
     assert rows[1]["media_type"] == "mesh"
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_CHROME") != "1",
+    reason="needs a real Chrome + selenium: run with SPARK_GRAFT_CHROME=1",
+)
+def test_browser_transport_against_real_chrome_on_js_rendered_page():
+    """The one integration this sandbox cannot run (no browser
+    installed): the DEFAULT selenium driver factory against a genuinely
+    JS-RENDERED page — the DOM below is empty until a script builds the
+    field-name/showcase pairs client-side, so a static fetch extracts
+    nothing and only a real browser sees the fields. A user with Chrome
+    runs: SPARK_GRAFT_CHROME=1 python -m pytest -k real_chrome."""
+    import http.server
+    import threading
+
+    from parquet_processor_spark.pipeline.fetch import make_browser_transport
+
+    page = b"""<html><head><title>specimen 42</title></head><body>
+    <div id="root"></div>
+    <script>
+      document.getElementById('root').innerHTML =
+        '<span class="field-name">media_type</span>' +
+        '<span class="showcase">volumetric image series</span>' +
+        '<span class="field-name">modality</span>' +
+        '<span class="showcase">MicroCT</span>';
+    </script></body></html>"""
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(page)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        transport = make_browser_transport()
+        fields = transport(f"http://127.0.0.1:{srv.server_address[1]}/")
+        assert fields.get("media_type") == "volumetric image series"
+        assert fields.get("modality") == "MicroCT"
+        assert fields.get("title") == "specimen 42"
+    finally:
+        srv.shutdown()
