@@ -918,15 +918,16 @@ def agg_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB shape: the RFM metrics are one map-side-combined aggregate
     per customer (exact decimal money sums); the corpus max date is a
-    1-row broadcast. The ntile windows run over the CUSTOMER table —
-    already |customers| rows, orders of magnitude below the fact
-    table — which is the point: score after collapsing, never window
-    the raw orders. (A customer table too large for the single-
-    partition ntile sort would switch to the two-phase global-index
-    pattern of ops/windows.py W1; the driver-facing semantics are
-    unchanged.) Ties break on o_custkey so quintile assignment is
-    deterministic.
+    1-row broadcast. The three quintile assignments come from EXACT
+    multi-level rank selection (ops/ranked_bins.py) over the
+    localCheckpointed customer spine — 4 literal cuts per dimension in
+    codegen — so no window ever sorts the customer table in one task
+    (the r10 verdict's ranking-spine class, closed for the entity-
+    spine members in r11 and here for the customer spine too). Ties
+    break on o_custkey so quintile assignment is deterministic.
     """
+    from parquet_processor_spark.ops.ranked_bins import exact_ntile_cuts, ntile_assign
+
     o = t(spark, sf, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("corpus_max"))
     rfm = (
@@ -943,17 +944,24 @@ def agg_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint()  # eager-by-design: O(customers) spine reused by 3 cut selections
     )
-    from pyspark.sql import Window
-
+    dims = {
+        "r_score": F.col("recency_days").cast("double"),
+        "f_score": (-F.col("frequency")).cast("double"),
+        "m_score": -F.col("monetary"),
+    }
+    scores = []
+    for name, okey in dims.items():
+        spine = rfm.select(
+            F.lit(0).alias("nf"), okey.alias("okey"), F.col("o_custkey").alias("oid")
+        )
+        cuts = exact_ntile_cuts(spine, 5)
+        scores.append(
+            ntile_assign(cuts, F.lit(0), okey, F.col("o_custkey")).alias(name)
+        )
     return rfm.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+        "o_custkey", "recency_days", "frequency", "monetary", *scores
     )
 
 
@@ -993,33 +1001,48 @@ def agg_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
     100 TB shape: revenue collapses per part in one map-side-combined
     aggregate (exact decimal sums) — the fact table is read once and
     never windowed; the cumulative ranking runs over the collapsed
-    |parts| table (the RFM/ntile rule: window after collapsing). The
-    running sum accumulates DECIMALS (exact, order-independent up to
-    the deterministic (revenue desc, part) order) and converts to
-    double in one division per row, so cum_share is bit-identical
-    across engines. A parts table too large for one ordered window
-    would switch to the two-phase global-index pattern (W1).
+    |parts| table as a TWO-PHASE cumsum (r11: the r5-r10 plan still
+    sorted the whole parts spine in one empty-partition window). The
+    prefix decomposes exactly: cum(part) = sum of all strictly-higher
+    revenue CLASSES (global_cumsum_before over the distinct-revenue
+    class table, bucketed two-phase — W1 pattern) + revenue * rank of
+    the part within its tie class (a window PARTITIONED by the exact
+    revenue value, bounded by tie-class size). Money rides as exact
+    integer cents (< 2^53, so the final /100.0 doubles are the same
+    correctly-rounded values as the oracle's decimal casts) and one
+    division per row makes cum_share bit-identical across engines.
     """
     from pyspark.sql import Window
+
+    from parquet_processor_spark.ops.windows import global_cumsum_before
 
     rev = (
         t(spark, sf, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"))
+        .withColumn("cents", (F.col("revenue") * 100).cast("long"))
     )
-    w = (
-        Window.orderBy(F.col("revenue").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy()
-    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
-    return (
-        rev.select(
-            "l_partkey",
-            "revenue",
-            F.sum("revenue").over(w).alias("cum_rev"),
-            F.sum("revenue").over(wt).alias("total_rev"),
+    cls = (
+        rev.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cents",
+            (-F.col("cents")).alias("neg"),
+            (F.col("cents") * F.col("cnt")).alias("class_sum"),
         )
+    )
+    before = global_cumsum_before(cls, "neg", "class_sum", out_col="cls_before").select(
+        "cents", "cls_before"
+    )
+    total = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    rn = F.row_number().over(Window.partitionBy("cents").orderBy("l_partkey"))
+    cum_cents = F.col("cls_before") + F.col("cents") * rn
+    share = (cum_cents.cast("double") / F.lit(100.0)) / (
+        F.col("total_cents").cast("double") / F.lit(100.0)
+    )
+    return (
+        rev.join(before, "cents")
+        .crossJoin(F.broadcast(total))
         .select(
             "l_partkey",
             F.col("revenue").cast("double").alias("revenue"),

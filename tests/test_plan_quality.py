@@ -537,6 +537,16 @@ def test_open_over_time_windows_collapsed_days_only(spark):
     assert "Union" in plan, plan
 
 
+def test_abc_has_no_single_partition_window(spark):
+    # r11: the Pareto cumulative share is a two-phase cumsum — the
+    # class prefix runs over key-range buckets and the tie rank is
+    # partitioned by the exact revenue value, so no empty-partition
+    # Sort/Window may appear anywhere in the plan.
+    plan = plan_of(spark, "agg_abc_analysis")
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"agg_abc_analysis: single-partition sort: {bad}\n{plan}"
+
+
 def test_abc_and_gini_window_collapsed_keys_only(spark):
     # Pareto/Gini rank windows must run over the collapsed per-key
     # aggregate, not the fact table: the scan's rows reach a
@@ -1290,7 +1300,8 @@ def test_eval_ntile_family_has_no_entity_spine_window(spark):
     # exact_ntile_cuts (ops/ranked_bins.py), so their FINAL plans must
     # contain no Window at all — and no SinglePartition exchange
     # feeding a Sort.
-    for name in ("agg_calibration", "agg_decile_lift", "quality_ccnet_buckets"):
+    for name in ("agg_calibration", "agg_decile_lift", "quality_ccnet_buckets",
+                 "agg_rfm_scores"):
         plan = plan_of(spark, name)
         assert not re.findall(r"^\(\d+\) Window", plan, re.M), (
             f"{name}: entity-spine Window survived the cut rewrite:\n{plan}"
