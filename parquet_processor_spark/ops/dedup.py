@@ -2336,3 +2336,109 @@ def report_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("overlap_frac"),
         )
     )
+
+
+# N205: exact set-similarity join with PREFIX FILTERING (Chaudhuri et
+# al. 2006 SSJoin / Xiao et al. 2008 PPJoin): every pair with Jaccard
+# >= tau must share at least one token in its (n - ceil(tau*n) + 1)-
+# token prefix under ANY global token order, so joining on prefix
+# tokens alone is a LOSSLESS pruning — unlike the df-capped posting
+# lists of dedup_ngram_jaccard (bounded-but-approximate), this is the
+# exact all-pairs threshold join, and the oracle is the brute-force
+# shingle self-join it must equal row for row.
+_SETSIM_NUM, _SETSIM_DEN = 1, 2  # Jaccard >= 1/2
+
+
+@query(
+    "join_set_similarity",
+    oracle=rf"""
+    with sh as (
+      select doc_id, unnest(list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1)),
+          i -> ('0x' || substr(md5(
+                 array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+               ), 1, 15))::bigint
+        ))) as h
+      from documents
+    ),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+      from sh a join sh b on a.h = b.h and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select p.doc_a, p.doc_b,
+           cast(p.n_common as bigint) as n_common,
+           cast(p.n_common as double) / (sa.n + sb.n - p.n_common) as jaccard
+    from pairs p
+      join sizes sa on p.doc_a = sa.doc_id
+      join sizes sb on p.doc_b = sb.doc_id
+    where {_SETSIM_DEN} * p.n_common >= {_SETSIM_NUM} * (sa.n + sb.n - p.n_common)
+    """,
+    tags=("join", "similarity", "prefix-filter", "dedup"),
+)
+def join_set_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """All document pairs with shingle Jaccard >= {num}/{den}, found
+    EXACTLY via prefix filtering: tokens rank rarest-first (global
+    (df, h) order), each doc keeps only its first n - ceil(tau*n) + 1
+    tokens, and candidate pairs come from the PREFIX self-join — every
+    qualifying pair provably shares a prefix token, so the verified
+    output equals the brute-force join bit for bit.
+
+    100 TB shape: the candidate join touches prefix tokens only
+    (a (1-tau) fraction of the corpus, rarest tokens first — exactly
+    the tokens with the SHORTEST posting lists, which is why
+    rarest-first is the canonical order); intersection counting is
+    candidate-driven (two narrow hash joins), never all-pairs; the
+    threshold test is exact integer arithmetic ({den}*common >=
+    {num}*union) with one final double division for the reported
+    score. The per-doc ranking window partitions by doc_id — bounded
+    by doc size, never corpus-mass.
+    """.format(num=_SETSIM_NUM, den=_SETSIM_DEN)
+    from pyspark.sql import Window
+
+    sh = (
+        split_words(spark, sf)
+        .select("doc_id", F.explode_outer(shingle_hashes_md5()).alias("h"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
+    w = Window.partitionBy("doc_id").orderBy("dfh", "h")
+    ranked = (
+        sh.join(dfreq, "h")
+        .select("doc_id", "h", F.row_number().over(w).alias("rk"))
+        .join(sizes, "doc_id")
+    )
+    # prefix length p = n - ceil(tau*n) + 1, ceil spelled in integers
+    p = (
+        F.col("n")
+        - F.expr(f"(({_SETSIM_NUM} * n) + {_SETSIM_DEN} - 1) div {_SETSIM_DEN}")
+        + 1
+    )
+    pref = ranked.where(F.col("rk") <= p).select("doc_id", "h")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    scored = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return scored.where(
+        F.lit(_SETSIM_DEN) * F.col("n_common") >= F.lit(_SETSIM_NUM) * union
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (F.col("n_common").cast("double") / union).alias("jaccard"),
+    )

@@ -952,3 +952,132 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = out.unionByName(frontier)
     return out
+
+
+# N206: personalized PageRank (Haveliwala 2002 topic-sensitive PR /
+# the Andersen-Chung-Lang push setting): identical integer-mass
+# recursion to graph_pagerank, except the teleport term restarts ONLY
+# onto the seed set — scores become proximity-to-seeds, the primitive
+# behind "expand this seed list" data discovery and related-entity
+# ranking. Seeds are the deterministic customer cohort custkey % 10
+# == 0 (node encoding 2*custkey, so node % 20 == 0).
+_PPR_SEED_MOD = 10
+
+
+@query(
+    "graph_ppr",
+    oracle=f"""
+    with base as (
+      select distinct o_custkey, l_suppkey
+      from orders join lineitem on o_orderkey = l_orderkey
+    ),
+    edges as (
+      select o_custkey * 2 as src, l_suppkey * 2 + 1 as dst from base
+      union all
+      select l_suppkey * 2 + 1 as src, o_custkey * 2 as dst from base
+    ),
+    m0 as (
+      select src as node, cast(count(*) as bigint) as deg,
+             cast(case when src % {2 * _PPR_SEED_MOD} = 0
+                       then 1000000000 else 0 end as bigint) as mass
+      from edges group by src
+    ),
+    m1 as (
+      select m.node, m.deg,
+             cast(case when m.node % {2 * _PPR_SEED_MOD} = 0
+                       then {_TELEPORT} else 0 end
+                  + (85 * (coalesce(f.inflow, 0) + m.mass % m.deg)) // 100
+               as bigint) as mass
+      from m0 m left join (
+        select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow
+        from edges e join m0 s on e.src = s.node group by e.dst
+      ) f on m.node = f.node
+    ),
+    m2 as (
+      select m.node, m.deg,
+             cast(case when m.node % {2 * _PPR_SEED_MOD} = 0
+                       then {_TELEPORT} else 0 end
+                  + (85 * (coalesce(f.inflow, 0) + m.mass % m.deg)) // 100
+               as bigint) as mass
+      from m1 m left join (
+        select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow
+        from edges e join m1 s on e.src = s.node group by e.dst
+      ) f on m.node = f.node
+    ),
+    m3 as (
+      select m.node, m.deg,
+             cast(case when m.node % {2 * _PPR_SEED_MOD} = 0
+                       then {_TELEPORT} else 0 end
+                  + (85 * (coalesce(f.inflow, 0) + m.mass % m.deg)) // 100
+               as bigint) as mass
+      from m2 m left join (
+        select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow
+        from edges e join m2 s on e.src = s.node group by e.dst
+      ) f on m.node = f.node
+    )
+    select node, deg, mass, node % {2 * _PPR_SEED_MOD} = 0 as is_seed
+    from m3 where mass > 0
+    """,
+    tags=("graph", "iterative", "ppr"),
+)
+def graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """3-round integer personalized PageRank from the custkey %
+    {mod} == 0 seed cohort over the customer-supplier trade graph:
+    initial mass sits on seeds only, the 15% teleport restarts onto
+    seeds only, and everything else follows graph_pagerank's exact
+    bigint recursion (share = mass div deg, remainder stays home,
+    85% damping). Zero-mass nodes (never reached in 3 hops) are
+    dropped — at scale PPR touches the seed neighborhood, not the
+    graph.
+
+    100 TB shape: identical per-round plan to graph_pagerank (ONE
+    map-side-combined inflow shuffle per round over the checkpointed,
+    pre-partitioned edge list) with one PPR-specific win: mass is
+    sparse — rounds touch only nodes within k hops of seeds, so the
+    shares table starts at |seeds| rows and grows with the reached
+    frontier, not the node count. The left join + coalesce keeps
+    unreached nodes exact-zero (integer mass: no float drift).
+    """.format(mod=_PPR_SEED_MOD)
+    e0 = (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cust = (F.col("o_custkey").cast("long") * 2).alias("cust_node")
+    supp = (F.col("l_suppkey").cast("long") * 2 + 1).alias("supp_node")
+    edges = e0.select(cust.alias("src"), supp.alias("dst")).unionAll(
+        e0.select(supp.alias("src"), cust.alias("dst"))
+    )
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).localCheckpoint(eager=True)  # eager-by-design: reused by every round (graph_pagerank pattern)
+    seed = F.col("node") % (2 * _PPR_SEED_MOD) == 0
+    masses = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.when(seed.cast("boolean"), F.lit(_B)).otherwise(0).cast("long").alias("mass"),
+    )
+    for _ in range(_ROUNDS):
+        shares = masses.select(
+            F.col("node").alias("src"), F.expr("mass div deg").alias("share")
+        )
+        inflow = (
+            edges.join(shares.where(F.col("share") > 0), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        masses = (
+            masses.select("node", "deg", F.expr("mass % deg").alias("rem"))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.when(seed, F.lit(_TELEPORT)).otherwise(0)
+                    + F.expr("(85 * (coalesce(inflow, 0) + rem)) div 100")
+                ).cast("long").alias("mass"),
+            )
+        )
+    return masses.where(F.col("mass") > 0).select(
+        "node", "deg", "mass", seed.alias("is_seed")
+    )

@@ -2624,10 +2624,21 @@ def events_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return trending_rank_of_counts(c)
+
+
+def trending_rank_of_counts(counts: DataFrame) -> DataFrame:
+    """The serve half of the trending leaderboard, shared by the batch
+    operator and its streaming twin (the forecast_of_daily
+    convention): rank<=K filter over an at-rest (hour, user, count)
+    spine — rewrites to WindowGroupLimit, per-task partial top-k
+    before the hour-keyed exchange."""
     w = Window.partitionBy("hour_start").orderBy(
         F.col("n_events").desc(), F.col("user_id")
     )
     return (
-        c.select("hour_start", "user_id", "n_events", F.row_number().over(w).alias("rk"))
+        counts.select(
+            "hour_start", "user_id", "n_events", F.row_number().over(w).alias("rk")
+        )
         .where(F.col("rk") <= _TREND_K)
     )

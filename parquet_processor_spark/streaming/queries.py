@@ -583,3 +583,40 @@ def streaming_ohlc(spark: SparkSession, sf: str) -> DataFrame:
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
     return _run_stream(ohlc_bars(events), "complete")
+
+
+@query(
+    "streaming_trending_topk",
+    # share the batch oracle verbatim: the streamed (hour, user) count
+    # spine and the batch aggregate are the same relation (the
+    # streaming_forecast convention)
+    oracle=_ORACLES["events_trending_topk"],
+    tags=("streaming", "topk", "trending"),
+)
+def streaming_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """N204 — streaming twin of events_trending_topk: the stream
+    maintains the (hour, user) activity-count spine (complete mode),
+    and the rank<=K leaderboard serves from the at-rest spine through
+    the SAME code path as the batch operator
+    (trending_rank_of_counts), so the twins are identical by
+    construction and share one oracle.
+
+    100 TB shape: per-batch work is one map-side-combined aggregate
+    into integer spine cells; no event payload is retained. Honest
+    state note: the spine is |active users per hour| rows — bounded
+    by entity activity, not volume, but NOT by k; a deployment that
+    cannot hold the per-hour user spine swaps the state for the
+    streaming count-min sketch (N116) and serves approximate top-k
+    with its error gate, the standard trade.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.temporal import trending_rank_of_counts
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    counts = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour")["start"].alias("hour_start"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return trending_rank_of_counts(_run_stream(counts, "complete"))
