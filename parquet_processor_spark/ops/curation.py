@@ -1099,3 +1099,84 @@ def anonymize_generalize(spark: SparkSession, sf: str) -> DataFrame:
         "qi_geo",
         F.count(F.lit(1)).over(w).cast("long").alias("qi_group_n"),
     )
+
+
+# N209: differentially-private MEAN release (the companion to
+# anonymize_dp_counts): per market segment, order values clamp to
+# [0, C] cents (the sensitivity bound every DP mean needs — an
+# unbounded value has unbounded sensitivity), the clamped SUM gets
+# C-scaled two-sided geometric noise and the COUNT gets unit noise
+# (both md5-keyed, the dp_counts construction), and the released mean
+# is one division of the two noisy integers. Epsilon bookkeeping
+# follows dp_counts: one seed per release epoch, budget composes
+# across re-releases.
+_DP_MEAN_CLAMP = 50_000  # cents: values clamp to [0, $500]
+
+
+def _dpm_sql(tag: str) -> str:
+    h = (
+        f"('0x' || substr(md5(seg || ':{tag}:{_DP_SEED}'), 1, 15))::bigint"
+    )
+    return f"(case when {h} = 0 then 60 else length(bin(({h}) & -({h}))) - 1 end)"
+
+
+@query(
+    "anonymize_dp_mean",
+    oracle=f"""
+    with v as (
+      select o_orderpriority as seg,
+             least(cast(floor(o_totalprice * 100 + 0.5) as bigint),
+                   {_DP_MEAN_CLAMP}) as cents
+      from orders
+    ),
+    g as (
+      select seg, cast(count(*) as bigint) as n,
+             cast(sum(cents) as bigint) as s
+      from v group by seg
+    )
+    select seg,
+           cast(greatest(n + {_dpm_sql('cnt1')} - {_dpm_sql('cnt2')}, 1) as bigint)
+             as dp_n,
+           cast(s + {_DP_MEAN_CLAMP} * ({_dpm_sql('sum1')} - {_dpm_sql('sum2')})
+             as bigint) as dp_sum_cents,
+           cast(s + {_DP_MEAN_CLAMP} * ({_dpm_sql('sum1')} - {_dpm_sql('sum2')})
+                as double)
+             / (100.0 * greatest(n + {_dpm_sql('cnt1')} - {_dpm_sql('cnt2')}, 1))
+             as dp_mean
+    from g
+    """,
+    tags=("curation", "governance", "privacy", "dp"),
+)
+def anonymize_dp_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """DP mean order value per priority segment: clamped integer sums
+    + keyed geometric noise on numerator (C-scaled) and denominator
+    (unit-scaled), count floored at 1 so the release never divides by
+    zero. Everything before the one final division is exact int64.
+
+    100 TB shape: ONE map-side-combined aggregate over the clamped
+    projection (clamping is codegen beside the scan); noise is
+    per-GROUP arithmetic on the collapsed |segments| rows — the
+    corpus never shuffles, the release table is segment-sized.
+    """
+    v = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.least(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+            F.lit(_DP_MEAN_CLAMP),
+        ).alias("cents"),
+    )
+    g = v.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    parts = [F.col("seg")]
+    cnt_noise = _dp_tz(_dp_hash60(parts, "cnt1")) - _dp_tz(_dp_hash60(parts, "cnt2"))
+    sum_noise = _dp_tz(_dp_hash60(parts, "sum1")) - _dp_tz(_dp_hash60(parts, "sum2"))
+    dp_n = F.greatest(F.col("n") + cnt_noise, F.lit(1)).cast("long")
+    dp_sum = (F.col("s") + F.lit(_DP_MEAN_CLAMP) * sum_noise).cast("long")
+    return g.select(
+        "seg",
+        dp_n.alias("dp_n"),
+        dp_sum.alias("dp_sum_cents"),
+        (dp_sum.cast("double") / (F.lit(100.0) * dp_n)).alias("dp_mean"),
+    )

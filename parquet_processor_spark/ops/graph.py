@@ -1081,3 +1081,164 @@ def graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
     return masses.where(F.col("mass") > 0).select(
         "node", "deg", "mass", seed.alias("is_seed")
     )
+
+
+# N207: strongly connected components over the DIRECTED part-sequence
+# graph (edges = consecutive parts within an order by line number;
+# cycles arise when orders disagree on the direction). The coloring
+# algorithm (Orzan 2004 / the FW-BW family): forward-min label
+# propagation partitions remaining nodes into classes each containing
+# its root's whole SCC; a backward pass restricted to the class
+# recovers exactly SCC(root); identified SCCs peel off and the outer
+# loop repeats. Every SCC algorithm that scales is a variant of this
+# loop — Tarjan's stack is inherently sequential.
+_SCC_MAX_PEELS = 20
+_SCC_MAX_PROP = 40
+
+
+def _scc_oracle() -> str:
+    return """
+    with li as (
+      select l_orderkey, l_linenumber, l_partkey from lineitem
+    ),
+    e0 as (
+      select distinct a.l_partkey as src, b.l_partkey as dst
+      from li a join li b
+        on a.l_orderkey = b.l_orderkey
+       and b.l_linenumber = (
+         select min(c.l_linenumber) from li c
+         where c.l_orderkey = a.l_orderkey and c.l_linenumber > a.l_linenumber
+       )
+      where a.l_partkey <> b.l_partkey
+    ),
+    nodes as (
+      select src as n from e0 union select dst from e0
+    ),
+    reach as (
+      with recursive r(a, b) as (
+        select src, dst from e0
+        union
+        select r.a, e0.dst from r join e0 on r.b = e0.src
+      )
+      select a, b from r
+    )
+    select n.n as node,
+           least(n.n, coalesce(min(case when r1.b is not null and r2.a is not null
+                                        then r1.b end), n.n)) as scc_id
+    from nodes n
+    left join reach r1 on r1.a = n.n
+    left join reach r2 on r2.a = r1.b and r2.b = n.n
+    group by n.n
+    """
+
+
+@query(
+    "graph_scc",
+    oracle=f"""
+    with base as ( {_scc_oracle()} )
+    select node, scc_id,
+           cast(count(*) over (partition by scc_id) as bigint) as scc_size
+    from base
+    """,
+    tags=("graph", "iterative", "scc"),
+)
+def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
+    """(node, scc_id, scc_size) with scc_id = the minimum node id in
+    the strongly connected component — computed by the FW-BW coloring
+    loop, against a brute-force transitive-closure oracle (scc_id =
+    min over mutually-reachable nodes).
+
+    100 TB shape: the outer peel and both inner propagations follow
+    the k-core loop discipline — one map-side-combined min-aggregate
+    shuffle per round over an edge list that only SHRINKS, edges
+    repartitioned on the join key once and localCheckpointed per
+    round. Inner fixpoints are detected by a 1-row monotone invariant
+    (sum of labels strictly decreases / marked count strictly grows),
+    so convergence costs one scalar read per round, never a data
+    compare. Labels are 8-byte longs; nothing wider ever shuffles.
+    Peel progress is guaranteed (every class identifies its root's
+    SCC each peel), and the iteration caps fail loudly rather than
+    silently truncating.
+    """
+    sc = spark.sparkContext
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    e = (
+        li.select(
+            F.col("l_partkey").cast("long").alias("src"),
+            F.lead("l_partkey").over(w).cast("long").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    edges_all = e.repartition(sc.defaultParallelism, "src").localCheckpoint(
+        eager=True
+    )  # eager-by-design: reused by every peel round (k-core pattern)
+    nodes = (
+        edges_all.select(F.col("src").alias("node"))
+        .union(edges_all.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # eager-by-design: the peel frontier
+    )
+    edges = edges_all
+    out = None
+    for _peel in range(_SCC_MAX_PEELS):
+        if nodes.isEmpty():
+            break
+        # forward-min coloring to fixpoint: c(v) = min id reaching v
+        lab = nodes.select("node", F.col("node").alias("c")).localCheckpoint(eager=True)
+        prev_sum = None
+        for _it in range(_SCC_MAX_PROP):
+            inc = (
+                edges.join(
+                    lab.select(F.col("node").alias("src"), F.col("c").alias("cs")), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("cs").alias("cin"))
+            )
+            lab = (
+                lab.join(inc, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("c"), F.coalesce(F.col("cin"), F.col("c"))).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            s = lab.agg(F.sum("c")).collect()[0][0]  # eager-by-design: 1-row monotone fixpoint probe
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            raise RuntimeError("graph_scc: forward coloring did not converge")
+        # backward pass restricted to each class: mark = nodes known to
+        # reach their class root (seeded by the roots themselves)
+        mark = lab.where(F.col("c") == F.col("node")).localCheckpoint(eager=True)
+        prev_n = None
+        for _it in range(_SCC_MAX_PROP):
+            step = (
+                edges.join(
+                    mark.select(F.col("node").alias("dst"), F.col("c").alias("mc")), "dst"
+                )
+                .select(F.col("src").alias("node"), F.col("mc").alias("c"))
+                .join(lab, ["node", "c"])  # stay inside the class
+            )
+            mark = mark.union(step).distinct().localCheckpoint(eager=True)
+            n_m = mark.count()  # eager-by-design: 1-row monotone fixpoint probe
+            if n_m == prev_n:
+                break
+            prev_n = n_m
+        else:
+            raise RuntimeError("graph_scc: backward pass did not converge")
+        found = mark.select("node", F.col("c").alias("scc_id"))
+        out = found if out is None else out.union(found)
+        nodes = nodes.join(found, "node", "left_anti").localCheckpoint(eager=True)
+        gone = found.select(F.col("node").alias("g"))
+        edges = (
+            edges.join(gone.withColumnRenamed("g", "src"), "src", "left_anti")
+            .join(gone.withColumnRenamed("g", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError("graph_scc: peel loop did not converge")
+    sizes = out.groupBy("scc_id").agg(F.count(F.lit(1)).cast("long").alias("scc_size"))
+    return out.join(sizes, "scc_id").select("node", "scc_id", "scc_size")

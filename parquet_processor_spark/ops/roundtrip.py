@@ -1703,3 +1703,87 @@ def sink_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         ],
         schema,
     )
+
+
+# N210: time-travel read against the snapshot commit LOG — the reader
+# half the versioned sink's story was missing: "AS OF" resolution maps
+# a requested timestamp to the newest version whose commit is <= it
+# (exactly Delta's DESCRIBE HISTORY walk / Iceberg's
+# snapshot-log lookup). Commit times here are LOGICAL sequence
+# timestamps recorded in the log at publish (100*version) — the
+# resolution algebra is identical to wall-clock logs and, unlike
+# wall-clock, reproducible for the oracle.
+_TT_CUTS = ("1995-01-01", "1996-01-01", None)  # v1, v2, v3=full
+
+
+@query(
+    "sink_time_travel_read",
+    oracle=f"""
+    with q(as_of_ts) as (select unnest([150, 250, 990])),
+    v1 as (select cast(count(*) as bigint) n, {dsum_sql("o_totalprice", "tp")}
+           from orders where o_orderdate < timestamp '{_TT_CUTS[0]} 00:00:00'),
+    v2 as (select cast(count(*) as bigint) n, {dsum_sql("o_totalprice", "tp")}
+           from orders where o_orderdate < timestamp '{_TT_CUTS[1]} 00:00:00'),
+    v3 as (select cast(count(*) as bigint) n, {dsum_sql("o_totalprice", "tp")}
+           from orders)
+    select q.as_of_ts,
+           cast(least(q.as_of_ts // 100, 3) as int) as resolved_version,
+           case least(q.as_of_ts // 100, 3) when 1 then (select n from v1)
+                when 2 then (select n from v2) else (select n from v3) end as n_rows,
+           case least(q.as_of_ts // 100, 3) when 1 then (select tp from v1)
+                when 2 then (select tp from v2) else (select tp from v3) end
+             as total_price
+    from q order by q.as_of_ts
+    """,
+    tags=("sink", "layout", "versioning", "time-travel"),
+)
+def sink_time_travel_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Publish three snapshots of orders (growing date cuts) with a
+    commit log of (version, logical commit_ts = 100*version), then
+    resolve three AS-OF reads (ts 150, 250, 990) through the log —
+    newest commit <= ts — and report each resolved version's row
+    count + exact total. The oracle recomputes every version from
+    source, proving both the snapshots and the resolution rule.
+
+    100 TB shape: resolution reads the LOG (one tiny file), never
+    data; each as-of read then scans exactly one immutable snapshot
+    directory — the O(1)-metadata + O(snapshot)-data contract all
+    table formats give. The snapshots share the publish_snapshot
+    pointer-flip commit protocol.
+    """
+    import json as _json
+
+    out = scratch_dir("ppspark_timetravel_")
+    orders = t(spark, sf, "orders")
+    log_path = os.path.join(out, "_LOG")
+    entries = []
+    for v, cut in enumerate(_TT_CUTS, start=1):
+        snap = orders if cut is None else orders.where(
+            F.col("o_orderdate") < F.lit(f"{cut} 00:00:00").cast("timestamp")
+        )
+        publish_snapshot(snap, out, v)
+        entries.append({"version": v, "commit_ts": 100 * v})
+        with open(log_path + ".tmp", "w") as fh:
+            fh.write("\n".join(_json.dumps(e) for e in entries))
+        os.replace(log_path + ".tmp", log_path)  # log commit follows the pointer flip
+
+    def resolve(as_of_ts: int) -> int:
+        with open(log_path) as fh:
+            log = [_json.loads(ln) for ln in fh if ln.strip()]
+        eligible = [e["version"] for e in log if e["commit_ts"] <= as_of_ts]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before ts {as_of_ts}")
+        return max(eligible)
+
+    reads = None
+    for ts in (150, 250, 990):
+        v = resolve(ts)
+        snap = spark.read.parquet(os.path.join(out, f"snap-{v}"))
+        one = snap.agg(
+            F.lit(ts).cast("int").alias("as_of_ts"),
+            F.lit(v).cast("int").alias("resolved_version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        ).select("as_of_ts", "resolved_version", "n_rows", "total_price")
+        reads = one if reads is None else reads.unionByName(one)
+    return reads.orderBy("as_of_ts")

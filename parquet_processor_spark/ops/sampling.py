@@ -1203,3 +1203,98 @@ def pack_concat_chunks(spark: SparkSession, sf: str) -> DataFrame:
         (seg_start - F.col("seq_id") * B).cast("long").alias("seq_tok_from"),
         (seg_end - seg_start).cast("long").alias("n_toks"),
     )
+
+
+# N208: systematic PPS sampling (probability proportional to size —
+# Madow 1949, the survey-sampling workhorse): n equally-spaced
+# positions walk the cumulative size line from a deterministic
+# md5-derived start; each unit is drawn once per position inside its
+# cumulative interval, and Horvitz-Thompson weights T/(n*size) make
+# any downstream sum unbiased for the population total. The training-
+# data use: value-weighted corpus subsampling where expensive docs
+# (long, high-quality) should be kept proportionally more often,
+# with weights that keep aggregate statistics calibrated.
+_PPS_N = 500  # fixed sample positions; cum*n stays < 2^63 for corpora to ~1e16 cents
+
+
+@query(
+    "sample_pps",
+    oracle=f"""
+    with sized as (
+      select o_orderkey, cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents
+      from orders
+    ),
+    cum as (
+      select o_orderkey, cents,
+             coalesce(sum(cents) over (order by o_orderkey
+               rows between unbounded preceding and 1 preceding), 0) as cum_lo
+      from sized
+    ),
+    tot as (
+      select cast(sum(cents) as bigint) as t from sized
+    ),
+    par as (
+      select t, ('0x' || substr(md5('pps:1'), 1, 15))::bigint % t as u from tot
+    ),
+    hits as (
+      select c.o_orderkey, c.cents,
+             ((c.cum_lo + c.cents) * {_PPS_N} - u - 1 + t) // t
+               - (c.cum_lo * {_PPS_N} - u - 1 + t) // t as n_hits,
+             t
+      from cum c, par
+    )
+    select o_orderkey, cents, cast(n_hits as bigint) as n_hits,
+           cast(t as double) / ({_PPS_N} * cents) as ht_weight
+    from hits where n_hits > 0
+    """,
+    tags=("sample", "pps", "weights"),
+)
+def sample_pps(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic PPS sample of orders by total price: {n} positions
+    at spacing T/{n} from start U = md5('pps:1') % T select each order
+    floor-counting positions inside its [cum, cum+size) interval —
+    all arithmetic exact int64 (sizes in cents, positions scaled by
+    {n}; the +T shift keeps every div numerator non-negative so both
+    engines' integral division agrees), big units can be drawn
+    multiple times (n_hits), and ht_weight = T/({n}*size) is the
+    exact Horvitz-Thompson reciprocal inclusion density.
+
+    100 TB shape: the cumulative line is the TWO-PHASE global cumsum
+    (global_cumsum_before — data-derived key-range buckets, no
+    single-partition sort over the order spine); T and U are a 1-row
+    broadcast; selection is codegen arithmetic beside the scan. The
+    {n}-position design keeps cum*{n} inside int64 to ~1e16 cents of
+    corpus mass; past that the same formulas widen to decimal(38,0)
+    unchanged.
+    """.format(n=_PPS_N)
+    from parquet_processor_spark.ops.windows import global_cumsum_before
+
+    sized = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cum = global_cumsum_before(sized, "o_orderkey", "cents", out_col="cum_lo")
+    tot = sized.agg(F.sum("cents").cast("long").alias("t"))
+    par = tot.select(
+        "t",
+        (
+            F.conv(F.substring(F.md5(F.lit("pps:1")), 1, 15), 16, 10).cast("long")
+            % F.col("t")
+        ).alias("u"),
+    )
+    j = cum.crossJoin(F.broadcast(par))
+    n_hits = (
+        F.expr(f"((cum_lo + cents) * {_PPS_N} - u - 1 + t) div t")
+        - F.expr(f"(cum_lo * {_PPS_N} - u - 1 + t) div t")
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            "cents",
+            n_hits.cast("long").alias("n_hits"),
+            (F.col("t").cast("double") / (F.lit(_PPS_N) * F.col("cents"))).alias(
+                "ht_weight"
+            ),
+        )
+        .where(F.col("n_hits") > 0)
+    )

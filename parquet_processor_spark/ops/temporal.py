@@ -2642,3 +2642,137 @@ def trending_rank_of_counts(counts: DataFrame) -> DataFrame:
         )
         .where(F.col("rk") <= _TREND_K)
     )
+
+
+# N212: CUPED variance reduction (Deng et al. 2013, "Improving the
+# sensitivity of online controlled experiments" — the pre-experiment
+# covariate adjustment every mature A/B platform applies): per user,
+# X = pre-period activity and Y = in-experiment value; theta =
+# cov(X,Y)/var(X) fitted POOLED (arm-blind, which keeps the
+# adjustment unbiased), and Y_cuped = Y - theta*(X - mean X) shrinks
+# each arm's variance by the squared X-Y correlation. The whole
+# analysis reduces to exact integer moments; every double formula is
+# ONE text parsed by both engines (the agg_regression_multi
+# discipline).
+_CUPED_CUT = "2024-01-15"
+_CUPED_THETA = "((tn * txy - tx * ty) / nullif(tn * txx - tx * tx, 0.0))"
+_CUPED_MEANX = "(tx / tn)"
+_CUPED_VAR_Y = "((n * syy - sy * sy) / (cast(n as double) * n))"
+_CUPED_VAR_ADJ = (
+    f"(((n * syy - sy * sy) + {_CUPED_THETA} * {_CUPED_THETA} * (n * sxx - sx * sx)"
+    f" - 2 * {_CUPED_THETA} * (n * sxy - sx * sy)) / (cast(n as double) * n))"
+)
+_CUPED_MEAN_ADJ = f"((sy - {_CUPED_THETA} * (sx - n * {_CUPED_MEANX})) / n)"
+
+
+def _cuped_oracle() -> str:
+    return f"""
+    with u as (
+      select user_id,
+             ('0x' || substr(md5('cuped:' || cast(user_id as varchar)), 1, 15))::bigint
+               % 2 as arm,
+             cast(sum(case when ts < timestamp '{_CUPED_CUT} 00:00:00'
+                           then 1 else 0 end) as bigint) as x,
+             cast(sum(case when ts >= timestamp '{_CUPED_CUT} 00:00:00'
+                      and event_type = 'purchase'
+                      then cast(floor(value * 100 + 0.5) as bigint) else 0 end)
+                  as bigint) as y
+      from events group by user_id
+    ),
+    pooled as (
+      select cast(count(*) as double) as tn,
+             cast(sum(x) as double) as tx, cast(sum(y) as double) as ty,
+             cast(sum(x * x) as double) as txx,
+             cast(sum(x * y) as double) as txy
+      from u
+    ),
+    arms as (
+      select arm, cast(count(*) as double) as n,
+             cast(sum(x) as double) as sx, cast(sum(y) as double) as sy,
+             cast(sum(x * x) as double) as sxx,
+             cast(sum(y * y) as double) as syy,
+             cast(sum(x * y) as double) as sxy
+      from u group by arm
+    )
+    select cast(arm as int) as arm, cast(n as bigint) as n_users,
+           {_CUPED_THETA} as theta,
+           (sy / n) as mean_y,
+           {_CUPED_MEAN_ADJ} as mean_y_cuped,
+           {_CUPED_VAR_Y} as var_y,
+           {_CUPED_VAR_ADJ} as var_y_cuped
+    from arms, pooled
+    order by arm
+    """
+
+
+@query("events_cuped", oracle=_cuped_oracle(), tags=("temporal", "experiment", "cuped"))
+def events_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-arm CUPED-adjusted experiment readout: users hash-split
+    into two arms, X = pre-{cut} event count, Y = post-{cut} purchase
+    cents; reports raw and adjusted means plus raw and adjusted
+    variances (the shrink is the sensitivity win CUPED exists for).
+
+    100 TB shape: the corpus collapses to the user spine in ONE
+    map-side-combined aggregate (arm, X, Y per user); pooled theta is
+    a 1-row broadcast; the per-arm rollup is 2 rows of exact integer
+    moments. Every ratio is shared formula text over double-cast
+    exact sums, so the readout hash-checks bitwise — and the
+    degenerate cases (constant X) yield NULL theta via nullif, not an
+    ANSI error.
+    """.format(cut=_CUPED_CUT)
+    e = t(spark, sf, "events")
+    cut = F.lit(f"{_CUPED_CUT} 00:00:00").cast("timestamp")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("double").alias("tn"),
+        F.sum("x").cast("double").alias("tx"),
+        F.sum("y").cast("double").alias("ty"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("txx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("txy"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("arm").cast("int").alias("arm"),
+            F.col("n").cast("long").alias("n_users"),
+            F.expr(_CUPED_THETA).alias("theta"),
+            F.expr("(sy / n)").alias("mean_y"),
+            F.expr(_CUPED_MEAN_ADJ).alias("mean_y_cuped"),
+            F.expr(_CUPED_VAR_Y).alias("var_y"),
+            F.expr(_CUPED_VAR_ADJ).alias("var_y_cuped"),
+        )
+        .orderBy("arm")
+    )

@@ -1898,3 +1898,92 @@ def agg_classification_report(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_CR_REC).alias("recall_c"),
         F.expr(_CR_F1).alias("f1_c"),
     )
+
+
+# N211: PMI collocation mining (Church & Hanks 1990): bigrams whose
+# observed frequency most exceeds the independence expectation —
+# the phrase-detection pass tokenizer/embedding pipelines run to
+# promote "new york"-style units. PMI = log(P(ab)/(P(a)P(b))) is
+# MONOTONE in the odds ratio n_ab*T/(n_a*n_b), so the ranking (and
+# the reported score) needs no logarithm — the repo's
+# no-transcendentals discipline holds and the ratio is one double
+# division of exact counts.
+_COLL_MIN_SUPPORT = 5
+_COLL_TOPK = 50
+
+
+@query(
+    "text_collocations",
+    oracle=rf"""
+    with w as (
+      select doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') as words
+      from documents
+    ),
+    uni as (
+      select unnest(words) as tok from w
+    ),
+    un as (select tok, cast(count(*) as bigint) as n_tok from uni group by tok),
+    big as (
+      select words[i] as wa, words[i + 1] as wb
+      from w, unnest(generate_series(1, len(words) - 1)) as s(i)
+    ),
+    bn as (
+      select wa, wb, cast(count(*) as bigint) as n_ab
+      from big group by wa, wb
+    ),
+    tot as (select cast(count(*) as bigint) as t from big)
+    select wa, wb, n_ab, a.n_tok as n_a, b.n_tok as n_b,
+           (cast(n_ab as double) * cast(t as double))
+             / (cast(a.n_tok as double) * cast(b.n_tok as double)) as pmi_ratio
+    from bn join un a on bn.wa = a.tok join un b on bn.wb = b.tok, tot
+    where n_ab >= {_COLL_MIN_SUPPORT}
+    order by pmi_ratio desc, wa, wb
+    limit {_COLL_TOPK}
+    """,
+    tags=("text", "collocation", "pmi"),
+)
+def text_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} collocations by PMI odds ratio (support >= {s}):
+    (wa, wb, counts, pmi_ratio) with ratio = n_ab*T/(n_a*n_b) — the
+    exact monotone image of PMI, computed as one division of double-
+    cast exact counts (the operand tree is spelled identically in
+    both engines, so the ranking and the score hash-check).
+
+    100 TB shape: bigram expansion is map-only array arithmetic over
+    the tokenized row (the quality_bigram_lm rule — never a
+    positional self-join); both count aggregates are map-side
+    combined; the unigram join keys on the vocabulary (broadcast
+    below the vocab cap); T is a 1-row broadcast; and the final
+    ranking compiles to TakeOrderedAndProject — per-task top-{k},
+    never a global sort.
+    """.format(k=_COLL_TOPK, s=_COLL_MIN_SUPPORT)
+    w = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("words"),
+    )
+    uni = w.select(F.explode_outer("words").alias("tok")).where(F.col("tok").isNotNull())
+    un = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(words) - 1, 0)),"
+        " i -> struct(words[i - 1] as wa, words[i] as wb))"
+    )
+    big = (
+        w.select(F.explode_outer(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.wa", "p.wb")
+    )
+    bn = big.groupBy("wa", "wb").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ratio = (F.col("n_ab").cast("double") * F.col("t").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        bn.where(F.col("n_ab") >= _COLL_MIN_SUPPORT)
+        .join(un.select(F.col("tok").alias("wa"), F.col("n_tok").alias("n_a")), "wa")
+        .join(un.select(F.col("tok").alias("wb"), F.col("n_tok").alias("n_b")), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select("wa", "wb", "n_ab", "n_a", "n_b", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "wa", "wb")
+        .limit(_COLL_TOPK)
+    )
