@@ -251,6 +251,17 @@ EXTENDED = [
     "graph_random_walks",
     "events_trending_topk",
     "agg_classification_report",
+    # round-11 additions
+    "streaming_trending_topk",
+    "join_set_similarity",
+    "graph_ppr",
+    "graph_scc",
+    "sample_pps",
+    "anonymize_dp_mean",
+    "sink_time_travel_read",
+    "text_collocations",
+    "events_cuped",
+    "events_attribution_markov",
 ]
 
 

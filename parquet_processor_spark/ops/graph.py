@@ -1240,5 +1240,7 @@ def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
         )
     else:
         raise RuntimeError("graph_scc: peel loop did not converge")
+    if out is None:  # empty graph: no edges, no nodes, no components
+        return spark.createDataFrame([], "node long, scc_id long, scc_size long")
     sizes = out.groupBy("scc_id").agg(F.count(F.lit(1)).cast("long").alias("scc_size"))
     return out.join(sizes, "scc_id").select("node", "scc_id", "scc_size")

@@ -2776,3 +2776,173 @@ def events_cuped(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# N213: Markov-chain attribution with removal effects (Anderl et al.
+# 2014 — the data-driven alternative to first/last-touch rules that
+# events_attribution implements): user journeys over touchpoints
+# {view, click} form an absorbing chain (absorb in purchase or null);
+# a channel's value is its REMOVAL EFFECT — how much conversion drops
+# when paths through it are severed. With transient states {start,
+# view, click} the absorption probability solves a 3x3 linear system
+# EXACTLY by Cramer's rule over integer transition counts scaled to
+# doubles (the agg_regression_multi recipe: determinant texts written
+# once, parsed by both engines) — no iteration, no matrix inverse,
+# no transcendental.
+_MKV_DET = "(ns * ((nv - nvv) * (nc - ncc) - nvc * ncv))"
+_MKV_NUM = (
+    "(nsp * ((nv - nvv) * (nc - ncc) - nvc * ncv)"
+    " + nsv * (nvp * (nc - ncc) + nvc * ncp)"
+    " + nsc * (nvp * ncv + (nv - nvv) * ncp))"
+)
+_MKV_BASE = f"({_MKV_NUM} / nullif({_MKV_DET}, 0.0))"
+_MKV_NO_V = "((nsp * (nc - ncc) + nsc * ncp) / nullif(ns * (nc - ncc), 0.0))"
+_MKV_NO_C = "((nsp * (nv - nvv) + nsv * nvp) / nullif(ns * (nv - nvv), 0.0))"
+_MKV_EFF_V = f"(1.0 - {_MKV_NO_V} / nullif({_MKV_BASE}, 0.0))"
+_MKV_EFF_C = f"(1.0 - {_MKV_NO_C} / nullif({_MKV_BASE}, 0.0))"
+
+
+def _markov_counts_sql() -> str:
+    return """
+    with ev as (
+      select user_id, ts, event_id, event_type
+      from events where event_type in ('view', 'click', 'purchase')
+    ),
+    fp as (
+      select user_id,
+             min(case when event_type = 'purchase'
+                      then (ts, event_id) end) as pkey
+      from ev group by user_id
+    ),
+    j as (
+      select e.user_id, e.ts, e.event_id, e.event_type
+      from ev e join fp on e.user_id = fp.user_id
+      where fp.pkey is null or (e.ts, e.event_id) <= fp.pkey
+    ),
+    hops as (
+      select user_id, event_type as dst,
+             coalesce(lag(event_type) over
+               (partition by user_id order by ts, event_id), 'start') as src
+      from j
+    ),
+    tails as (
+      select user_id, 'null' as dst, event_type as src
+      from (
+        select user_id, event_type,
+               row_number() over (partition by user_id
+                                  order by ts desc, event_id desc) as rn
+        from j
+      ) where rn = 1 and event_type <> 'purchase'
+    ),
+    edges as (select src, dst from hops union all select src, dst from tails)
+    select
+      cast(sum(case when src = 'start' then 1 else 0 end) as double) as ns,
+      cast(sum(case when src = 'view' then 1 else 0 end) as double) as nv,
+      cast(sum(case when src = 'click' then 1 else 0 end) as double) as nc,
+      cast(sum(case when src = 'start' and dst = 'view' then 1 else 0 end) as double) as nsv,
+      cast(sum(case when src = 'start' and dst = 'click' then 1 else 0 end) as double) as nsc,
+      cast(sum(case when src = 'start' and dst = 'purchase' then 1 else 0 end) as double) as nsp,
+      cast(sum(case when src = 'view' and dst = 'view' then 1 else 0 end) as double) as nvv,
+      cast(sum(case when src = 'view' and dst = 'click' then 1 else 0 end) as double) as nvc,
+      cast(sum(case when src = 'view' and dst = 'purchase' then 1 else 0 end) as double) as nvp,
+      cast(sum(case when src = 'click' and dst = 'view' then 1 else 0 end) as double) as ncv,
+      cast(sum(case when src = 'click' and dst = 'click' then 1 else 0 end) as double) as ncc,
+      cast(sum(case when src = 'click' and dst = 'purchase' then 1 else 0 end) as double) as ncp
+    from edges
+    """
+
+
+@query(
+    "events_attribution_markov",
+    oracle=f"""
+    with m as ( {_markov_counts_sql()} )
+    select channel, p_conv, p_conv_removed, removal_effect,
+           removal_effect / nullif(
+             {_MKV_EFF_V} + {_MKV_EFF_C}, 0.0) as attribution_share
+    from (
+      select 'view' as channel, {_MKV_BASE} as p_conv,
+             {_MKV_NO_V} as p_conv_removed, {_MKV_EFF_V} as removal_effect,
+             m.* from m
+      union all
+      select 'click', {_MKV_BASE}, {_MKV_NO_C}, {_MKV_EFF_C}, m.* from m
+    ) order by channel
+    """,
+    tags=("temporal", "attribution", "markov"),
+)
+def events_attribution_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """Removal-effect attribution over the {start, view, click} ->
+    {purchase, null} absorbing chain: journeys truncate at the first
+    purchase (ties broken by event_id), transition counts scale the
+    system (I-Q)a = b to integers, and base/counterfactual conversion
+    probabilities come from shared Cramer texts — severing a channel
+    redirects its inbound paths to null (the original removal-effect
+    definition). attribution_share normalizes the two effects.
+
+    100 TB shape: journeys never materialize — ONE user-partitioned
+    window pass emits edge rows, one map-side-combined aggregate
+    collapses them to the 12-count moment row, and everything after
+    is scalar arithmetic on that single broadcast row. Degenerate
+    chains (an untraversed channel) yield NULLs via nullif, not ANSI
+    errors.
+    """
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    okey = F.struct("ts", "event_id")
+    fp = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", okey)).alias("pkey")
+    )
+    j = e.join(fp, "user_id").where(
+        F.col("pkey").isNull() | (okey <= F.col("pkey"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = j.select(
+        F.coalesce(F.lag("event_type").over(wo), F.lit("start")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tails = (
+        j.select("user_id", "event_type", F.row_number().over(wr).alias("rn"))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("src"), F.lit("null").alias("dst"))
+    )
+    edges = hops.unionByName(tails)
+
+    def cnt(src: str, dst: str | None = None):
+        cond = F.col("src") == src
+        if dst is not None:
+            cond = cond & (F.col("dst") == dst)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+
+    m = edges.agg(
+        cnt("start").alias("ns"),
+        cnt("view").alias("nv"),
+        cnt("click").alias("nc"),
+        cnt("start", "view").alias("nsv"),
+        cnt("start", "click").alias("nsc"),
+        cnt("start", "purchase").alias("nsp"),
+        cnt("view", "view").alias("nvv"),
+        cnt("view", "click").alias("nvc"),
+        cnt("view", "purchase").alias("nvp"),
+        cnt("click", "view").alias("ncv"),
+        cnt("click", "click").alias("ncc"),
+        cnt("click", "purchase").alias("ncp"),
+    )
+    share_den = F.expr(f"nullif({_MKV_EFF_V} + {_MKV_EFF_C}, 0.0)")
+    view_row = m.select(
+        F.lit("view").alias("channel"),
+        F.expr(_MKV_BASE).alias("p_conv"),
+        F.expr(_MKV_NO_V).alias("p_conv_removed"),
+        F.expr(_MKV_EFF_V).alias("removal_effect"),
+        (F.expr(_MKV_EFF_V) / share_den).alias("attribution_share"),
+    )
+    click_row = m.select(
+        F.lit("click").alias("channel"),
+        F.expr(_MKV_BASE).alias("p_conv"),
+        F.expr(_MKV_NO_C).alias("p_conv_removed"),
+        F.expr(_MKV_EFF_C).alias("removal_effect"),
+        (F.expr(_MKV_EFF_C) / share_den).alias("attribution_share"),
+    )
+    return view_row.unionByName(click_row).orderBy("channel")

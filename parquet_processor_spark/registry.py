@@ -119,7 +119,20 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_ntile",
     # ---- slots 51+: rotation backlog (r12 window head) ----
-    # the r3 remainder (11 queries), oldest-first
+    # First: the round-11 operators born after this round's window
+    # froze (N204-N213) — never driver-checked until r12; covered
+    # meanwhile by the sf0.01 oracle-parity harness + pytest
+    "streaming_trending_topk",
+    "join_set_similarity",
+    "graph_ppr",
+    "graph_scc",
+    "sample_pps",
+    "anonymize_dp_mean",
+    "sink_time_travel_read",
+    "text_collocations",
+    "events_cuped",
+    "events_attribution_markov",
+    # Then: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",
     "fn_date_parts",

@@ -142,6 +142,14 @@ REPRESENTATIVE = [
     "events_trending_topk",    # per-hour WindowGroupLimit over no events
     "agg_regression_multi",    # groupBy normal equations: zero groups
     "quality_ccnet_buckets",   # cut selection + literal terciles, no docs
+    "streaming_trending_topk", # complete-mode count spine over an empty stream
+    "join_set_similarity",     # prefix-filtered join over an empty corpus
+    "graph_ppr",               # seeded mass rounds over an empty edge list
+    "graph_scc",               # FW-BW peel loop over an empty edge list
+    "sample_pps",              # cumulative-line selection over no orders
+    "anonymize_dp_mean",       # clamped DP aggregate over no groups
+    "text_collocations",       # PMI ranking over an empty bigram table
+    "events_cuped",            # arm moments over an empty user spine
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
@@ -395,3 +403,21 @@ def test_degenerate_bootstrap_single_purchase(spark, degenerate_sf):
     assert r["n"] == 1
     assert abs(r["point_mean"] - 19.99) < 1e-9
     assert r["ci_lo"] is None or abs(r["ci_lo"] - 19.99) < 1e-9
+
+
+def test_time_travel_read_empty_snapshots(spark, empty_sf):
+    # lifecycle semantics: three as-of reads resolve through the log
+    # even when every snapshot is empty
+    rows = all_queries()["sink_time_travel_read"](spark, empty_sf).collect()
+    assert [(r["as_of_ts"], r["resolved_version"]) for r in rows] == [
+        (150, 1), (250, 2), (990, 3)
+    ]
+    assert all(r["n_rows"] == 0 for r in rows)
+
+
+def test_markov_attribution_null_on_empty_input(spark, empty_sf):
+    # global aggregate: both channel rows present with NULL effects —
+    # the nullif guards fire instead of ANSI divide-by-zero
+    rows = all_queries()["events_attribution_markov"](spark, empty_sf).collect()
+    assert [r["channel"] for r in rows] == ["click", "view"]
+    assert all(r["p_conv"] is None and r["removal_effect"] is None for r in rows)

@@ -1324,3 +1324,60 @@ def test_auc_windows_collapsed_score_domain_only(spark):
     assert sum("Aggregate" in ln for ln in between) >= 2, (
         f"agg_auc: window input is not the twice-collapsed score domain:\n{plan}"
     )
+
+
+def test_collocations_rank_is_take_ordered(spark):
+    # N211: the PMI top-k must compile to TakeOrderedAndProject
+    # (per-task partial top-k), never a global sort of the bigram table.
+    plan = plan_of(spark, "text_collocations")
+    assert "TakeOrderedAndProject" in plan, plan
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"text_collocations: single-partition sort: {bad}\n{plan}"
+
+
+def test_pps_cumulative_line_is_two_phase(spark):
+    # N208: the cumulative size line must ride global_cumsum_before's
+    # bucketed two-phase shape — no empty-partition Sort/Window over
+    # the order spine anywhere.
+    plan = plan_of(spark, "sample_pps")
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"sample_pps: single-partition sort: {bad}\n{plan}"
+    assert re.search(r"hashpartitioning\(_bkt", plan), f"cumsum not bucket-keyed:\n{plan}"
+
+
+def test_set_similarity_prefix_actually_prunes(spark):
+    # N205 evidence: the prefix self-join must read strictly fewer
+    # token rows than the full posting-list join would — count the
+    # prefix rows vs all token rows directly (the pruning IS the
+    # operator's reason to exist; losslessness is oracle-checked).
+    from pyspark.sql import Window
+
+    from parquet_processor_spark.ops.dedup import (
+        _SETSIM_DEN,
+        _SETSIM_NUM,
+        shingle_hashes_md5,
+        split_words,
+    )
+
+    sh = (
+        split_words(spark, SF_SMALL)
+        .select("doc_id", F.explode_outer(shingle_hashes_md5()).alias("h"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
+    w = Window.partitionBy("doc_id").orderBy("dfh", "h")
+    ranked = (
+        sh.join(dfreq, "h")
+        .select("doc_id", "h", F.row_number().over(w).alias("rk"))
+        .join(sizes, "doc_id")
+    )
+    p = (
+        F.col("n")
+        - F.expr(f"(({_SETSIM_NUM} * n) + {_SETSIM_DEN} - 1) div {_SETSIM_DEN}")
+        + 1
+    )
+    n_all = sh.count()
+    n_pref = ranked.where(F.col("rk") <= p).count()
+    assert 0 < n_pref < n_all
+    # tau = 1/2 keeps roughly the rarest half of each doc's tokens
+    assert n_pref <= 0.6 * n_all

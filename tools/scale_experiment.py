@@ -159,7 +159,12 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "agg_regression_multi", "streaming_ohlc", "error_bootstrap_ci",
          "sim_topk_lsh_multiprobe", "anonymize_generalize",
          "pack_concat_chunks", "graph_random_walks", "events_trending_topk",
-         "agg_classification_report"]
+         "agg_classification_report",
+         # round-11 additions
+         "streaming_trending_topk", "join_set_similarity", "graph_ppr",
+         "graph_scc", "sample_pps", "anonymize_dp_mean",
+         "sink_time_travel_read", "text_collocations", "events_cuped",
+         "events_attribution_markov"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
