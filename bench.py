@@ -262,6 +262,10 @@ EXTENDED = [
     "text_collocations",
     "events_cuped",
     "events_attribution_markov",
+    "graph_hits",
+    "agg_ab_srm",
+    "sample_stratified_neyman",
+    "text_textrank_keywords",
 ]
 
 

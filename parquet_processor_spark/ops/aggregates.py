@@ -3048,3 +3048,77 @@ def agg_regression_multi(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"{_REG3_D1} / nullif({_REG3_DET}, 0.0)").alias("beta_quantity"),
         F.expr(f"{_REG3_D2} / nullif({_REG3_DET}, 0.0)").alias("beta_discount"),
     )
+
+
+# N215: sample-ratio-mismatch gate (Fabijan et al. 2019 "Diagnosing
+# sample ratio mismatch" — the FIRST check every A/B readout must
+# pass: if the split isn't the designed 50/50, every downstream
+# metric is suspect). Chi-square GOF with 1 df collapses to
+# (n0-n1)^2/n for two equal-probability cells; the 10.83 cutoff is
+# the p<0.001 threshold the industry uses (SRM must be rare enough
+# that firing means broken plumbing, not chance).
+_SRM_CUTOFF = 10.83
+
+
+@query(
+    "agg_ab_srm",
+    oracle=f"""
+    with u as (
+      select distinct user_id,
+             ('0x' || substr(md5('cuped:' || cast(user_id as varchar)), 1, 15))::bigint
+               % 2 as arm
+      from events
+    ),
+    c as (
+      select cast(count(case when arm = 0 then 1 end) as bigint) as n0,
+             cast(count(case when arm = 1 then 1 end) as bigint) as n1
+      from u
+    )
+    select n0, n1,
+           cast((n0 - n1) * (n0 - n1) as double) / nullif(n0 + n1, 0) as chi2,
+           cast((n0 - n1) * (n0 - n1) as double) / nullif(n0 + n1, 0)
+             > {_SRM_CUTOFF} as srm_detected
+    from c
+    """,
+    tags=("agg", "stats", "experiment", "guardrail"),
+)
+def agg_ab_srm(spark: SparkSession, sf: str) -> DataFrame:
+    """SRM guardrail over the SAME md5 arm split events_cuped
+    analyzes: per-arm user counts, the 2-cell chi-square statistic
+    (n0-n1)^2/n, and the p<0.001 verdict. A hash split passes by
+    construction — which is the point: this gate fires on assignment
+    or logging bugs, and sharing the split key with the readout means
+    it gates exactly the population the readout uses.
+
+    100 TB shape: one distinct-user collapse (map-side partial
+    distinct) + a 2-cell aggregate; the statistic is one division of
+    exact int64s. Empty population yields NULL chi2 via nullif, not
+    an ANSI error.
+    """
+    u = (
+        t(spark, sf, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm")
+        )
+    )
+    c = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n1"),
+    )
+    chi2 = F.expr("cast((n0 - n1) * (n0 - n1) as double) / nullif(n0 + n1, 0)")
+    return c.select(
+        "n0", "n1", chi2.alias("chi2"), (chi2 > _SRM_CUTOFF).alias("srm_detected")
+    )

@@ -1298,3 +1298,129 @@ def sample_pps(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("n_hits") > 0)
     )
+
+
+# N216: Neyman-allocated stratified sampling (Neyman 1934 — the
+# OPTIMAL budget split across strata: n_h proportional to N_h * S_h,
+# so volatile strata get more of the budget and the stratified
+# estimator's variance is minimized). The uniform per-stratum rates
+# of sample_stratified leave variance on the table; this is the
+# design a measurement team actually ships. Integerization is
+# largest-remainder (exactly exhausts the budget), selection is the
+# md5-rank determinism of the whole sampling family.
+_NEYMAN_BUDGET = 200
+
+
+def _neyman_oracle() -> str:
+    sd = "sqrt((cast(nh as double) * ss - cast(sx as double) * sx) / (cast(nh as double) * nh))"
+    return f"""
+    with st as (
+      select lang, cast(count(*) as bigint) as nh,
+             cast(sum(n_chars) as bigint) as sx,
+             cast(sum(n_chars * n_chars) as bigint) as ss
+      from documents group by lang
+    ),
+    sh as (
+      select lang, nh, {sd} as sdev, nh * {sd} as mass from st
+    ),
+    tot as (select sum(mass) as tm from sh),
+    raw as (
+      select lang, nh, sdev,
+             {_NEYMAN_BUDGET} * mass / nullif(tm, 0.0) as r
+      from sh, tot
+    ),
+    alloc as (
+      select lang, nh, sdev, r, floor(r) as base,
+             row_number() over (order by r - floor(r) desc, lang) as frk,
+             {_NEYMAN_BUDGET} - sum(floor(r)) over () as leftover
+      from raw
+    ),
+    fin as (
+      select lang, nh, sdev,
+             cast(least(base + case when frk <= leftover then 1 else 0 end, nh)
+                  as bigint) as alloc_n
+      from alloc
+    ),
+    ranked as (
+      select d.doc_id, d.lang,
+             row_number() over (partition by d.lang
+               order by md5('neyman:' || cast(d.doc_id as varchar)), d.doc_id) as rk
+      from documents d
+    )
+    select r.doc_id, r.lang, f.nh as stratum_n, f.alloc_n,
+           cast(f.nh as double) / f.alloc_n as weight
+    from ranked r join fin f on r.lang = f.lang
+    where r.rk <= f.alloc_n
+    """
+
+
+@query("sample_stratified_neyman", oracle=_neyman_oracle(), tags=("sample", "strata", "neyman"))
+def sample_stratified_neyman(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sample of documents by language:
+    per-stratum SD of n_chars from exact integer moments (population
+    form — a 1-doc stratum contributes zero mass, never a
+    divide-by-zero), budget {b} split largest-remainder on N_h*S_h
+    shares (exactly exhausting the budget, capped at stratum size),
+    then the md5-rank deterministic pick inside each stratum with
+    design weight N_h/n_h.
+
+    100 TB shape: stratum moments are ONE map-side-combined
+    aggregate; the allocation runs entirely on the |strata| control
+    table (windows over strata rows, not docs); selection is a
+    per-stratum rank window (WindowGroupLimit shape) against the
+    broadcast allocation. sqrt is IEEE correctly-rounded, every other
+    number is exact-int-derived, and the share formulas are one text
+    — so even the double allocation ranks identically cross-engine.
+    """.format(b=_NEYMAN_BUDGET)
+    st = t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    sd = F.expr(
+        "sqrt((cast(nh as double) * ss - cast(sx as double) * sx)"
+        " / (cast(nh as double) * nh))"
+    )
+    sh = st.select("lang", "nh", sd.alias("sdev"), (F.col("nh") * sd).alias("mass"))
+    tot = sh.agg(F.sum("mass").alias("tm"))
+    raw = sh.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "nh",
+        "sdev",
+        F.expr(f"{_NEYMAN_BUDGET} * mass / nullif(tm, 0.0)").alias("r"),
+    )
+    w_rem = Window.orderBy(F.expr("r - floor(r)").desc(), F.col("lang"))
+    alloc = raw.select(
+        "lang",
+        "nh",
+        F.expr("floor(r)").alias("base"),
+        F.row_number().over(w_rem).alias("frk"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum(F.expr("floor(r)")).over(Window.partitionBy()))
+        .alias("leftover"),
+    ).select(
+        "lang",
+        "nh",
+        F.least(
+            F.col("base") + F.when(F.col("frk") <= F.col("leftover"), 1).otherwise(0),
+            F.col("nh"),
+        )
+        .cast("long")
+        .alias("alloc_n"),
+    )
+    w_sel = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("neyman:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ranked = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.row_number().over(w_sel).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .where(F.col("rk") <= F.col("alloc_n"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("nh").alias("stratum_n"),
+            "alloc_n",
+            (F.col("nh").cast("double") / F.col("alloc_n")).alias("weight"),
+        )
+    )

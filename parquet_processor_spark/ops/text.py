@@ -1987,3 +1987,103 @@ def text_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio"), "wa", "wb")
         .limit(_COLL_TOPK)
     )
+
+
+# N217: TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+# over the word co-occurrence graph, top-k words by rank — the
+# graph-based complement to RAKE's phrase statistics (N141). The
+# original keyword variant runs UNWEIGHTED PageRank over adjacency
+# co-occurrence, which maps exactly onto the engine's integer-mass
+# recursion (graph_pagerank's _mass_step: share = mass div deg,
+# remainder home, 85% damping, bigint throughout — bitwise
+# cross-engine with zero transcendentals).
+_TR_TOPK = 20
+
+
+def _textrank_oracle() -> str:
+    from parquet_processor_spark.ops.graph import _B, _TELEPORT
+
+    step = (
+        "select m.node, m.deg,"
+        f" cast({_TELEPORT} + (85 * (f.inflow + m.mass % m.deg)) // 100 as bigint)"
+        " as mass"
+        " from {prev} m join ("
+        "  select e.dst as node, cast(sum(s.mass // s.deg) as bigint) as inflow"
+        "  from edges e join {prev} s on e.src = s.node group by e.dst"
+        " ) f on m.node = f.node"
+    )
+    return rf"""
+    with w as (
+      select list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') as words
+      from documents
+    ),
+    pairs as (
+      select distinct words[i] as a, words[i + 1] as b
+      from w, unnest(generate_series(1, len(words) - 1)) as s(i)
+      where words[i] <> words[i + 1]
+    ),
+    edges as (
+      select a as src, b as dst from pairs
+      union
+      select b as src, a as dst from pairs
+    ),
+    m0 as (
+      select src as node, cast(count(*) as bigint) as deg,
+             cast({_B} as bigint) as mass
+      from edges group by src
+    ),
+    m1 as ( {step.format(prev='m0')} ),
+    m2 as ( {step.format(prev='m1')} ),
+    m3 as ( {step.format(prev='m2')} )
+    select node as word, deg, mass from m3
+    order by mass desc, word limit {_TR_TOPK}
+    """
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle(), tags=("text", "keywords", "graph"))
+def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} corpus keywords by 3-round integer PageRank over the
+    distinct word-adjacency graph (undirected, both directions
+    materialized; self-loops dropped) — (word, deg, mass) ranked
+    mass-desc with a word tie-break.
+
+    100 TB shape: the co-occurrence edge list collapses to DISTINCT
+    vocabulary pairs before any iteration (corpus mass never enters
+    the loop — the graph is vocab x avg-degree sized); each round is
+    graph_pagerank's one-shuffle inflow aggregate over the
+    checkpointed edge list; the final ranking compiles to
+    TakeOrderedAndProject. Nodes are words (value domain), so the
+    shuffle keys are short strings bounded by vocabulary, not corpus.
+    """.format(k=_TR_TOPK)
+    from parquet_processor_spark.ops.graph import _B, _ROUNDS, _mass_step
+
+    w = t(spark, sf, "documents").select(
+        F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("words")
+    )
+    pair = F.expr(
+        "transform(sequence(1, greatest(size(words) - 1, 0)),"
+        " i -> struct(words[i - 1] as a, words[i] as b))"
+    )
+    pairs = (
+        w.select(F.explode_outer(pair).alias("p"))
+        .where(F.col("p").isNotNull() & (F.col("p.a") != F.col("p.b")))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .repartition(t(spark, sf, "documents").sparkSession.sparkContext.defaultParallelism, "src")
+        .localCheckpoint(eager=True)  # eager-by-design: reused by every round (pagerank pattern)
+    )
+    masses = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"), F.lit(_B).cast("long").alias("mass")
+    )
+    for _ in range(_ROUNDS):
+        masses = _mass_step(masses, edges)
+    return (
+        masses.select(F.col("node").alias("word"), "deg", "mass")
+        .orderBy(F.desc("mass"), "word")
+        .limit(_TR_TOPK)
+    )

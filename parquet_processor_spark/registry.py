@@ -132,6 +132,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_collocations",
     "events_cuped",
     "events_attribution_markov",
+    "graph_hits",
+    "agg_ab_srm",
+    "sample_stratified_neyman",
+    "text_textrank_keywords",
     # Then: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",

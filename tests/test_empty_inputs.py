@@ -150,6 +150,9 @@ REPRESENTATIVE = [
     "anonymize_dp_mean",       # clamped DP aggregate over no groups
     "text_collocations",       # PMI ranking over an empty bigram table
     "events_cuped",            # arm moments over an empty user spine
+    "graph_hits",              # alternating sums over an empty edge list
+    "sample_stratified_neyman",  # allocation over an empty stratum table
+    "text_textrank_keywords",  # pagerank rounds over an empty word graph
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
@@ -421,3 +424,9 @@ def test_markov_attribution_null_on_empty_input(spark, empty_sf):
     rows = all_queries()["events_attribution_markov"](spark, empty_sf).collect()
     assert [r["channel"] for r in rows] == ["click", "view"]
     assert all(r["p_conv"] is None and r["removal_effect"] is None for r in rows)
+
+
+def test_ab_srm_null_on_empty_input(spark, empty_sf):
+    [r] = all_queries()["agg_ab_srm"](spark, empty_sf).collect()
+    assert (r["n0"], r["n1"]) == (0, 0)
+    assert r["chi2"] is None and r["srm_detected"] is None
