@@ -266,6 +266,8 @@ EXTENDED = [
     "agg_ab_srm",
     "sample_stratified_neyman",
     "text_textrank_keywords",
+    "sink_merge_on_read_dv",
+    "scan_change_data_feed",
 ]
 
 

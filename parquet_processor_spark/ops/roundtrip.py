@@ -1787,3 +1787,242 @@ def sink_time_travel_read(spark: SparkSession, sf: str) -> DataFrame:
         ).select("as_of_ts", "resolved_version", "n_rows", "total_price")
         reads = one if reads is None else reads.unionByName(one)
     return reads.orderBy("as_of_ts")
+
+
+# N218: merge-on-read DELETE with deletion vectors — the MoR half of
+# the lakehouse delete story (sink_targeted_delete and
+# sink_merge_upsert are copy-on-write: they REWRITE touched
+# partitions). Deletion vectors (Delta DVs / Iceberg positional
+# deletes) instead write a tiny sidecar marking dead rows; readers
+# anti-join it on the fly, and a later compaction folds the vectors
+# into rewritten files. Deletes become O(|deleted keys|) writes
+# instead of O(|touched partitions|) rewrites — the trade is read
+# amplification until compaction.
+_DV_BUCKETS = 8
+_DV_DEL = 13  # o_orderkey % 13 == 0 -> deleted
+
+
+@query(
+    "sink_merge_on_read_dv",
+    oracle=f"""
+    with o as (
+      select o_orderkey, o_orderkey % {_DV_BUCKETS} as bucket,
+             o_orderkey % {_DV_DEL} = 0 as dead
+      from orders
+    )
+    select cast(count(*) as bigint) as rows_before,
+           cast(count(case when dead then 1 end) as bigint) as n_deleted,
+           cast(count(case when not dead then 1 end) as bigint) as rows_read,
+           cast(count(distinct case when dead then bucket end) as bigint)
+             as n_dv_files,
+           true as base_files_untouched, true as compaction_ok
+    from o
+    """,
+    tags=("sink", "merge-on-read", "deletion-vectors", "cdc"),
+)
+def sink_merge_on_read_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read delete: write orders bucket-partitioned, apply a
+    delete set (keys % {d} == 0) as PER-BUCKET deletion-vector
+    sidecars under _dv/ — base data files byte-untouched (verified by
+    file-listing compare, the MoR contract) — serve reads through the
+    base ⟕anti DV join, then COMPACT (fold vectors into rewritten
+    files) and verify the compacted table equals the served view
+    row-for-row. One audit row; both physical verdicts are
+    oracle-true tripwires (hash compare fails loudly if either
+    physical fact breaks).
+
+    100 TB shape: the delete writes |deleted keys| rows of sidecar
+    and nothing else — no partition rewrite, which is why MoR wins
+    write-heavy CDC; the serve-path anti join broadcasts the DV side
+    (deletion vectors are small relative to data by construction —
+    a DV bigger than its partition means compaction is overdue);
+    compaction is the deferred partition-pruned rewrite, amortized
+    over many deletes. Real DVs are positional bitmaps inside the
+    format; the key-set sidecar here carries the same semantics at
+    the engine level.
+    """.format(d=_DV_DEL)
+    import shutil
+
+    out = scratch_dir("ppspark_mor_dv_")
+    base_dir = os.path.join(out, "base")
+    dv_dir = os.path.join(out, "dv")
+    k = F.col("o_orderkey")
+    base = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.pmod(k, F.lit(_DV_BUCKETS)).alias("bucket"),
+    )
+    schema = (
+        "rows_before bigint, n_deleted bigint, rows_read bigint, "
+        "n_dv_files bigint, base_files_untouched boolean, compaction_ok boolean"
+    )
+    if base.isEmpty():  # partitionBy of zero rows writes no readable files
+        return spark.createDataFrame([(0, 0, 0, 0, True, True)], schema)
+    base.write.partitionBy("bucket").mode("overwrite").parquet(base_dir)
+
+    listing_before = {
+        b: sorted(os.listdir(os.path.join(base_dir, f"bucket={b}")))
+        for b in range(_DV_BUCKETS)
+        if os.path.isdir(os.path.join(base_dir, f"bucket={b}"))
+    }
+    # the DELETE: write the dead keys as per-bucket sidecars — the only
+    # bytes this operation writes anywhere
+    dv = base.where(k % _DV_DEL == 0).select("o_orderkey", "bucket")
+    dv.write.partitionBy("bucket").mode("overwrite").parquet(dv_dir)
+    listing_after = {
+        b: sorted(os.listdir(os.path.join(base_dir, f"bucket={b}")))
+        for b in range(_DV_BUCKETS)
+        if os.path.isdir(os.path.join(base_dir, f"bucket={b}"))
+    }
+    base_untouched = listing_before == listing_after
+
+    at_rest = spark.read.parquet(base_dir)
+    dv_read = spark.read.parquet(dv_dir).select("o_orderkey", "bucket")
+    served = at_rest.join(
+        F.broadcast(dv_read), ["o_orderkey", "bucket"], "left_anti"
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_before"),
+        F.count(F.when(k % _DV_DEL == 0, 1)).cast("long").alias("n_deleted"),
+        F.countDistinct(F.when(k % _DV_DEL == 0, F.col("bucket"))).cast("long").alias("n_dv_files"),
+    ).collect()[0]  # eager-by-design: audit counts gate the verdict row
+    rows_read = served.count()  # eager-by-design: the served-view barrier
+
+    # COMPACTION: fold the vectors into rewritten files, drop the DVs,
+    # and prove the compacted table is exactly the served view
+    compact_dir = os.path.join(out, "compacted")
+    served.write.partitionBy("bucket").mode("overwrite").parquet(compact_dir)
+    compacted = spark.read.parquet(compact_dir)
+    # eager-by-design: sink round-trip barrier — symmetric multiset compare
+    diff = (
+        compacted.groupBy("o_orderkey").count()
+        .join(
+            served.groupBy("o_orderkey").count().withColumnRenamed("count", "c2"),
+            "o_orderkey",
+            "full_outer",
+        )
+        .where(
+            F.coalesce(F.col("count"), F.lit(0)) != F.coalesce(F.col("c2"), F.lit(0))
+        )
+        .count()
+    )
+    compaction_ok = diff == 0 and compacted.count() == rows_read  # eager-by-design: barrier
+    # vacuum the vectors LAST — verify-then-drop, the production order
+    # (the diff above still lazily reads served, which reads the DVs)
+    shutil.rmtree(dv_dir)
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["rows_before"]),
+                int(stats["n_deleted"]),
+                int(rows_read),
+                int(stats["n_dv_files"]),
+                bool(base_untouched),
+                bool(compaction_ok),
+            )
+        ],
+        schema,
+    )
+
+
+# N219: change data feed between two table versions (Delta CDF /
+# Iceberg changelog): the committed difference expressed as typed
+# change rows — insert / delete / update_preimage + update_postimage
+# (updates emit BOTH images, the contract that lets downstream
+# consumers maintain aggregates without re-reading the table;
+# table_diff (N67) reports the same delta as a summary, CDF is the
+# row-level feed a subscriber replays). Versions derive from orders
+# by the merge-upsert modulo classes, so the feed is deterministic.
+@query(
+    "scan_change_data_feed",
+    oracle=f"""
+    with v1 as (
+      select o_orderkey, o_orderstatus from orders
+    ),
+    v2 as (
+      select case when o_orderkey % {_MERGE_DEL} = 0 then null
+                  else o_orderkey end as o_orderkey,
+             case when o_orderkey % {_MERGE_DEL} <> 0
+                   and o_orderkey % {_MERGE_UPD} = 0 then 'U'
+                  else o_orderstatus end as o_orderstatus
+      from orders
+      union all
+      select -o_orderkey, 'I' from orders
+      where o_orderkey % {_MERGE_DEL} <> 0 and o_orderkey % {_MERGE_UPD} <> 0
+        and o_orderkey % {_MERGE_INS} = 0
+    ),
+    v2c as (select * from v2 where o_orderkey is not null),
+    feed as (
+      select coalesce(a.o_orderkey, b.o_orderkey) as o_orderkey,
+             case when b.o_orderkey is null then 'delete'
+                  when a.o_orderkey is null then 'insert'
+                  when a.o_orderstatus <> b.o_orderstatus then 'update'
+             end as kind,
+             a.o_orderstatus as pre_status, b.o_orderstatus as post_status
+      from v1 a full outer join v2c b on a.o_orderkey = b.o_orderkey
+    )
+    select o_orderkey, 'delete' as change_type, pre_status as o_orderstatus
+    from feed where kind = 'delete'
+    union all
+    select o_orderkey, 'insert', post_status from feed where kind = 'insert'
+    union all
+    select o_orderkey, 'update_preimage', pre_status from feed where kind = 'update'
+    union all
+    select o_orderkey, 'update_postimage', post_status from feed where kind = 'update'
+    """,
+    tags=("scan", "cdc", "cdf", "versioning"),
+)
+def scan_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level CDF between version 1 (orders as-is) and version 2
+    (the merge-upsert change classes applied): deletes carry the
+    preimage, inserts the postimage, updates BOTH images as two rows
+    — exactly what a downstream incremental consumer replays.
+
+    100 TB shape: one full-outer join on the table key (the minimal
+    information-theoretic cost of diffing two unversioned snapshots;
+    a format with a commit log derives the same feed from the log at
+    O(delta) — this operator is the log-free fallback and the
+    correctness spec for it), then a 4-way typed projection that
+    expands only changed keys. Unchanged keys never leave the join.
+    """
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    v2 = (
+        o.where(~(k % _MERGE_DEL == 0))
+        .select(
+            "o_orderkey",
+            F.when((k % _MERGE_UPD == 0), F.lit("U"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.where((k % _MERGE_DEL != 0) & (k % _MERGE_UPD != 0) & (k % _MERGE_INS == 0))
+            .select((-k).alias("o_orderkey"), F.lit("I").alias("o_orderstatus"))
+        )
+    )
+    a = o.select(F.col("o_orderkey"), F.col("o_orderstatus").alias("pre_status"))
+    b = v2.select(F.col("o_orderkey"), F.col("o_orderstatus").alias("post_status"))
+    feed = a.join(b, "o_orderkey", "full_outer")
+    deletes = feed.where(F.col("post_status").isNull()).select(
+        "o_orderkey", F.lit("delete").alias("change_type"),
+        F.col("pre_status").alias("o_orderstatus"),
+    )
+    inserts = feed.where(F.col("pre_status").isNull()).select(
+        "o_orderkey", F.lit("insert").alias("change_type"),
+        F.col("post_status").alias("o_orderstatus"),
+    )
+    upd = feed.where(
+        F.col("pre_status").isNotNull()
+        & F.col("post_status").isNotNull()
+        & (F.col("pre_status") != F.col("post_status"))
+    )
+    pre = upd.select(
+        "o_orderkey", F.lit("update_preimage").alias("change_type"),
+        F.col("pre_status").alias("o_orderstatus"),
+    )
+    post = upd.select(
+        "o_orderkey", F.lit("update_postimage").alias("change_type"),
+        F.col("post_status").alias("o_orderstatus"),
+    )
+    return deletes.unionByName(inserts).unionByName(pre).unionByName(post)

@@ -136,6 +136,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_ab_srm",
     "sample_stratified_neyman",
     "text_textrank_keywords",
+    "sink_merge_on_read_dv",
+    "scan_change_data_feed",
     # Then: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",

@@ -153,6 +153,7 @@ REPRESENTATIVE = [
     "graph_hits",              # alternating sums over an empty edge list
     "sample_stratified_neyman",  # allocation over an empty stratum table
     "text_textrank_keywords",  # pagerank rounds over an empty word graph
+    "scan_change_data_feed",   # full-outer diff of two empty versions
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
@@ -430,3 +431,9 @@ def test_ab_srm_null_on_empty_input(spark, empty_sf):
     [r] = all_queries()["agg_ab_srm"](spark, empty_sf).collect()
     assert (r["n0"], r["n1"]) == (0, 0)
     assert r["chi2"] is None and r["srm_detected"] is None
+
+
+def test_merge_on_read_dv_zero_audit_on_empty_input(spark, empty_sf):
+    [r] = all_queries()["sink_merge_on_read_dv"](spark, empty_sf).collect()
+    assert r["rows_before"] == 0 and r["n_deleted"] == 0 and r["rows_read"] == 0
+    assert r["base_files_untouched"] and r["compaction_ok"]

@@ -264,6 +264,7 @@ def test_hardcoded_true_oracle_columns_are_all_data_derived_tripwires():
         "sink_checked_publish": {"is_current"},
         "sink_targeted_delete": {"untouched_intact"},
         "table_vacuum_orphans": {"table_intact"},
+        "sink_merge_on_read_dv": {"base_files_untouched", "compaction_ok"},
     }
     got = {
         name: set(re.findall(r"true\s+as\s+(\w+)", sql, re.I))
