@@ -1637,3 +1637,61 @@ def test_merge_upsert_partial_touch_and_delete_only_bucket(spark, tmp_path):
     # i.e. the emptied bucket's stale directory was really dropped
     assert r["untouched_intact"] is True
     assert r["merge_ok"] is True
+
+
+def test_scc_on_a_crafted_graph_with_known_components(spark, tmp_path):
+    """The FW-BW coloring correctness case naive (fwd-min, bwd-min)
+    label-pair equality gets WRONG: nodes 2 and 3 share (f, b) labels
+    (both reach 0, both reached by 1) yet are NOT mutually reachable.
+    Components here: {0, 4} (a 2-cycle), {2, 3} (a 2-cycle), {1}, {5}.
+    Edges encoded as consecutive l_partkey per order."""
+    import datetime as _dt
+
+    from parquet_processor_spark.ops.graph import graph_scc
+    from parquet_processor_spark.tables import TABLES, t
+
+    from .conftest import SF_SMALL
+
+    # directed edges: 1->2, 1->3, 2->0, 3->0, 0->4, 4->0, 2->3, 3->2, 0->5
+    edges = [(1, 2), (1, 3), (2, 0), (3, 0), (0, 4), (4, 0), (2, 3), (3, 2), (0, 5)]
+    ship = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        okey = 100 + i
+        rows.append((okey, a, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship))
+        rows.append((okey, b, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship))
+    d = tmp_path / "scc_fixture"
+    for tab in TABLES:
+        base = t(spark, SF_SMALL, tab).limit(0)
+        if tab == "lineitem":
+            base = base.unionByName(spark.createDataFrame(rows, base.schema))
+        base.write.mode("overwrite").parquet(str(d / f"{tab}.parquet"))
+    got = {r["node"]: (r["scc_id"], r["scc_size"]) for r in graph_scc(spark, str(d)).collect()}
+    assert got == {
+        0: (0, 2), 4: (0, 2),   # the {0,4} cycle
+        2: (2, 2), 3: (2, 2),   # the {2,3} cycle — NOT merged with 0 or 1
+        1: (1, 1), 5: (5, 1),   # singletons
+    }
+
+
+def test_pps_sample_reproduces_the_total_exactly(spark, sf_dir):
+    """Systematic PPS invariant: estimating the SIZE variable with its
+    own inclusion weights reproduces the population total exactly —
+    sum(n_hits * ht_weight * cents) = T, because sum(n_hits) = n and
+    each draw contributes T/n. Catches any off-by-one in the position
+    counting."""
+    from parquet_processor_spark.ops.sampling import _PPS_N, sample_pps
+    from parquet_processor_spark.tables import t
+
+    s = sample_pps(spark, sf_dir)
+    n_total = s.agg(F.sum("n_hits")).collect()[0][0]
+    assert n_total == _PPS_N
+    est = s.agg(
+        F.sum(F.col("n_hits") * F.col("ht_weight") * F.col("cents"))
+    ).collect()[0][0]
+    t_true = (
+        t(spark, sf_dir, "orders")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")))
+        .collect()[0][0]
+    )
+    assert abs(est - t_true) / t_true < 1e-9
