@@ -268,6 +268,7 @@ EXTENDED = [
     "text_textrank_keywords",
     "sink_merge_on_read_dv",
     "scan_change_data_feed",
+    "report_dataset_datasheet",
 ]
 
 

@@ -1180,3 +1180,104 @@ def anonymize_dp_mean(spark: SparkSession, sf: str) -> DataFrame:
         dp_sum.alias("dp_sum_cents"),
         (dp_sum.cast("double") / (F.lit(100.0) * dp_n)).alias("dp_mean"),
     )
+
+
+# N220: dataset datasheet (Gebru et al. 2021 "Datasheets for
+# datasets" / the Dolma & FineWeb release-notes table): the one-pass
+# summary a corpus release ships — volume, token/char mass, length
+# distribution tails, exact-duplicate rate, and language composition
+# — as a tall hash-checked metric table. The deeper artifacts
+# (dedup_cluster_report, report_source_overlap,
+# report_curation_funnel, the contamination trio) are the drill-downs
+# this page links to; THIS is the page.
+_DS_SHORT = 50  # docs under 50 ws-tokens count as "short"
+_DS_LONG = 1000
+
+
+@query(
+    "report_dataset_datasheet",
+    oracle=rf"""
+    with d as (
+      select doc_id, lang, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               as n_tok,
+             md5(text) as fp
+      from documents
+    ),
+    s as (
+      select cast(count(*) as double) as n_docs,
+             cast(sum(n_tok) as double) as n_tokens,
+             cast(sum(n_chars) as double) as n_chars,
+             cast(count(distinct fp) as double) as n_distinct,
+             cast(count(case when n_tok < {_DS_SHORT} then 1 end) as double)
+               as n_short,
+             cast(count(case when n_tok > {_DS_LONG} then 1 end) as double)
+               as n_long
+      from d
+    )
+    select 'n_docs' as metric, n_docs as value from s
+    union all select 'total_ws_tokens', n_tokens from s
+    union all select 'total_chars', n_chars from s
+    union all select 'mean_doc_tokens', n_tokens / nullif(n_docs, 0.0) from s
+    union all select 'exact_dup_rate',
+      (n_docs - n_distinct) / nullif(n_docs, 0.0) from s
+    union all select 'share_short_docs', n_short / nullif(n_docs, 0.0) from s
+    union all select 'share_long_docs', n_long / nullif(n_docs, 0.0) from s
+    union all
+    select 'lang_share:' || lang,
+           cast(count(*) as double) / (select n_docs from s)
+    from d group by lang
+    """,
+    tags=("curation", "report", "datasheet"),
+)
+def report_dataset_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Tall (metric, value) datasheet for the documents corpus:
+    volume, whitespace-token and char mass, mean length, short/long
+    tails, exact-duplicate rate (content md5), and per-language
+    composition shares.
+
+    100 TB shape: ONE corpus scan feeds everything — the scalar block
+    is a single map-side-combined aggregate (the distinct-fingerprint
+    term is the dedup_exact partial-distinct shape), the language
+    block a |langs|-row rollup against the broadcast total; text
+    never shuffles (md5 beside the scan). Every value is a double
+    count or one guarded division, so the page hash-checks bitwise.
+    """
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')")).alias("n_tok"),
+        F.md5("text").alias("fp"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_tok").cast("double").alias("n_tokens"),
+        F.sum("n_chars").cast("double").alias("n_chars"),
+        F.countDistinct("fp").cast("double").alias("n_distinct"),
+        F.count(F.when(F.col("n_tok") < _DS_SHORT, 1)).cast("double").alias("n_short"),
+        F.count(F.when(F.col("n_tok") > _DS_LONG, 1)).cast("double").alias("n_long"),
+    )
+
+    def m(name: str, expr: str) -> DataFrame:
+        return s.select(F.lit(name).alias("metric"), F.expr(expr).alias("value"))
+
+    scalars = (
+        m("n_docs", "n_docs")
+        .unionByName(m("total_ws_tokens", "n_tokens"))
+        .unionByName(m("total_chars", "n_chars"))
+        .unionByName(m("mean_doc_tokens", "n_tokens / nullif(n_docs, 0.0)"))
+        .unionByName(m("exact_dup_rate", "(n_docs - n_distinct) / nullif(n_docs, 0.0)"))
+        .unionByName(m("share_short_docs", "n_short / nullif(n_docs, 0.0)"))
+        .unionByName(m("share_long_docs", "n_long / nullif(n_docs, 0.0)"))
+    )
+    langs = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_l"))
+        .crossJoin(F.broadcast(s.select("n_docs")))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+            (F.col("n_l") / F.col("n_docs")).alias("value"),
+        )
+    )
+    return scalars.unionByName(langs)

@@ -138,6 +138,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_textrank_keywords",
     "sink_merge_on_read_dv",
     "scan_change_data_feed",
+    "report_dataset_datasheet",
     # Then: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",

@@ -437,3 +437,11 @@ def test_merge_on_read_dv_zero_audit_on_empty_input(spark, empty_sf):
     [r] = all_queries()["sink_merge_on_read_dv"](spark, empty_sf).collect()
     assert r["rows_before"] == 0 and r["n_deleted"] == 0 and r["rows_read"] == 0
     assert r["base_files_untouched"] and r["compaction_ok"]
+
+
+def test_datasheet_metrics_on_empty_corpus(spark, empty_sf):
+    rows = {r["metric"]: r["value"] for r in
+            all_queries()["report_dataset_datasheet"](spark, empty_sf).collect()}
+    assert rows["n_docs"] == 0.0
+    assert rows["exact_dup_rate"] is None and rows["mean_doc_tokens"] is None
+    assert not any(k.startswith("lang_share:") for k in rows)
