@@ -1896,16 +1896,16 @@ def sink_merge_on_read_dv(spark: SparkSession, sf: str) -> DataFrame:
     compacted = spark.read.parquet(compact_dir)
     # eager-by-design: sink round-trip barrier — symmetric multiset compare
     diff = (
-        compacted.groupBy("o_orderkey").count()
+        compacted.groupBy("o_orderkey").count()  # lazy
         .join(
-            served.groupBy("o_orderkey").count().withColumnRenamed("count", "c2"),
+            served.groupBy("o_orderkey").count().withColumnRenamed("count", "c2"),  # lazy
             "o_orderkey",
             "full_outer",
         )
         .where(
             F.coalesce(F.col("count"), F.lit(0)) != F.coalesce(F.col("c2"), F.lit(0))
         )
-        .count()
+        .count()  # eager-by-design: sink round-trip verification barrier
     )
     compaction_ok = diff == 0 and compacted.count() == rows_read  # eager-by-design: barrier
     # vacuum the vectors LAST — verify-then-drop, the production order
