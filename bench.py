@@ -269,6 +269,7 @@ EXTENDED = [
     "sink_merge_on_read_dv",
     "scan_change_data_feed",
     "report_dataset_datasheet",
+    "events_diff_in_diff",
 ]
 
 

@@ -2946,3 +2946,146 @@ def events_attribution_markov(spark: SparkSession, sf: str) -> DataFrame:
         (F.expr(_MKV_EFF_C) / share_den).alias("attribution_share"),
     )
     return view_row.unionByName(click_row).orderBy("channel")
+
+
+# N221: difference-in-differences (Card & Krueger 1994 form — THE
+# quasi-experimental workhorse when assignment isn't randomized:
+# compare treated vs control CHANGE across a policy cut, differencing
+# out both group-level and time-level confounds). Completes the
+# causal kit: CUPED (N212) tightens randomized readouts, SRM (N215)
+# guards the split, DiD estimates when only an event-time boundary
+# exists. Same md5 arm split and period cut as the CUPED pair so the
+# three artifacts describe one experiment; the estimate and its
+# pooled-variance SE come from exact per-cell integer moments through
+# ONE shared formula text.
+_DID_EST = "((t1 / tn1) - (t0 / tn0) - ((c1 / cn1) - (c0 / cn0)))"
+
+
+def _did_texts() -> tuple[str, str]:
+    """(estimate, standard error) as ONE shared formula text each —
+    the agg_regression_multi discipline; the SE is the pooled sum of
+    the four cell-mean variances from exact moments."""
+    est = _DID_EST
+    cells = [("t1", "tn1"), ("t0", "tn0"), ("c1", "cn1"), ("c0", "cn0")]
+    var_terms = [
+        f"(({s}q - {s} * {s} / {n}) / nullif({n} - 1, 0.0) / {n})" for s, n in cells
+    ]
+    se = f"sqrt({' + '.join(var_terms)})"
+    return est, se
+
+
+@query(
+    "events_diff_in_diff",
+    oracle=f"""
+    with u as (
+      select user_id,
+             ('0x' || substr(md5('cuped:' || cast(user_id as varchar)), 1, 15))::bigint
+               % 2 as arm,
+             cast(sum(case when ts < timestamp '{_CUPED_CUT} 00:00:00'
+                           and event_type = 'purchase'
+                      then cast(floor(value * 100 + 0.5) as bigint) else 0 end)
+                  as bigint) as y_pre,
+             cast(sum(case when ts >= timestamp '{_CUPED_CUT} 00:00:00'
+                           and event_type = 'purchase'
+                      then cast(floor(value * 100 + 0.5) as bigint) else 0 end)
+                  as bigint) as y_post
+      from events group by user_id
+    ),
+    m as (
+      select cast(sum(case when arm = 1 then y_post else 0 end) as double) as t1,
+             cast(sum(case when arm = 1 then y_pre else 0 end) as double) as t0,
+             cast(sum(case when arm = 0 then y_post else 0 end) as double) as c1,
+             cast(sum(case when arm = 0 then y_pre else 0 end) as double) as c0,
+             cast(sum(case when arm = 1 then y_post * y_post else 0 end) as double) as t1q,
+             cast(sum(case when arm = 1 then y_pre * y_pre else 0 end) as double) as t0q,
+             cast(sum(case when arm = 0 then y_post * y_post else 0 end) as double) as c1q,
+             cast(sum(case when arm = 0 then y_pre * y_pre else 0 end) as double) as c0q,
+             cast(count(case when arm = 1 then 1 end) as double) as tn1,
+             cast(count(case when arm = 1 then 1 end) as double) as tn0,
+             cast(count(case when arm = 0 then 1 end) as double) as cn1,
+             cast(count(case when arm = 0 then 1 end) as double) as cn0
+      from u
+    )
+    select cast(tn1 as bigint) as n_treated, cast(cn1 as bigint) as n_control,
+           (t0 / nullif(tn0, 0.0)) as treated_pre_mean,
+           (t1 / nullif(tn1, 0.0)) as treated_post_mean,
+           (c0 / nullif(cn0, 0.0)) as control_pre_mean,
+           (c1 / nullif(cn1, 0.0)) as control_post_mean,
+           {_did_texts()[0]} as did_estimate,
+           {_did_texts()[1]} as did_se
+    from m where tn1 > 0 and cn1 > 0
+    """,
+    tags=("temporal", "experiment", "causal", "did"),
+)
+def events_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences over the {cut} boundary: per-user
+    purchase cents pre/post, arm 1 treated vs arm 0 control (the
+    CUPED split), DiD = (treated change) - (control change) with the
+    pooled per-cell variance SE. One row; degenerate cells go NULL
+    via nullif, and an empty population yields zero rows (the guard
+    the oracle shares).
+
+    100 TB shape: the corpus collapses to the user spine in ONE
+    map-side-combined aggregate; the 12 cell moments collapse to a
+    single row; estimate and SE are scalar shared-text arithmetic on
+    that row. The same plan as events_cuped — the causal kit's three
+    artifacts (SRM gate, CUPED readout, DiD estimate) all price at
+    one user-spine pass each.
+    """.format(cut=_CUPED_CUT)
+    e = t(spark, sf, "events")
+    cut = F.lit(f"{_CUPED_CUT} 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when((F.col("ts") < cut) & (F.col("event_type") == "purchase"), cents)
+                .otherwise(0)
+            ).cast("long").alias("y_pre"),
+            F.sum(
+                F.when((F.col("ts") >= cut) & (F.col("event_type") == "purchase"), cents)
+                .otherwise(0)
+            ).cast("long").alias("y_post"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            "y_pre",
+            "y_post",
+        )
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y_post")).otherwise(0)).cast("double").alias("t1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y_pre")).otherwise(0)).cast("double").alias("t0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y_post")).otherwise(0)).cast("double").alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y_pre")).otherwise(0)).cast("double").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y_post") * F.col("y_post")).otherwise(0)).cast("double").alias("t1q"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y_pre") * F.col("y_pre")).otherwise(0)).cast("double").alias("t0q"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y_post") * F.col("y_post")).otherwise(0)).cast("double").alias("c1q"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y_pre") * F.col("y_pre")).otherwise(0)).cast("double").alias("c0q"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("double").alias("tn1"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("double").alias("tn0"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("double").alias("cn1"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("double").alias("cn0"),
+    )
+    est, se = _did_texts()
+    return m.where((F.col("tn1") > 0) & (F.col("cn1") > 0)).select(
+        F.col("tn1").cast("long").alias("n_treated"),
+        F.col("cn1").cast("long").alias("n_control"),
+        F.expr("(t0 / nullif(tn0, 0.0))").alias("treated_pre_mean"),
+        F.expr("(t1 / nullif(tn1, 0.0))").alias("treated_post_mean"),
+        F.expr("(c0 / nullif(cn0, 0.0))").alias("control_pre_mean"),
+        F.expr("(c1 / nullif(cn1, 0.0))").alias("control_post_mean"),
+        F.expr(est).alias("did_estimate"),
+        F.expr(se).alias("did_se"),
+    )

@@ -139,6 +139,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_merge_on_read_dv",
     "scan_change_data_feed",
     "report_dataset_datasheet",
+    "events_diff_in_diff",
     # Then: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",

@@ -154,6 +154,7 @@ REPRESENTATIVE = [
     "sample_stratified_neyman",  # allocation over an empty stratum table
     "text_textrank_keywords",  # pagerank rounds over an empty word graph
     "scan_change_data_feed",   # full-outer diff of two empty versions
+    "events_diff_in_diff",     # guarded cell moments over no users
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;

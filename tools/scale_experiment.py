@@ -167,7 +167,7 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "events_attribution_markov", "graph_hits", "agg_ab_srm",
          "sample_stratified_neyman", "text_textrank_keywords",
          "sink_merge_on_read_dv", "scan_change_data_feed",
-         "report_dataset_datasheet"]
+         "report_dataset_datasheet", "events_diff_in_diff"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
