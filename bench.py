@@ -10,11 +10,16 @@ number is kept as value_min/queries_min): single-pass timings in a
 shared long-lived JVM swing 3-6x run-to-run from GC/codegen-cache
 pressure (r3's recorded 89 s vs the same code's steady-state 45 s), so
 one cold sample per query is not a usable regression gate, and r9
-showed min-of-2 still moves ~1.35x with session weather. A FIXED
-calibration probe (constant plan + data, catalog-independent) is timed
-before and after the headline passes and recorded in the JSON: if
-calibration moved, the round's deltas are weather; if calibration is
-flat and a query moved >1.3x, that's code. Queries still >1.5x their
+showed min-of-2 still moves ~1.35x with session weather. TWO FIXED
+calibration probes (constant plan + data, catalog-independent) — a
+CPU leg and, since r12, a parquet-scan I/O leg (r11's noise was
+I/O-side and invisible to the CPU leg) — are timed before and after
+the headline passes and recorded in the JSON: if calibration moved,
+the round's deltas are weather; if calibration is flat and a query
+moved >1.3x, that's code. The final JSON also carries regressed_min
+(per-query min for the worst >1.3x-vs-baseline medians, capped at 8)
+and BENCH_LOCAL.json — committed per round since r12 — records every
+per-query min and spread. Queries still >1.5x their
 standing baseline after the passes get one extra fresh re-run before
 reporting; per-query spread (max/min across passes) goes to stderr and
 a "spread" summary field into the JSON so the recorded number carries
@@ -270,6 +275,13 @@ EXTENDED = [
     "scan_change_data_feed",
     "report_dataset_datasheet",
     "events_diff_in_diff",
+    # round-12 additions
+    "join_set_similarity_verify",
+    "streaming_trending_topk_update",
+    "agg_mcnemar",
+    "agg_cramers_v",
+    "agg_kendall_tau",
+    "agg_spearman_rho",
 ]
 
 
@@ -305,12 +317,18 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Calibration probe: one FIXED workload (constant plan, constant
-    # data, independent of the query catalog and the SF) timed before
-    # and after the headline passes. Its wall-clock moves with the
-    # session/box weather, never with repo code — so a round where
-    # every query reads ~1.35x (r9) shows up as a ~1.35x calibration,
-    # while a real regression leaves calibration flat. Median of 3.
+    # Calibration probes: FIXED workloads (constant plan, constant
+    # data, independent of the query catalog) timed before and after
+    # the headline passes. Their wall-clock moves with the session/box
+    # weather, never with repo code — so a round where every query
+    # reads ~1.35x (r9) shows up as a ~1.35x calibration, while a real
+    # regression leaves calibration flat. Median of 3. TWO legs since
+    # r12: the CPU leg (spark.range groupBy — pure codegen/GC) stayed
+    # flat through r11 while medians swung 2-3x on queries an idle
+    # re-run cleared, i.e. that round's noise was I/O-side and the CPU
+    # probe was blind to it. The I/O leg scans a fixed parquet file
+    # (constant bytes, constant footers) so page-cache / disk weather
+    # is now decidable from the artifact too.
     def calibration_probe() -> float:
         runs = []
         for _ in range(3):
@@ -327,6 +345,25 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return sorted(runs)[1]
 
+    def calibration_probe_io() -> float:
+        # Fixed parquet scan at the TARGET SF: full-column read of
+        # lineitem (the table every heavy headline query scans),
+        # collapsed through one xxhash64 partial aggregate so every
+        # column's pages are actually decoded (a bare count() would
+        # prune them all) while the shuffle stays one row; bit_xor
+        # (not sum) so the fold can't overflow under ANSI mode.
+        # Constant plan and constant bytes across rounds at the same SF.
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        probe = li.agg(F.bit_xor(F.xxhash64(*li.columns)).alias("chk"))
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            probe.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return sorted(runs)[1]
+
     for name in HEADLINE:
         try:
             run_once(name)  # untimed target-SF warm pass
@@ -334,7 +371,9 @@ def main() -> None:
             pass
 
     calibration_probe()  # untimed: pays the probe's own codegen
+    calibration_probe_io()  # untimed: pays codegen + first page-cache fill
     calib_start = round(calibration_probe(), 3)
+    calib_io_start = round(calibration_probe_io(), 3)
 
     n_passes = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")), 1)
     # Passes run CONSECUTIVELY per query (not interleaved across the
@@ -383,6 +422,7 @@ def main() -> None:
             extended[name] = None
 
     calib_end = round(calibration_probe(), 3)
+    calib_io_end = round(calibration_probe_io(), 3)
 
     # Headline per-query number = MEDIAN of the passes (r9 verdict:
     # min-of-2 was too noisy to steer by — a real 1.3x regression was
@@ -396,6 +436,12 @@ def main() -> None:
 
     times = {name: round(median(ts), 3) for name, ts in samples.items()}
     times_min = {name: round(min(ts), 3) for name, ts in samples.items()}
+    suspect = sorted(
+        (n for n in times if base_q.get(n) and times[n] / base_q[n] > 1.3),
+        key=lambda n: times[n] / base_q[n],
+        reverse=True,
+    )
+    regressed_min = {n: times_min[n] for n in suspect[:8]}
     spread = {
         name: round(max(ts) / min(ts), 2) if min(ts) > 0 else 1.0
         for name, ts in samples.items()
@@ -438,11 +484,22 @@ def main() -> None:
         "passes": n_passes,
         "spread_max": max(spread.values()),
         "spread_median": sorted(spread.values())[len(spread) // 2],
-        # fixed-workload probe timed before/after the headline passes:
-        # a session-wide multiplier (GC/code-cache weather) moves these,
-        # repo code cannot — compare across rounds before reading deltas
+        # fixed-workload probes timed before/after the headline passes:
+        # a session-wide multiplier (GC/code-cache weather) moves the
+        # CPU pair, page-cache/disk weather moves the IO pair; repo
+        # code moves neither — compare across rounds before reading
+        # per-query deltas
         "calibration_start_sec": calib_start,
         "calibration_end_sec": calib_end,
+        "calibration_io_start_sec": calib_io_start,
+        "calibration_io_end_sec": calib_io_end,
+        # per-query MIN for exactly the queries whose median exceeds
+        # 1.3x baseline (worst 8 by ratio): min-of-passes is the
+        # weather-resistant statistic, so a regressed_min at ~1x says
+        # "median contaminated, code fine" from the artifact alone.
+        # Bounded so the driver's 2000-char stdout tail always holds
+        # the full line (r5 lesson); BENCH_LOCAL.json has every min.
+        "regressed_min": regressed_min,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(

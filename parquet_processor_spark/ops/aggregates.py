@@ -3122,3 +3122,373 @@ def agg_ab_srm(spark: SparkSession, sf: str) -> DataFrame:
     return c.select(
         "n0", "n1", chi2.alias("chi2"), (chi2 > _SRM_CUTOFF).alias("srm_detected")
     )
+
+
+# N224: McNemar's test (McNemar 1947) — the PAIRED sibling of the
+# chi-square kit: two binary classifiers score the SAME documents, and
+# only the discordant cells carry signal (b = gate A alone accepts,
+# c = gate B alone accepts; chi2 = (b-c)^2/(b+c), df=1). This is the
+# standard gate for "did swapping quality filters change the corpus?"
+# — marginal accept rates can match while the filters disagree on
+# half the docs, which the unpaired chi-square cannot see. The two
+# classifiers here are the cheap length gates every curation pipeline
+# stacks (char-count and whitespace-token-count floors, the
+# quality_gopher_rules thresholds family).
+_MCNEMAR_CHARS = 500
+_MCNEMAR_TOKENS = 80
+_MCNEMAR_CRIT = 3.841  # chi2 df=1, 5%
+
+
+@query(
+    "agg_mcnemar",
+    oracle=rf"""
+    with g as (
+      select (n_chars >= {_MCNEMAR_CHARS}) as ga,
+             (len(regexp_split_to_array(text, '\s+')) >= {_MCNEMAR_TOKENS}) as gb
+      from documents
+    )
+    select cast(count(*) as bigint) as n,
+           cast(count(*) filter (ga and gb) as bigint) as both_pass,
+           cast(count(*) filter (ga and not gb) as bigint) as only_a,
+           cast(count(*) filter (gb and not ga) as bigint) as only_b,
+           cast(count(*) filter (not ga and not gb) as bigint) as neither,
+           cast((count(*) filter (ga and not gb)) - (count(*) filter (gb and not ga)) as double)
+             * cast((count(*) filter (ga and not gb)) - (count(*) filter (gb and not ga)) as double)
+             / nullif((count(*) filter (ga and not gb)) + (count(*) filter (gb and not ga)), 0)
+             as mcnemar_chi2,
+           coalesce(
+             cast((count(*) filter (ga and not gb)) - (count(*) filter (gb and not ga)) as double)
+               * cast((count(*) filter (ga and not gb)) - (count(*) filter (gb and not ga)) as double)
+               / nullif((count(*) filter (ga and not gb)) + (count(*) filter (gb and not ga)), 0)
+             > {_MCNEMAR_CRIT}, false) as significant_95
+    from g
+    """,
+    tags=("agg", "stats", "experiment", "paired"),
+)
+def agg_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired 2x2 gate-disagreement table and McNemar chi-square over
+    the documents corpus (char gate vs token gate on the same doc).
+
+    100 TB shape: ONE map-side-combined scalar aggregate — the corpus
+    collapses to five int64 counts in the partial aggregates and the
+    statistic is one division of exact ints ((b-c)^2 exact in double
+    far past any real corpus size); no shuffle wider than one row.
+    The nullif guard makes the b+c=0 degenerate (identical
+    classifiers) NULL / verdict false in both engines.
+    """
+    g = t(spark, sf, "documents").select(
+        (F.col("n_chars") >= _MCNEMAR_CHARS).alias("ga"),
+        (F.size(F.split("text", r"\s+")) >= _MCNEMAR_TOKENS).alias("gb"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("ga") & F.col("gb"), 1)).cast("long").alias("both_pass"),
+        F.count(F.when(F.col("ga") & ~F.col("gb"), 1)).cast("long").alias("only_a"),
+        F.count(F.when(F.col("gb") & ~F.col("ga"), 1)).cast("long").alias("only_b"),
+        F.count(F.when(~F.col("ga") & ~F.col("gb"), 1)).cast("long").alias("neither"),
+    )
+    chi2 = F.expr(
+        "cast(only_a - only_b as double) * cast(only_a - only_b as double)"
+        " / nullif(only_a + only_b, 0)"
+    )
+    return agg.select(
+        "n",
+        "both_pass",
+        "only_a",
+        "only_b",
+        "neither",
+        chi2.alias("mcnemar_chi2"),
+        F.coalesce(chi2 > _MCNEMAR_CRIT, F.lit(False)).alias("significant_95"),
+    )
+
+
+# N225: Cramér's V (Cramér 1946) — effect SIZE for the contingency
+# kit: chi-square grows with n, so a 100 TB corpus makes everything
+# "significant"; V^2 = chi2 / (n * min(r-1, c-1)) is the
+# scale-invariant association strength drift monitors actually
+# compare across corpus versions. Emitted SQUARED (V^2 in [0,1]) —
+# monotone in V, so thresholds translate directly and the value stays
+# one division of the chi2 fold (no square root in the checked row).
+@query(
+    "agg_cramers_v",
+    oracle="""
+    with cells as (
+      select o_orderstatus as a, o_orderpriority as b,
+             cast(count(*) as bigint) as o
+      from orders group by 1, 2
+    ),
+    r as (select a, cast(sum(o) as bigint) as rt from cells group by 1),
+    c as (select b, cast(sum(o) as bigint) as ct from cells group by 1),
+    tot as (select cast(sum(o) as bigint) as nn,
+                   cast(count(distinct a) as bigint) as n_r,
+                   cast(count(distinct b) as bigint) as n_c
+            from cells),
+    terms as (
+      select cells.a, cells.b,
+             cast(cells.o * tot.nn - r.rt * c.ct as double)
+               * cast(cells.o * tot.nn - r.rt * c.ct as double)
+               / cast(r.rt * c.ct as double) / cast(tot.nn as double) as term
+      from cells join r using (a) join c using (b) cross join tot
+    ),
+    s as (
+      select list_reduce(list_prepend(cast(0 as double),
+                         list(term order by a, b)),
+                         (acc, v) -> acc + v) as chi2
+      from terms
+    )
+    select tot.nn as n,
+           cast(tot.n_r as int) as r_levels,
+           cast(tot.n_c as int) as c_levels,
+           s.chi2 as chi2,
+           s.chi2 / cast(tot.nn as double)
+                  / nullif(least(tot.n_r - 1, tot.n_c - 1), 0) as cramers_v2
+    from s cross join tot
+    """,
+    tags=("agg", "stats", "association", "drift"),
+)
+def agg_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Squared Cramér's V over the order-status x order-priority
+    contingency table (the agg_chi_square fold, normalized to an
+    effect size).
+
+    100 TB shape: identical to agg_chi_square — one map-side-combined
+    aggregate bounded by |status| x |priority| cells, margins from
+    those cells, the statistic folded over <= dozens of doubles in
+    pinned (a, b) order; the normalization is two more divisions on
+    the 1-row result. Degenerate single-level tables go NULL via
+    nullif in both engines.
+    """
+    cells = (
+        t(spark, sf, "orders")
+        .select(F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    r = cells.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
+    c = cells.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("nn"),
+        F.countDistinct("a").cast("long").alias("n_r"),
+        F.countDistinct("b").cast("long").alias("n_c"),
+    )
+    delta = (F.col("o") * F.col("nn") - F.col("rt") * F.col("ct")).cast("double")
+    term = (
+        delta * delta / (F.col("rt") * F.col("ct")).cast("double") / F.col("nn").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(r), "a")
+        .join(F.broadcast(c), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", term.alias("term"))
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("a", "b", "term")))
+    chi2 = F.aggregate(
+        F.transform(ordered, lambda x: x["term"]), F.lit(0.0), lambda acc, v: acc + v
+    )
+    s = terms.agg(chi2.alias("chi2"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").alias("n"),
+        F.col("n_r").cast("int").alias("r_levels"),
+        F.col("n_c").cast("int").alias("c_levels"),
+        "chi2",
+        (
+            F.col("chi2")
+            / F.col("nn").cast("double")
+            / F.expr("nullif(least(n_r - 1, n_c - 1), 0)")
+        ).alias("cramers_v2"),
+    )
+
+
+# N226: Kendall tau-b (Kendall 1938; tau-b = tie-adjusted) between
+# order quantity and discount — the rank-association member of the
+# correlation kit (agg_corr is Pearson on values; this is monotone
+# association, immune to any monotone rescaling of either axis). The
+# naive statistic is O(n^2) pairs; over BOUNDED value domains it
+# collapses to exact cell algebra on the 2D contingency histogram:
+# concordant/discordant counts are sums of cell-count products over
+# the |Vx| x |Vy| grid (<= 550 cells here), never over rows.
+@query(
+    "agg_kendall_tau",
+    oracle="""
+    with cells as (
+      select cast(l_quantity as bigint) as x,
+             cast(floor(l_discount * 100 + 0.5) as bigint) as y,
+             cast(count(*) as bigint) as m
+      from lineitem group by 1, 2
+    ),
+    conc as (
+      select cast(coalesce(sum(a.m * b.m), 0) as bigint) as c
+      from cells a join cells b on b.x > a.x and b.y > a.y
+    ),
+    disc as (
+      select cast(coalesce(sum(a.m * b.m), 0) as bigint) as d
+      from cells a join cells b on b.x > a.x and b.y < a.y
+    ),
+    mx as (select x, cast(sum(m) as bigint) as t from cells group by 1),
+    my as (select y, cast(sum(m) as bigint) as t from cells group by 1),
+    s as (
+      select cast(sum(m) as bigint) as n,
+             (select cast(sum(t * (t - 1)) as bigint) from mx) as tx2,
+             (select cast(sum(t * (t - 1)) as bigint) from my) as ty2
+      from cells
+    )
+    select s.n,
+           conc.c as concordant,
+           disc.d as discordant,
+           cast(conc.c - disc.d as double)
+             / nullif(sqrt(cast(s.n * (s.n - 1) - tx2 as double)
+                         * cast(s.n * (s.n - 1) - ty2 as double)) / 2.0, 0.0) as tau_b
+    from s cross join conc cross join disc
+    """,
+    tags=("agg", "stats", "rank", "association"),
+)
+def agg_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-adjusted Kendall rank correlation between l_quantity and
+    discount cents, computed EXACTLY on the 2D histogram.
+
+    100 TB shape: one map-side-combined aggregate collapses the fact
+    table to <= |qty| x |discount| cells; concordant/discordant sums
+    are two inequality joins over that broadcast-sized grid (cell
+    pairs, never row pairs); tie terms are 1D margins of the same
+    cells. All counts are exact int64 (doubled pair counts n(n-1) and
+    tie sums t(t-1) avoid the /2 until the final one-text double
+    formula — the Mann-Whitney doubled-rank discipline); safe to
+    n ~ 3e9 rows, decimal(38) beyond. The single sqrt is IEEE
+    correctly-rounded, so the division is bitwise cross-engine.
+    """
+    cells = (
+        t(spark, sf, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = (
+        a.join(F.broadcast(b), (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")))
+        .agg(F.coalesce(F.sum(F.col("a.m") * F.col("b.m")), F.lit(0)).cast("long").alias("c"))
+    )
+    disc = (
+        a.join(F.broadcast(b), (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")))
+        .agg(F.coalesce(F.sum(F.col("a.m") * F.col("b.m")), F.lit(0)).cast("long").alias("d"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("m").cast("long").alias("t"))
+    my = cells.groupBy("y").agg(F.sum("m").cast("long").alias("t"))
+    s = (
+        cells.agg(F.sum("m").cast("long").alias("n"))
+        .crossJoin(F.broadcast(mx.agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tx2"))))
+        .crossJoin(F.broadcast(my.agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("ty2"))))
+    )
+    out = s.crossJoin(F.broadcast(conc)).crossJoin(F.broadcast(disc))
+    tau = F.expr(
+        "cast(c - d as double)"
+        " / nullif(sqrt(cast(n * (n - 1) - tx2 as double)"
+        "              * cast(n * (n - 1) - ty2 as double)) / 2.0, 0.0)"
+    )
+    return out.select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        tau.alias("tau_b"),
+    )
+
+
+# N227: Spearman rank correlation (Spearman 1904), tie-handled via
+# average ranks — Pearson over the rank transform. Same bounded-
+# domain collapse as Kendall: doubled average ranks per distinct
+# value (2*avg_rank = 2*cum_before + t + 1, an exact integer even
+# under ties — the Mann-Whitney identity), then the Pearson moments
+# accumulate as exact decimal(38) integers weighted by cell counts,
+# and rho is ONE shared formula text over those integers.
+@query(
+    "agg_spearman_rho",
+    oracle="""
+    with cells as (
+      select cast(l_quantity as bigint) as x,
+             cast(floor(l_discount * 100 + 0.5) as bigint) as y,
+             cast(count(*) as bigint) as m
+      from lineitem group by 1, 2
+    ),
+    vx as (
+      select x,
+             2 * coalesce(sum(t) over (order by x
+                          rows between unbounded preceding and 1 preceding), 0)
+               + t + 1 as rx
+      from (select x, sum(m) as t from cells group by 1)
+    ),
+    vy as (
+      select y,
+             2 * coalesce(sum(t) over (order by y
+                          rows between unbounded preceding and 1 preceding), 0)
+               + t + 1 as ry
+      from (select y, sum(m) as t from cells group by 1)
+    ),
+    s as (
+      select cast(sum(m) as hugeint) as n,
+             sum(cast(m as hugeint) * rx) as sx,
+             sum(cast(m as hugeint) * ry) as sy,
+             sum(cast(m as hugeint) * rx * rx) as sxx,
+             sum(cast(m as hugeint) * ry * ry) as syy,
+             sum(cast(m as hugeint) * rx * ry) as sxy
+      from cells join vx using (x) join vy using (y)
+    )
+    select cast(n as bigint) as n,
+           (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+             / nullif(sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+                         * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 0.0)
+             as rho
+    from s
+    """,
+    tags=("agg", "stats", "rank", "association"),
+)
+def agg_spearman_rho(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-corrected Spearman rho between l_quantity and discount
+    cents: Pearson over doubled average ranks, exact to the final
+    one-text double formula.
+
+    100 TB shape: the fact table collapses to the 2D histogram
+    map-side; the two rank windows run on 1D margins (bounded value
+    domains — |qty| and |discount| rows, never corpus mass); moments
+    are decimal(38) sums over the <= 550 cells. Bound: m * rx * ry
+    peaks at ~4n^3 per cell and n*Sxy at ~4n^4 — exact inside
+    decimal(38)/hugeint to n ~ 3e9 rows per test cell.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        t(spark, sf, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    vx = (
+        cells.groupBy("x").agg(F.sum("m").alias("t"))
+        .select("x", (2 * F.coalesce(F.sum("t").over(wx), F.lit(0)) + F.col("t") + 1).alias("rx"))
+    )
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    vy = (
+        cells.groupBy("y").agg(F.sum("m").alias("t"))
+        .select("y", (2 * F.coalesce(F.sum("t").over(wy), F.lit(0)) + F.col("t") + 1).alias("ry"))
+    )
+    dec = "decimal(38,0)"
+    j = cells.join(F.broadcast(vx), "x").join(F.broadcast(vy), "y")
+    s = j.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m").cast(dec) * F.col("rx")).alias("sx"),
+        F.sum(F.col("m").cast(dec) * F.col("ry")).alias("sy"),
+        F.sum(F.col("m").cast(dec) * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("m").cast(dec) * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("m").cast(dec) * F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = F.expr(
+        "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+        " / nullif(sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+        "             * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 0.0)"
+    )
+    return s.select("n", rho.alias("rho"))

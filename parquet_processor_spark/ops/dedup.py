@@ -2442,3 +2442,107 @@ def join_set_similarity(spark: SparkSession, sf: str) -> DataFrame:
         "n_common",
         (F.col("n_common").cast("double") / union).alias("jaccard"),
     )
+
+
+# N222: bounded set-similarity verification — the PRODUCTION half of
+# the N205 story. join_set_similarity is the exact all-pairs threshold
+# join (lossless prefix filter, brute-force oracle); its honest scale
+# boundary (SCALE.md) is that a duplicate-saturated corpus makes the
+# candidate set itself quadratic, because exactness over such input IS
+# quadratic work. This operator pins the bounded contract in code: the
+# candidate set comes from the df-capped MinHash-LSH bands (the
+# dedup_near machinery — per-bucket cap, linear in corpus size BY
+# CONSTRUCTION), and only those candidates are verified with the exact
+# shingle-intersection Jaccard. Recall < 1 by design (exactly the LSH
+# family's recall, gated by recall_dedup_near); per-pair verification
+# cost is bounded by doc size. This is the verify stage every
+# production near-dup pipeline runs between banding and clustering
+# (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" — cluster on verified pairs, not raw band collisions).
+@query(
+    "join_set_similarity_verify",
+    oracle=f"""
+    with {_mh_sig_sql()},
+    {_mh_bands_sql()},
+    {_mh_post_sql()},
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from post a join post b using (band_sig)
+      where a.doc_id < b.doc_id
+    ),
+    sizes as (select doc_id, count(*) as n from hashed group by doc_id),
+    common as (
+      select c.doc_a, c.doc_b, count(*) as n_common
+      from cand c
+      join hashed x on x.doc_id = c.doc_a
+      join hashed y on y.doc_id = c.doc_b and y.h = x.h
+      group by 1, 2
+    )
+    select m.doc_a, m.doc_b,
+           cast(m.n_common as bigint) as n_common,
+           cast(m.n_common as double) / (sa.n + sb.n - m.n_common) as jaccard
+    from common m
+      join sizes sa on sa.doc_id = m.doc_a
+      join sizes sb on sb.doc_id = m.doc_b
+    where {_SETSIM_DEN} * m.n_common >= {_SETSIM_NUM} * (sa.n + sb.n - m.n_common)
+    """,
+    tags=("join", "similarity", "lsh", "dedup", "verify"),
+)
+def join_set_similarity_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Document pairs with EXACT shingle Jaccard >= {num}/{den}, but
+    candidates restricted to MinHash-LSH band collisions (df-capped) —
+    the linear-scale production variant of :func:`join_set_similarity`.
+
+    100 TB shape: candidate generation is the dedup_near pipeline
+    minus the signatures (8-byte band keys through one capped window +
+    collect_list exchange, pairs from sorted in-bucket suffix
+    expansion — never a self-join); verification is candidate-driven
+    (two narrow hash joins on doc_id against the shingle-hash
+    relation), so total cost is O(corpus + |candidates| * doc_size).
+    The est-Jaccard of dedup_near is replaced by the TRUE Jaccard here;
+    downstream clustering (dedup_connected_lsh) can consume these
+    verified edges unchanged.
+    """.format(num=_SETSIM_NUM, den=_SETSIM_DEN)
+    sig = _minhash_sig_cached(spark, sf)
+    bands = _band_rows(sig.select("doc_id", "sig")).select("doc_id", "band", "band_sig")
+    # narrow capped blocks: same window-cap + collect_list discipline
+    # as _capped_band_blocks, but doc ids only — the verify stage
+    # never needs the signatures, so the exchange carries 8-byte ids
+    w = Window.partitionBy("band", "band_sig")
+    blocks = (
+        bands.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= _MH_BUCKET_CAP)
+        .groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    cand = (
+        blocks.select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = split_words(spark, sf).select(
+        "doc_id", F.explode_outer(shingle_hashes_md5()).alias("h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    scored = common.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+    ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return scored.where(
+        F.lit(_SETSIM_DEN) * F.col("n_common") >= F.lit(_SETSIM_NUM) * union
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (F.col("n_common").cast("double") / union).alias("jaccard"),
+    )

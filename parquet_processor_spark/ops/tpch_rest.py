@@ -330,6 +330,13 @@ def q20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").cast("double").alias("qty"))
+        # eager-by-design: supp_qty feeds BOTH the threshold scalar
+        # and the filter spine; without materialization Catalyst
+        # plans the lineitem scan + semi join + groupBy TWICE (the
+        # branches push different IsNotNull sets, so ReuseExchange
+        # never fires — r12 plan audit). The materialized frame is
+        # ~1 row per supplier: tiny at any SF.
+        .localCheckpoint(eager=True)
     )
     # Global average as a 1-row broadcast join — no driver collect.
     threshold = supp_qty.agg(

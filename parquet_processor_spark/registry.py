@@ -44,84 +44,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately. Round 10 window policy, in priority order:
-# (1) queries whose implementation or oracle changed this round (incl.
-# dedup_simhash's first-ever oracle), (2) the standing
-# oldest-checked-first rotation — this round aimed squarely at the r9
-# verdict's staleness item: the entire r2 cohort plus the stalest r3
-# TPC-H headliners; new operators displace the newest rotation pins as
-# they land. The full catalog is ordered (every registered name), so the
-# backlog ordering is explicit, not incidental. The window contents
-# are enforced by an automated assertion
-# (tests/test_harness_safety.py::test_check_priority_window), not by
-# this comment.
+# catalog deliberately. Round 12 window policy, in priority order:
+# (1) queries that have never had a driver CORRECTNESS row (the 18
+# round-11 operators born after the r11 window froze), (2) queries
+# whose implementation changed this round (graph_scc's frontier-only
+# backward pass and streaming_trending_topk's shared serve path sit
+# inside (1); q20's single-pass supp_qty is pinned explicitly),
+# (3) the standing oldest-checked-first rotation — the r3 remainder
+# plus the oldest r4 cohort. New round-12 operators go to the backlog
+# head (r13 window) as in prior rounds. The full catalog is ordered
+# (every registered name), so the backlog ordering is explicit, not
+# incidental. The window contents are enforced by an automated
+# assertion (tests/test_harness_safety.py::test_check_priority_window),
+# not by this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # ---- driver 50-slot check window (round 11) ----
-    # 1-15: the round-10 operators born after the r10 window froze —
-    # never driver-checked (judge-run local parity only); four of them
-    # (agg_bootstrap_ci / error_bootstrap_ci / agg_regression_multi /
-    # sink_merge_upsert) ALSO changed this round (nullif divide
-    # guards, delete-only-bucket commit), so their first driver row
-    # covers the new code
-    "report_curation_funnel",
-    "sample_epoch_repeat",
-    "agg_bootstrap_ci",
-    "sink_merge_upsert",
-    "events_ohlc_bars",
-    "agg_regression_multi",
-    "streaming_ohlc",
-    "error_bootstrap_ci",
-    "sim_topk_lsh_multiprobe",
-    "recall_sim_topk_lsh_multiprobe",
-    "anonymize_generalize",
-    "pack_concat_chunks",
-    "graph_random_walks",
-    "events_trending_topk",
-    "agg_classification_report",
-    # 16-19: implementation changed this round — the entity-spine
-    # ntile sorts replaced by exact distributed rank selection
-    # (ops/ranked_bins.py); oracles unchanged, plans rebuilt
-    "agg_auc",
-    "agg_calibration",
-    "agg_decile_lift",
-    "quality_ccnet_buckets",
-    # 20-50: the stalest r3 rows (31 of the 42 — TPC-H first, the
-    # remainder heads the r12 backlog below)
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q16_part_supplier_types",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_brand_bands",
-    "q21_waiting_suppliers",
-    "window_row_number",
-    "streaming_stateful",
-    "dedup_embedding",
-    "subquery_scalar",
-    "subquery_correlated",
-    "sql_recursive_cte",
-    "join_asof",
-    "join_lateral",
-    "agg_pivot",
-    "agg_string_concat",
-    "agg_stats_manual",
-    "agg_bool_bit",
-    "explode_positional",
-    "fn_struct_ops",
-    "window_range_frame",
-    "window_ntile",
-    # ---- slots 51+: rotation backlog (r12 window head) ----
-    # First: the round-11 operators born after this round's window
-    # froze (N204-N213) — never driver-checked until r12; covered
-    # meanwhile by the sf0.01 oracle-parity harness + pytest
+    # ---- driver 50-slot check window (round 12) ----
+    # 1-18: the round-11 operators — never driver-checked (judge-run
+    # local parity in the r11 session only); two of them (graph_scc,
+    # streaming_trending_topk) also changed this round, so their
+    # first driver row covers the new code
     "streaming_trending_topk",
     "join_set_similarity",
     "graph_ppr",
@@ -140,7 +81,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_change_data_feed",
     "report_dataset_datasheet",
     "events_diff_in_diff",
-    # Then: the r3 remainder (11 queries), oldest-first
+    # 19: implementation changed this round (supp_qty materialized
+    # once instead of recomputed per consumer)
+    "q20_part_promotion",
+    # 20-30: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",
     "fn_date_parts",
@@ -152,6 +96,62 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "set_except",
     "pipeline_fetch",
     "pipeline_media_dispatch",
+    # 31-50: the oldest 20 of the 43 r4-stale rows (CORRECTNESS_r04
+    # order; the remainder heads the r13 backlog below)
+    "agg_count",
+    "agg_avg",
+    "agg_median",
+    "agg_max",
+    "agg_sum",
+    "agg_multi",
+    "agg_max_by",
+    "agg_having",
+    "agg_rollup",
+    "agg_unpivot",
+    "agg_percentiles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "join_broadcast_equi",
+    "join_left_anti",
+    "join_left_semi",
+    "join_left_outer",
+    "join_full_outer",
+    "multimodal_frames",
+    "scan_parquet",
+    # ---- slots 51+: rotation backlog (r13 window head) ----
+    # First: operators born in round 12 (never driver-checked until
+    # r13; covered meanwhile by the sf0.01 oracle-parity harness +
+    # pytest) — appended here as they land this round.
+    "join_set_similarity_verify",
+    "streaming_trending_topk_update",
+    "agg_mcnemar",
+    "agg_cramers_v",
+    "agg_kendall_tau",
+    "agg_spearman_rho",
+    # Then: the r4 remainder (23 queries), oldest-first
+    "project_filter_notnull",
+    "fn_string_normalize",
+    "fn_string_firstline",
+    "streaming_tumbling",
+    "streaming_session",
+    "streaming_stream_join",
+    "fn_math",
+    "curation_cap_per_source",
+    "curation_contamination",
+    "curation_pii_scrub",
+    "curation_repetition",
+    "streaming_dedup",
+    "limit_n",
+    "set_except_all",
+    "set_intersect_all",
+    "window_first_last",
+    "recall_sim_topk_lsh",
+    "dedup_connected",
+    "events_funnel",
+    "error_approx_distinct",
+    "sink_sorted_roundtrip",
+    "kmeans_ivf_train",
+    "streaming_static_join",
 )
 
 

@@ -320,6 +320,57 @@ def run_with_upsert(events: DataFrame, state_dir: str, checkpoint: str) -> Strea
     )
 
 
+def run_trending_update(events: DataFrame, state_dir: str, checkpoint: str) -> StreamingQuery:
+    """The trending-leaderboard spine in UPDATE output mode — the
+    production path the r11 SCALE note promised (the registered
+    complete-mode twin rewrites its whole result table every
+    micro-batch, linear-in-state; this one ships deltas).
+
+    The streaming aggregation keeps the (hour_start, user_id) counts
+    in the state store and, in update mode, each micro-batch emits
+    ONLY the spine cells that batch touched. ``foreachBatch`` upserts
+    those cells into the at-rest parquet spine by key (anti-join the
+    delta's keys, append the delta) under the same
+    write-new → swap → recover commit protocol as
+    :func:`run_with_upsert`. Per-batch cost: input rows = the new
+    slice (pinned by the incremental pytest, the OHLC recipe), delta
+    rows = |touched cells| ≤ input rows, never |state|. On a real
+    deployment the spine lives in a MERGE-capable table so the upsert
+    rewrites only touched files; the directory swap stands in for
+    that commit protocol with plain parquet.
+    """
+    counts = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour")["start"].alias("hour_start"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        _recover_state(state_dir)
+        # update-mode rows ARE the new totals for the keys this batch
+        # touched — replace-by-key, no re-aggregation here
+        delta = batch
+        if os.path.isdir(state_dir):
+            cur = spark.read.parquet(state_dir)
+            merged = cur.join(
+                delta.select("hour_start", "user_id"),
+                ["hour_start", "user_id"],
+                "left_anti",
+            ).unionByName(delta)
+        else:
+            merged = delta
+        _swap_state(merged, state_dir, batch_id)
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins against a static
     dimension snapshot (broadcast per batch — no stream state). The

@@ -620,3 +620,41 @@ def streaming_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     return trending_rank_of_counts(_run_stream(counts, "complete"))
+
+
+@query(
+    "streaming_trending_topk_update",
+    # all three trending twins (batch, complete-mode stream, update-
+    # mode stream) compute one relation and share one oracle
+    oracle=_ORACLES["events_trending_topk"],
+    tags=("streaming", "topk", "trending", "upsert"),
+)
+def streaming_trending_topk_update(spark: SparkSession, sf: str) -> DataFrame:
+    """N223 — the UPDATE-mode delta serve for the trending
+    leaderboard, the production path beside N204's complete-mode twin
+    (whose ×100 soak showed the complete-mode state rewrite dominating
+    backfill wall — SCALE.md). Each micro-batch emits only touched
+    (hour, user) spine cells; ``foreachBatch`` upserts them into the
+    at-rest parquet spine (streaming/jobs.run_trending_update), and
+    the rank<=K leaderboard serves from that spine through the SAME
+    code path as the batch operator. Per-batch cost is O(new slice),
+    pinned by the incremental pytest (the OHLC recipe).
+    """
+    from parquet_processor_spark.ops.temporal import trending_rank_of_counts
+    from parquet_processor_spark.streaming.jobs import run_trending_update
+
+    import os
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    base = scratch_dir("ppspark_trend_")
+    q = run_trending_update(events, f"{base}/state", f"{base}/ckpt")
+    q.awaitTermination(120)
+    if not os.path.isdir(f"{base}/state"):
+        # an empty source yields zero micro-batches, so the upsert
+        # never commits a state dir: the spine is the empty relation
+        spine = spark.createDataFrame(
+            [], "hour_start timestamp, user_id long, n_events long"
+        )
+    else:
+        spine = spark.read.parquet(f"{base}/state")
+    return trending_rank_of_counts(spine)

@@ -155,6 +155,8 @@ REPRESENTATIVE = [
     "text_textrank_keywords",  # pagerank rounds over an empty word graph
     "scan_change_data_feed",   # full-outer diff of two empty versions
     "events_diff_in_diff",     # guarded cell moments over no users
+    "join_set_similarity_verify",  # LSH-candidate verify, empty corpus
+    "streaming_trending_topk_update",  # update-mode upsert, empty stream
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
@@ -167,6 +169,9 @@ REPRESENTATIVE = [
     # (agg_mannwhitney / agg_ks_test / agg_chi_square / agg_ab_power /
     # agg_auc are global aggregates: one row on
     # empty input with null stats — covered by their witness tests)
+    # (agg_mcnemar / agg_cramers_v / agg_kendall_tau / agg_spearman_rho
+    # are global aggregates: one guarded row on empty input — asserted
+    # by test_rank_association_null_stats_on_empty_input below)
     # (pipeline_cost_estimate emits its one model row on an empty
     # manifest — n_manifest 0, canary_ok false on min_records — and the
     # crash path it guards, the empty-canary ANSI divide in
@@ -446,3 +451,20 @@ def test_datasheet_metrics_on_empty_corpus(spark, empty_sf):
     assert rows["n_docs"] == 0.0
     assert rows["exact_dup_rate"] is None and rows["mean_doc_tokens"] is None
     assert not any(k.startswith("lang_share:") for k in rows)
+
+
+def test_rank_association_null_stats_on_empty_input(spark, empty_sf):
+    # The round-12 stats quartet are global aggregates: each must emit
+    # exactly one guarded row on an empty corpus (no ANSI
+    # divide-by-zero from the degenerate denominators), with the
+    # statistic NULL and any verdict column false.
+    rows = all_queries()["agg_mcnemar"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 0
+    assert rows[0]["mcnemar_chi2"] is None and rows[0]["significant_95"] is False
+    rows = all_queries()["agg_cramers_v"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["cramers_v2"] is None
+    rows = all_queries()["agg_kendall_tau"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["tau_b"] is None
+    assert rows[0]["concordant"] == 0 and rows[0]["discordant"] == 0
+    rows = all_queries()["agg_spearman_rho"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["rho"] is None

@@ -53,37 +53,37 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # (a) the 15 round-10 operators that have never had a driver row
-    # (born after the r10 window froze), (b) the four queries whose
-    # implementation changed in round 11 (bootstrap/regression nullif
-    # guards land inside (a); the ranked_bins ntile rewrites are
-    # these), then (c) 31 of the 42 stalest r3 rows, TPC-H first.
+    # (a) the 18 round-11 operators that have never had a driver row
+    # (born after the r11 window froze; graph_scc and
+    # streaming_trending_topk also changed in round 12, so their first
+    # driver row covers the new code), (b) q20, whose plan changed in
+    # round 12 (single-pass supp_qty), then (c) the 11-query r3
+    # remainder and the 20 oldest r4-stale rows.
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # never driver-checked (round-10 late wave)
-        "report_curation_funnel", "sample_epoch_repeat",
-        "agg_bootstrap_ci", "sink_merge_upsert", "events_ohlc_bars",
-        "agg_regression_multi", "streaming_ohlc", "error_bootstrap_ci",
-        "sim_topk_lsh_multiprobe", "recall_sim_topk_lsh_multiprobe",
-        "anonymize_generalize", "pack_concat_chunks",
-        "graph_random_walks", "events_trending_topk",
-        "agg_classification_report",
-        # implementation changed in round 11 (exact rank selection)
-        "agg_auc", "agg_calibration", "agg_decile_lift",
-        "quality_ccnet_buckets",
-        # rotation: stalest r3 rows, TPC-H first
-        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "q10_returned_items", "q12_priority_class",
-        "q13_order_distribution", "q14_promo_share",
-        "q16_part_supplier_types", "q17_small_quantity",
-        "q18_large_orders", "q19_brand_bands", "q21_waiting_suppliers",
-        "window_row_number", "streaming_stateful", "dedup_embedding",
-        "subquery_scalar", "subquery_correlated", "sql_recursive_cte",
-        "join_asof", "join_lateral", "agg_pivot", "agg_string_concat",
-        "agg_stats_manual", "agg_bool_bit", "explode_positional",
-        "fn_struct_ops", "window_range_frame", "window_ntile",
+        # never driver-checked (round-11 wave)
+        "streaming_trending_topk", "join_set_similarity", "graph_ppr",
+        "graph_scc", "sample_pps", "anonymize_dp_mean",
+        "sink_time_travel_read", "text_collocations", "events_cuped",
+        "events_attribution_markov", "graph_hits", "agg_ab_srm",
+        "sample_stratified_neyman", "text_textrank_keywords",
+        "sink_merge_on_read_dv", "scan_change_data_feed",
+        "report_dataset_datasheet", "events_diff_in_diff",
+        # implementation changed in round 12
+        "q20_part_promotion",
+        # rotation: the r3 remainder
+        "window_moving_avg", "fn_string_funcs", "fn_date_parts",
+        "fn_date_arith", "fn_null_funcs", "fn_url_parse",
+        "sink_json_roundtrip", "sink_orc_roundtrip", "set_except",
+        "pipeline_fetch", "pipeline_media_dispatch",
+        # rotation: the oldest 20 r4-stale rows
+        "agg_count", "agg_avg", "agg_median", "agg_max", "agg_sum",
+        "agg_multi", "agg_max_by", "agg_having", "agg_rollup",
+        "agg_unpivot", "agg_percentiles", "dedup_exact",
+        "dedup_ngram_jaccard", "join_broadcast_equi", "join_left_anti",
+        "join_left_semi", "join_left_outer", "join_full_outer",
+        "multimodal_frames", "scan_parquet",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

@@ -167,7 +167,12 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "events_attribution_markov", "graph_hits", "agg_ab_srm",
          "sample_stratified_neyman", "text_textrank_keywords",
          "sink_merge_on_read_dv", "scan_change_data_feed",
-         "report_dataset_datasheet", "events_diff_in_diff"]
+         "report_dataset_datasheet", "events_diff_in_diff",
+         # round-12 re-measured (frontier-only SCC backward pass)
+         # round-12 additions
+         "join_set_similarity_verify", "streaming_trending_topk_update",
+         "agg_mcnemar", "agg_cramers_v", "agg_kendall_tau",
+         "agg_spearman_rho"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
