@@ -282,6 +282,9 @@ EXTENDED = [
     "agg_cramers_v",
     "agg_kendall_tau",
     "agg_spearman_rho",
+    "feature_quantile_bin",
+    "agg_anova",
+    "sample_kfold",
 ]
 
 

@@ -3492,3 +3492,155 @@ def agg_spearman_rho(spark: SparkSession, sf: str) -> DataFrame:
         "             * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 0.0)"
     )
     return s.select("n", rho.alias("rho"))
+
+
+# N228: exact equal-frequency quantile binning as a first-class
+# FEATURE op — the production cut-over the ranking-spine rewrites
+# (agg_auc/agg_calibration/agg_rfm_scores) use internally, exposed as
+# the user-facing transform every feature pipeline ships ("bin this
+# row-mass numeric column into K ntiles"). The point at 100 TB: bin
+# ids come from K-1 LITERAL cut rows selected by distributed
+# order-statistics (ops/ranked_bins.py), so assignment happens in
+# whole-stage codegen beside the scan — ntile(K) over an empty
+# partition spec (one task sorting the corpus) never appears.
+_QBIN_K = 10
+
+
+@query(
+    "feature_quantile_bin",
+    oracle=f"""
+    with b as (
+      select ntile({_QBIN_K}) over (order by o_totalprice, o_orderkey) as bin,
+             o_totalprice
+      from orders
+    )
+    select bin, cast(count(*) as bigint) as n,
+           min(o_totalprice) as lo,
+           max(o_totalprice) as hi,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_price
+    from b group by bin
+    """,
+    tags=("feature", "agg", "binning", "ranked-bins"),
+)
+def feature_quantile_bin(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency decile binning of order total price (ties split
+    by o_orderkey — bit-identical to ntile semantics), reported as the
+    per-bin profile (count, range, exact decimal mass).
+
+    100 TB shape: the K-1 cuts come from exact multi-level rank
+    selection over the row-mass spine (1-3 histogram-sized jobs, no
+    single-task sort — the ranked_bins contract); bin assignment is a
+    literal comparison chain in codegen beside the scan; the per-bin
+    rollup is one map-side-combined aggregate over K groups. Money
+    sums ride exact decimal(18,2) and cast to double once.
+    """
+    from parquet_processor_spark.ops.ranked_bins import exact_ntile_cuts, ntile_assign
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    spine = o.select(
+        F.lit(0).alias("nf"),
+        F.col("o_totalprice").cast("double").alias("okey"),
+        F.col("o_orderkey").alias("oid"),
+    ).localCheckpoint()  # eager-by-design: row-mass spine read by 1-3 cut-selection jobs
+    cuts = exact_ntile_cuts(spine, _QBIN_K)
+    binned = o.select(
+        ntile_assign(
+            cuts, F.lit(0), F.col("o_totalprice").cast("double"), F.col("o_orderkey")
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+# N229: one-way ANOVA (Fisher 1925) — "does mean doc length differ
+# across sources?", the k-group generalization of agg_ab_test's
+# 2-arm mean comparison and the parametric sibling of the
+# chi-square/Cramér kit (those test categorical composition; this
+# tests a numeric mean across k groups). Sufficient statistics are
+# exact integer moments per group (n_chars is int64), the
+# between/within sums fold in pinned group order (the chi2 fold
+# discipline), and F = (SSB/(k-1)) / (SSW/(n-k)) is one shared text.
+@query(
+    "agg_anova",
+    oracle="""
+    with g as (
+      select source,
+             cast(count(*) as bigint) as nj,
+             cast(sum(n_chars) as bigint) as sj,
+             cast(sum(n_chars * n_chars) as bigint) as ssj
+      from documents group by source
+    ),
+    tot as (
+      select cast(sum(nj) as bigint) as n, cast(sum(sj) as bigint) as s,
+             cast(sum(ssj) as bigint) as ss, cast(count(*) as bigint) as k
+      from g
+    ),
+    parts as (
+      select list_reduce(list_prepend(cast(0 as double),
+               list(cast(sj as double) * sj / nj order by source)),
+               (acc, v) -> acc + v) as sb
+      from g
+    )
+    select tot.n, cast(tot.k as int) as k_groups,
+           parts.sb - cast(tot.s as double) * tot.s / tot.n as ss_between,
+           cast(tot.ss as double) - parts.sb as ss_within,
+           ((parts.sb - cast(tot.s as double) * tot.s / tot.n) / nullif(tot.k - 1, 0))
+             / nullif((cast(tot.ss as double) - parts.sb) / nullif(tot.n - tot.k, 0), 0.0)
+             as f_stat
+    from tot cross join parts
+    """,
+    tags=("agg", "stats", "experiment", "drift"),
+)
+def agg_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F over per-source document length: exact integer
+    group moments, pinned-order between-group fold, one shared F text.
+
+    100 TB shape: the corpus collapses to |sources| moment rows in ONE
+    map-side-combined aggregate; the between-group sum folds <= dozens
+    of doubles in pinned source order; the statistic is a 1-row
+    expression. Integer bound: sum(n_chars^2) stays in int64 to ~1e5
+    average chars at ~1e9 docs per source (decimal(38) beyond).
+    Degenerate inputs (k=1, n=k) go NULL via nullif in both engines.
+    """
+    g = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum("n_chars").cast("long").alias("sj"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ssj"),
+        )
+    )
+    tot = g.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("sj").cast("long").alias("s"),
+        F.sum("ssj").cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("source", "term")))
+    parts = g.select(
+        "source", (F.col("sj").cast("double") * F.col("sj") / F.col("nj")).alias("term")
+    ).agg(
+        F.aggregate(
+            F.transform(ordered, lambda x: x["term"]), F.lit(0.0), lambda acc, v: acc + v
+        ).alias("sb")
+    )
+    out = tot.crossJoin(F.broadcast(parts))
+    ssb = F.expr("sb - cast(s as double) * s / n")
+    ssw = F.expr("cast(ss as double) - sb")
+    f_stat = F.expr(
+        "((sb - cast(s as double) * s / n) / nullif(k - 1, 0))"
+        " / nullif((cast(ss as double) - sb) / nullif(n - k, 0), 0.0)"
+    )
+    return out.select(
+        "n",
+        F.col("k").cast("int").alias("k_groups"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )

@@ -1424,3 +1424,45 @@ def sample_stratified_neyman(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("nh").cast("double") / F.col("alloc_n")).alias("weight"),
         )
     )
+
+
+# N230: leakage-safe K-FOLD assignment — the cross-validation
+# generalization of split_leakage_safe's train/test split: folds are
+# assigned at the dedup-CLUSTER level (md5 of the transitive-closure
+# cluster id, mod K), so near-duplicate documents can never straddle
+# a fold boundary and every fold's held-out set is contamination-free
+# against the other K-1. Deterministic and stable: a cluster keeps
+# its fold forever unless its minimum member changes.
+_KFOLD_K = 5
+
+
+@query(
+    "sample_kfold",
+    oracle=f"""
+    with labels as ( {_cc_labels_oracle()} )
+    select doc_id, cluster_id,
+           cast(('0x' || substr(md5(cast(cluster_id as varchar)), 1, 15))::bigint
+                % {_KFOLD_K} as int) as fold
+    from labels
+    """,
+    tags=("sampling", "dedup", "graph", "cv"),
+)
+def sample_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-keyed {k}-fold assignment: fold = md5-60bit(cluster_id)
+    mod {k} over the connected-component dedup labels.
+
+    100 TB shape: identical cost profile to split_leakage_safe — the
+    closure labels are computed anyway by the dedup pass; the fold id
+    is a narrow md5 projection on the label column (no extra
+    shuffle). The 60-bit hash is non-negative, so `%` agrees across
+    engines without a floorMod dance.
+    """.format(k=_KFOLD_K)
+    from parquet_processor_spark.ops import dedup
+
+    labels = dedup.dedup_connected(spark, sf).select("doc_id", "cluster_id")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return labels.select(
+        "doc_id", "cluster_id", (h60 % _KFOLD_K).cast("int").alias("fold")
+    )

@@ -128,6 +128,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_cramers_v",
     "agg_kendall_tau",
     "agg_spearman_rho",
+    "feature_quantile_bin",
+    "agg_anova",
+    "sample_kfold",
     # Then: the r4 remainder (23 queries), oldest-first
     "project_filter_notnull",
     "fn_string_normalize",

@@ -157,6 +157,8 @@ REPRESENTATIVE = [
     "events_diff_in_diff",     # guarded cell moments over no users
     "join_set_similarity_verify",  # LSH-candidate verify, empty corpus
     "streaming_trending_topk_update",  # update-mode upsert, empty stream
+    "feature_quantile_bin",    # empty cut list -> empty bin rollup
+    "sample_kfold",            # fold projection over empty labels
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
@@ -307,7 +309,15 @@ def test_error_bootstrap_ci_null_widths_on_empty_input(spark, empty_sf):
 # integer-derived doubles. Each query must both run (no ANSI
 # divide-by-zero) and still match its DuckDB oracle cell-for-cell on
 # the same fixture — NULL placement included.
-DEGENERATE_PARITY = ["agg_bootstrap_ci", "error_bootstrap_ci", "agg_regression_multi"]
+DEGENERATE_PARITY = [
+    "agg_bootstrap_ci", "error_bootstrap_ci", "agg_regression_multi",
+    # round-12 stats kit: the 7-row lineitem fixture exercises the tie
+    # terms (repeated quantities) and the empty documents/orders
+    # tables exercise every nullif guard — each must match its oracle
+    # NULL-for-NULL on the same fixture
+    "agg_kendall_tau", "agg_spearman_rho", "agg_mcnemar",
+    "agg_cramers_v", "agg_anova", "feature_quantile_bin",
+]
 
 
 @pytest.fixture(scope="module")
@@ -468,3 +478,5 @@ def test_rank_association_null_stats_on_empty_input(spark, empty_sf):
     assert rows[0]["concordant"] == 0 and rows[0]["discordant"] == 0
     rows = all_queries()["agg_spearman_rho"](spark, empty_sf).collect()
     assert len(rows) == 1 and rows[0]["rho"] is None
+    rows = all_queries()["agg_anova"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["f_stat"] is None

@@ -1381,3 +1381,55 @@ def test_set_similarity_prefix_actually_prunes(spark):
     assert 0 < n_pref < n_all
     # tau = 1/2 keeps roughly the rarest half of each doc's tokens
     assert n_pref <= 0.6 * n_all
+
+
+def test_quantile_bin_assigns_via_literal_cuts_no_window(spark):
+    # N228: feature_quantile_bin's whole point is that ntile(K) with
+    # an empty partition spec never appears — bin ids come from K-1
+    # literal cut rows, so the FINAL plan must contain no Window node
+    # and no SinglePartition exchange feeding a Sort; the rollup is a
+    # plain hash aggregate beside the scan.
+    plan = plan_of(spark, "feature_quantile_bin")
+    assert not re.findall(r"^\(\d+\) Window", plan, re.M), plan
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"single-partition sort: {bad}\n{plan}"
+    assert "HashAggregate" in plan, plan
+
+
+def test_kendall_is_pure_cell_algebra_no_window(spark):
+    # N226: tau-b is computed entirely on the 2D histogram — cell
+    # joins and margins, no rank window anywhere, no cartesian (the
+    # inequality joins are nested-loop over a BROADCAST side).
+    plan = plan_of(spark, "agg_kendall_tau")
+    assert not re.findall(r"^\(\d+\) Window", plan, re.M), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_spearman_windows_run_on_margins_only(spark):
+    # N227: the two rank windows must consume 1D MARGIN aggregates
+    # (bounded value domains), never row-mass — i.e. every Window sits
+    # above at least two Aggregates on the path to the scan (cells
+    # collapse + margin collapse).
+    plan = plan_of(spark, "agg_spearman_rho")
+    tree = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)\s*$", ln)]
+    win_is = [i for i, ln in enumerate(tree) if "Window (" in ln]
+    assert win_is, plan
+    scan_i = max(i for i, ln in enumerate(tree) if "Scan parquet" in ln)
+    for wi in win_is:
+        between = tree[wi + 1 : scan_i + 1]
+        assert sum("Aggregate" in ln for ln in between) >= 2, (
+            f"window at {wi} not fed by margin aggregates:\n{plan}"
+        )
+
+
+def test_set_similarity_verify_caps_buckets_one_exchange(spark):
+    # N222: the verify operator's candidates come from the SAME capped
+    # band-bucket discipline as dedup_near — window count over the
+    # band key, cap filter before collection, collect_list reusing the
+    # window's partitioning (no Exchange between them), no cartesian.
+    plan = plan_of(spark, "join_set_similarity_verify")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    seg = plan[plan.index("ObjectHashAggregate") : plan.index("Window")]
+    assert "Exchange" not in seg, plan

@@ -575,3 +575,37 @@ def test_exact_ntile_cuts_match_window_ntile(spark, data, n_bins):
         ).collect()
     }
     assert got == want
+
+
+def test_kendall_spearman_match_hand_computed_witness(spark, tmp_path_factory):
+    # Textbook witness: x = 1..5 against y-ranks (2,1,4,3,5).
+    # Discordant pairs are exactly {(1,2),(3,4)} -> C=8, D=2,
+    # tau = 6/10 = 0.6; Spearman d^2 = 1+1+1+1+0 = 4 ->
+    # rho = 1 - 6*4/(5*24) = 0.8. No ties, so tau_b == tau and the
+    # average-rank machinery must reproduce the classic formulas
+    # exactly (both values are dyadic rationals — bitwise-exact
+    # doubles).
+    import datetime as _dt
+
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import TABLES, t as _t
+
+    from .conftest import SF_SMALL
+
+    d = tmp_path_factory.mktemp("rank_witness")
+    ship = _dt.datetime(2024, 1, 1)
+    discounts = [0.02, 0.01, 0.04, 0.03, 0.05]
+    for tab in TABLES:
+        base = _t(spark, SF_SMALL, tab).limit(0)
+        if tab == "lineitem":
+            rows = [
+                (i + 1, i + 1, i + 1, 1, float(i + 1), 10.0, discounts[i], 0.0, "A", "O", ship)
+                for i in range(5)
+            ]
+            base = base.unionByName(spark.createDataFrame(rows, base.schema))
+        base.write.mode("overwrite").parquet(str(d / f"{tab}.parquet"))
+    tau = all_queries()["agg_kendall_tau"](spark, str(d)).collect()[0]
+    assert tau["concordant"] == 8 and tau["discordant"] == 2
+    assert tau["tau_b"] == 0.6, tau
+    rho = all_queries()["agg_spearman_rho"](spark, str(d)).collect()[0]
+    assert rho["n"] == 5 and rho["rho"] == 0.8, rho
