@@ -285,6 +285,7 @@ EXTENDED = [
     "feature_quantile_bin",
     "agg_anova",
     "sample_kfold",
+    "events_event_study",
 ]
 
 

@@ -3089,3 +3089,125 @@ def events_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(est).alias("did_estimate"),
         F.expr(se).alias("did_se"),
     )
+
+
+# N231: event-study leads & lags (the dynamic DiD plot — Jacobson,
+# LaLonde & Sullivan 1993; the pre-trend diagnostic every serious DiD
+# ships): per relative week w around the policy cut, the treated-vs-
+# control mean gap minus the last-pre-week baseline gap. Flat effects
+# at w < 0 validate the parallel-trends assumption N221's single
+# estimate silently relies on; the w >= 0 path traces effect onset.
+# Same md5 arm split and cut as the CUPED/SRM/DiD trio, so the four
+# artifacts describe one experiment. The cut date is a Monday, and
+# both engines truncate weeks to Monday, so day deltas are exact
+# multiples of 7 and the truncating/floor integer divisions agree on
+# negatives.
+_ES_GAP = "((tc / tn) - (cc / cn))"
+_ES_EFFECT = f"({_ES_GAP} - ((rtc / tn) - (rcc / cn)))"
+
+
+@query(
+    "events_event_study",
+    oracle=f"""
+    with arms as (
+      select user_id,
+             ('0x' || substr(md5('cuped:' || cast(user_id as varchar)), 1, 15))::bigint
+               % 2 as arm
+      from events group by user_id
+    ),
+    an as (
+      select cast(count(case when arm = 1 then 1 end) as double) as tn,
+             cast(count(case when arm = 0 then 1 end) as double) as cn
+      from arms
+    ),
+    wk as (
+      select cast(date_diff('day', date '{_CUPED_CUT}',
+                            cast(date_trunc('week', e.ts) as date)) as bigint) // 7
+               as rel_week,
+             cast(sum(case when a.arm = 1
+                      then cast(floor(e.value * 100 + 0.5) as bigint) else 0 end)
+                  as double) as tc,
+             cast(sum(case when a.arm = 0
+                      then cast(floor(e.value * 100 + 0.5) as bigint) else 0 end)
+                  as double) as cc
+      from events e join arms a using (user_id)
+      where e.event_type = 'purchase' and e.value is not null
+      group by 1
+    ),
+    ref as (
+      select coalesce((select tc from wk where rel_week = -1), 0.0) as rtc,
+             coalesce((select cc from wk where rel_week = -1), 0.0) as rcc
+    )
+    select cast(rel_week as int) as rel_week,
+           (tc / tn) as treated_mean,
+           (cc / cn) as control_mean,
+           {_ES_GAP} as gap,
+           {_ES_EFFECT} as effect
+    from wk cross join ref cross join an
+    where tn > 0 and cn > 0
+    """,
+    tags=("temporal", "experiment", "causal", "did", "event-study"),
+)
+def events_event_study(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-relative-week treated/control purchase-cents means (over
+    ALL arm users — absent users contribute exact zeros, so the mean
+    is the arm total over the arm size, no user x week grid needed),
+    the weekly gap, and the gap net of the w = -1 baseline.
+
+    100 TB shape: one map-side-combined (arm, week) aggregate over
+    the purchase stream (|weeks| x 2 cells), one user-spine distinct
+    pass for arm sizes (shared with the SRM gate), the baseline row
+    is a 1-row broadcast, and every double is a shared formula text
+    over exact integer cents.
+    """
+    e = t(spark, sf, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    arms = e.groupBy("user_id").agg(F.first(F.lit(1))).select("user_id", arm.alias("arm"))
+    an = arms.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("double").alias("tn"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("double").alias("cn"),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    rel = F.expr(
+        f"cast(datediff(cast(date_trunc('week', ts) as date), date '{_CUPED_CUT}') as bigint)"
+        " div 7"
+    )
+    wk = (
+        e.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(arms, "user_id")
+        .groupBy(rel.alias("rel_week"))
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, cents).otherwise(0)).cast("double").alias("tc"),
+            F.sum(F.when(F.col("arm") == 0, cents).otherwise(0)).cast("double").alias("cc"),
+        )
+    )
+    # baseline as a total aggregate (never a limit-pick): the w = -1
+    # row if present, exact 0.0 otherwise — deterministic and the
+    # same coalesce the oracle's scalar subquery spells
+    ref = wk.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("rel_week") == -1, F.col("tc")).otherwise(0.0)),
+            F.lit(0.0),
+        ).alias("rtc"),
+        F.coalesce(
+            F.sum(F.when(F.col("rel_week") == -1, F.col("cc")).otherwise(0.0)),
+            F.lit(0.0),
+        ).alias("rcc"),
+    )
+    out = wk.crossJoin(F.broadcast(ref)).crossJoin(F.broadcast(an))
+    return out.where((F.col("tn") > 0) & (F.col("cn") > 0)).select(
+        F.col("rel_week").cast("int").alias("rel_week"),
+        F.expr("(tc / tn)").alias("treated_mean"),
+        F.expr("(cc / cn)").alias("control_mean"),
+        F.expr(_ES_GAP).alias("gap"),
+        F.expr(_ES_EFFECT).alias("effect"),
+    )

@@ -131,6 +131,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "feature_quantile_bin",
     "agg_anova",
     "sample_kfold",
+    "events_event_study",
     # Then: the r4 remainder (23 queries), oldest-first
     "project_filter_notnull",
     "fn_string_normalize",

@@ -159,6 +159,7 @@ REPRESENTATIVE = [
     "streaming_trending_topk_update",  # update-mode upsert, empty stream
     "feature_quantile_bin",    # empty cut list -> empty bin rollup
     "sample_kfold",            # fold projection over empty labels
+    "events_event_study",      # week cells + baseline over no events
     # (report_curation_funnel emits its 5 stage rows with zero counts on
     # an empty corpus — asserted by its dedicated test below;
     # sink_merge_upsert early-returns its all-zero audit row — likewise;
