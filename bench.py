@@ -286,6 +286,7 @@ EXTENDED = [
     "agg_anova",
     "sample_kfold",
     "events_event_study",
+    "recall_join_set_similarity_verify",
 ]
 
 

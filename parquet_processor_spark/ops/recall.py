@@ -964,3 +964,30 @@ def recall_sim_topk_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         _gate(hit_m, n, 0.8).alias("overlap_ok"),
         (hit_m >= hit_s).alias("dominates_ok"),
     )
+
+
+@query(
+    "recall_join_set_similarity_verify",
+    oracle=(
+        "select count(*) as n_true_pairs, true as recall_ok "
+        f"from ({_ORACLES['join_set_similarity']})"
+    ),
+    tags=("join", "similarity", "lsh", "evidence"),
+)
+def recall_join_set_similarity_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """N222's error gate: the bounded verify operator's recall against
+    the EXACT prefix-filtered set-similarity join (N205) — the
+    fraction of true Jaccard >= 1/2 pairs whose candidates survive
+    the df-capped MinHash banding (>= 0.6 gate; at J >= 0.5 the
+    b=6/r=2 banding gives >= 0.97 expected recall, and verified pairs
+    are exact, so precision is 1.0 by construction — only recall
+    needs measuring)."""
+    truth = dedup.join_set_similarity(spark, sf).select("doc_a", "doc_b")
+    got = dedup.join_set_similarity_verify(spark, sf).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    hit = F.sum(F.when(F.col("ca").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return truth.join(
+        got, (F.col("doc_a") == F.col("ca")) & (F.col("doc_b") == F.col("cb")), "left"
+    ).agg(n.alias("n_true_pairs"), _gate(hit, n, 0.6).alias("recall_ok"))

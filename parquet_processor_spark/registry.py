@@ -132,6 +132,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_anova",
     "sample_kfold",
     "events_event_study",
+    "recall_join_set_similarity_verify",
     # Then: the r4 remainder (23 queries), oldest-first
     "project_filter_notnull",
     "fn_string_normalize",
