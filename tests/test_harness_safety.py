@@ -246,6 +246,7 @@ def test_hardcoded_true_oracle_columns_are_all_data_derived_tripwires():
         "recall_sim_topk_lsh": {"overlap_ok"},
         "recall_dedup_embedding_lsh": {"recall_ok"},
         "recall_dedup_near": {"recall_ok"},
+        "recall_join_set_similarity_verify": {"recall_ok"},
         "recall_dedup_simhash": {"hamming_ok"},
         "error_approx_distinct": {"within_rsd"},
         "error_approx_quantile": {"within_err"},
