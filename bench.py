@@ -287,6 +287,7 @@ EXTENDED = [
     "sample_kfold",
     "events_event_study",
     "recall_join_set_similarity_verify",
+    "agg_tost_equivalence",
 ]
 
 

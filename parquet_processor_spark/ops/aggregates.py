@@ -3644,3 +3644,105 @@ def agg_anova(spark: SparkSession, sf: str) -> DataFrame:
         ssw.alias("ss_within"),
         f_stat.alias("f_stat"),
     )
+
+
+# N232: TOST equivalence test (Schuirmann 1987, two one-sided tests)
+# — the experiment kit's missing DIRECTION: Welch/Mann-Whitney/KS ask
+# "did it move?"; every infra rollout, model swap, and data-pipeline
+# migration needs the opposite verdict, "is it provably the SAME
+# within a margin?" — and a non-significant t-test is NOT that (absence
+# of evidence). Equivalent iff BOTH one-sided 5% tests reject: the
+# 90% CI of the mean difference sits inside ±margin. Margin = 5% of
+# the pooled mean (the standard relative-equivalence bound), itself a
+# data-derived shared text. Same arms, cents, and Welch moments as
+# agg_ab_test — one experiment, both directions.
+_TOST_MARGIN_FRAC = "0.05"
+_TOST_DIFF = "(cast(s_a as double) / (100.0 * n_a) - cast(s_b as double) / (100.0 * n_b))"
+_TOST_SE = (
+    "sqrt((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)"
+    " / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)"
+    " + (cast(n_b as double) * ss_b - cast(s_b as double) * s_b)"
+    " / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0))"
+)
+_TOST_MARGIN = (
+    f"({_TOST_MARGIN_FRAC} * (cast(s_a as double) + s_b)"
+    " / (100.0 * (cast(n_a as double) + n_b)))"
+)
+_TOST_T_LO = f"(({_TOST_DIFF} + {_TOST_MARGIN}) / nullif({_TOST_SE}, 0.0))"
+_TOST_T_HI = f"(({_TOST_DIFF} - {_TOST_MARGIN}) / nullif({_TOST_SE}, 0.0))"
+_TOST_VERDICT = f"coalesce({_TOST_T_LO} > 1.645 and {_TOST_T_HI} < -1.645, false)"
+
+
+@query(
+    "agg_tost_equivalence",
+    oracle=f"""
+    with m as (
+      select user_id % 2 as arm,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events where event_type = 'purchase' and value is not null
+    ),
+    s as (
+      select arm,
+             cast(count(*) as bigint) as n,
+             cast(sum(cents) as bigint) as sum_cents,
+             cast(sum(cents * cents) as bigint) as ss_cents
+      from m group by arm
+    ),
+    w as (
+      select
+        (select n from s where arm = 0) as n_a,
+        (select sum_cents from s where arm = 0) as s_a,
+        (select ss_cents from s where arm = 0) as ss_a,
+        (select n from s where arm = 1) as n_b,
+        (select sum_cents from s where arm = 1) as s_b,
+        (select ss_cents from s where arm = 1) as ss_b
+    )
+    select n_a, n_b,
+           {_TOST_DIFF} as mean_diff,
+           {_TOST_MARGIN} as margin,
+           {_TOST_T_LO} as t_lower,
+           {_TOST_T_HI} as t_upper,
+           {_TOST_VERDICT} as equivalent_90
+    from w
+    """,
+    tags=("agg", "stats", "experiment", "equivalence"),
+)
+def agg_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch-TOST equivalence verdict between the hash-split arms over
+    purchase cents: both one-sided 5% tests must reject for
+    `equivalent_90` — the rollout-safety gate a plain non-significant
+    t cannot give.
+
+    100 TB shape: identical to agg_ab_test — ONE map-side-combined
+    aggregate for both arms' exact integer moments, then a 1-row
+    expression; every double (diff, margin, both t's) is a shared
+    formula text, nullif-guarded on the zero-variance degenerate and
+    coalesced to a false verdict.
+    """
+    m = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    w = m.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long").alias("ss_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long").alias("ss_b"),
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        F.expr(_TOST_DIFF).alias("mean_diff"),
+        F.expr(_TOST_MARGIN).alias("margin"),
+        F.expr(_TOST_T_LO).alias("t_lower"),
+        F.expr(_TOST_T_HI).alias("t_upper"),
+        F.expr(_TOST_VERDICT).alias("equivalent_90"),
+    )

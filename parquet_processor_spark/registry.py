@@ -133,6 +133,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sample_kfold",
     "events_event_study",
     "recall_join_set_similarity_verify",
+    "agg_tost_equivalence",
     # Then: the r4 remainder (23 queries), oldest-first
     "project_filter_notnull",
     "fn_string_normalize",

@@ -318,6 +318,7 @@ DEGENERATE_PARITY = [
     # NULL-for-NULL on the same fixture
     "agg_kendall_tau", "agg_spearman_rho", "agg_mcnemar",
     "agg_cramers_v", "agg_anova", "feature_quantile_bin",
+    "agg_tost_equivalence",
 ]
 
 
@@ -481,3 +482,5 @@ def test_rank_association_null_stats_on_empty_input(spark, empty_sf):
     assert len(rows) == 1 and rows[0]["rho"] is None
     rows = all_queries()["agg_anova"](spark, empty_sf).collect()
     assert len(rows) == 1 and rows[0]["f_stat"] is None
+    rows = all_queries()["agg_tost_equivalence"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["equivalent_90"] is False
