@@ -288,6 +288,7 @@ EXTENDED = [
     "events_event_study",
     "recall_join_set_similarity_verify",
     "agg_tost_equivalence",
+    "eval_retrieval_mrr",
 ]
 
 

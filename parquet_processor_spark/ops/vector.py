@@ -3038,3 +3038,77 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.col("cos_raw").alias("cos_sim"))
     )
+
+
+# N233: retrieval ranking-quality eval — MRR and hit-rate@K for the
+# ANN serving path against the labeled ground truth (relevant =
+# same-label neighbor), the metric pair every retrieval/RAG pipeline
+# reports beside recall-vs-brute-force (which only measures ANN
+# fidelity, not whether retrieval finds RELEVANT things). NDCG is
+# deliberately absent: its log2 discounts are transcendental and
+# rank-metric monotone with MRR at K=5 for single-relevance grading.
+# Exactness trick: reciprocal ranks 1/r for r in 1..K are not binary-
+# exact (1/3, 1/5), so the sum is carried as integer sixtieths
+# (60/r in {60,30,20,15,12}) and ONE final division produces the
+# float — no order-dependent float accumulation.
+def _mrr_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    return f"""
+    with g as ({_ORACLES['sim_knn_graph']}),
+    rel as (
+      select g.src, g.rank
+      from g
+        join embeddings es on es.vec_id = g.src
+        join embeddings ed on ed.vec_id = g.dst
+      where es.label = ed.label
+    ),
+    per as (
+      select src, min(rank) as first_rel
+      from rel group by src
+    ),
+    n as (select cast(count(distinct src) as bigint) as n_queries from g),
+    s as (
+      select cast(count(*) as bigint) as n_with_hit,
+             cast(coalesce(sum(60 // first_rel), 0) as bigint) as rr60
+      from per
+    )
+    select n.n_queries, s.n_with_hit,
+           cast(s.n_with_hit as double) / nullif(n.n_queries, 0) as hit_rate,
+           cast(s.rr60 as double) / 60.0 / nullif(n.n_queries, 0) as mrr
+    from n cross join s
+    """
+
+
+@query("eval_retrieval_mrr", oracle=_mrr_oracle(), tags=("vector", "knn", "eval", "retrieval"))
+def eval_retrieval_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean reciprocal rank and hit-rate@{k} of the banded-LSH kNN
+    graph, grading same-label neighbors as relevant.
+
+    100 TB shape: rides sim_knn_graph's capped-bucket plan (K rows
+    per vector); the label joins are id-keyed on that K-row spine
+    (embeddings never re-shuffle); per-query first-relevant-rank is
+    one map-side-combined min; the metrics are a 1-row expression
+    over exact integers (sixtieths), so the floats are two divisions
+    — bitwise cross-engine regardless of partitioning.
+    """.format(k=_KNN_K)
+    g = sim_knn_graph(spark, sf).select("src", "dst", "rank")
+    lab = t(spark, sf, "embeddings").select("vec_id", "label")
+    rel = (
+        g.join(lab.select(F.col("vec_id").alias("src"), F.col("label").alias("ls")), "src")
+        .join(lab.select(F.col("vec_id").alias("dst"), F.col("label").alias("ld")), "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .select("src", "rank")
+    )
+    per = rel.groupBy("src").agg(F.min("rank").alias("first_rel"))
+    n = g.agg(F.countDistinct("src").cast("long").alias("n_queries"))
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_hit"),
+        F.coalesce(F.sum(F.expr("60 div first_rel")), F.lit(0)).cast("long").alias("rr60"),
+    )
+    return n.crossJoin(F.broadcast(s)).select(
+        "n_queries",
+        "n_with_hit",
+        F.expr("cast(n_with_hit as double) / nullif(n_queries, 0)").alias("hit_rate"),
+        F.expr("cast(rr60 as double) / 60.0 / nullif(n_queries, 0)").alias("mrr"),
+    )

@@ -134,6 +134,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_event_study",
     "recall_join_set_similarity_verify",
     "agg_tost_equivalence",
+    "eval_retrieval_mrr",
     # Then: the r4 remainder (23 queries), oldest-first
     "project_filter_notnull",
     "fn_string_normalize",

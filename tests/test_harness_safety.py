@@ -142,7 +142,7 @@ def test_survey_inventory_matches_registry():
             r"^(q\d+_|scan_|sink_|filter_|project_|fn_|case_|join_|agg_|window_|"
             r"bucket_|limit_|topk_|union_|distinct_|set_|sample_|split_|pack_|"
             r"dedup_|sim_|text_|token_|lang_|quality_|doc_|curation_|recall_|"
-            r"error_|kmeans_|streaming_|events_|sessionize_|graph_|tokenize_|"
+            r"error_|eval_|kmeans_|streaming_|events_|sessionize_|graph_|tokenize_|"
             r"vocab_|embedding_|table_|scd2_|sql_|subquery_|multimodal_|"
             r"pipeline_|explode_)",
             name,
