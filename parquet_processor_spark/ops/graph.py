@@ -1185,29 +1185,42 @@ def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
     for _peel in range(_SCC_MAX_PEELS):
         if nodes.isEmpty():
             break
-        # forward-min coloring to fixpoint: c(v) = min id reaching v
+        # forward-min coloring to fixpoint: c(v) = min id reaching v.
+        # DELTA ITERATION (r12): only labels that CHANGED last round
+        # propagate — round r joins |changed| rows against the edge
+        # list instead of |V| (the r11 shape re-joined every label
+        # every round, which made the forward pass own nearly all the
+        # pass's shuffled bytes at ×100). The label table still takes
+        # the improved-rows merge each round, but the edge join — the
+        # wide side — is frontier-bounded, and the empty-delta probe
+        # replaces the label-sum scalar as the fixpoint test.
         lab = nodes.select("node", F.col("node").alias("c")).localCheckpoint(eager=True)
-        prev_sum = None
+        changed = lab
         for _it in range(_SCC_MAX_PROP):
             inc = (
                 edges.join(
-                    lab.select(F.col("node").alias("src"), F.col("c").alias("cs")), "src"
+                    changed.select(F.col("node").alias("src"), F.col("c").alias("cs")),
+                    "src",
                 )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("cs").alias("cin"))
             )
+            changed = (
+                inc.join(lab, "node")
+                .where(F.col("cin") < F.col("c"))
+                .select("node", F.col("cin").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            if changed.isEmpty():  # eager-by-design: empty-delta fixpoint probe
+                break
             lab = (
-                lab.join(inc, "node", "left")
+                lab.join(changed.select("node", F.col("c").alias("cn")), "node", "left")
                 .select(
                     "node",
-                    F.least(F.col("c"), F.coalesce(F.col("cin"), F.col("c"))).alias("c"),
+                    F.coalesce(F.col("cn"), F.col("c")).alias("c"),
                 )
                 .localCheckpoint(eager=True)
             )
-            s = lab.agg(F.sum("c")).collect()[0][0]  # eager-by-design: 1-row monotone fixpoint probe
-            if s == prev_sum:
-                break
-            prev_sum = s
         else:
             raise RuntimeError("graph_scc: forward coloring did not converge")
         # backward pass restricted to each class, FRONTIER-ONLY (the
