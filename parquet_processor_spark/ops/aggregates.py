@@ -3657,16 +3657,24 @@ def agg_anova(spark: SparkSession, sf: str) -> DataFrame:
 # data-derived shared text. Same arms, cents, and Welch moments as
 # agg_ab_test — one experiment, both directions.
 _TOST_MARGIN_FRAC = "0.05"
-_TOST_DIFF = "(cast(s_a as double) / (100.0 * n_a) - cast(s_b as double) / (100.0 * n_b))"
+_TOST_DIFF = (
+    "(cast(s_a as double) / nullif(100.0 * n_a, 0.0)"
+    " - cast(s_b as double) / nullif(100.0 * n_b, 0.0))"
+)
+# each variance denominator is nullif-guarded: an arm with n <= 1 has
+# no variance estimate, so the SE (and both t's) go NULL and the
+# verdict coalesces false — ANSI-safe in Spark, identical text in
+# DuckDB (whose bare double division would return inf, not an error,
+# silently zeroing the t's — the nullif keeps the engines aligned)
 _TOST_SE = (
     "sqrt((cast(n_a as double) * ss_a - cast(s_a as double) * s_a)"
-    " / (cast(n_a as double) * n_a * (n_a - 1) * 10000.0)"
+    " / nullif(cast(n_a as double) * n_a * (n_a - 1) * 10000.0, 0.0)"
     " + (cast(n_b as double) * ss_b - cast(s_b as double) * s_b)"
-    " / (cast(n_b as double) * n_b * (n_b - 1) * 10000.0))"
+    " / nullif(cast(n_b as double) * n_b * (n_b - 1) * 10000.0, 0.0))"
 )
 _TOST_MARGIN = (
     f"({_TOST_MARGIN_FRAC} * (cast(s_a as double) + s_b)"
-    " / (100.0 * (cast(n_a as double) + n_b)))"
+    " / nullif(100.0 * (cast(n_a as double) + n_b), 0.0))"
 )
 _TOST_T_LO = f"(({_TOST_DIFF} + {_TOST_MARGIN}) / nullif({_TOST_SE}, 0.0))"
 _TOST_T_HI = f"(({_TOST_DIFF} - {_TOST_MARGIN}) / nullif({_TOST_SE}, 0.0))"
@@ -3727,15 +3735,28 @@ def agg_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
     )
-    w = m.agg(
-        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)).cast("long").alias("s_a"),
-        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("long").alias("ss_a"),
-        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).cast("long").alias("s_b"),
-        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("long").alias("ss_b"),
+    raw = m.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast("long").alias("v_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")))
+        .cast("long").alias("q_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("c_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast("long").alias("v_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")))
+        .cast("long").alias("q_b"),
+    )
+    # absent-arm semantics must MATCH the oracle's scalar subqueries
+    # (an arm with no rows yields NULL n/sum/ss, not 0 — the r12
+    # degenerate-parity gate caught the 0-vs-NULL divergence), so the
+    # counts go through nullif and the conditional sums carry no
+    # otherwise(0) floor
+    w = raw.select(
+        F.expr("nullif(c_a, 0)").alias("n_a"),
+        F.col("v_a").alias("s_a"),
+        F.col("q_a").alias("ss_a"),
+        F.expr("nullif(c_b, 0)").alias("n_b"),
+        F.col("v_b").alias("s_b"),
+        F.col("q_b").alias("ss_b"),
     )
     return w.select(
         "n_a",
