@@ -2073,12 +2073,19 @@ _CHI2_CRIT = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507)
                    cast(count(distinct arm) as bigint) as n_arms,
                    cast(count(distinct event_type) as bigint) as n_types
             from cells),
+    grid as (
+      -- COMPLETED contingency grid: a (row, column) combination that
+      -- never co-occurs still contributes its expected-count term
+      -- (o=0), or chi2 is understated on sparse tables
+      select r.arm, c.event_type, r.rt, c.ct, coalesce(cells.o, 0) as o
+      from r cross join c left join cells using (arm, event_type)
+    ),
     terms as (
-      select cells.arm, cells.event_type,
-             cast(cells.o * tot.nn - r.rt * c.ct as double)
-               * cast(cells.o * tot.nn - r.rt * c.ct as double)
-               / cast(r.rt * c.ct as double) / cast(tot.nn as double) as term
-      from cells join r using (arm) join c using (event_type) cross join tot
+      select grid.arm, grid.event_type,
+             cast(grid.o * tot.nn - grid.rt * grid.ct as double)
+               * cast(grid.o * tot.nn - grid.rt * grid.ct as double)
+               / cast(grid.rt * grid.ct as double) / cast(tot.nn as double) as term
+      from grid cross join tot
     ),
     s as (
       select list_reduce(list_prepend(cast(0 as double),
@@ -2126,10 +2133,17 @@ def agg_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     term = (
         delta * delta / (F.col("rt") * F.col("ct")).cast("double") / F.col("nn").cast("double")
     )
+    # completed grid (margins cross-joined, absent cells o=0): a
+    # never-co-occurring (arm, type) still owes its expected-count
+    # term — the r12 Cramér witness caught the observed-cells-only
+    # fold understating chi2 on sparse tables
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(cells, ["arm", "event_type"], "left")
+        .select("arm", "event_type", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
     terms = (
-        cells.join(F.broadcast(r), "arm")
-        .join(F.broadcast(c), "event_type")
-        .crossJoin(F.broadcast(tot))
+        grid.crossJoin(F.broadcast(tot))
         .select("arm", "event_type", term.alias("term"))
     )
     ordered = F.sort_array(F.collect_list(F.struct("arm", "event_type", "term")))
@@ -3223,12 +3237,19 @@ def agg_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
                    cast(count(distinct a) as bigint) as n_r,
                    cast(count(distinct b) as bigint) as n_c
             from cells),
+    grid as (
+      -- completed grid: absent (a, b) combinations contribute their
+      -- expected-count terms with o=0 (the perfect-association 2x2
+      -- witness: chi2 = n requires the two zero cells)
+      select r.a, c.b, r.rt, c.ct, coalesce(cells.o, 0) as o
+      from r cross join c left join cells using (a, b)
+    ),
     terms as (
-      select cells.a, cells.b,
-             cast(cells.o * tot.nn - r.rt * c.ct as double)
-               * cast(cells.o * tot.nn - r.rt * c.ct as double)
-               / cast(r.rt * c.ct as double) / cast(tot.nn as double) as term
-      from cells join r using (a) join c using (b) cross join tot
+      select grid.a, grid.b,
+             cast(grid.o * tot.nn - grid.rt * grid.ct as double)
+               * cast(grid.o * tot.nn - grid.rt * grid.ct as double)
+               / cast(grid.rt * grid.ct as double) / cast(tot.nn as double) as term
+      from grid cross join tot
     ),
     s as (
       select list_reduce(list_prepend(cast(0 as double),
@@ -3275,12 +3296,12 @@ def agg_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
     term = (
         delta * delta / (F.col("rt") * F.col("ct")).cast("double") / F.col("nn").cast("double")
     )
-    terms = (
-        cells.join(F.broadcast(r), "a")
-        .join(F.broadcast(c), "b")
-        .crossJoin(F.broadcast(tot))
-        .select("a", "b", term.alias("term"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(cells, ["a", "b"], "left")
+        .select("a", "b", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
     )
+    terms = grid.crossJoin(F.broadcast(tot)).select("a", "b", term.alias("term"))
     ordered = F.sort_array(F.collect_list(F.struct("a", "b", "term")))
     chi2 = F.aggregate(
         F.transform(ordered, lambda x: x["term"]), F.lit(0.0), lambda acc, v: acc + v

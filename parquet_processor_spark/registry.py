@@ -81,9 +81,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_change_data_feed",
     "report_dataset_datasheet",
     "events_diff_in_diff",
-    # 19: implementation changed this round (supp_qty materialized
-    # once instead of recomputed per consumer)
+    # 19-20: implementation changed this round (q20: supp_qty
+    # materialized once; chi-square: completed contingency grid so
+    # structurally-zero cells contribute their expected-count terms)
     "q20_part_promotion",
+    "agg_chi_square",
     # 20-30: the r3 remainder (11 queries), oldest-first
     "window_moving_avg",
     "fn_string_funcs",
@@ -117,8 +119,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_left_outer",
     "join_full_outer",
     "multimodal_frames",
-    "scan_parquet",
     # ---- slots 51+: rotation backlog (r13 window head) ----
+    # scan_parquet displaced to the backlog by the agg_chi_square
+    # changed-code pin (its r4 row covers an immutable basic scan)
+    "scan_parquet",
     # First: operators born in round 12 (never driver-checked until
     # r13; covered meanwhile by the sf0.01 oracle-parity harness +
     # pytest) — appended here as they land this round.

@@ -56,9 +56,11 @@ def test_check_priority_window():
     # (a) the 18 round-11 operators that have never had a driver row
     # (born after the r11 window froze; graph_scc and
     # streaming_trending_topk also changed in round 12, so their first
-    # driver row covers the new code), (b) q20, whose plan changed in
-    # round 12 (single-pass supp_qty), then (c) the 11-query r3
-    # remainder and the 20 oldest r4-stale rows.
+    # driver row covers the new code), (b) q20 (single-pass supp_qty)
+    # and agg_chi_square (completed contingency grid), whose
+    # implementations changed in round 12, then (c) the 11-query r3
+    # remainder and the 19 oldest r4-stale rows (scan_parquet
+    # displaced to the backlog by the chi-square pin).
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
@@ -71,7 +73,7 @@ def test_check_priority_window():
         "sink_merge_on_read_dv", "scan_change_data_feed",
         "report_dataset_datasheet", "events_diff_in_diff",
         # implementation changed in round 12
-        "q20_part_promotion",
+        "q20_part_promotion", "agg_chi_square",
         # rotation: the r3 remainder
         "window_moving_avg", "fn_string_funcs", "fn_date_parts",
         "fn_date_arith", "fn_null_funcs", "fn_url_parse",
@@ -83,7 +85,7 @@ def test_check_priority_window():
         "agg_unpivot", "agg_percentiles", "dedup_exact",
         "dedup_ngram_jaccard", "join_broadcast_equi", "join_left_anti",
         "join_left_semi", "join_left_outer", "join_full_outer",
-        "multimodal_frames", "scan_parquet",
+        "multimodal_frames",
     }
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)

@@ -609,3 +609,63 @@ def test_kendall_spearman_match_hand_computed_witness(spark, tmp_path_factory):
     assert tau["tau_b"] == 0.6, tau
     rho = all_queries()["agg_spearman_rho"](spark, str(d)).collect()[0]
     assert rho["n"] == 5 and rho["rho"] == 0.8, rho
+
+
+def test_mcnemar_cramers_anova_match_hand_computed_witnesses(spark, tmp_path_factory):
+    # Three textbook fixtures, each small enough to compute by hand:
+    # McNemar: b=3 docs pass only the char gate, c=1 only the token
+    #   gate -> chi2 = (3-1)^2/(3+1) = 1.0, not significant.
+    # Cramér: perfectly associated 2x2 (status A <-> priority P1,
+    #   B <-> P2, 10 rows each) -> chi2 = n = 20, V^2 = 1.0 exactly.
+    # ANOVA: source a = {1,2,3}, source b = {4,5,6} chars ->
+    #   SSB = 13.5, SSW = 4, F = (13.5/1)/(4/4) = 13.5 exactly.
+    from parquet_processor_spark.registry import all_queries
+    from parquet_processor_spark.tables import TABLES, t as _t
+
+    from .conftest import SF_SMALL
+
+    q = all_queries()
+
+    def fixture(doc_rows=None, order_rows=None):
+        d = tmp_path_factory.mktemp("stats_witness")
+        for tab in TABLES:
+            base = _t(spark, SF_SMALL, tab).limit(0)
+            if tab == "documents" and doc_rows:
+                base = base.unionByName(spark.createDataFrame(doc_rows, base.schema))
+            if tab == "orders" and order_rows:
+                base = base.unionByName(spark.createDataFrame(order_rows, base.schema))
+            base.write.mode("overwrite").parquet(str(d / f"{tab}.parquet"))
+        return str(d)
+
+    long_text = "w " * 100  # 100+ ws-tokens (passes the 80-token gate)
+    short_text = "w w w"    # 3 tokens
+    docs = (
+        # both gates pass (2): chars >= 500, tokens >= 80
+        [(i, long_text, "en", "s", 600) for i in range(2)]
+        # only_a (3): chars >= 500, tokens < 80
+        + [(10 + i, short_text, "en", "s", 600) for i in range(3)]
+        # only_b (1): chars < 500, tokens >= 80
+        + [(20, long_text, "en", "s", 100)]
+        # neither (1)
+        + [(30, short_text, "en", "s", 100)]
+    )
+    mc = q["agg_mcnemar"](spark, fixture(doc_rows=docs)).collect()[0]
+    assert (mc["both_pass"], mc["only_a"], mc["only_b"], mc["neither"]) == (2, 3, 1, 1)
+    assert mc["mcnemar_chi2"] == 1.0 and mc["significant_95"] is False
+
+    import datetime as _dt
+
+    od = _dt.datetime(2024, 1, 1)
+    orders = [(i, 1, "A", 10.0, od, "P1") for i in range(10)] + [
+        (100 + i, 1, "B", 10.0, od, "P2") for i in range(10)
+    ]
+    cv = q["agg_cramers_v"](spark, fixture(order_rows=orders)).collect()[0]
+    assert cv["n"] == 20 and cv["chi2"] == 20.0 and cv["cramers_v2"] == 1.0
+
+    docs2 = [(i, "x", "en", "a", i + 1) for i in range(3)] + [
+        (10 + i, "x", "en", "b", i + 4) for i in range(3)
+    ]
+    an = q["agg_anova"](spark, fixture(doc_rows=docs2)).collect()[0]
+    assert an["n"] == 6 and an["k_groups"] == 2
+    assert an["ss_between"] == 13.5 and an["ss_within"] == 4.0
+    assert an["f_stat"] == 13.5
