@@ -289,6 +289,7 @@ EXTENDED = [
     "recall_join_set_similarity_verify",
     "agg_tost_equivalence",
     "eval_retrieval_mrr",
+    "graph_modularity",
 ]
 
 

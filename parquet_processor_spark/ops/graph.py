@@ -1366,3 +1366,116 @@ def graph_hits(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(True).alias("is_supplier"),
     )
     return hubs.unionByName(auths)
+
+
+# N234: modularity of the label-propagation partition (Newman &
+# Girvan 2004) — the evaluation member of the community family (what
+# MRR is to retrieval): every community-detection pipeline reports
+# Q, and a Q near 0 says the "communities" are no better than random
+# wiring. Exactness: Q = sum_c [L_c/m - (d_c/2m)^2] rearranges to
+# ONE division of exact integers, Q = (4*m*sum_c L_c' - sum_c d_c^2)
+# / (4*m^2) with L_c' intra-community edges — so there is no
+# per-community float fold and no ordering discipline needed at all.
+def _modularity_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    return f"""
+    with labels as ({_ORACLES['graph_label_propagation']}),
+    b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select cast(a.l_partkey as bigint) as u, cast(c.l_partkey as bigint) as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    deg as (
+      select node, cast(count(*) as bigint) as d from (
+        select u as node from e union all select v as node from e
+      ) group by node
+    ),
+    m as (select cast(count(*) as bigint) as m from e),
+    intra as (
+      select cast(count(*) as bigint) as l_in
+      from e
+        join labels lu on lu.node = e.u
+        join labels lv on lv.node = e.v
+      where lu.label = lv.label
+    ),
+    dc as (
+      select cast(sum(dd * dd) as bigint) as dc2 from (
+        select l.label, cast(sum(deg.d) as bigint) as dd
+        from deg join labels l using (node)
+        group by l.label
+      )
+    ),
+    nc as (select cast(count(distinct label) as bigint) as n_communities from labels)
+    select nc.n_communities, m.m as m_edges, intra.l_in as intra_edges,
+           cast(4 * m.m * intra.l_in - dc.dc2 as double)
+             / nullif(cast(4 * m.m * m.m as double), 0.0) as q_modularity
+    from nc cross join m cross join intra cross join dc
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle(), tags=("graph", "community", "eval"))
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity Q of the co-purchase communities found by
+    :func:`graph_label_propagation`, plus the partition's shape
+    (community count, edge count, intra-community edges).
+
+    100 TB shape: degrees and intra-edge counts are map-side-combined
+    aggregates on the already-built edge list; community degree mass
+    collapses to |communities| rows before squaring; Q is ONE integer
+    expression on a 1-row frame — the rearranged form needs no
+    per-community float fold, so no ordering discipline applies.
+    Integer bound: d_c^2 stays inside int64 while the heaviest
+    community holds < ~1.5e9 edge endpoints (decimal(38) beyond).
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    e = agg_copurchase_pairs(spark, sf).select(
+        F.col("p1").cast("long").alias("u"), F.col("p2").cast("long").alias("v")
+    ).localCheckpoint(eager=True)  # eager-by-design: the basket expansion
+    # feeds the edge count, the degree table, AND the intra join; LPA
+    # below re-derives its own copy through the same helper
+    labels = graph_label_propagation(spark, sf).localCheckpoint(eager=True)
+    # eager-by-design: the label table is read by the intra join, the
+    # community mass rollup, and the community count
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    intra = (
+        e.join(lu, "u").join(lv, "v").where(F.col("cu") == F.col("cv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l_in"))
+    )
+    dc = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("dd"))
+        .agg(F.sum(F.col("dd") * F.col("dd")).cast("long").alias("dc2"))
+    )
+    nc = labels.agg(F.countDistinct("label").cast("long").alias("n_communities"))
+    out = (
+        nc.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dc))
+    )
+    return out.select(
+        "n_communities",
+        F.col("m").alias("m_edges"),
+        F.col("l_in").alias("intra_edges"),
+        F.expr(
+            "cast(4 * m * l_in - dc2 as double)"
+            " / nullif(cast(4 * m * m as double), 0.0)"
+        ).alias("q_modularity"),
+    )

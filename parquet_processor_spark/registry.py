@@ -139,6 +139,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "recall_join_set_similarity_verify",
     "agg_tost_equivalence",
     "eval_retrieval_mrr",
+    "graph_modularity",
     # Then: the r4 remainder (23 queries), oldest-first
     "project_filter_notnull",
     "fn_string_normalize",

@@ -486,3 +486,5 @@ def test_rank_association_null_stats_on_empty_input(spark, empty_sf):
     assert len(rows) == 1 and rows[0]["equivalent_90"] is False
     rows = all_queries()["eval_retrieval_mrr"](spark, empty_sf).collect()
     assert len(rows) == 1 and rows[0]["n_queries"] == 0 and rows[0]["mrr"] is None
+    rows = all_queries()["graph_modularity"](spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["m_edges"] == 0 and rows[0]["q_modularity"] is None

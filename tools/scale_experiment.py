@@ -174,7 +174,7 @@ NAMES = ["q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
          "agg_mcnemar", "agg_cramers_v", "agg_kendall_tau",
          "agg_spearman_rho", "feature_quantile_bin", "agg_anova",
          "sample_kfold", "events_event_study", "agg_tost_equivalence",
-         "eval_retrieval_mrr"]
+         "eval_retrieval_mrr", "graph_modularity"]
 # optional argv filter: `python tools/scale_experiment.py name1 name2`
 # times only those queries (corpus build unchanged); any REGISTERED
 # query name is accepted, not just the standing NAMES list — an
