@@ -1152,31 +1152,33 @@ def agg_gini(spark: SparkSession, sf: str) -> DataFrame:
     takes all).
 
     100 TB shape: revenue collapses per key map-side (exact decimals);
-    the rank window runs over the collapsed |keys| table; the weighted
-    sum i*x stays decimal-exact and only the final three operations
-    (multiply, divide, subtract) are double — a fixed IEEE sequence on
-    both engines. Tie-break on (x, key) makes ranks deterministic; the
-    Gini VALUE is tie-invariant anyway (equal x swap ranks freely).
+    the global rank comes from the W1 two-phase global_row_number
+    (rank inside x-range buckets + broadcast bucket offsets), so the
+    |keys| spine — entity-mass at 100 TB — never funnels through one
+    ordered task (the r12-judged single-partition Window). Ranking by
+    x alone is enough: the Gini VALUE is tie-invariant (equal x swap
+    ranks freely, x * Σranks is unchanged), so sum(i*x) stays
+    decimal-exact and bitwise equal to the oracle's (x, key)-ranked
+    sum; only the final three operations (multiply, divide, subtract)
+    are double — a fixed IEEE sequence on both engines. n_keys = max
+    rank, NULL on an empty spine like the oracle's max(n).
     """
-    from pyspark.sql import Window
+    from parquet_processor_spark.ops.windows import global_row_number
 
     rev = (
         t(spark, sf, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("x"))
     )
-    ranked = rev.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "l_partkey")).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = global_row_number(rev, "x", rn_col="i")
+    n = F.max("i")
     gini = (
         F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).cast("double")
         * F.lit(2.0)
-        / (F.max("n") * F.sum("x").cast("double"))
-        - (F.max("n") + F.lit(1)).cast("double") / F.max("n")
+        / (n * F.sum("x").cast("double"))
+        - (n + F.lit(1)).cast("double") / n
     )
-    return ranked.agg(F.max("n").alias("n_keys"), gini.alias("gini"))
+    return ranked.agg(n.alias("n_keys"), gini.alias("gini"))
 
 
 # Weighted median — the weighted-quantile primitive (e.g. the median

@@ -547,6 +547,17 @@ def test_abc_has_no_single_partition_window(spark):
     assert not bad, f"agg_abc_analysis: single-partition sort: {bad}\n{plan}"
 
 
+def test_gini_rank_is_bucket_partitioned(spark):
+    # r12 VERDICT weak mark: agg_gini's rank must ride the W1
+    # two-phase global index (hash exchange on _bkt + broadcast
+    # offsets) — never a single-partition Window over the ~|partkey|
+    # spine (entity-mass at 100 TB).
+    plan = plan_of(spark, "agg_gini")
+    bad = _single_partition_sorts(plan)
+    assert not bad, f"agg_gini: single-partition sort/window: {bad}\n{plan}"
+    assert re.search(r"hashpartitioning\(_bkt", plan), f"rank not bucket-keyed:\n{plan}"
+
+
 def test_abc_and_gini_window_collapsed_keys_only(spark):
     # Pareto/Gini rank windows must run over the collapsed per-key
     # aggregate, not the fact table: the scan's rows reach a
