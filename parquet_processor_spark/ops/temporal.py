@@ -2655,6 +2655,15 @@ def trending_rank_of_counts(counts: DataFrame) -> DataFrame:
 # ONE text parsed by both engines (the agg_regression_multi
 # discipline).
 _CUPED_CUT = "2024-01-15"
+# events_event_study's rel_week = (day delta from the cut to the
+# Monday-aligned week start) // 7 agrees across DuckDB '//' (floor)
+# and Spark 'div' (truncate toward zero) ONLY because the cut itself
+# is a Monday: then every delta is an exact multiple of 7 and floor ==
+# trunc even for negative pre-period weeks (r12 advisor). Guard the
+# invariant so a cut-date edit cannot silently skew negative weeks.
+assert __import__("datetime").date.fromisoformat(_CUPED_CUT).weekday() == 0, (
+    "_CUPED_CUT must be a Monday (event-study floor/trunc week parity)"
+)
 _CUPED_THETA = "((tn * txy - tx * ty) / nullif(tn * txx - tx * tx, 0.0))"
 _CUPED_MEANX = "(tx / tn)"
 _CUPED_VAR_Y = "((n * syy - sy * sy) / (cast(n as double) * n))"

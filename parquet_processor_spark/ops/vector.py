@@ -2247,6 +2247,14 @@ def report_ivf_balance(spark: SparkSession, sf: str) -> DataFrame:
 # the mirrored cosine is bitwise identical); the per-source top-K is a
 # rank filter that plans as WindowGroupLimit.
 _KNN_K = 5
+# eval_retrieval_mrr's integer reciprocal-rank trick sums 60 div rank,
+# which is exact only while every rank 1.._KNN_K divides 60 — raise K
+# past 5 (or to 7+) and the MRR silently corrupts in BOTH engines
+# rather than failing (r12 advisor). 60 = lcm(1..5); recompute the
+# constant if K grows.
+assert all(60 % r == 0 for r in range(1, _KNN_K + 1)), (
+    "eval_retrieval_mrr's sixtieths require lcm(1.._KNN_K) | 60"
+)
 _KNN_BANDS = 8
 
 

@@ -34,6 +34,21 @@ from parquet_processor_spark.streaming.jobs import (
 )
 
 
+def await_done(q, timeout_sec: float = 120.0) -> None:
+    """Block until an availableNow stream COMMITS, or fail loudly.
+
+    ``awaitTermination(timeout)`` returns False on timeout with the
+    query still running; reading the sink then serves a partial
+    (nondeterministic) state and leaks a running query into the
+    session. Every sink read in this module goes through this guard.
+    """
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after {timeout_sec}s"
+        )
+
+
 def _run_stream(df: DataFrame, mode: str) -> DataFrame:
     spark = df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:8]}"
@@ -57,7 +72,7 @@ def _run_stream(df: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -236,7 +251,7 @@ def streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     base = scratch_dir("ppspark_upsert_")
     q = run_with_upsert(events, f"{base}/state", f"{base}/ckpt")
-    q.awaitTermination(120)
+    await_done(q)
     return spark.read.parquet(f"{base}/state")
 
 
@@ -273,7 +288,7 @@ def streaming_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
     events = read_event_stream(spark, f"{sf}/events.parquet")
     base = scratch_dir("ppspark_cdc_")
     q = run_with_tombstones(events, f"{base}/state", f"{base}/ckpt")
-    q.awaitTermination(120)
+    await_done(q)
     from pyspark.sql import functions as F
 
     return spark.read.parquet(f"{base}/state").select(
@@ -657,7 +672,7 @@ def streaming_trending_topk_update(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = scratch_dir("ppspark_trend_")
     q = run_trending_update(events, f"{base}/state", f"{base}/ckpt")
-    q.awaitTermination(120)
+    await_done(q)
     if not os.path.isdir(f"{base}/state"):
         # an empty source yields zero micro-batches, so the upsert
         # never commits a state dir: the spine is the empty relation

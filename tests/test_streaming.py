@@ -12,6 +12,7 @@ from parquet_processor_spark.streaming.jobs import (
     session_counts,
     tumbling_counts,
 )
+from parquet_processor_spark.streaming.queries import await_done
 from parquet_processor_spark.tables import t
 
 from .conftest import SF_SMALL
@@ -36,7 +37,7 @@ def _run(stream_df, name, checkpoint, mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return q
 
 
@@ -89,7 +90,7 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_done(q)
 
     run()
     first = {r["event_id"] for r in spark.read.parquet(out).collect()}
@@ -110,7 +111,7 @@ def test_dead_letter_split(spark, events_dir, tmp_path):
     q = run_with_dead_letter(
         stream, str(tmp_path / "ok"), str(tmp_path / "dead"), str(tmp_path / "ck3")
     )
-    q.awaitTermination(120)
+    await_done(q)
     ok = spark.read.parquet(str(tmp_path / "ok"))
     dead = spark.read.json(str(tmp_path / "dead"))
     n_err = t(spark, SF_SMALL, "events").where(F.col("event_type") == "error").count()
@@ -226,7 +227,7 @@ def test_foreachbatch_upsert_maintains_latest_state(spark, events_dir, tmp_path)
     state = str(tmp_path / "state")
     ck = str(tmp_path / "ck_upsert")
     q = run_with_upsert(read_event_stream(spark, events_dir), state, ck)
-    q.awaitTermination(120)
+    await_done(q)
     got = {tuple(r) for r in spark.read.parquet(state).collect()}
     want = {tuple(r) for r in _latest_per_user(t(spark, SF_SMALL, "events")).collect()}
     assert got == want
@@ -247,7 +248,7 @@ def test_foreachbatch_upsert_maintains_latest_state(spark, events_dir, tmp_path)
     newer.coalesce(1).write.mode("append").parquet(events_dir)
     try:
         q2 = run_with_upsert(read_event_stream(spark, events_dir), state, ck)
-        q2.awaitTermination(120)
+        await_done(q2)
         after = spark.read.parquet(state)
         [(uid, etype)] = newer.select("user_id", "event_type").collect()
         assert after.where(F.col("user_id") == uid).collect()[0]["event_type"] == etype
@@ -275,7 +276,7 @@ def test_foreachbatch_cdc_tombstones_matches_batch_operator(spark, events_dir, t
     state = str(tmp_path / "cdc_state")
     ck = str(tmp_path / "ck_cdc")
     q = run_with_tombstones(read_event_stream(spark, events_dir), state, ck)
-    q.awaitTermination(120)
+    await_done(q)
     got_df = spark.read.parquet(state).select(
         "user_id",
         "n_versions",
@@ -450,7 +451,7 @@ def test_streaming_trending_update_is_incremental_and_matches_batch(
     stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
     state = str(tmp_path / "trend_state")
     q = run_trending_update(stream, state, str(tmp_path / "ck_trend"))
-    q.awaitTermination(120)
+    await_done(q)
     progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
     per_file = [
         r["n"]
