@@ -3779,3 +3779,98 @@ def agg_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_TOST_T_HI).alias("t_upper"),
         F.expr(_TOST_VERDICT).alias("equivalent_90"),
     )
+
+
+# Order-canonical listagg (string_agg) — the export/report primitive
+# the r12 VERDICT named missing. collect_list's order is
+# partition-layout-dependent, so raw listagg is nondeterministic by
+# construction; the N194 first/last discipline applies: CANONICALIZE
+# the order inside the aggregate (sort the collected array) so the
+# emitted string is a pure function of the SET.
+@query(
+    "agg_string_agg",
+    oracle="""
+    with d as (
+      select distinct c_nationkey, c_mktsegment from customer
+    ),
+    segs as (
+      select c_nationkey,
+             string_agg(c_mktsegment, ',' order by c_mktsegment) as segments,
+             cast(count(*) as bigint) as n_segments
+      from d group by 1
+    ),
+    o as (
+      select o_custkey as c_custkey, count(*) as n_orders
+      from orders group by 1
+    ),
+    top3 as (
+      select c_nationkey, c_custkey,
+             row_number() over (partition by c_nationkey
+                                order by n_orders desc, c_custkey) as rk
+      from customer join o using (c_custkey)
+    ),
+    tc as (
+      select c_nationkey,
+             string_agg(cast(c_custkey as varchar), ',' order by rk)
+               as top_customers
+      from top3 where rk <= 3 group by 1
+    )
+    select segs.c_nationkey, segments, n_segments, top_customers
+    from segs left join tc using (c_nationkey)
+    """,
+    tags=("agg", "listagg", "report"),
+)
+def agg_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation listagg twice over: the sorted distinct market
+    segments (value order) and the top-3 customers by order count
+    (rank order, WindowGroupLimit-capped).
+
+    100 TB shape: every listagg collapses its domain BEFORE
+    collecting — the segment list aggregates a distinct-collapsed
+    (nation, segment) table whose per-group size is bounded by the
+    segment domain (5), and the customer list is rank<=3 filtered
+    (partial top-K per map task) before any string leaves an
+    executor, so no group ever materializes an unbounded string.
+    Order canonicalization: sort_array for value order; for rank
+    order the (rank, value) pairs sort as structs then project, so
+    the aggregate is deterministic under any partition layout.
+    """
+    from pyspark.sql import Window
+
+    c = t(spark, sf, "customer")
+    d = c.select("c_nationkey", "c_mktsegment").distinct()
+    segs = d.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    n_ord = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    wk = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_orders").desc(), "c_custkey"
+    )
+    top3 = (
+        c.select("c_nationkey", "c_custkey")
+        .join(n_ord, "c_custkey")
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 3)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", F.col("c_custkey")))
+                    ),
+                    lambda s: s["c_custkey"].cast("string"),
+                ),
+                ",",
+            ).alias("top_customers")
+        )
+    )
+    return segs.join(top3, "c_nationkey", "left").select(
+        "c_nationkey", "segments", "n_segments", "top_customers"
+    )

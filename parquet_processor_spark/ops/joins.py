@@ -120,6 +120,30 @@ def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# General family: right outer — the mirror of join_left_outer with
+# the preserved side on the right (users write it weekly; r12 VERDICT
+# named it the one missing member of the outer-join family).
+@query(
+    "join_right_outer",
+    oracle="""
+    select o.o_orderkey, c.c_custkey, c.c_name
+    from orders o right join customer c
+      on o.o_custkey = c.c_custkey and o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: the non-preserved (left) side carries the pushed
+    priority filter, so the planner is free to broadcast it when small
+    enough — right-outer keeps the big preserved side streaming with
+    no skew hazard beyond the join key's own density."""
+    o = t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    c = t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
 # General family: full outer over two pre-aggregated sides (per-nation
 # customer counts vs supplier counts; only some nations have suppliers).
 @query(

@@ -294,3 +294,48 @@ def window_drawdown(spark: SparkSession, sf: str) -> DataFrame:
         peak.alias("running_peak"),
         (peak - F.col("value")).alias("drawdown"),
     )
+
+
+# Dedicated cume_dist (r12 VERDICT gap): the GLOBAL flavor — the
+# empirical CDF of every finished order's price over the whole table,
+# not per-group. A bare ``cume_dist() over (order by ...)`` compiles
+# to one ordered task (the W1 scale-killer), so this rides the
+# two-phase global index instead.
+@query(
+    "window_cume_dist",
+    oracle="""
+    select o_orderkey, o_totalprice,
+           cume_dist() over (order by o_totalprice) as cd
+    from orders where o_orderstatus = 'F'
+    """,
+    tags=("window", "rank"),
+)
+def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Global cume_dist = (# rows with price <= mine) / n, exactly.
+
+    100 TB shape: ranks come from the two-phase global_row_number
+    (x-range buckets + broadcast offsets); cume_dist at a value is
+    then the MAX rank within that value's tie group (hash exchange on
+    the value — bounded groups), over the broadcast total count. One
+    exact integer division per row; no single-partition sort
+    anywhere.
+    """
+    from parquet_processor_spark.ops.windows import global_row_number
+
+    filtered = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    ranked = global_row_number(filtered, "o_totalprice", rn_col="_rn")
+    n = filtered.agg(F.count(F.lit(1)).alias("_n"))
+    wv = Window.partitionBy("o_totalprice")
+    return (
+        ranked.withColumn("_mx", F.max("_rn").over(wv))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("_mx").cast("double") / F.col("_n")).alias("cd"),
+        )
+    )

@@ -192,7 +192,7 @@ def _single_partition_sorts(plan: str) -> list[str]:
     return bad
 
 
-@pytest.mark.parametrize("name", ["window_row_number", "limit_offset", "limit_n", "topk_order_limit"])
+@pytest.mark.parametrize("name", ["window_row_number", "window_cume_dist", "limit_offset", "limit_n", "topk_order_limit"])
 def test_global_order_ops_have_no_single_partition_sort(spark, name):
     # W1/O1-O3 (VERDICT r2 #3): a global row index or ordered slice must
     # never funnel the dataset through one task to sort it. The
@@ -202,7 +202,7 @@ def test_global_order_ops_have_no_single_partition_sort(spark, name):
     plan = plan_of(spark, name)
     bad = _single_partition_sorts(plan)
     assert not bad, f"{name}: single-partition sort/window: {bad}\n{plan}"
-    if name == "window_row_number":
+    if name in ("window_row_number", "window_cume_dist"):
         assert re.search(r"hashpartitioning\(_bkt", plan), f"{name}: rank not bucket-keyed:\n{plan}"
     else:
         assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject:\n{plan}"
