@@ -344,26 +344,45 @@ def run_trending_update(events: DataFrame, state_dir: str, checkpoint: str) -> S
         .groupBy(F.window("ts", "1 hour")["start"].alias("hour_start"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return run_spine_update(counts, ("hour_start", "user_id"), state_dir, checkpoint)
+
+
+def run_spine_update(
+    spine: DataFrame,
+    keys: tuple[str, ...],
+    state_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """The N223 delta-serve discipline as a SHARED helper (r12 VERDICT
+    #5): any streaming aggregation spine in UPDATE output mode, each
+    micro-batch emitting only the spine cells it touched, upserted
+    into the at-rest parquet state by ``keys`` (anti-join the delta's
+    keys, append the delta) under the write-new → swap → recover
+    commit protocol of :func:`run_with_upsert`.
+
+    Update-mode rows ARE the new totals for the touched keys —
+    replace-by-key, no re-aggregation here. Per-batch cost:
+    O(|touched cells| + |state|) parquet I/O with plain parquet, and
+    only the touched files under a MERGE-capable table format; input
+    rows = the new slice, never history (pinned per twin by the
+    incremental pytests, the OHLC recipe).
+    """
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         _recover_state(state_dir)
-        # update-mode rows ARE the new totals for the keys this batch
-        # touched — replace-by-key, no re-aggregation here
         delta = batch
         if os.path.isdir(state_dir):
             cur = spark.read.parquet(state_dir)
             merged = cur.join(
-                delta.select("hour_start", "user_id"),
-                ["hour_start", "user_id"],
-                "left_anti",
+                delta.select(*keys), list(keys), "left_anti"
             ).unionByName(delta)
         else:
             merged = delta
         _swap_state(merged, state_dir, batch_id)
 
     return (
-        counts.writeStream.outputMode("update")
+        spine.writeStream.outputMode("update")
         .foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -17,9 +17,11 @@ batch twin: ``window_tumbling`` (ops/windows.py) for
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parquet_processor_spark.io import scratch_dir
 from parquet_processor_spark.ops import temporal as _temporal  # noqa: F401 — registers the donor oracle below
@@ -439,20 +441,32 @@ def streaming_count_min(spark: SparkSession, sf: str) -> DataFrame:
     monitor keeps separately (here derived from the same file batch-
     side for the oracle's benefit).
     """
-    from pyspark.sql import functions as F
-
     events = read_event_stream(spark, f"{sf}/events.parquet")
+    mem = _run_stream(_cms_cells(events), "complete")
+    return _cms_serve(spark, sf, mem)
 
-    def bucket(j: int) -> F.Column:
-        h = F.md5(F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string")))
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _SCM_W)
 
+def _cms_bucket(j: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _SCM_W
+
+
+def _cms_cells(events: DataFrame) -> DataFrame:
+    """The d*w CMS counter spine of a user-keyed event stream — shared
+    by the complete-mode twin and the N223-style update twin."""
     keyed = events.select(
-        F.posexplode(F.array(*[bucket(j) for j in range(_SCM_D)])).alias("j", "bucket")
+        F.posexplode(F.array(*[_cms_bucket(j) for j in range(_SCM_D)])).alias(
+            "j", "bucket"
+        )
     )
-    cells = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
-    mem = _run_stream(cells, "complete")
+    return keyed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cell")
+    )
 
+
+def _cms_serve(spark: SparkSession, sf: str, cells: DataFrame) -> DataFrame:
+    """Probe the 48-cell sketch (broadcast) for the exact top-k users
+    — one serve path for both streaming twins."""
     from parquet_processor_spark.tables import t as _t
 
     exact = (
@@ -462,18 +476,15 @@ def streaming_count_min(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("user_id"))
         .limit(_SCM_TOPK)
     )
-
-    def user_bucket(j: int) -> F.Column:
-        h = F.md5(F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string")))
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _SCM_W)
-
     probes = exact.select(
         "user_id",
         "n_exact",
-        F.posexplode(F.array(*[user_bucket(j) for j in range(_SCM_D)])).alias("j", "bucket"),
+        F.posexplode(F.array(*[_cms_bucket(j) for j in range(_SCM_D)])).alias(
+            "j", "bucket"
+        ),
     )
     return (
-        probes.join(F.broadcast(mem), ["j", "bucket"])
+        probes.join(F.broadcast(cells), ["j", "bucket"])
         .groupBy("user_id")
         .agg(
             F.min("n_exact").cast("long").alias("n_exact"),
@@ -512,17 +523,21 @@ def streaming_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     production deployment emits the spine in update mode to a compacted
     topic and runs the serve step on demand.
     """
-    from pyspark.sql import functions as F
-
     from parquet_processor_spark.ops.temporal import changepoint_of_daily
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
-    daily = (
+    return changepoint_of_daily(_run_stream(_daily_spine(events, "x"), "complete"))
+
+
+def _daily_spine(events: DataFrame, col_name: str) -> DataFrame:
+    """The collapsed (event_type, day) count spine shared by the
+    changepoint and forecast twins (complete- and update-mode): a few
+    thousand integer rows at ANY event volume."""
+    return (
         events.where(F.col("ts").isNotNull())
         .groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias(col_name))
     )
-    return changepoint_of_daily(_run_stream(daily, "complete"))
 
 
 
@@ -548,17 +563,10 @@ def streaming_forecast(spark: SparkSession, sf: str) -> DataFrame:
     spine in update mode to a compacted topic and re-fits on demand —
     the nightly-capacity-forecast loop as a standing stream.
     """
-    from pyspark.sql import functions as F
-
     from parquet_processor_spark.ops.temporal import forecast_of_daily
 
     events = read_event_stream(spark, f"{sf}/events.parquet")
-    daily = (
-        events.where(F.col("ts").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    )
-    return forecast_of_daily(_run_stream(daily, "complete"))
+    return forecast_of_daily(_run_stream(_daily_spine(events, "y"), "complete"))
 
 
 @query(
@@ -658,27 +666,129 @@ def streaming_trending_topk_update(spark: SparkSession, sf: str) -> DataFrame:
     from parquet_processor_spark.ops.temporal import trending_rank_of_counts
     from parquet_processor_spark.streaming.jobs import run_trending_update
 
-    import os
+    spine = _update_spine_backfill(
+        spark,
+        sf,
+        lambda events, state, ckpt: run_trending_update(events, state, ckpt),
+        "hour_start timestamp, user_id long, n_events long",
+        "ppspark_trend_",
+    )
+    return trending_rank_of_counts(spine)
 
-    # Backfill batching: this registered query replays the WHOLE
-    # static fixture, so it takes all available files in ONE
-    # micro-batch (one state commit) — per-file batches would pay one
-    # O(state) parquet rewrite per file (measured 73 s vs 7 s at the
-    # x10 soak's 32-file corpus). The production incremental path IS
-    # per-slice batches; its per-batch cost bound is pinned by the
-    # maxFilesPerTrigger=1 pytest (the OHLC recipe).
+
+def _update_spine_backfill(
+    spark: SparkSession,
+    sf: str,
+    start_job,
+    empty_schema: str,
+    prefix: str,
+) -> DataFrame:
+    """Replay the static fixture through an update-mode spine upsert
+    (streaming/jobs.run_spine_update protocol) and return the at-rest
+    spine — the shared backfill half of every N223-style twin.
+
+    Backfill batching: a registered query replays the WHOLE fixture,
+    so it takes all available files in ONE micro-batch (one state
+    commit) — per-file batches would pay one O(state) parquet rewrite
+    per file (measured 73 s vs 7 s at the x10 soak's 32-file corpus).
+    The production incremental path IS per-slice batches; its
+    per-batch cost bound is pinned by the maxFilesPerTrigger=1
+    pytests (the OHLC recipe).
+
+    ``start_job(events, state_dir, checkpoint)`` starts the upsert
+    query; an empty source yields zero micro-batches and no state
+    dir, in which case the spine is the empty relation of
+    ``empty_schema``.
+    """
     events = read_event_stream(
         spark, f"{sf}/events.parquet", max_files_per_trigger=1_000_000
     )
-    base = scratch_dir("ppspark_trend_")
-    q = run_trending_update(events, f"{base}/state", f"{base}/ckpt")
+    base = scratch_dir(prefix)
+    q = start_job(events, f"{base}/state", f"{base}/ckpt")
     await_done(q)
     if not os.path.isdir(f"{base}/state"):
-        # an empty source yields zero micro-batches, so the upsert
-        # never commits a state dir: the spine is the empty relation
-        spine = spark.createDataFrame(
-            [], "hour_start timestamp, user_id long, n_events long"
-        )
-    else:
-        spine = spark.read.parquet(f"{base}/state")
-    return trending_rank_of_counts(spine)
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(f"{base}/state")
+
+
+@query(
+    "streaming_changepoint_update",
+    # same relation as the batch operator and the complete-mode twin
+    # — all three share one oracle (the decoration-time convention)
+    oracle=_ORACLES["events_changepoint"],
+    tags=("streaming", "timeseries", "changepoint", "upsert"),
+)
+def streaming_changepoint_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The N223 delta serve for the changepoint monitor (r12 VERDICT
+    #5): the daily-count spine streams in UPDATE mode — each
+    micro-batch emits only the (event_type, day) cells it touched —
+    and run_spine_update upserts them into the at-rest parquet spine,
+    so backfill cost per batch is O(touched cells), not O(state)
+    rewrites like the complete-mode twin. The CUSUM argmax serves
+    from the spine through the SAME code path as the batch operator.
+    """
+    from parquet_processor_spark.ops.temporal import changepoint_of_daily
+    from parquet_processor_spark.streaming.jobs import run_spine_update
+
+    spine = _update_spine_backfill(
+        spark,
+        sf,
+        lambda ev, state, ckpt: run_spine_update(
+            _daily_spine(ev, "x"), ("event_type", "d"), state, ckpt
+        ),
+        "event_type string, d date, x long",
+        "ppspark_cpup_",
+    )
+    return changepoint_of_daily(spine)
+
+
+@query(
+    "streaming_forecast_update",
+    oracle=_ORACLES["events_forecast_linear"],
+    tags=("streaming", "timeseries", "forecast", "upsert"),
+)
+def streaming_forecast_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The N223 delta serve for the capacity forecast (r12 VERDICT
+    #5): same update-mode daily spine as the changepoint twin (one
+    spine serves both monitors in production), OLS re-fit on the
+    at-rest spine through the batch operator's code path.
+    """
+    from parquet_processor_spark.ops.temporal import forecast_of_daily
+    from parquet_processor_spark.streaming.jobs import run_spine_update
+
+    spine = _update_spine_backfill(
+        spark,
+        sf,
+        lambda ev, state, ckpt: run_spine_update(
+            _daily_spine(ev, "y"), ("event_type", "d"), state, ckpt
+        ),
+        "event_type string, d date, y long",
+        "ppspark_fcup_",
+    )
+    return forecast_of_daily(spine)
+
+
+@query(
+    "streaming_count_min_update",
+    oracle=_ORACLES["streaming_count_min"],
+    tags=("streaming", "sketch", "approx", "upsert"),
+)
+def streaming_count_min_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The N223 delta serve for the CMS monitor (r12 VERDICT #5): the
+    48-cell counter spine streams in UPDATE mode — a micro-batch
+    emits only the cells its events hashed into — upserted by
+    run_spine_update; the top-k probe serves from the at-rest cells
+    through the complete-mode twin's exact serve path (_cms_serve).
+    """
+    from parquet_processor_spark.streaming.jobs import run_spine_update
+
+    cells = _update_spine_backfill(
+        spark,
+        sf,
+        lambda ev, state, ckpt: run_spine_update(
+            _cms_cells(ev), ("j", "bucket"), state, ckpt
+        ),
+        "j int, bucket bigint, cell long",
+        "ppspark_cmup_",
+    )
+    return _cms_serve(spark, sf, cells)

@@ -476,3 +476,64 @@ def test_streaming_trending_update_is_incremental_and_matches_batch(
         for r in events_trending_topk(spark, SF_SMALL).collect()
     }
     assert got == want and len(want) > 0
+
+
+@pytest.mark.parametrize("twin", ["changepoint", "forecast", "count_min"])
+def test_streaming_update_twins_are_incremental_and_match_batch(
+    spark, events_dir, tmp_path, twin
+):
+    # r12 VERDICT #5: the N223 delta-serve discipline extended to the
+    # other complete-mode twins via the shared run_spine_update
+    # helper. Pin both halves per twin: (a) per-batch input rows equal
+    # the new slice, not history (the OHLC recipe), and (b) the
+    # converged spine serves a result identical to the batch path.
+    from parquet_processor_spark.ops.temporal import (
+        changepoint_of_daily,
+        events_changepoint,
+        events_forecast_linear,
+        forecast_of_daily,
+    )
+    from parquet_processor_spark.streaming.jobs import run_spine_update
+    from parquet_processor_spark.streaming.queries import (
+        _cms_cells,
+        _cms_serve,
+        _daily_spine,
+    )
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    state = str(tmp_path / f"{twin}_state")
+    if twin == "changepoint":
+        spine, keys = _daily_spine(stream, "x"), ("event_type", "d")
+        serve = lambda df: changepoint_of_daily(df)  # noqa: E731
+        batch = lambda: events_changepoint(spark, SF_SMALL)  # noqa: E731
+    elif twin == "forecast":
+        spine, keys = _daily_spine(stream, "y"), ("event_type", "d")
+        serve = lambda df: forecast_of_daily(df)  # noqa: E731
+        batch = lambda: events_forecast_linear(spark, SF_SMALL)  # noqa: E731
+    else:
+        spine, keys = _cms_cells(stream), ("j", "bucket")
+        serve = lambda df: _cms_serve(spark, SF_SMALL, df)  # noqa: E731
+        batch = lambda: _cms_serve(  # noqa: E731
+            spark, SF_SMALL, _cms_cells(t(spark, SF_SMALL, "events"))
+        )
+
+    q = run_spine_update(spine, keys, state, str(tmp_path / f"ck_{twin}"))
+    await_done(q)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    per_file = [
+        r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy((F.col("event_id") % 2).alias("half"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(progress) == 2, [p["numInputRows"] for p in q.recentProgress]
+    assert sorted(p["numInputRows"] for p in progress) == sorted(per_file)
+    total = sum(per_file)
+    assert all(p["numInputRows"] < total for p in progress), (
+        "a micro-batch re-read history instead of its slice"
+    )
+    got_df = serve(spark.read.parquet(state))
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in batch().collect()}
+    assert got == want and len(want) > 0
