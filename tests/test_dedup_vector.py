@@ -815,3 +815,21 @@ def test_bitext_mutual_is_a_partial_matching(spark, sf_dir):
             for j in tgt_ids
         )
         assert r["cos_sim"] <= brute + 1e-9
+
+
+def test_set_similarity_verify_pairs_linear_on_dup_sparse(spark, sf_dir, tmp_path):
+    # The N222 linearity contract in CI (r12 VERDICT #6): on a
+    # duplicate-SPARSE corpus (per-replica word namespaces — no
+    # shingle crosses replicas) the verified pair count must scale
+    # EXACTLY with the replica count; anything super-linear means
+    # candidate generation leaked out of the capped buckets.
+    from parquet_processor_spark.registry import all_queries
+    from tools.sparse_fixture import make_dup_sparse
+
+    q = all_queries()["join_set_similarity_verify"]
+    d1 = make_dup_sparse(spark, sf_dir, str(tmp_path / "r1"), 1)
+    d3 = make_dup_sparse(spark, sf_dir, str(tmp_path / "r3"), 3)
+    p1 = q(spark, d1).count()
+    p3 = q(spark, d3).count()
+    assert p1 > 0, "fixture must contain verified near-dup pairs"
+    assert p3 == 3 * p1, f"pairs not linear in replicas: {p1} -> {p3}"
