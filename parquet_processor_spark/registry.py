@@ -44,88 +44,26 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately. Round 12 window policy, in priority order:
-# (1) queries that have never had a driver CORRECTNESS row (the 18
-# round-11 operators born after the r11 window froze), (2) queries
-# whose implementation changed this round (graph_scc's frontier-only
-# backward pass and streaming_trending_topk's shared serve path sit
-# inside (1); q20's single-pass supp_qty is pinned explicitly),
-# (3) the standing oldest-checked-first rotation — the r3 remainder
-# plus the oldest r4 cohort. New round-12 operators go to the backlog
-# head (r13 window) as in prior rounds. The full catalog is ordered
-# (every registered name), so the backlog ordering is explicit, not
-# incidental. The window contents are enforced by an automated
-# assertion (tests/test_harness_safety.py::test_check_priority_window),
-# not by this comment.
+# catalog deliberately. Round 13 window policy, in priority order:
+# (1) queries that have never had a driver CORRECTNESS row — the 14
+# round-12 operators (judge-verified locally in r12, never driver-
+# sampled) and the 6 round-13 operators; (2) scan_parquet (displaced
+# from the r12 window by the chi-square pin); (3) queries whose
+# implementation changed this round (agg_ab_test/agg_ab_power absent-
+# arm conditional aggregation; agg_gini's two-phase global rank);
+# (4) the standing oldest-checked-first rotation — the full 23-query
+# r4-stale remainder (clears r4 entirely; includes
+# error_approx_distinct), plus agg_approx_distinct windowed TOGETHER
+# with its error gate (the rows-only exception re-proves its accuracy
+# in the same window — r12 VERDICT #7), plus the 2 oldest r5-stale
+# rows. New round-13 operators born after this freeze go to the
+# backlog head (r14 window) as in prior rounds. The window contents
+# are enforced by an automated assertion
+# (tests/test_harness_safety.py::test_check_priority_window), not by
+# this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # ---- driver 50-slot check window (round 12) ----
-    # 1-18: the round-11 operators — never driver-checked (judge-run
-    # local parity in the r11 session only); two of them (graph_scc,
-    # streaming_trending_topk) also changed this round, so their
-    # first driver row covers the new code
-    "streaming_trending_topk",
-    "join_set_similarity",
-    "graph_ppr",
-    "graph_scc",
-    "sample_pps",
-    "anonymize_dp_mean",
-    "sink_time_travel_read",
-    "text_collocations",
-    "events_cuped",
-    "events_attribution_markov",
-    "graph_hits",
-    "agg_ab_srm",
-    "sample_stratified_neyman",
-    "text_textrank_keywords",
-    "sink_merge_on_read_dv",
-    "scan_change_data_feed",
-    "report_dataset_datasheet",
-    "events_diff_in_diff",
-    # 19-20: implementation changed this round (q20: supp_qty
-    # materialized once; chi-square: completed contingency grid so
-    # structurally-zero cells contribute their expected-count terms)
-    "q20_part_promotion",
-    "agg_chi_square",
-    # 20-30: the r3 remainder (11 queries), oldest-first
-    "window_moving_avg",
-    "fn_string_funcs",
-    "fn_date_parts",
-    "fn_date_arith",
-    "fn_null_funcs",
-    "fn_url_parse",
-    "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "set_except",
-    "pipeline_fetch",
-    "pipeline_media_dispatch",
-    # 31-50: the oldest 20 of the 43 r4-stale rows (CORRECTNESS_r04
-    # order; the remainder heads the r13 backlog below)
-    "agg_count",
-    "agg_avg",
-    "agg_median",
-    "agg_max",
-    "agg_sum",
-    "agg_multi",
-    "agg_max_by",
-    "agg_having",
-    "agg_rollup",
-    "agg_unpivot",
-    "agg_percentiles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "join_broadcast_equi",
-    "join_left_anti",
-    "join_left_semi",
-    "join_left_outer",
-    "join_full_outer",
-    "multimodal_frames",
-    # ---- slots 51+: rotation backlog (r13 window head) ----
-    # scan_parquet displaced to the backlog by the agg_chi_square
-    # changed-code pin (its r4 row covers an immutable basic scan)
-    "scan_parquet",
-    # First: operators born in round 12 (never driver-checked until
-    # r13; covered meanwhile by the sf0.01 oracle-parity harness +
-    # pytest) — appended here as they land this round.
+    # ---- driver 50-slot check window (round 13) ----
+    # 1-14: the round-12 operators — never driver-checked
     "join_set_similarity_verify",
     "streaming_trending_topk_update",
     "agg_mcnemar",
@@ -140,7 +78,21 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_tost_equivalence",
     "eval_retrieval_mrr",
     "graph_modularity",
-    # Then: the r4 remainder (23 queries), oldest-first
+    # 15-20: the round-13 operators — never driver-checked
+    "join_right_outer",
+    "agg_string_agg",
+    "window_cume_dist",
+    "streaming_changepoint_update",
+    "streaming_forecast_update",
+    "streaming_count_min_update",
+    # 21: displaced from the r12 window
+    "scan_parquet",
+    # 22-24: implementation changed this round
+    "agg_ab_test",
+    "agg_ab_power",
+    "agg_gini",
+    # 25-47: the r4-stale remainder (23 queries, CORRECTNESS_r04
+    # order) — clears every r4 row; slot 44 is error_approx_distinct
     "project_filter_notnull",
     "fn_string_normalize",
     "fn_string_firstline",
@@ -164,6 +116,68 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_sorted_roundtrip",
     "kmeans_ivf_train",
     "streaming_static_join",
+    # 48: the rows-only exception, windowed together with its error
+    # gate (slot 44) so the accuracy proof re-runs beside it
+    "agg_approx_distinct",
+    # 49-50: the oldest 2 r5-stale rows (CORRECTNESS_r05 order)
+    "fn_try_arith",
+    "agg_mode",
+    # ---- slots 51+: rotation backlog (r14 window head) ----
+    # First: the complete-mode streaming twins refactored this round
+    # (shared spine builders/serve extracted — output-identical,
+    # locally oracle-verified; first post-refactor driver rows)
+    "streaming_count_min",
+    "streaming_changepoint",
+    "streaming_forecast",
+    # Then: the r5-stale remainder (CORRECTNESS_r05 order; agg_gini
+    # already holds a changed-code slot above)
+    "agg_corr",
+    "quality_unigram_rarity",
+    "sim_topk_lsh",
+    "dedup_keep_best",
+    "dedup_containment",
+    "doc_chunk_windows",
+    "error_approx_quantile",
+    "sessionize_events",
+    "agg_sketch_merge",
+    "quality_tfidf",
+    "vocab_coverage",
+    "streaming_upsert",
+    "graph_pagerank",
+    "tokenize_to_ids",
+    "agg_count_distinct_multi",
+    "agg_histogram",
+    "agg_key_skew",
+    "agg_percentile_disc",
+    "events_anomaly_p99",
+    "events_retention",
+    "join_asof_tolerance",
+    "scd2_intervals",
+    "join_interval_overlap",
+    "profile_columns",
+    "feature_zscore",
+    "agg_heavy_hitters",
+    "quality_bigram_lm",
+    "join_bloom_filtered",
+    "events_gap_fill",
+    "agg_incremental_merge",
+    "agg_copurchase_pairs",
+    "join_range_bucketed",
+    "sample_temperature_mix",
+    "events_markov",
+    "events_rolling_distinct",
+    "agg_rfm_scores",
+    "dedup_repeated_ngrams",
+    "error_approx_topk",
+    "window_rolling_median",
+    "events_funnel_windowed",
+    "agg_abc_analysis",
+    "agg_affinity_lift",
+    "orders_open_over_time",
+    "join_scd2_pointintime",
+    "sample_budget_mix",
+    "join_asof_nearest",
+    "dedup_incremental",
 )
 
 

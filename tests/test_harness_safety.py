@@ -53,43 +53,52 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # (a) the 18 round-11 operators that have never had a driver row
-    # (born after the r11 window froze; graph_scc and
-    # streaming_trending_topk also changed in round 12, so their first
-    # driver row covers the new code), (b) q20 (single-pass supp_qty)
-    # and agg_chi_square (completed contingency grid), whose
-    # implementations changed in round 12, then (c) the 11-query r3
-    # remainder and the 19 oldest r4-stale rows (scan_parquet
-    # displaced to the backlog by the chi-square pin).
+    # (a) the 14 round-12 and 6 round-13 operators that have never had
+    # a driver row, (b) scan_parquet (displaced from the r12 window),
+    # (c) the three queries whose implementation changed in round 13
+    # (absent-arm Welch rewrite; two-phase gini rank), (d) the FULL
+    # 23-query r4-stale remainder (clears r4), with
+    # agg_approx_distinct windowed beside its error gate, and the two
+    # oldest r5-stale rows.
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # never driver-checked (round-11 wave)
-        "streaming_trending_topk", "join_set_similarity", "graph_ppr",
-        "graph_scc", "sample_pps", "anonymize_dp_mean",
-        "sink_time_travel_read", "text_collocations", "events_cuped",
-        "events_attribution_markov", "graph_hits", "agg_ab_srm",
-        "sample_stratified_neyman", "text_textrank_keywords",
-        "sink_merge_on_read_dv", "scan_change_data_feed",
-        "report_dataset_datasheet", "events_diff_in_diff",
-        # implementation changed in round 12
-        "q20_part_promotion", "agg_chi_square",
-        # rotation: the r3 remainder
-        "window_moving_avg", "fn_string_funcs", "fn_date_parts",
-        "fn_date_arith", "fn_null_funcs", "fn_url_parse",
-        "sink_json_roundtrip", "sink_orc_roundtrip", "set_except",
-        "pipeline_fetch", "pipeline_media_dispatch",
-        # rotation: the oldest 20 r4-stale rows
-        "agg_count", "agg_avg", "agg_median", "agg_max", "agg_sum",
-        "agg_multi", "agg_max_by", "agg_having", "agg_rollup",
-        "agg_unpivot", "agg_percentiles", "dedup_exact",
-        "dedup_ngram_jaccard", "join_broadcast_equi", "join_left_anti",
-        "join_left_semi", "join_left_outer", "join_full_outer",
-        "multimodal_frames",
+        # never driver-checked (round-12 wave)
+        "join_set_similarity_verify", "streaming_trending_topk_update",
+        "agg_mcnemar", "agg_cramers_v", "agg_kendall_tau",
+        "agg_spearman_rho", "feature_quantile_bin", "agg_anova",
+        "sample_kfold", "events_event_study",
+        "recall_join_set_similarity_verify", "agg_tost_equivalence",
+        "eval_retrieval_mrr", "graph_modularity",
+        # never driver-checked (round-13 wave)
+        "join_right_outer", "agg_string_agg", "window_cume_dist",
+        "streaming_changepoint_update", "streaming_forecast_update",
+        "streaming_count_min_update",
+        # displaced from the r12 window
+        "scan_parquet",
+        # implementation changed in round 13
+        "agg_ab_test", "agg_ab_power", "agg_gini",
+        # rotation: the full r4-stale remainder
+        "project_filter_notnull", "fn_string_normalize",
+        "fn_string_firstline", "streaming_tumbling", "streaming_session",
+        "streaming_stream_join", "fn_math", "curation_cap_per_source",
+        "curation_contamination", "curation_pii_scrub",
+        "curation_repetition", "streaming_dedup", "limit_n",
+        "set_except_all", "set_intersect_all", "window_first_last",
+        "recall_sim_topk_lsh", "dedup_connected", "events_funnel",
+        "error_approx_distinct", "sink_sorted_roundtrip",
+        "kmeans_ivf_train", "streaming_static_join",
+        # the rows-only exception beside its error gate
+        "agg_approx_distinct",
+        # rotation: the two oldest r5-stale rows
+        "fn_try_arith", "agg_mode",
     }
+    assert len(must_check) == 50
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
     assert not outside, f"must-check queries outside the 50-slot window: {outside}"
+    # the window must ALSO pair the rows-only exception with its gate
+    assert {"agg_approx_distinct", "error_approx_distinct"} <= window
 
 
 def test_topk_fixture_vocab_within_sketch_bound(spark):
