@@ -3874,3 +3874,292 @@ def agg_string_agg(spark: SparkSession, sf: str) -> DataFrame:
     return segs.join(top3, "c_nationkey", "left").select(
         "c_nationkey", "segments", "n_segments", "top_customers"
     )
+
+
+# N239: Brown-Forsythe / Levene homogeneity-of-variance — the
+# assumption gate BESIDE agg_anova (the F test compares means assuming
+# equal group variances; this tests that assumption, robustly, using
+# deviations from group MEDIANS — Brown & Forsythe 1974). Same
+# per-source n_chars spine as ANOVA: one experiment kit, both
+# diagnostics. The group median is the exact lower weighted median
+# (the agg_weighted_median discipline: smallest value whose doubled
+# cumulative count reaches the group total), so every deviation is an
+# exact integer and the F statistic is the ANOVA fold over integer
+# moments.
+@query(
+    "agg_levene",
+    oracle="""
+    with vw as (
+      select source, n_chars as v, cast(count(*) as bigint) as w
+      from documents group by 1, 2
+    ),
+    c as (
+      select source, v, w,
+             sum(w) over (partition by source order by v
+                          rows between unbounded preceding and current row) as cw,
+             sum(w) over (partition by source) as tw
+      from vw
+    ),
+    med as (
+      select source, min(v) as med from c where 2 * cw >= tw group by source
+    ),
+    g as (
+      select vw.source,
+             cast(sum(w) as bigint) as nj,
+             cast(sum(w * abs(v - med)) as bigint) as sj,
+             cast(sum(w * abs(v - med) * abs(v - med)) as bigint) as ssj
+      from vw join med using (source) group by 1
+    ),
+    tot as (
+      select cast(sum(nj) as bigint) as n, cast(sum(sj) as bigint) as s,
+             cast(sum(ssj) as bigint) as ss, cast(count(*) as bigint) as k
+      from g
+    ),
+    parts as (
+      select list_reduce(list_prepend(cast(0 as double),
+               list(cast(sj as double) * sj / nj order by source)),
+               (acc, x) -> acc + x) as sb
+      from g
+    )
+    select tot.n, cast(tot.k as int) as k_groups,
+           parts.sb - cast(tot.s as double) * tot.s / tot.n as ss_between,
+           cast(tot.ss as double) - parts.sb as ss_within,
+           ((parts.sb - cast(tot.s as double) * tot.s / tot.n) / nullif(tot.k - 1, 0))
+             / nullif((cast(tot.ss as double) - parts.sb) / nullif(tot.n - tot.k, 0), 0.0)
+             as f_bf
+    from tot cross join parts
+    """,
+    tags=("agg", "stats", "experiment", "drift"),
+)
+def agg_levene(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe F over per-source document-length deviations
+    from the exact group median.
+
+    100 TB shape: the corpus collapses to (source, value, count) in
+    ONE map-side-combined aggregate; the median window runs over each
+    group's collapsed VALUE DOMAIN (bounded by length diversity, not
+    corpus mass); deviation moments are a second map-side aggregate to
+    |sources| rows; the F statistic reuses agg_anova's pinned-order
+    fold and shared formula text. Degenerates (k=1, n=k, zero
+    within-variance) go NULL via nullif in both engines.
+    """
+    from pyspark.sql import Window
+
+    vw = (
+        t(spark, sf, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    c = vw.select(
+        "source",
+        "v",
+        "w",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    med = (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("source")
+        .agg(F.min("v").alias("med"))
+    )
+    z = F.abs(F.col("v") - F.col("med"))
+    g = (
+        vw.join(med, "source")
+        .groupBy("source")
+        .agg(
+            F.sum("w").cast("long").alias("nj"),
+            F.sum(F.col("w") * z).cast("long").alias("sj"),
+            F.sum(F.col("w") * z * z).cast("long").alias("ssj"),
+        )
+    )
+    tot = g.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("sj").cast("long").alias("s"),
+        F.sum("ssj").cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("source", "term")))
+    parts = g.select(
+        "source", (F.col("sj").cast("double") * F.col("sj") / F.col("nj")).alias("term")
+    ).agg(
+        F.aggregate(
+            F.transform(ordered, lambda x: x["term"]), F.lit(0.0), lambda acc, v: acc + v
+        ).alias("sb")
+    )
+    out = tot.crossJoin(F.broadcast(parts))
+    return out.select(
+        "n",
+        F.col("k").cast("int").alias("k_groups"),
+        F.expr("sb - cast(s as double) * s / n").alias("ss_between"),
+        F.expr("cast(ss as double) - sb").alias("ss_within"),
+        F.expr(
+            "((sb - cast(s as double) * s / n) / nullif(k - 1, 0))"
+            " / nullif((cast(ss as double) - sb) / nullif(n - k, 0), 0.0)"
+        ).alias("f_bf"),
+    )
+
+
+# N240: two-proportion z-test — THE conversion-rate A/B primitive
+# (the Welch kit tests purchase VALUE; real experiments usually gate
+# on whether users converted at all). Unit of analysis is the USER
+# (per-user collapse first — raw event counts would pseudo-replicate
+# heavy users), arms are the same user_id hash split as agg_ab_test.
+_PZ_POOL = "(cast(x_a + x_b as double) / (n_a + n_b))"
+_PZ_Z = (
+    "((cast(x_a as double) / n_a - cast(x_b as double) / n_b)"
+    f" / nullif(sqrt({_PZ_POOL} * (1.0 - {_PZ_POOL})"
+    " * (1.0 / n_a + 1.0 / n_b)), 0.0))"
+)
+
+
+@query(
+    "agg_proportions_ztest",
+    oracle=f"""
+    with u as (
+      select user_id % 2 as arm,
+             max(case when event_type = 'purchase' then 1 else 0 end) as conv
+      from events group by user_id
+    ),
+    s as (
+      select nullif(count(case when arm = 0 then 1 end), 0) as n_a,
+             cast(sum(case when arm = 0 then conv end) as bigint) as x_a,
+             nullif(count(case when arm = 1 then 1 end), 0) as n_b,
+             cast(sum(case when arm = 1 then conv end) as bigint) as x_b
+      from u
+    )
+    select n_a, x_a, n_b, x_b,
+           cast(x_a as double) / n_a as p_a,
+           cast(x_b as double) / n_b as p_b,
+           {_PZ_Z} as z_stat,
+           abs({_PZ_Z}) > 1.96 as significant_95
+    from s
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_proportions_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Pooled two-proportion z on per-user conversion between the
+    hash-split arms.
+
+    100 TB shape: ONE map-side-combined per-user collapse (the unit
+    of analysis), then one conditional aggregation to 4 integers and
+    a 1-row shared-text expression — the agg_ab_test discipline,
+    including its absent-arm lesson: counts go through nullif so an
+    unlaunched arm yields the oracle's 1 row of NULLs, and the
+    zero-variance degenerate (pooled p of 0 or 1) nullif-guards the
+    denominator instead of dividing by zero.
+    """
+    u = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            )
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "conv")
+    )
+    s = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).cast("long").alias("x_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("c_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))).cast("long").alias("x_b"),
+    ).select(
+        F.expr("nullif(c_a, 0)").alias("n_a"),
+        "x_a",
+        F.expr("nullif(c_b, 0)").alias("n_b"),
+        "x_b",
+    )
+    return s.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("cast(x_a as double) / n_a").alias("p_a"),
+        F.expr("cast(x_b as double) / n_b").alias("p_b"),
+        F.expr(_PZ_Z).alias("z_stat"),
+        F.expr(f"abs({_PZ_Z}) > 1.96").alias("significant_95"),
+    )
+
+
+# N241: Cochran's Q — the k-related-binary-outcomes test (McNemar's
+# generalization past 2 treatments): did the SAME users' engagement
+# differ across the view/click/purchase funnel stages? All sufficient
+# statistics are exact integers on the per-user flag collapse;
+# Q = (k-1)(k*sum Cj^2 - N^2) / (k*N - sum Ri^2) is ONE integer
+# expression and one division (k = 3 folded into the literals), so
+# the statistic matches bitwise across engines.
+_CQ_NUM = "cast(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nn * nn) as double)"
+_CQ_Q = f"({_CQ_NUM} / nullif(3 * nn - rr, 0))"
+
+
+@query(
+    "agg_cochran_q",
+    oracle=f"""
+    with u as (
+      select user_id,
+             max(case when event_type = 'view' then 1 else 0 end) as t1,
+             max(case when event_type = 'click' then 1 else 0 end) as t2,
+             max(case when event_type = 'purchase' then 1 else 0 end) as t3
+      from events group by user_id
+    ),
+    s as (
+      select cast(count(*) as bigint) as n_users,
+             cast(sum(t1) as bigint) as c1,
+             cast(sum(t2) as bigint) as c2,
+             cast(sum(t3) as bigint) as c3,
+             cast(sum(t1 + t2 + t3) as bigint) as nn,
+             cast(sum((t1 + t2 + t3) * (t1 + t2 + t3)) as bigint) as rr
+      from u
+    )
+    select n_users, c1, c2, c3,
+           {_CQ_Q} as q_stat,
+           coalesce({_CQ_Q} > 5.991, false) as significant_95
+    from s
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q over per-user view/click/purchase participation
+    flags; significant_95 gates on the chi-square(df = 2) 5% critical
+    value 5.991 (the mcnemar convention — no transcendental CDF).
+
+    100 TB shape: ONE map-side-combined per-user collapse to three
+    0/1 flags, then one aggregation to six integers and a 1-row
+    shared-text expression; the all-or-nothing degenerate (every user
+    hits 0 or 3 stages → k*N = sum Ri^2) goes NULL via nullif and
+    coalesces to a false verdict.
+    """
+    u = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("t1"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("t2"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "t3"
+            ),
+        )
+    )
+    r = F.col("t1") + F.col("t2") + F.col("t3")
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("t1").cast("long").alias("c1"),
+        F.sum("t2").cast("long").alias("c2"),
+        F.sum("t3").cast("long").alias("c3"),
+        F.sum(r).cast("long").alias("nn"),
+        F.sum(r * r).cast("long").alias("rr"),
+    )
+    return s.select(
+        "n_users",
+        "c1",
+        "c2",
+        "c3",
+        F.expr(_CQ_Q).alias("q_stat"),
+        F.expr(f"coalesce({_CQ_Q} > 5.991, false)").alias("significant_95"),
+    )

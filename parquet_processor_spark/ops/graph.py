@@ -1479,3 +1479,95 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
             " / nullif(cast(4 * m * m as double), 0.0)"
         ).alias("q_modularity"),
     )
+
+
+# N243: degree assortativity (Newman 2002) — the graph-structure
+# diagnostic beside modularity: r > 0 means hubs wire to hubs
+# (resilient core), r < 0 means hub-and-spoke (one hub's loss
+# fragments the graph). Over the DIRECTED doubling of the undirected
+# edge set the two endpoint-degree marginals are identical, so
+# Pearson's r needs NO square root — numerator and denominator are
+# the same integer moment forms and r is ONE division of exact
+# integers (cast to double only inside the shared formula text).
+_ASSORT_R = (
+    "((cast(m as double) * sxy - cast(sx as double) * sx)"
+    " / nullif(cast(m as double) * sxx - cast(sx as double) * sx, 0.0))"
+)
+
+
+def _assortativity_oracle() -> str:
+    from parquet_processor_spark.ops.aggregates import _COPURCHASE_MIN_SUPPORT
+
+    return f"""
+    with b as (
+      select distinct l_orderkey, l_partkey from lineitem
+    ),
+    e as (
+      select a.l_partkey as u, c.l_partkey as v
+      from b a join b c
+        on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+      group by 1, 2
+      having count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    und as (select u, v from e union all select v as u, u as v from e),
+    deg as (select u as node, cast(count(*) as bigint) as d from und group by u),
+    m as (
+      select cast(count(*) as bigint) as m,
+             cast(sum(du.d) as bigint) as sx,
+             cast(sum(du.d * dv.d) as bigint) as sxy,
+             cast(sum(du.d * du.d) as bigint) as sxx
+      from und join deg du on und.u = du.node join deg dv on und.v = dv.node
+    )
+    select cast(m // 2 as bigint) as n_edges,
+           (select cast(count(*) as bigint) from deg) as n_nodes,
+           {_ASSORT_R} as assortativity
+    from m
+    """
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=_assortativity_oracle(),
+    tags=("graph", "diagnostic"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (the
+    graph_triangles edge list).
+
+    100 TB shape: degrees are one map-side-combined count over the
+    doubled edge list; the moment pass is two narrow id-keyed hash
+    joins (8-byte degree rows, never adjacency materialization) into
+    a 1-row integer aggregate; r is a 1-row shared-text expression.
+    The regular-graph degenerate (zero degree variance) goes NULL via
+    nullif on both engines.
+    """
+    from parquet_processor_spark.ops.aggregates import agg_copurchase_pairs
+
+    e = agg_copurchase_pairs(spark, sf).select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    )
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    # eager-by-design: the doubled edge list feeds the degree count
+    # AND the moment joins — without the cut the basket expansion
+    # re-runs three times
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    mrow = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("du").cast("long").alias("sx"),
+            F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+            F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return mrow.crossJoin(F.broadcast(n_nodes)).select(
+        F.expr("m div 2").cast("long").alias("n_edges"),
+        "n_nodes",
+        F.expr(_ASSORT_R).alias("assortativity"),
+    )

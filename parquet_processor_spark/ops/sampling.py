@@ -1466,3 +1466,69 @@ def sample_kfold(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id", (h60 % _KFOLD_K).cast("int").alias("fold")
     )
+
+
+# N242: time-based train/test split with an embargo gap — the
+# temporal analog of split_leakage_safe: when examples are windows
+# over time (forecasting, churn, CUPED covariates), a random split
+# leaks future information backward, and even a plain time cut leaks
+# through features computed over windows that END after the cut. The
+# embargo (purged rows between train-end and test-start, de Prado's
+# purged walk-forward CV) is the standard fix. The cut/embargo are
+# shared constants; audit columns prove the gap held.
+_TSPLIT_CUT = "2024-01-22 00:00:00"
+_TSPLIT_TRAIN_END = "2024-01-19 00:00:00"  # cut minus the 3-day embargo
+
+
+@query(
+    "split_time_embargo",
+    oracle=f"""
+    with lab as (
+      select case when ts < timestamp '{_TSPLIT_TRAIN_END}' then 'train'
+                  when ts >= timestamp '{_TSPLIT_CUT}' then 'test'
+                  else 'embargo' end as split,
+             user_id, ts
+      from events where ts is not null
+    )
+    select split,
+           cast(count(*) as bigint) as n_events,
+           cast(count(distinct user_id) as bigint) as n_users,
+           min(ts) as min_ts,
+           max(ts) as max_ts
+    from lab group by split
+    """,
+    tags=("sampling", "split", "temporal", "leakage"),
+)
+def split_time_embargo(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-split audit of the purged temporal split: train strictly
+    before cut-minus-embargo, test at/after the cut, the embargo band
+    between them excluded from both (its row counts the purge cost).
+    min_ts/max_ts per split prove the gap held — a downstream
+    pipeline asserts max_ts('train') < train_end <= cut <=
+    min_ts('test').
+
+    100 TB shape: the split label is pure codegen beside the scan (a
+    time-partitioned table prunes whole partitions per split), and
+    the audit is one map-side-combined aggregate to 3 rows; assigning
+    the label to the full corpus for export costs zero shuffles.
+    """
+    lab = (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.when(
+                F.col("ts") < F.lit(_TSPLIT_TRAIN_END).cast("timestamp"), "train"
+            )
+            .when(F.col("ts") >= F.lit(_TSPLIT_CUT).cast("timestamp"), "test")
+            .otherwise("embargo")
+            .alias("split"),
+            "user_id",
+            "ts",
+        )
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -3220,3 +3220,91 @@ def events_event_study(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_ES_GAP).alias("gap"),
         F.expr(_ES_EFFECT).alias("effect"),
     )
+
+
+# N244: autocorrelation of the daily event-count series at lags 1-7
+# — the seasonality/trend smoke test every monitoring pipeline wants
+# beside events_seasonality's day-of-week profile: a spiking lag-7
+# r says weekly cycle, a slowly decaying lag-1..k says trend, and a
+# flat ACF over residual noise is the "no structure left" gate for
+# the forecast operator's linear fit. Computed as the exact Pearson
+# correlation of the (x_t, x_{t+k}) pair set per lag, so every
+# sufficient statistic is an integer on the collapsed daily spine and
+# the only doubles are one shared formula text per lag.
+_ACF_MAX_LAG = 7
+_ACF_R = (
+    "((cast(np as double) * sxy - cast(sx as double) * sy)"
+    " / nullif(sqrt((cast(np as double) * sxx - cast(sx as double) * sx)"
+    " * (cast(np as double) * syy - cast(sy as double) * sy)), 0.0))"
+)
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    with daily as (
+      select cast(ts as date) as d, cast(count(*) as bigint) as x
+      from events where ts is not null group by 1
+    ),
+    lags as (select unnest(range(1, {_ACF_MAX_LAG + 1})) as lag),
+    pairs as (
+      select l.lag, a.x as x0, b.x as x1
+      from daily a
+      cross join lags l
+      join daily b on b.d = a.d + cast(l.lag as int)
+    ),
+    m as (
+      select lag, cast(count(*) as bigint) as np,
+             cast(sum(x0) as bigint) as sx, cast(sum(x1) as bigint) as sy,
+             cast(sum(x0 * x1) as bigint) as sxy,
+             cast(sum(x0 * x0) as bigint) as sxx,
+             cast(sum(x1 * x1) as bigint) as syy
+      from pairs group by lag
+    )
+    select cast(lag as int) as lag, np as n_pairs, {_ACF_R} as acf
+    from m
+    """,
+    tags=("temporal", "timeseries", "diagnostic"),
+)
+def events_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1..{k} ACF of daily event counts (Pearson over lagged
+    pairs; lags with < 2 pairs or zero variance go NULL via nullif).
+
+    100 TB shape: the event stream collapses to the |days| spine in
+    ONE map-side-combined aggregate; the lag fan-out and self-join
+    run on that tiny spine (broadcast), and each lag's statistic is a
+    shared-text expression over six integers — event volume only ever
+    touches the first aggregate.
+    """.format(k=_ACF_MAX_LAG)
+    daily = (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint()
+    )
+    # eager-by-design: the |days| spine feeds both sides of the lag
+    # join — one collapse of the fact table, not two
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("d0"), F.col("x").alias("x0"))
+    b = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("d1") == F.expr("date_add(d0, lag)"),
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x0").cast("long").alias("sx"),
+        F.sum("x1").cast("long").alias("sy"),
+        F.sum(F.col("x0") * F.col("x1")).cast("long").alias("sxy"),
+        F.sum(F.col("x0") * F.col("x0")).cast("long").alias("sxx"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        F.expr(_ACF_R).alias("acf"),
+    )

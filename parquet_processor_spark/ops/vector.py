@@ -3120,3 +3120,81 @@ def eval_retrieval_mrr(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("cast(n_with_hit as double) / nullif(n_queries, 0)").alias("hit_rate"),
         F.expr("cast(rr60 as double) / 60.0 / nullif(n_queries, 0)").alias("mrr"),
     )
+
+
+# N245: embedding-table health report — the QA pass every vector
+# corpus needs before indexing: per-dimension mean/variance (a dead
+# dimension — zero variance — wastes index bits and breaks whitening;
+# a drifted mean breaks cosine vs dot assumptions) plus the zero
+# fraction. Cross-engine exactness: per-dimension sums of DOUBLES are
+# order-dependent, so values go through the cents discipline first —
+# floor(v * 1e6 + 0.5) micro-units are exact integers, summed
+# map-side, and the only doubles are shared one-division formula
+# texts. The oracle indexes a fixed dims table (the fixture is
+# 64-dim; a dim change fails loudly as a row-count mismatch, not a
+# silent skew).
+_EMB_DIM = 64
+_EMB_SCALE = 1_000_000
+
+
+@query(
+    "report_embedding_health",
+    oracle=f"""
+    with dims as (select cast(range as int) as dim from range({_EMB_DIM})),
+    q as (
+      select d.dim,
+             cast(floor(cast(e.embedding[d.dim + 1] as double) * {_EMB_SCALE} + 0.5) as bigint) as qv
+      from embeddings e cross join dims d
+    ),
+    m as (
+      select dim, cast(count(*) as bigint) as n,
+             cast(sum(qv) as bigint) as s,
+             cast(sum(qv * qv) as bigint) as ss,
+             cast(count(case when qv = 0 then 1 end) as bigint) as nz
+      from q group by dim
+    )
+    select dim, n,
+           cast(s as double) / ({_EMB_SCALE}.0 * n) as mean,
+           (cast(n as double) * ss - cast(s as double) * s)
+             / (cast(n as double) * n * {_EMB_SCALE}.0 * {_EMB_SCALE}.0) as variance,
+           cast(nz as double) / n as zero_frac,
+           (cast(n as double) * ss - cast(s as double) * s) = 0.0 as dead_dim
+    from m
+    """,
+    tags=("vector", "report", "quality"),
+)
+def report_embedding_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension mean / population variance / zero fraction /
+    dead-dimension flag over the embeddings table.
+
+    100 TB shape: ONE posexplode + map-side-combined aggregate into
+    |dims| integer-moment rows — embeddings never shuffle (only the
+    64-row moment table crosses the wire), and every statistic is a
+    one-division shared formula text over exact micro-unit integers.
+    """
+    q = t(spark, sf, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * _EMB_SCALE + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("ss"),
+        F.count(F.when(F.col("qv") == 0, 1)).cast("long").alias("nz"),
+    )
+    var = (
+        f"(cast(n as double) * ss - cast(s as double) * s)"
+        f" / (cast(n as double) * n * {_EMB_SCALE}.0 * {_EMB_SCALE}.0)"
+    )
+    return m.select(
+        "dim",
+        "n",
+        F.expr(f"cast(s as double) / ({_EMB_SCALE}.0 * n)").alias("mean"),
+        F.expr(var).alias("variance"),
+        F.expr("cast(nz as double) / n").alias("zero_frac"),
+        F.expr("(cast(n as double) * ss - cast(s as double) * s) = 0.0").alias(
+            "dead_dim"
+        ),
+    )

@@ -123,7 +123,17 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "fn_try_arith",
     "agg_mode",
     # ---- slots 51+: rotation backlog (r14 window head) ----
-    # First: the complete-mode streaming twins refactored this round
+    # First: operators born in round 13 AFTER the window froze (never
+    # driver-checked; covered meanwhile by the sf0.01 oracle-parity
+    # harness + pytest) — appended here as they land this round
+    "agg_levene",
+    "agg_proportions_ztest",
+    "agg_cochran_q",
+    "split_time_embargo",
+    "graph_degree_assortativity",
+    "events_autocorrelation",
+    "report_embedding_health",
+    # Then: the complete-mode streaming twins refactored this round
     # (shared spine builders/serve extracted — output-identical,
     # locally oracle-verified; first post-refactor driver rows)
     "streaming_count_min",

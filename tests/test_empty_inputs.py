@@ -539,3 +539,25 @@ def test_welch_kit_matches_oracle_with_one_empty_arm(spark, one_arm_sf, name):
             )
         else:
             assert str(a) == str(b), f"{name}.{c}: {a!r} != {b!r}"
+
+
+def test_r13_wave_guarded_rows_on_empty_input(spark, empty_sf):
+    # The round-13 wave: global aggregates emit exactly one guarded
+    # row (statistic NULL, verdicts false) on an empty corpus; the
+    # per-group reports emit zero rows without touching a degenerate
+    # division.
+    [r] = all_queries()["agg_levene"](spark, empty_sf).collect()
+    assert r["n"] is None and r["k_groups"] == 0 and r["f_bf"] is None
+    [r] = all_queries()["agg_proportions_ztest"](spark, empty_sf).collect()
+    assert r["n_a"] is None and r["z_stat"] is None
+    [r] = all_queries()["agg_cochran_q"](spark, empty_sf).collect()
+    assert r["n_users"] == 0 and r["q_stat"] is None
+    assert r["significant_95"] is False
+    [r] = all_queries()["graph_degree_assortativity"](spark, empty_sf).collect()
+    assert r["n_edges"] == 0 and r["assortativity"] is None
+    assert all_queries()["events_autocorrelation"](spark, empty_sf).count() == 0
+    assert all_queries()["report_embedding_health"](spark, empty_sf).count() == 0
+    assert all_queries()["split_time_embargo"](spark, empty_sf).count() == 0
+    assert all_queries()["agg_string_agg"](spark, empty_sf).count() == 0
+    assert all_queries()["window_cume_dist"](spark, empty_sf).count() == 0
+    assert all_queries()["join_right_outer"](spark, empty_sf).count() == 0
