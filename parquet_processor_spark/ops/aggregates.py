@@ -4163,3 +4163,162 @@ def agg_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_CQ_Q).alias("q_stat"),
         F.expr(f"coalesce({_CQ_Q} > 5.991, false)").alias("significant_95"),
     )
+
+
+# N246: Herfindahl-Hirschman concentration index — the market-
+# concentration diagnostic beside N59's Gini (antitrust's standard:
+# HHI > 0.25 flags a concentrated market; Gini measures inequality of
+# the whole distribution, HHI the dominance of the top). Per nation,
+# the concentration of lineitem revenue across that nation's
+# suppliers. Exact: per-supplier revenue collapses to integer cents;
+# squared cents accumulate as decimal(38,0) (c^2 nears int64 at
+# ~1e9-cent suppliers, so the square must widen BEFORE the sum); the
+# index is one shared-text double division.
+_HHI = "(cast(ss2 as double) / (cast(sc as double) * sc))"
+# normalized form folded into ONE division — the naive
+# (H - 1/n)/(1 - 1/n) spelling diverged by an ulp across engines at
+# sf0.01 (two chained divisions magnify the rounding of 1/n)
+_HHI_NORM = (
+    "(case when n_suppliers > 1 then"
+    " (cast(n_suppliers as double) * cast(ss2 as double)"
+    " - cast(sc as double) * sc)"
+    " / (cast(sc as double) * sc * (n_suppliers - 1.0)) end)"
+)
+
+
+@query(
+    "agg_hhi",
+    oracle=f"""
+    with rev as (
+      select s.s_nationkey as nationkey, l.l_suppkey,
+             cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as bigint)
+               as c
+      from lineitem l join supplier s on l.l_suppkey = s.s_suppkey
+      group by 1, 2
+    ),
+    g as (
+      select nationkey,
+             cast(count(*) as bigint) as n_suppliers,
+             cast(sum(c) as bigint) as sc,
+             sum(cast(c as decimal(38,0)) * c) as ss2
+      from rev group by 1
+    )
+    select g.nationkey, n_name as nation, n_suppliers,
+           {_HHI} as hhi,
+           {_HHI_NORM} as hhi_normalized
+    from g join nation on nationkey = n_nationkey
+    """,
+    tags=("agg", "concentration", "diagnostic"),
+)
+def agg_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation HHI of supplier revenue shares (1/n = uniform,
+    1.0 = monopoly), with the n-normalized variant (NULL for
+    single-supplier nations — concentration is undefined at n = 1).
+
+    100 TB shape: the fact stream collapses to (nation, supplier)
+    integer cents in ONE map-side-combined aggregate riding a
+    broadcast supplier-dim join; the second collapse is |nations|
+    rows; both index variants are shared-text one-division
+    expressions over exact integers/decimals.
+    """
+    l = t(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    s = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey").alias("nationkey")
+    )
+    rev = (
+        l.join(F.broadcast(s), "l_suppkey")
+        .groupBy("nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("c"))
+    )
+    g = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss2"),
+    )
+    n = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation")
+    )
+    return g.join(F.broadcast(n), "nationkey").select(
+        "nationkey",
+        "nation",
+        "n_suppliers",
+        F.expr(_HHI).alias("hhi"),
+        F.expr(_HHI_NORM).alias("hhi_normalized"),
+    )
+
+
+# N247: exact trimmed mean — the robust-location member of the
+# feature kit (winsorize clamps, MAD flags, the trimmed mean
+# REPORTS): drop the bottom and top floor(alpha*n) rows of the order
+# value distribution and average the rest. Exact at scale via the W1
+# two-phase global rank (never a one-task sort); ties are
+# interchangeable (equal values contribute equally whichever side of
+# the cut their arbitrary rank lands), so the trimmed sum is
+# deterministic even though tie ranks are not.
+_TRIM_ALPHA_PCT = 10  # percent trimmed from EACH side
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+    with src as (
+      select cast(floor(o_totalprice * 100 + 0.5) as bigint) as c
+      from orders where o_orderstatus = 'F'
+    ),
+    ranked as (
+      select c, row_number() over (order by c) as rn, count(*) over () as n
+      from src
+    ),
+    kept as (
+      select c, n from ranked
+      where rn > n * {_TRIM_ALPHA_PCT} // 100
+        and rn <= n - n * {_TRIM_ALPHA_PCT} // 100
+    )
+    select cast(max(n) as bigint) as n,
+           cast(max(n) * {_TRIM_ALPHA_PCT} // 100 as bigint) as k_each_side,
+           cast(count(*) as bigint) as n_kept,
+           cast(sum(c) as double) / (100.0 * count(*)) as trimmed_mean
+    from kept
+    """,
+    tags=("agg", "robust", "stats"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """{p}%-per-side trimmed mean of finished-order value (exact
+    cents).
+
+    100 TB shape: ranks come from the two-phase global index over the
+    cents spine (x-range buckets + broadcast offsets); the trim is a
+    literal rank-range filter against the broadcast total count, and
+    the kept sum is one map-side-combined integer aggregate — no
+    ordered single task anywhere (plan shares the window_cume_dist
+    pin).
+    """.format(p=_TRIM_ALPHA_PCT)
+    from parquet_processor_spark.ops.windows import global_row_number
+
+    src = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c")
+        )
+    )
+    ranked = global_row_number(src, "c", rn_col="rn")
+    n = src.agg(F.count(F.lit(1)).alias("n"))
+    kept = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rn") > F.expr(f"n * {_TRIM_ALPHA_PCT} div 100"))
+            & (F.col("rn") <= F.col("n") - F.expr(f"n * {_TRIM_ALPHA_PCT} div 100"))
+        )
+    )
+    return kept.agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(f"cast(max(n) * {_TRIM_ALPHA_PCT} div 100 as bigint)").alias(
+            "k_each_side"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr("cast(sum(c) as double) / (100.0 * count(*))").alias("trimmed_mean"),
+    )

@@ -3308,3 +3308,206 @@ def events_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
         F.col("np").alias("n_pairs"),
         F.expr(_ACF_R).alias("acf"),
     )
+
+
+# N248: multi-horizon activity features — the feature-engineering
+# export every churn/propensity model starts from: per user, event
+# counts over the trailing 1/7/30-day windows before a reference
+# date, trailing-7-day purchase cents, distinct active days in the
+# 30-day window, and recency. The reference date is the same cut the
+# temporal split uses (split_time_embargo), so these features are
+# train-legal by construction — every window ENDS at or before the
+# cut, which is exactly the leakage the embargo protects against.
+_FTW_REF = "2024-01-22 00:00:00"
+
+
+@query(
+    "feature_time_windows",
+    oracle=f"""
+    select user_id,
+           cast(count(case when ts >= timestamp '{_FTW_REF}' - interval 1 day
+                           then 1 end) as bigint) as n_1d,
+           cast(count(case when ts >= timestamp '{_FTW_REF}' - interval 7 day
+                           then 1 end) as bigint) as n_7d,
+           cast(count(*) as bigint) as n_30d,
+           cast(coalesce(sum(case when event_type = 'purchase'
+                                   and ts >= timestamp '{_FTW_REF}' - interval 7 day
+                                  then cast(floor(value * 100 + 0.5) as bigint) end),
+                         0) as bigint) as spend_7d_cents,
+           cast(count(distinct cast(ts as date)) as bigint) as days_active_30d,
+           cast(date_diff('second', max(ts), timestamp '{_FTW_REF}') as bigint)
+             as recency_sec
+    from events
+    where ts >= timestamp '{_FTW_REF}' - interval 30 day
+      and ts < timestamp '{_FTW_REF}'
+    group by user_id
+    """,
+    tags=("temporal", "feature", "ml"),
+)
+def feature_time_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trailing-window feature vector at the reference cut.
+
+    100 TB shape: ONE pass over the (30-day-pruned) event stream —
+    every horizon is a conditional aggregate beside the scan, so a
+    time-partitioned table reads 30 days and shuffles |users| feature
+    rows; no window functions, no self-joins (the classic anti-
+    pattern here is one join per horizon). All features are exact
+    integers.
+    """
+    ref = F.lit(_FTW_REF).cast("timestamp")
+    ev = (
+        t(spark, sf, "events")
+        .where(
+            (F.col("ts") >= ref - F.expr("interval 30 day")) & (F.col("ts") < ref)
+        )
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") >= ref - F.expr("interval 1 day"), 1))
+        .cast("long")
+        .alias("n_1d"),
+        F.count(F.when(F.col("ts") >= ref - F.expr("interval 7 day"), 1))
+        .cast("long")
+        .alias("n_7d"),
+        F.count(F.lit(1)).cast("long").alias("n_30d"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= ref - F.expr("interval 7 day")),
+                    cents,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("spend_7d_cents"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("days_active_30d"),
+        (ref.cast("long") - F.max("ts").cast("long")).cast("long").alias("recency_sec"),
+    )
+
+
+# N249: coarsened exact matching ATT (Iacus, King & Porro 2012) — the
+# causal kit's OBSERVATIONAL member (CUPED/DiD/event-study all lean
+# on the randomized hash split; CEM is what you run when assignment
+# was NOT random): coarsen the pre-period covariate into bins, keep
+# only bins containing BOTH treated and control users, and weight
+# control outcomes to the treated bin distribution. Same cut and
+# pre/post discipline as the rest of the kit.
+_CEM_BINS = "case when pre_n = 0 then 0 when pre_n <= 2 then 1 when pre_n <= 5 then 2 else 3 end"
+_CEM_ATT = "(cast(wsum as double) / nullif(ntm, 0))"
+
+
+@query(
+    "events_cem_att",
+    oracle=f"""
+    with u as (
+      select user_id, user_id % 2 as arm,
+             cast(count(case when event_type = 'view'
+                              and ts < timestamp '{_CUPED_CUT} 00:00:00'
+                             then 1 end) as bigint) as pre_n,
+             cast(coalesce(sum(case when event_type = 'purchase'
+                                     and ts >= timestamp '{_CUPED_CUT} 00:00:00'
+                                    then cast(floor(value * 100 + 0.5) as bigint) end),
+                           0) as bigint) as y_cents
+      from events group by user_id
+    ),
+    b as (
+      select {_CEM_BINS} as bin,
+             cast(count(case when arm = 1 then 1 end) as bigint) as n_t,
+             cast(coalesce(sum(case when arm = 1 then y_cents end), 0) as bigint) as s_t,
+             cast(count(case when arm = 0 then 1 end) as bigint) as n_c,
+             cast(coalesce(sum(case when arm = 0 then y_cents end), 0) as bigint) as s_c
+      from u group by 1
+    ),
+    matched as (select * from b where n_t > 0 and n_c > 0),
+    f as (
+      select cast((select coalesce(sum(n_t), 0) from matched) as bigint) as ntm,
+             (select list_reduce(list_prepend(cast(0 as double),
+                list(n_t * (cast(s_t as double) / (100.0 * n_t)
+                            - cast(s_c as double) / (100.0 * n_c)) order by bin)),
+                (acc, x) -> acc + x) from matched) as wsum,
+             cast((select count(*) from b) as bigint) as n_bins,
+             cast((select count(*) from matched) as bigint) as n_bins_matched
+    )
+    select n_bins, n_bins_matched, ntm as n_treated_matched,
+           {_CEM_ATT} as att_dollars
+    from f
+    """,
+    tags=("temporal", "experiment", "causal", "matching"),
+)
+def events_cem_att(spark: SparkSession, sf: str) -> DataFrame:
+    """ATT in dollars of the (hash) treatment on post-cut purchase
+    spend, matched on coarsened pre-cut view activity (bins 0 / 1-2 /
+    3-5 / 6+; unmatched bins dropped, treated-share weights).
+
+    100 TB shape: ONE map-side per-user collapse (pre covariate +
+    post outcome in the same pass), one conditional aggregation to
+    |bins| integer-moment rows, and the weighted fold runs in pinned
+    bin order over <= 4 doubles (the agg_anova discipline); ATT is a
+    1-row shared-text division, NULL when nothing matches.
+    """
+    cut = F.lit(f"{_CUPED_CUT} 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") < cut), 1
+                )
+            )
+            .cast("long")
+            .alias("pre_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase") & (F.col("ts") >= cut),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y_cents"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"), F.expr(_CEM_BINS).alias("bin"), "y_cents"
+        )
+    )
+    b = u.groupBy("bin").agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_t"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y_cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_t"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_c"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y_cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_c"),
+    ).localCheckpoint()
+    # eager-by-design: the <= 4-row bin table feeds the matched fold,
+    # the treated-mass count, AND the bin counts — one collapse of the
+    # user spine, not three
+    matched = b.where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    term = F.col("n_t") * (
+        F.col("s_t").cast("double") / (F.lit(100.0) * F.col("n_t"))
+        - F.col("s_c").cast("double") / (F.lit(100.0) * F.col("n_c"))
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("bin", "term")))
+    fm = matched.select("bin", "n_t", term.alias("term")).agg(
+        F.coalesce(F.sum("n_t"), F.lit(0)).cast("long").alias("ntm"),
+        F.aggregate(
+            F.transform(ordered, lambda x: x["term"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("wsum"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_matched"),
+    )
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
+    return nb.crossJoin(F.broadcast(fm)).select(
+        "n_bins",
+        "n_bins_matched",
+        F.col("ntm").alias("n_treated_matched"),
+        F.expr(_CEM_ATT).alias("att_dollars"),
+    )

@@ -133,6 +133,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_degree_assortativity",
     "events_autocorrelation",
     "report_embedding_health",
+    "agg_hhi",
+    "agg_trimmed_mean",
+    "feature_time_windows",
+    "events_cem_att",
     # Then: the complete-mode streaming twins refactored this round
     # (shared spine builders/serve extracted — output-identical,
     # locally oracle-verified; first post-refactor driver rows)

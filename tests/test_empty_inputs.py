@@ -561,3 +561,13 @@ def test_r13_wave_guarded_rows_on_empty_input(spark, empty_sf):
     assert all_queries()["agg_string_agg"](spark, empty_sf).count() == 0
     assert all_queries()["window_cume_dist"](spark, empty_sf).count() == 0
     assert all_queries()["join_right_outer"](spark, empty_sf).count() == 0
+
+
+def test_r13_second_wave_guarded_rows_on_empty_input(spark, empty_sf):
+    assert all_queries()["agg_hhi"](spark, empty_sf).count() == 0
+    assert all_queries()["feature_time_windows"](spark, empty_sf).count() == 0
+    [r] = all_queries()["agg_trimmed_mean"](spark, empty_sf).collect()
+    assert r["n_kept"] == 0 and r["trimmed_mean"] is None
+    [r] = all_queries()["events_cem_att"](spark, empty_sf).collect()
+    assert r["n_bins"] == 0 and r["n_treated_matched"] == 0
+    assert r["att_dollars"] is None
