@@ -547,15 +547,17 @@ def test_abc_has_no_single_partition_window(spark):
     assert not bad, f"agg_abc_analysis: single-partition sort: {bad}\n{plan}"
 
 
-def test_gini_rank_is_bucket_partitioned(spark):
-    # r12 VERDICT weak mark: agg_gini's rank must ride the W1
+@pytest.mark.parametrize("name", ["agg_gini", "agg_trimmed_mean"])
+def test_global_rank_consumers_are_bucket_partitioned(spark, name):
+    # r12 VERDICT weak mark (gini) and its r13 sibling (trimmed
+    # mean): any consumer of a full-table rank must ride the W1
     # two-phase global index (hash exchange on _bkt + broadcast
-    # offsets) — never a single-partition Window over the ~|partkey|
-    # spine (entity-mass at 100 TB).
-    plan = plan_of(spark, "agg_gini")
+    # offsets) — never a single-partition Window over an entity-mass
+    # spine.
+    plan = plan_of(spark, name)
     bad = _single_partition_sorts(plan)
-    assert not bad, f"agg_gini: single-partition sort/window: {bad}\n{plan}"
-    assert re.search(r"hashpartitioning\(_bkt", plan), f"rank not bucket-keyed:\n{plan}"
+    assert not bad, f"{name}: single-partition sort/window: {bad}\n{plan}"
+    assert re.search(r"hashpartitioning\(_bkt", plan), f"{name}: rank not bucket-keyed:\n{plan}"
 
 
 def test_abc_and_gini_window_collapsed_keys_only(spark):
