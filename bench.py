@@ -290,6 +290,24 @@ EXTENDED = [
     "agg_tost_equivalence",
     "eval_retrieval_mrr",
     "graph_modularity",
+    # round-13 wave
+    "join_right_outer",
+    "agg_string_agg",
+    "window_cume_dist",
+    "streaming_changepoint_update",
+    "streaming_forecast_update",
+    "streaming_count_min_update",
+    "agg_levene",
+    "agg_proportions_ztest",
+    "agg_cochran_q",
+    "split_time_embargo",
+    "graph_degree_assortativity",
+    "events_autocorrelation",
+    "report_embedding_health",
+    "agg_hhi",
+    "agg_trimmed_mean",
+    "feature_time_windows",
+    "events_cem_att",
 ]
 
 
