@@ -308,6 +308,7 @@ EXTENDED = [
     "agg_trimmed_mean",
     "feature_time_windows",
     "events_cem_att",
+    "anonymize_date_shift",
 ]
 
 

@@ -1281,3 +1281,91 @@ def report_dataset_datasheet(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scalars.unionByName(langs)
+
+
+# N250: deterministic per-user date shifting — the privacy kit's
+# TEMPORAL member (HIPAA Safe Harbor's date handling): shift every
+# one of a user's timestamps by the same keyed-hash offset in
+# [-14, +14] days, so absolute dates are hidden while within-user
+# intervals — session gaps, retention curves, funnel latencies —
+# survive exactly. Like anonymize_pseudonymize there is no shift
+# table to build, store, or leak: the offset is a map-side keyed
+# hash of the user id.
+_DSHIFT_SPAN = 29  # offsets take values in [-14, +14]
+
+
+@query(
+    "anonymize_date_shift",
+    oracle=f"""
+    with s as (
+      select user_id, ts,
+             cast(('0x' || substr(md5('{_PSEUDO_SECRET}|shift|'
+                                      || cast(user_id as varchar)), 1, 8))::bigint
+                  % {_DSHIFT_SPAN} - 14 as bigint) as shift_days
+      from events where ts is not null
+    )
+    select user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(min(shift_days) as bigint) as shift_days,
+           cast(date_diff('second', min(ts), max(ts)) as bigint) as span_sec,
+           cast(date_diff('second',
+                          min(ts + interval 1 day * shift_days),
+                          max(ts + interval 1 day * shift_days)) as bigint)
+             as span_sec_shifted,
+           (date_diff('second', min(ts), max(ts)) =
+            date_diff('second',
+                      min(ts + interval 1 day * shift_days),
+                      max(ts + interval 1 day * shift_days))) as span_preserved,
+           min(ts + interval 1 day * shift_days) as shifted_min_ts
+    from s group by user_id
+    """,
+    tags=("curation", "privacy", "temporal"),
+)
+def anonymize_date_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user audit of the keyed date shift: the constant offset,
+    the before/after within-user span (provably equal — the property
+    the shift exists to preserve), and the shifted anchor.
+
+    100 TB shape: the offset is pure codegen beside the scan (md5 of
+    the key, no join, no state); the audit is one map-side-combined
+    per-user aggregate. Exporting the shifted corpus is a projection
+    with zero shuffles. Determinism: same md5-literal discipline as
+    anonymize_pseudonymize, so re-runs and late-arriving slices shift
+    identically.
+    """
+    shift = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_PSEUDO_SECRET}|shift|"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _DSHIFT_SPAN
+        - 14
+    ).cast("long")
+    s = (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", shift.alias("shift_days"))
+        .withColumn(
+            "shifted_ts", F.expr("ts + make_interval(0, 0, 0, cast(shift_days as int))")
+        )
+    )
+    span = F.max("ts").cast("long") - F.min("ts").cast("long")
+    span_sh = F.max("shifted_ts").cast("long") - F.min("shifted_ts").cast("long")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("shift_days").cast("long").alias("shift_days"),
+        span.cast("long").alias("span_sec"),
+        span_sh.cast("long").alias("span_sec_shifted"),
+        (span == span_sh).alias("span_preserved"),
+        F.min("shifted_ts").alias("shifted_min_ts"),
+    )

@@ -137,6 +137,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_trimmed_mean",
     "feature_time_windows",
     "events_cem_att",
+    "anonymize_date_shift",
     # Then: the complete-mode streaming twins refactored this round
     # (shared spine builders/serve extracted — output-identical,
     # locally oracle-verified; first post-refactor driver rows)

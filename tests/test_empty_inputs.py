@@ -571,3 +571,7 @@ def test_r13_second_wave_guarded_rows_on_empty_input(spark, empty_sf):
     [r] = all_queries()["events_cem_att"](spark, empty_sf).collect()
     assert r["n_bins"] == 0 and r["n_treated_matched"] == 0
     assert r["att_dollars"] is None
+
+
+def test_date_shift_empty_input(spark, empty_sf):
+    assert all_queries()["anonymize_date_shift"](spark, empty_sf).count() == 0

@@ -1446,3 +1446,31 @@ def test_set_similarity_verify_caps_buckets_one_exchange(spark):
     assert "CartesianProduct" not in plan, plan
     seg = plan[plan.index("ObjectHashAggregate") : plan.index("Window")]
     assert "Exchange" not in seg, plan
+
+
+def test_hhi_broadcasts_dims_and_collapses_before_squaring(spark):
+    # N246 claim: the supplier dim and nation name join as broadcasts
+    # (never a shuffled SMJ), and fact rows reach a HashAggregate
+    # before any join — the squared-cents sum runs on the collapsed
+    # (nation, supplier) table.
+    plan = plan_of(spark, "agg_hhi")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_feature_time_windows_single_pruned_pass(spark):
+    # N248 claim: one scan, every horizon a conditional aggregate —
+    # no join-per-horizon, no window; the 30-day range filter reaches
+    # the parquet scan.
+    plan = plan_of(spark, "feature_time_windows")
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail of ONE scan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "PushedFilters: [IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_right_outer_broadcasts_the_filtered_side(spark):
+    # N235 claim: the non-preserved (filtered) side broadcasts —
+    # right outer keeps the preserved side streaming.
+    plan = plan_of(spark, "join_right_outer")
+    assert "BroadcastHashJoin" in plan and "RightOuter" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
