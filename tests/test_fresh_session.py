@@ -52,6 +52,14 @@ def test_numeric_results_independent_of_partitioning(spark, sf_dir):
         "agg_regression", "window_ewma", "feature_mad_outliers",
         "feature_winsorize", "sample_downweight_dups", "events_cohort_ltv",
         "agg_benford",
+        # round-13: two-phase ranks whose tie ORDER is partition-
+        # dependent but whose values must not be (gini re-covered
+        # under the new rank path), pinned-order double folds, and
+        # sorted listagg canonicalization
+        "agg_trimmed_mean", "window_cume_dist", "agg_levene",
+        "events_cem_att", "agg_hhi", "agg_string_agg",
+        "graph_degree_assortativity", "events_autocorrelation",
+        "report_embedding_health",
     ]
     qs = all_queries()
     wide = spark.newSession()
