@@ -394,17 +394,11 @@ _PHASH_MEDIA_CTE = """
 """
 
 
-def _phash_oracle(media_cte: str = _PHASH_MEDIA_CTE) -> str:
-    duck_structs = ",\n        ".join(
-        f"{{'band': {k}, 'bval': chunks[{i + 1}] * 256 + chunks[{j + 1}]}}"
-        for k, (i, j) in enumerate(_PHASH_COMBOS)
-    )
-    ham = " + ".join(
-        f"bit_count(cast(xor(a.chunks[{c + 1}], b.chunks[{c + 1}]) as bigint))"
-        for c in range(_PHASH_BANDS)
-    )
-    return f"""
-    with media as ({media_cte}),
+def _phash_sig_ctes(media_cte: str = _PHASH_MEDIA_CTE) -> str:
+    """The media/px/h CTE chain producing each payload's 8 dHash band
+    chunks — shared by the dedup oracle and the recall gate's
+    radius-audit oracle."""
+    return f"""media as ({media_cte}),
     px as (
       select media_id,
         list_transform(range(0, {_PHASH_PIX}), i ->
@@ -429,7 +423,27 @@ def _phash_oracle(media_cte: str = _PHASH_MEDIA_CTE) -> str:
                  then cast(pow(2, j) as bigint) else 0 end), 'sum')
         ) as chunks
       from px
-    ),
+    )"""
+
+
+def _phash_ham_sql() -> str:
+    """The full-Hamming SQL between two `h`-CTE rows aliased a/b —
+    shared by the dedup oracle's verify filter and the recall gate's
+    radius audit."""
+    return " + ".join(
+        f"bit_count(cast(xor(a.chunks[{c + 1}], b.chunks[{c + 1}]) as bigint))"
+        for c in range(_PHASH_BANDS)
+    )
+
+
+def _phash_oracle(media_cte: str = _PHASH_MEDIA_CTE) -> str:
+    duck_structs = ",\n        ".join(
+        f"{{'band': {k}, 'bval': chunks[{i + 1}] * 256 + chunks[{j + 1}]}}"
+        for k, (i, j) in enumerate(_PHASH_COMBOS)
+    )
+    ham = _phash_ham_sql()
+    return f"""
+    with {_phash_sig_ctes(media_cte)},
     keysr as (
       select media_id, chunks, unnest([
         {duck_structs}

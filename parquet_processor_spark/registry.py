@@ -138,6 +138,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "feature_time_windows",
     "events_cem_att",
     "anonymize_date_shift",
+    # Then: changed in r13 after the freeze — the radius-aware
+    # perceptual recall gate (+ the dedup oracle CTE refactor it rides)
+    "recall_dedup_perceptual",
+    "multimodal_dedup_perceptual",
     # Then: the complete-mode streaming twins refactored this round
     # (shared spine builders/serve extracted — output-identical,
     # locally oracle-verified; first post-refactor driver rows)
