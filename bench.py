@@ -309,6 +309,7 @@ EXTENDED = [
     "feature_time_windows",
     "events_cem_att",
     "anonymize_date_shift",
+    "report_ivf_recall_curve",
 ]
 
 

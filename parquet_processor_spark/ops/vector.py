@@ -448,9 +448,10 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 _IVF_NPROBE = 2
 
 
-@query(
-    "sim_topk_ivf_nprobe",
-    oracle=f"""
+def _ivf_nprobe_oracle_sql(nprobe: int) -> str:
+    """The sim_topk_ivf_nprobe oracle with the probe depth as a
+    parameter — reused per-depth by report_ivf_recall_curve."""
+    return f"""
     with centroids as (
       select vec_id as cid, embedding from embeddings where vec_id between 1 and 8
     ),
@@ -461,7 +462,7 @@ _IVF_NPROBE = 2
       from embeddings e cross join centroids c
     ),
     assign as (select vec_id, embedding, cid as cell from scored where rn = 1),
-    probe as (select cid as q_cell from scored where vec_id = 0 and rn <= {_IVF_NPROBE}),
+    probe as (select cid as q_cell from scored where vec_id = 0 and rn <= {nprobe}),
     q as (select embedding from embeddings where vec_id = 0)
     select b.vec_id, cast(b.cell as bigint) as cell, {_cos_sql('a', 'b')} as cos_sim
     from q a
@@ -470,7 +471,12 @@ _IVF_NPROBE = 2
     where b.vec_id <> 0
     order by cos_sim desc, b.vec_id
     limit 10
-    """,
+    """
+
+
+@query(
+    "sim_topk_ivf_nprobe",
+    oracle=_ivf_nprobe_oracle_sql(_IVF_NPROBE),
     tags=("vector", "ivf"),
 )
 def sim_topk_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
@@ -3198,3 +3204,59 @@ def report_embedding_health(spark: SparkSession, sf: str) -> DataFrame:
             "dead_dim"
         ),
     )
+
+
+# N251: the IVF recall-vs-nprobe operating curve as a DRIVER ROW —
+# the r13 sf0.1 sweep showed the single-point overlap gates are
+# SF-bound (8 frozen seed cells under-provision a growing corpus);
+# this report pins the WHOLE curve per corpus, oracle-replayed per
+# probe depth, so the serving-knob evidence travels with the data
+# instead of living only in a pytest and two docstrings.
+_IVF_CURVE_PROBES = (1, 2, 4, 6, 8)
+
+
+def _ivf_curve_oracle() -> str:
+    from parquet_processor_spark.registry import _ORACLES
+
+    arms = []
+    for p in _IVF_CURVE_PROBES:
+        arms.append(
+            f"select cast({p} as int) as nprobe,"
+            f" cast((select count(*) from ({_ORACLES['sim_topk']})) as bigint)"
+            f" as n_brute,"
+            f" cast(count(*) as bigint) as n_overlap"
+            f" from ({_ORACLES['sim_topk']}) b"
+            f" join ({_ivf_nprobe_oracle_sql(p)}) a on a.vec_id = b.vec_id"
+        )
+    return "\nunion all\n".join(arms)
+
+
+@query(
+    "report_ivf_recall_curve",
+    oracle=_ivf_curve_oracle(),
+    tags=("vector", "ivf", "report", "evidence"),
+)
+def report_ivf_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-10 overlap of the IVF ANN at probe depths
+    {probes}: one row per depth, exact counts both engines.
+
+    100 TB shape: each arm is the sim_topk_ivf_nprobe plan (broadcast
+    centroids + broadcast probe list — cost multiplier = probed
+    fraction), and the overlap join is 10x10; the report is how a
+    serving team picks nprobe for a recall target on THEIR corpus,
+    and its monotone shape + full recovery at n_cells probes are
+    pinned by tests/test_r13_invariants.py.
+    """.format(probes=list(_IVF_CURVE_PROBES))
+    brute = sim_topk(spark, sf).select("vec_id")
+    out = None
+    for p in _IVF_CURVE_PROBES:
+        got = _ivf_topk_nprobe(spark, sf, p).select(F.col("vec_id").alias("a_id"))
+        arm = brute.join(got, F.col("vec_id") == F.col("a_id"), "left").agg(
+            F.lit(p).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).cast("long").alias("n_brute"),
+            F.coalesce(F.sum(F.when(F.col("a_id").isNotNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

@@ -138,6 +138,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "feature_time_windows",
     "events_cem_att",
     "anonymize_date_shift",
+    "report_ivf_recall_curve",
     # Then: changed in r13 after the freeze — the radius-aware
     # perceptual recall gate (+ the dedup oracle CTE refactor it rides)
     "recall_dedup_perceptual",

@@ -575,3 +575,8 @@ def test_r13_second_wave_guarded_rows_on_empty_input(spark, empty_sf):
 
 def test_date_shift_empty_input(spark, empty_sf):
     assert all_queries()["anonymize_date_shift"](spark, empty_sf).count() == 0
+
+
+def test_ivf_curve_empty_input(spark, empty_sf):
+    rows = all_queries()["report_ivf_recall_curve"](spark, empty_sf).collect()
+    assert len(rows) == 5 and all(r["n_brute"] == 0 and r["n_overlap"] == 0 for r in rows)

@@ -121,3 +121,12 @@ def test_embedding_health_moments(spark):
         assert r["variance"] >= -1e-12
         assert 0.0 <= r["zero_frac"] <= 1.0
         assert r["dead_dim"] == (abs(r["variance"]) < 1e-18)
+
+
+def test_ivf_recall_curve_monotone_and_exhaustive_at_full_probe(spark):
+    rows = {r["nprobe"]: r for r in Q["report_ivf_recall_curve"](spark, SF_SMALL).collect()}
+    assert sorted(rows) == [1, 2, 4, 6, 8]
+    overlaps = [rows[p]["n_overlap"] for p in (1, 2, 4, 6, 8)]
+    assert overlaps == sorted(overlaps), f"curve not monotone: {overlaps}"
+    full = rows[8]
+    assert full["n_overlap"] == full["n_brute"] > 0, "full probe must be exhaustive"
