@@ -3616,7 +3616,8 @@ def feature_quantile_bin(spark: SparkSession, sf: str) -> DataFrame:
     ),
     parts as (
       select list_reduce(list_prepend(cast(0 as double),
-               list(cast(sj as double) * sj / nj order by source)),
+               list(cast(sj as double) * sj / nj
+                    order by source nulls first)),
                (acc, v) -> acc + v) as sb
       from g
     )
@@ -3917,7 +3918,8 @@ def agg_string_agg(spark: SparkSession, sf: str) -> DataFrame:
     ),
     parts as (
       select list_reduce(list_prepend(cast(0 as double),
-               list(cast(sj as double) * sj / nj order by source)),
+               list(cast(sj as double) * sj / nj
+                    order by source nulls first)),
                (acc, x) -> acc + x) as sb
       from g
     )

@@ -384,14 +384,44 @@ _PHASH_MAX_HAM = 6    # <=6 flips -> >=2 clean bands -> shared pair-key (pigeonh
 _PHASH_BUCKET_CAP = 1000
 _PHASH_COMBOS = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (2, 3), (2, 4), (2, 5), (2, 6), (2, 7), (3, 4), (3, 5), (3, 6), (3, 7), (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
 
+# The injected re-encode recipe, defined ONCE (r13 advice): every
+# _PHASH_INJECT_MOD-th payload re-keyed +_PHASH_INJECT_OFFSET with an
+# in-place byte substitution. The Spark detector, the recall gate's
+# radius audit, and the DuckDB oracle CTE all derive from these four
+# constants — a recipe change in one place changes all three, so the
+# gate can never silently audit a different corpus than the detector
+# flagged.
+_PHASH_INJECT_MOD = 10
+_PHASH_INJECT_OFFSET = 1_000_000_000
+_PHASH_INJECT_FROM = " the "
+_PHASH_INJECT_TO = " THE "
 
-_PHASH_MEDIA_CTE = """
+_PHASH_MEDIA_CTE = f"""
       select doc_id as media_id, coalesce(text, '') as content from documents
       union all
-      select doc_id + 1000000000 as media_id,
-             replace(coalesce(text, ''), ' the ', ' THE ') as content
-      from documents where doc_id % 10 = 0
+      select doc_id + {_PHASH_INJECT_OFFSET} as media_id,
+             replace(coalesce(text, ''), '{_PHASH_INJECT_FROM}', '{_PHASH_INJECT_TO}') as content
+      from documents where doc_id % {_PHASH_INJECT_MOD} = 0
 """
+
+
+def _injected_media(spark: SparkSession, sf: str) -> DataFrame:
+    """(media_id, content): the documents corpus plus its injected
+    re-encodes — the Spark twin of _PHASH_MEDIA_CTE, built from the
+    same _PHASH_INJECT_* constants. Shared by the perceptual detector
+    (multimodal_dedup_perceptual) and its recall gate
+    (recall_dedup_perceptual) so both always see the same corpus."""
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    reenc = docs.where(F.col("media_id") % _PHASH_INJECT_MOD == 0).select(
+        (F.col("media_id") + _PHASH_INJECT_OFFSET).alias("media_id"),
+        F.replace(
+            F.col("content"), F.lit(_PHASH_INJECT_FROM), F.lit(_PHASH_INJECT_TO)
+        ).alias("content"),
+    )
+    return docs.unionByName(reenc)
 
 
 def _phash_sig_ctes(media_cte: str = _PHASH_MEDIA_CTE) -> str:
@@ -545,22 +575,13 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
     after the codec). Candidates dedupe before the verify join, and
     the verify moves 8 longs per side.
     """
-    docs = t(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-    )
-    reenc = docs.where(F.col("media_id") % 10 == 0).select(
-        (F.col("media_id") + 1_000_000_000).alias("media_id"),
-        F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
-    )
     # NO repartition here: the payload-never-shuffles invariant
     # (plan-asserted) outranks local-mode fingerprint parallelism for
     # the payload-level pass — at scale the scan supplies the tasks,
     # and the ~2 s single-row-group penalty at check SF is accepted
     # (the 4x-larger frame-level pass makes the opposite call, with a
     # conditional rebalance that is a no-op on a real multi-file scan)
-    media = docs.unionByName(reenc)
-    return _phash_dedup(media)
+    return _phash_dedup(_injected_media(spark, sf))
 
 
 def _phash_dedup(media: DataFrame) -> DataFrame:

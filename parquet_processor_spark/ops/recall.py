@@ -293,29 +293,29 @@ def recall_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     tags=("vector", "ivf", "evidence"),
 )
 def recall_sim_topk_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-10 overlap of nprobe=2 IVF ANN vs brute-force cosine
-    (>= 0.55; measured 0.7 at sf0.001 / 0.6 at sf0.01, vs 0.5 for the
-    single-probe variant). Both top-10 lists are deterministic
+    """Top-10 overlap of the served IVF ANN (n_cells = max(8, ⌊√N⌋)
+    seed cells, nprobe = half of them — vector._ivf_params) vs
+    brute-force cosine (>= 0.55; measured 8/10 at sf0.001, 7/10 at
+    sf0.01, 9/10 at sf0.1). Both top-10 lists are deterministic
     (hash-checked queries), so the boolean is a stable fact.
 
-    Why the threshold is not 0.95: the fixture's embedding space is
-    near-isotropic relative to this query (query-centroid cosines
-    -0.2..0.3; the true top-10 scatters over 5 of 8 cells — measured
-    curve nprobe 1/2/4/6/8 → 0.5/0.6-0.7/0.8/0.8-1.0/1.0), so high
-    recall at small nprobe is unreachable BY DATA CONSTRUCTION, not by
-    implementation — on clustered real embeddings the same machinery
-    concentrates the neighbors in the probed cells (the IVF premise).
-    tests/test_dedup_vector.py asserts the monotone recall-vs-nprobe
-    curve and exact recovery at full probe.
+    SF-ROBUST by derivation (r14, closing the r13 sweep finding): the
+    r13 fixture froze 8 seed cells at every scale, so recall decayed
+    per decade (0.7→0.6→0.2) as the corpus outgrew the index. Both
+    geometry knobs now derive from the corpus count, holding the
+    probed mass fraction — and with it measured recall — at every SF.
 
-    SF-boundedness (r13 measurement): the fixture pins 8 seed cells
-    at EVERY scale, so growing the corpus under-provisions the index
-    — at sf0.1 (50k vectors) nprobe=2 probes 25% of the isotropic
-    space and overlap measures 2/10, exactly the geometric
-    expectation. The gate is calibrated for the driver's check SFs;
-    at scale the knob is cells ∝ √N + tuned nprobe (the IVF norm the
-    ops implement via kmeans_ivf_train), not a deeper probe of 8
-    frozen cells. SCALE.md records the measured decade curve."""
+    Why the served depth is HALF the cells and not a small nprobe:
+    the fixture's embedding space is near-isotropic relative to this
+    query (no cluster structure), so recall inherently tracks probed
+    MASS — the measured curve at num/8 of the cells for num=1/2/4/6/8
+    is ~0.2-0.5/0.4-0.6/0.7-0.9/0.9-1.0/1.0 across the three SFs. On
+    clustered real embeddings the same machinery concentrates the
+    neighbors in the query's nearest cells and reaches the target at
+    far smaller fractions (the IVF premise); report_ivf_recall_curve
+    pins the per-corpus curve so a serving team picks num for THEIR
+    data. tests/test_dedup_vector.py asserts the monotone curve and
+    exact recovery at full probe."""
     brute = vector.sim_topk(spark, sf).select("vec_id")
     approx = vector.sim_topk_ivf_nprobe(spark, sf).select(F.col("vec_id").alias("a_id"))
     hit = F.sum(F.when(F.col("a_id").isNotNull(), 1).otherwise(0))
@@ -445,13 +445,14 @@ def error_approx_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _perceptual_recall_oracle() -> str:
     from parquet_processor_spark.ops import multimodal as mm
 
+    off = mm._PHASH_INJECT_OFFSET
     return f"""
     with {mm._phash_sig_ctes()},
     injham as (
-      select a.media_id - 1000000000 as k,
+      select a.media_id - {off} as k,
              {mm._phash_ham_sql()} as ham
-      from h a join h b on a.media_id = b.media_id + 1000000000
-      where a.media_id >= 1000000000
+      from h a join h b on a.media_id = b.media_id + {off}
+      where a.media_id >= {off}
     )
     select cast(count(*) as bigint) as n_injected,
            cast(coalesce(sum(case when ham <= {mm._PHASH_MAX_HAM}
@@ -481,27 +482,23 @@ def recall_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
     goes through _gate so an empty fixture stays vacuously green."""
     from parquet_processor_spark.ops import multimodal as mm
 
+    off = mm._PHASH_INJECT_OFFSET
     out = mm.multimodal_dedup_perceptual(spark, sf)
-    flagged = out.where(F.col("media_id") >= 1_000_000_000).select(
-        (F.col("media_id") - 1_000_000_000).alias("k"), "is_dup"
+    flagged = out.where(F.col("media_id") >= off).select(
+        (F.col("media_id") - off).alias("k"), "is_dup"
     )
-    docs = t(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-    )
-    reenc = docs.where(F.col("media_id") % 10 == 0).select(
-        (F.col("media_id") + 1_000_000_000).alias("media_id"),
-        F.replace(F.col("content"), F.lit(" the "), F.lit(" THE ")).alias("content"),
-    )
-    sig = mm._phash_bands_arrow(docs.unionByName(reenc))
+    # The audited corpus is the SAME builder the detector ran over —
+    # not a re-derivation (r13 advice): a recipe change can no longer
+    # desynchronize gate and detector.
+    sig = mm._phash_bands_arrow(mm._injected_media(spark, sf))
     cols = [f"b{i}" for i in range(mm._PHASH_BANDS)]
-    a = sig.where(F.col("media_id") >= 1_000_000_000).select(
-        (F.col("media_id") - 1_000_000_000).alias("k"),
+    a = sig.where(F.col("media_id") >= off).select(
+        (F.col("media_id") - off).alias("k"),
         *[F.col(c).alias(f"a_{c}") for c in cols],
     )
-    b = sig.where((F.col("media_id") < 1_000_000_000) & (F.col("media_id") % 10 == 0)).select(
-        F.col("media_id").alias("k"), *cols
-    )
+    b = sig.where(
+        (F.col("media_id") < off) & (F.col("media_id") % mm._PHASH_INJECT_MOD == 0)
+    ).select(F.col("media_id").alias("k"), *cols)
     ham = sum(
         F.bit_count(F.expr(f"cast(a_{c} as bigint) ^ cast({c} as bigint)"))
         for c in cols
@@ -533,14 +530,13 @@ def recall_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
 )
 def recall_sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ end-to-end recall: the refined top-10 must recover >=
-    half of the exact cosine top-10 (measured 6-7/10 at the test SFs
-    — exactly the nprobe=2 ceiling, i.e. the refine step recovers
-    everything quantization would otherwise lose; the shortfall is
-    cell-boundary truncation, the knob recall_sim_topk_ivf_nprobe
-    already curves). Shares that gate's SF-boundedness: at sf0.1 the
-    8-frozen-cell fixture under-provisions the index and overlap
-    tracks the nprobe=2 geometric ceiling (2/10) — see
-    recall_sim_topk_ivf_nprobe's docstring and SCALE.md."""
+    half of the exact cosine top-10. The index serves the same
+    SF-derived geometry as sim_topk_ivf_nprobe (n_cells = max(8,
+    ⌊√N⌋), nprobe = half — r14), so the cell-boundary ceiling holds
+    at every SF instead of decaying past the check SFs; the residual
+    shortfall vs that ceiling is PQ shortlist truncation, which the
+    exact-cosine refine of the top-{R} keeps near zero (see
+    recall_sim_topk_ivf_nprobe for the measured ceiling curve)."""
     from parquet_processor_spark.ops import vector as vec
 
     got = vec.sim_topk_ivfpq(spark, sf).select("vec_id")

@@ -124,8 +124,13 @@ def test_embedding_health_moments(spark):
 
 
 def test_ivf_recall_curve_monotone_and_exhaustive_at_full_probe(spark):
-    rows = {r["nprobe"]: r for r in Q["report_ivf_recall_curve"](spark, SF_SMALL).collect()}
+    rows = {r["probe_num"]: r for r in Q["report_ivf_recall_curve"](spark, SF_SMALL).collect()}
     assert sorted(rows) == [1, 2, 4, 6, 8]
+    # the resolved absolute depths follow the derived geometry:
+    # nprobe = max(2, floor(n_cells * num / 8)) — monotone in num,
+    # full probe covers every cell
+    nprobes = [rows[p]["nprobe"] for p in (1, 2, 4, 6, 8)]
+    assert nprobes == sorted(nprobes) and nprobes[0] >= 2
     overlaps = [rows[p]["n_overlap"] for p in (1, 2, 4, 6, 8)]
     assert overlaps == sorted(overlaps), f"curve not monotone: {overlaps}"
     full = rows[8]
