@@ -44,88 +44,26 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 
 # Harnesses that sample the registry (e.g. a correctness driver that
 # checks the first N entries per round) follow dict order, so order the
-# catalog deliberately. Round 13 window policy, in priority order:
-# (1) queries that have never had a driver CORRECTNESS row — the 14
-# round-12 operators (judge-verified locally in r12, never driver-
-# sampled) and the 6 round-13 operators; (2) scan_parquet (displaced
-# from the r12 window by the chi-square pin); (3) queries whose
-# implementation changed this round (agg_ab_test/agg_ab_power absent-
-# arm conditional aggregation; agg_gini's two-phase global rank);
-# (4) the standing oldest-checked-first rotation — the full 23-query
-# r4-stale remainder (clears r4 entirely; includes
-# error_approx_distinct), plus agg_approx_distinct windowed TOGETHER
-# with its error gate (the rows-only exception re-proves its accuracy
-# in the same window — r12 VERDICT #7), plus the 2 oldest r5-stale
-# rows. New round-13 operators born after this freeze go to the
-# backlog head (r14 window) as in prior rounds. The window contents
+# catalog deliberately. Round 14 window policy, in priority order:
+# (1) the 13 queries born in round 13 after that window froze — the
+# ONLY registered queries with no driver CORRECTNESS row (judge-
+# verified at r13, never driver-sampled); (2) queries whose
+# implementation changed in r13 after the freeze (the radius-aware
+# perceptual recall gate pair; the refactored complete-mode streaming
+# twins); (3) queries whose implementation or oracle changed in round
+# 14 — the SF-derived IVF serving geometry family (cells ∝ √N,
+# fractional nprobe), graph_scc's unrolled FW-BW oracle, and
+# agg_anova's NULLS-FIRST fold pin (agg_levene's twin pin rides its
+# slot-1 row); (4) the standing oldest-checked-first rotation — the
+# first 22 of the 47-query r5-stale remainder (CORRECTNESS_r05
+# order). New round-14 operators born after this freeze go to the
+# backlog head (r15 window) as in prior rounds. The window contents
 # are enforced by an automated assertion
 # (tests/test_harness_safety.py::test_check_priority_window), not by
 # this comment.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # ---- driver 50-slot check window (round 13) ----
-    # 1-14: the round-12 operators — never driver-checked
-    "join_set_similarity_verify",
-    "streaming_trending_topk_update",
-    "agg_mcnemar",
-    "agg_cramers_v",
-    "agg_kendall_tau",
-    "agg_spearman_rho",
-    "feature_quantile_bin",
-    "agg_anova",
-    "sample_kfold",
-    "events_event_study",
-    "recall_join_set_similarity_verify",
-    "agg_tost_equivalence",
-    "eval_retrieval_mrr",
-    "graph_modularity",
-    # 15-20: the round-13 operators — never driver-checked
-    "join_right_outer",
-    "agg_string_agg",
-    "window_cume_dist",
-    "streaming_changepoint_update",
-    "streaming_forecast_update",
-    "streaming_count_min_update",
-    # 21: displaced from the r12 window
-    "scan_parquet",
-    # 22-24: implementation changed this round
-    "agg_ab_test",
-    "agg_ab_power",
-    "agg_gini",
-    # 25-47: the r4-stale remainder (23 queries, CORRECTNESS_r04
-    # order) — clears every r4 row; slot 44 is error_approx_distinct
-    "project_filter_notnull",
-    "fn_string_normalize",
-    "fn_string_firstline",
-    "streaming_tumbling",
-    "streaming_session",
-    "streaming_stream_join",
-    "fn_math",
-    "curation_cap_per_source",
-    "curation_contamination",
-    "curation_pii_scrub",
-    "curation_repetition",
-    "streaming_dedup",
-    "limit_n",
-    "set_except_all",
-    "set_intersect_all",
-    "window_first_last",
-    "recall_sim_topk_lsh",
-    "dedup_connected",
-    "events_funnel",
-    "error_approx_distinct",
-    "sink_sorted_roundtrip",
-    "kmeans_ivf_train",
-    "streaming_static_join",
-    # 48: the rows-only exception, windowed together with its error
-    # gate (slot 44) so the accuracy proof re-runs beside it
-    "agg_approx_distinct",
-    # 49-50: the oldest 2 r5-stale rows (CORRECTNESS_r05 order)
-    "fn_try_arith",
-    "agg_mode",
-    # ---- slots 51+: rotation backlog (r14 window head) ----
-    # First: operators born in round 13 AFTER the window froze (never
-    # driver-checked; covered meanwhile by the sf0.01 oracle-parity
-    # harness + pytest) — appended here as they land this round
+    # ---- driver 50-slot check window (round 14) ----
+    # 1-13: born in r13 post-freeze — never driver-checked
     "agg_levene",
     "agg_proportions_ztest",
     "agg_cochran_q",
@@ -139,18 +77,30 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_cem_att",
     "anonymize_date_shift",
     "report_ivf_recall_curve",
-    # Then: changed in r13 after the freeze — the radius-aware
-    # perceptual recall gate (+ the dedup oracle CTE refactor it rides)
+    # 14-15: changed in r13 post-freeze — the radius-aware perceptual
+    # recall gate (+ the shared injected-media builder it now rides)
     "recall_dedup_perceptual",
     "multimodal_dedup_perceptual",
-    # Then: the complete-mode streaming twins refactored this round
-    # (shared spine builders/serve extracted — output-identical,
-    # locally oracle-verified; first post-refactor driver rows)
+    # 16-18: the complete-mode streaming twins refactored in r13
+    # (shared spine builders/serve — output-identical, locally
+    # oracle-verified; first post-refactor driver rows)
     "streaming_count_min",
     "streaming_changepoint",
     "streaming_forecast",
-    # Then: the r5-stale remainder (CORRECTNESS_r05 order; agg_gini
-    # already holds a changed-code slot above)
+    # 19-28: changed in round 14 — SF-derived IVF serving geometry
+    # (n_cells = max(8, floor(sqrt(N))), nprobe fractional), the
+    # graph_scc oracle rewrite, and the anova fold-order pin
+    "sim_topk_ivf",
+    "sim_topk_ivf_nprobe",
+    "recall_sim_topk_ivf_nprobe",
+    "sim_topk_ivfpq",
+    "recall_sim_topk_ivfpq",
+    "report_ivf_balance",
+    "sink_ann_index_roundtrip",
+    "sink_ann_index_upsert",
+    "graph_scc",
+    "agg_anova",
+    # 29-50: the oldest 22 r5-stale rows (CORRECTNESS_r05 order)
     "agg_corr",
     "quality_unigram_rarity",
     "sim_topk_lsh",
@@ -173,6 +123,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_retention",
     "join_asof_tolerance",
     "scd2_intervals",
+    # ---- slots 51+: rotation backlog (r15 window head) ----
+    # First: operators born in round 14 AFTER the window froze (none
+    # yet — appended here as they land this round), then the r5-stale
+    # remainder (CORRECTNESS_r05 order)
     "join_interval_overlap",
     "profile_columns",
     "feature_zscore",

@@ -53,52 +53,45 @@ def test_check_priority_window():
     # The external harness samples the FIRST 50 registry entries per
     # round; this assertion (not a prose comment — see the r5 advice)
     # pins the queries that must sit inside that window this round:
-    # (a) the 14 round-12 and 6 round-13 operators that have never had
-    # a driver row, (b) scan_parquet (displaced from the r12 window),
-    # (c) the three queries whose implementation changed in round 13
-    # (absent-arm Welch rewrite; two-phase gini rank), (d) the FULL
-    # 23-query r4-stale remainder (clears r4), with
-    # agg_approx_distinct windowed beside its error gate, and the two
-    # oldest r5-stale rows.
+    # (a) the 13 r13-born queries that have never had a driver row,
+    # (b) the 5 queries whose implementation changed in r13 after that
+    # window froze (perceptual gate pair, complete-mode streaming
+    # twins), (c) the 10 queries changed in round 14 (SF-derived IVF
+    # serving geometry family, graph_scc's unrolled oracle, the anova
+    # fold pin), (d) the oldest 22 r5-stale rows.
     from parquet_processor_spark.registry import all_queries
 
     must_check = {
-        # never driver-checked (round-12 wave)
-        "join_set_similarity_verify", "streaming_trending_topk_update",
-        "agg_mcnemar", "agg_cramers_v", "agg_kendall_tau",
-        "agg_spearman_rho", "feature_quantile_bin", "agg_anova",
-        "sample_kfold", "events_event_study",
-        "recall_join_set_similarity_verify", "agg_tost_equivalence",
-        "eval_retrieval_mrr", "graph_modularity",
-        # never driver-checked (round-13 wave)
-        "join_right_outer", "agg_string_agg", "window_cume_dist",
-        "streaming_changepoint_update", "streaming_forecast_update",
-        "streaming_count_min_update",
-        # displaced from the r12 window
-        "scan_parquet",
-        # implementation changed in round 13
-        "agg_ab_test", "agg_ab_power", "agg_gini",
-        # rotation: the full r4-stale remainder
-        "project_filter_notnull", "fn_string_normalize",
-        "fn_string_firstline", "streaming_tumbling", "streaming_session",
-        "streaming_stream_join", "fn_math", "curation_cap_per_source",
-        "curation_contamination", "curation_pii_scrub",
-        "curation_repetition", "streaming_dedup", "limit_n",
-        "set_except_all", "set_intersect_all", "window_first_last",
-        "recall_sim_topk_lsh", "dedup_connected", "events_funnel",
-        "error_approx_distinct", "sink_sorted_roundtrip",
-        "kmeans_ivf_train", "streaming_static_join",
-        # the rows-only exception beside its error gate
-        "agg_approx_distinct",
-        # rotation: the two oldest r5-stale rows
-        "fn_try_arith", "agg_mode",
+        # never driver-checked (round-13 post-freeze wave)
+        "agg_levene", "agg_proportions_ztest", "agg_cochran_q",
+        "split_time_embargo", "graph_degree_assortativity",
+        "events_autocorrelation", "report_embedding_health", "agg_hhi",
+        "agg_trimmed_mean", "feature_time_windows", "events_cem_att",
+        "anonymize_date_shift", "report_ivf_recall_curve",
+        # changed in round 13 post-freeze
+        "recall_dedup_perceptual", "multimodal_dedup_perceptual",
+        "streaming_count_min", "streaming_changepoint",
+        "streaming_forecast",
+        # changed in round 14
+        "sim_topk_ivf", "sim_topk_ivf_nprobe",
+        "recall_sim_topk_ivf_nprobe", "sim_topk_ivfpq",
+        "recall_sim_topk_ivfpq", "report_ivf_balance",
+        "sink_ann_index_roundtrip", "sink_ann_index_upsert",
+        "graph_scc", "agg_anova",
+        # rotation: the oldest 22 r5-stale rows
+        "agg_corr", "quality_unigram_rarity", "sim_topk_lsh",
+        "dedup_keep_best", "dedup_containment", "doc_chunk_windows",
+        "error_approx_quantile", "sessionize_events", "agg_sketch_merge",
+        "quality_tfidf", "vocab_coverage", "streaming_upsert",
+        "graph_pagerank", "tokenize_to_ids", "agg_count_distinct_multi",
+        "agg_histogram", "agg_key_skew", "agg_percentile_disc",
+        "events_anomaly_p99", "events_retention", "join_asof_tolerance",
+        "scd2_intervals",
     }
     assert len(must_check) == 50
     window = set(list(all_queries())[:50])
     outside = sorted(must_check - window)
     assert not outside, f"must-check queries outside the 50-slot window: {outside}"
-    # the window must ALSO pair the rows-only exception with its gate
-    assert {"agg_approx_distinct", "error_approx_distinct"} <= window
 
 
 def test_topk_fixture_vocab_within_sketch_bound(spark):
