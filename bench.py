@@ -452,6 +452,17 @@ def main() -> None:
     calib_end = round(calibration_probe(), 3)
     calib_io_end = round(calibration_probe_io(), 3)
 
+    # Calibration-normalized headline (r13 verdict: the driver machine
+    # ran 25-32% loaded and silently wrote a 1.47x round). The CPU
+    # probe legs are a fixed workload, so their ratio to the committed
+    # fully-idle reference for this box is the session's weather
+    # multiplier; value/calibration_load estimates what an idle session
+    # would have recorded. Emitted in BOTH stdout and BENCH_LOCAL so a
+    # loaded round is visible from the artifact alone — it supplements
+    # the raw value, never replaces it.
+    calib_cpu_ref = 0.284  # builder's fully-idle r13 record: 0.285/0.283 legs
+    calibration_load = round(((calib_start + calib_end) / 2) / calib_cpu_ref, 3)
+
     # Headline per-query number = MEDIAN of the passes (r9 verdict:
     # min-of-2 was too noisy to steer by — a real 1.3x regression was
     # indistinguishable from session weather). The min is kept
@@ -521,6 +532,12 @@ def main() -> None:
         "calibration_end_sec": calib_end,
         "calibration_io_start_sec": calib_io_start,
         "calibration_io_end_sec": calib_io_end,
+        # session weather multiplier (mean CPU probe leg / idle
+        # reference) and the idle-equivalent headline it implies
+        "calibration_load": calibration_load,
+        "value_calibrated": round(total / calibration_load, 3)
+        if calibration_load > 0
+        else total,
         # per-query MIN for exactly the queries whose median exceeds
         # 1.3x baseline (worst 8 by ratio): min-of-passes is the
         # weather-resistant statistic, so a regressed_min at ~1x says

@@ -156,3 +156,101 @@ def pipeline_cost_estimate(spark: SparkSession, sf: str) -> DataFrame:
         "n_manifest bigint, n_canary bigint, n_remaining bigint, "
         "est_segments int, canary_ok boolean",
     )
+
+
+@query(
+    "pipeline_fair_pools",
+    # Both tenants' results are exact relational facts; the oracle
+    # replays them as two plain aggregates. Concurrency and pool
+    # assignment are scheduling behavior SQL cannot restate — they are
+    # pinned by tests/test_pipeline.py::test_fair_pools_* (FAIR mode,
+    # allocation-file weights, light-tenant latency under a saturating
+    # ETL job), the same split as pipeline_cost_estimate's wall-clock
+    # verdict.
+    oracle="""
+    select 'etl' as pool, 'lineitem_rollup' as job,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum(l_quantity) as bigint) as checksum
+    from lineitem
+    union all
+    select 'interactive', 'nation_lookup',
+           cast(count(*) as bigint),
+           cast(sum(n_nationkey) as bigint)
+    from nation
+    order by pool
+    """,
+    tags=("pipeline", "scheduler", "concurrency"),
+)
+def pipeline_fair_pools(spark: SparkSession, sf: str) -> DataFrame:
+    """C3 — multi-tenant CONCURRENT execution through fair-scheduler
+    pools (the engine-native replacement for the reference
+    coordinator's hand-rolled throttle: max-3-running, 30 s polls,
+    batched launches — test_parquet_coordinator.yml:290-356). Two
+    tenants run simultaneously from two threads of one session, each
+    tagging its jobs with the thread-local spark.scheduler.pool
+    property: a bulk `etl` rollup over the fact table and an
+    `interactive` dimension lookup that the fair share keeps fast
+    while the rollup saturates the cluster (pools etl/interactive with
+    weights 1/4, session.py). The returned rows are each tenant's
+    exact result, so the oracle hash-checks that concurrent pooled
+    execution corrupts nothing.
+
+    100 TB shape: this IS the production multi-tenant story — one
+    long-running ETL tenant plus ad-hoc analysts on a shared cluster;
+    weights replace queue position, so analyst latency is bounded by
+    share, not by the ETL job's runtime. The driver-side thread pair
+    is control plane only (two bounded collect()s of 1-row
+    aggregates); all data-plane work is ordinary distributed jobs.
+    """
+    import threading
+
+    from parquet_processor_spark.session import run_in_pool
+
+    results: dict[str, tuple] = {}
+    errors: dict[str, BaseException] = {}
+
+    def etl() -> tuple:
+        [r] = (
+            t(spark, sf, "lineitem")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("l_quantity").cast("long").alias("cs"),
+            )
+            .collect()
+        )  # eager-by-design: 1-row tenant result
+        return (r["n"], r["cs"])
+
+    def interactive() -> tuple:
+        [r] = (
+            t(spark, sf, "nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_nationkey").cast("long").alias("cs"),
+            )
+            .collect()
+        )  # eager-by-design: 1-row tenant result
+        return (r["n"], r["cs"])
+
+    def tenant(pool: str, job: str, fn) -> None:
+        try:
+            results[job] = run_in_pool(spark, pool, fn)
+        except BaseException as ex:  # noqa: BLE001 — re-raised on the caller thread below
+            errors[job] = ex
+
+    threads = [
+        threading.Thread(target=tenant, args=("etl", "lineitem_rollup", etl)),
+        threading.Thread(target=tenant, args=("interactive", "nation_lookup", interactive)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise next(iter(errors.values()))
+    return spark.createDataFrame(
+        [
+            ("etl", "lineitem_rollup", *results["lineitem_rollup"]),
+            ("interactive", "nation_lookup", *results["nation_lookup"]),
+        ],
+        "pool string, job string, n_rows bigint, checksum bigint",
+    )

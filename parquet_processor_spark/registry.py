@@ -124,9 +124,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "scd2_intervals",
     # ---- slots 51+: rotation backlog (r15 window head) ----
-    # First: operators born in round 14 AFTER the window froze (none
-    # yet — appended here as they land this round), then the r5-stale
-    # remainder (CORRECTNESS_r05 order)
+    # First: operators born in round 14 AFTER the window froze (never
+    # driver-checked; covered meanwhile by the sf0.01 oracle-parity
+    # harness + pytest) — appended here as they land this round
+    "pipeline_fair_pools",
+    "streaming_stream_join_outer",
+    # Then: the r5-stale remainder (CORRECTNESS_r05 order)
     "join_interval_overlap",
     "profile_columns",
     "feature_zscore",

@@ -21,6 +21,42 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+# C3: multi-tenant fair scheduling. The reference throttles concurrency
+# by hand (max 3 running, 30 s polls, batched launches —
+# test_parquet_coordinator.yml:290-356); Spark's fair scheduler is the
+# engine-native replacement: concurrent jobs tagged with a pool via the
+# thread-local spark.scheduler.pool property share the cluster by
+# weight instead of queueing FIFO behind a long ETL scan. Two standing
+# pools: `etl` (weight 1 — bulk work) and `interactive` (weight 4,
+# minShare 8 — short queries keep latency while ETL saturates the
+# rest). Pools not named here materialize on demand with defaults, so
+# the file constrains nothing else.
+_FAIR_POOLS_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<allocations>
+  <pool name="etl">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+  <pool name="interactive">
+    <schedulingMode>FAIR</schedulingMode>
+    <weight>4</weight>
+    <minShare>8</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_pools_file() -> str:
+    path = os.path.join(tempfile.gettempdir(), "ppspark_fairscheduler.xml")
+    # atomic-ish: write then rename so a concurrent session never reads
+    # a partial file
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(_FAIR_POOLS_XML)
+    os.replace(tmp, path)
+    return path
+
 
 def get_spark(
     app_name: str = "parquet-processor-spark",
@@ -73,10 +109,30 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # C3: fair scheduling with the standing etl/interactive pools
+        # (see _FAIR_POOLS_XML). Single-query sessions are unaffected
+        # (one pool, one job); concurrent tenants share by weight.
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", _fair_pools_file())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def run_in_pool(spark: SparkSession, pool: str, fn):
+    """C3: run ``fn()`` with this thread's Spark jobs tagged into
+    ``pool``. The spark.scheduler.pool property is THREAD-LOCAL (the
+    canonical multi-tenant pattern: one thread per tenant, each tagging
+    its own jobs), so concurrent callers never clobber each other; the
+    property is always cleared so later work from the same thread falls
+    back to the default pool."""
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        return fn()
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
 
 
 def stop_streams(spark: SparkSession, timeout_sec: float = 30.0) -> int:

@@ -434,6 +434,49 @@ def stream_stream_view_purchase(events: DataFrame, horizon: str = "30 minutes") 
     )
 
 
+def stream_stream_view_purchase_outer(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits — matched to
+    its views within ``horizon`` immediately, or as a NULL-view row
+    once the watermark proves no matching view can still arrive. The
+    null emission is the part the inner variant cannot exercise: an
+    unmatched purchase sits in the join state until the global
+    watermark (min over both sides' per-operator watermarks) passes
+    its eviction bound, and only then emits with nulls — bounded state
+    AND complete output, the contract of a production "orders without
+    views" feed. Purchases newer than the final watermark stay in
+    state un-emitted (no-silent-loss is the oracle's replay — see
+    streaming/queries.py streaming_stream_join_outer)."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}")),
+        "left_outer",
+    ).select(
+        "purchase_event_id", F.col("p_user").alias("user_id"), "purchase_ts", "value",
+        "view_event_id", "view_ts",
+    )
+
+
 def _cdc_reduce(rows: DataFrame) -> DataFrame:
     """Reduce CDC state rows (user_id, n_versions, ts, event_id,
     event_type, value) to one row per user: version counts SUM,

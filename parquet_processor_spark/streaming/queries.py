@@ -792,3 +792,52 @@ def streaming_count_min_update(spark: SparkSession, sf: str) -> DataFrame:
         "ppspark_cmup_",
     )
     return _cms_serve(spark, sf, cells)
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+    with wm as (
+      select least((select max(ts) from events where event_type = 'view'),
+                   (select max(ts) from events where event_type = 'purchase'))
+             - interval 30 minutes as w
+    )
+    select p.event_id as purchase_event_id,
+           p.user_id,
+           p.ts as purchase_ts,
+           p.value,
+           v.event_id as view_event_id,
+           v.ts as view_ts
+    from events p
+    left join events v
+      on p.user_id = v.user_id and v.event_type = 'view'
+     and v.ts <= p.ts and v.ts >= p.ts - interval 30 minutes
+    where p.event_type = 'purchase'
+      and (v.event_id is not null or p.ts <= (select w from wm))
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-expired NULL
+    emission — the one join variant streaming_stream_join doesn't
+    exercise (r13 verdict #7). Matched purchase-view pairs emit as in
+    the inner join; a purchase with NO view in its 30-minute lookback
+    emits exactly once with NULL view columns, and only after the
+    global watermark (min of both sides' per-operator watermarks,
+    Spark's default multipleWatermarkPolicy) proves no matching view
+    can still arrive. Purchases newer than the final watermark are
+    STILL BUFFERED when the availableNow run drains — the oracle
+    replays that boundary exactly: null rows appear iff purchase_ts <=
+    min(max view ts, max purchase ts) - 30 min, so the output is
+    deterministic for a bounded input despite being watermark-driven.
+
+    100 TB shape: identical to the inner variant — state is bounded by
+    the horizon on both sides (the interval condition gives Spark an
+    eviction bound per buffered row), keyed by user_id so the join
+    shuffles only the two event spines; the null emission adds zero
+    state, it IS the eviction path doing double duty as output.
+    """
+    from parquet_processor_spark.streaming.jobs import stream_stream_view_purchase_outer
+
+    events = read_event_stream(spark, f"{sf}/events.parquet")
+    return _run_stream(stream_stream_view_purchase_outer(events), "append")

@@ -159,3 +159,80 @@ def test_cost_estimate_budget_verdict(spark, sf_dir):
     n_remaining = n - min(10, n)
     assert metrics.success
     assert metrics.avg_time * n_remaining < 30.0 * max(n_remaining, 1)
+
+
+def test_fair_pools_mode_and_allocation(spark):
+    # C3: the session schedules FAIR and the standing etl/interactive
+    # pools come from the allocation file with the contracted weights.
+    sc = spark.sparkContext
+    assert spark.conf.get("spark.scheduler.mode") == "FAIR"
+    root = sc._jsc.sc().getPoolForName("interactive")
+    assert root.isDefined(), "interactive pool missing from allocation file"
+    pool = root.get()
+    assert pool.weight() == 4 and pool.minShare() == 8
+    etl = sc._jsc.sc().getPoolForName("etl")
+    assert etl.isDefined() and etl.get().weight() == 1
+
+
+def test_fair_pools_concurrent_results_exact(spark, sf_dir):
+    # The concurrent two-tenant run must produce exactly the tenants'
+    # serial results — pooled scheduling corrupts nothing (the oracle
+    # pins the same rows; this is the in-process witness).
+    from parquet_processor_spark.pipeline.queries import pipeline_fair_pools
+    from parquet_processor_spark.tables import t
+
+    rows = {r["job"]: r for r in pipeline_fair_pools(spark, sf_dir).collect()}
+    li = t(spark, sf_dir, "lineitem")
+    [exp] = li.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").cast("long").alias("cs")
+    ).collect()
+    assert rows["lineitem_rollup"]["pool"] == "etl"
+    assert rows["lineitem_rollup"]["n_rows"] == exp["n"]
+    assert rows["lineitem_rollup"]["checksum"] == exp["cs"]
+    assert rows["nation_lookup"]["pool"] == "interactive"
+    assert rows["nation_lookup"]["n_rows"] == 25
+
+
+def test_fair_pools_interactive_latency_under_etl_load(spark, sf_dir):
+    # The point of the weights: an interactive query stays responsive
+    # WHILE a many-task ETL job saturates the scheduler. The ETL tenant
+    # launches a deliberately wide shuffle job; once it is in flight,
+    # the interactive tenant's small lookup must complete well before
+    # the ETL job finishes (generous 2x margin — this asserts ordering,
+    # not a tight latency SLO, so scheduler jitter cannot flake it).
+    import threading
+    import time
+
+    from parquet_processor_spark.session import run_in_pool
+    from parquet_processor_spark.tables import t
+
+    done = {}
+
+    def etl():
+        df = (
+            t(spark, sf_dir, "lineitem")
+            .repartition(64, "l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .groupBy((F.col("l_orderkey") % 7).alias("b"))
+            .agg(F.sum("q").alias("s"))
+        )
+        run_in_pool(spark, "etl", lambda: df.collect())
+        done["etl"] = time.monotonic()
+
+    th = threading.Thread(target=etl)
+    t0 = time.monotonic()
+    th.start()
+    time.sleep(0.05)  # let the ETL job enter the scheduler first
+    run_in_pool(
+        spark, "interactive", lambda: t(spark, sf_dir, "nation").agg(F.count(F.lit(1))).collect()
+    )
+    t_inter = time.monotonic()
+    th.join()
+    assert "etl" in done
+    # interactive finished before (or at worst marginally after) the
+    # saturating ETL job — FIFO queueing behind all 64+ ETL tasks would
+    # put it strictly after
+    assert t_inter - t0 <= (done["etl"] - t0) + 0.5, (
+        f"interactive {t_inter - t0:.2f}s vs etl {done['etl'] - t0:.2f}s"
+    )

@@ -537,3 +537,68 @@ def test_streaming_update_twins_are_incremental_and_match_batch(
     got = {tuple(r) for r in got_df.collect()}
     want = {tuple(r) for r in batch().collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_outer_join_null_emission(spark, events_dir, tmp_path):
+    # The left-outer variant's contract (r13 verdict growth item):
+    # matched pairs identical to the inner join; unmatched purchases
+    # emit EXACTLY ONCE with null view columns, but only those the
+    # final global watermark (min over both sides - 30 min) released;
+    # newer unmatched purchases stay buffered, never silently null.
+    from parquet_processor_spark.streaming.jobs import (
+        stream_stream_view_purchase,
+        stream_stream_view_purchase_outer,
+    )
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    _run(
+        stream_stream_view_purchase_outer(stream),
+        "ssjo_t",
+        str(tmp_path / "ck_ssjo"),
+        mode="append",
+    )
+    got = spark.table("ssjo_t")
+    matched = got.where(F.col("view_event_id").isNotNull())
+    nulls = got.where(F.col("view_event_id").isNull())
+
+    stream2 = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    _run(stream_stream_view_purchase(stream2), "ssji_t", str(tmp_path / "ck_ssji"), mode="append")
+    inner = spark.table("ssji_t")
+    assert matched.count() == inner.count()
+    assert matched.exceptAll(inner).count() == 0
+
+    ev = t(spark, SF_SMALL, "events")
+    wm = (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(F.expr("m - interval 30 minutes").alias("w"))
+        .collect()[0]["w"]
+    )
+    null_rows = nulls.collect()
+    assert len(null_rows) > 0, "fixture has unmatched purchases; none emitted"
+    # exactly-once per purchase
+    assert len({r["purchase_event_id"] for r in null_rows}) == len(null_rows)
+    # only watermark-released purchases may null-emit
+    assert all(r["purchase_ts"] <= wm for r in null_rows)
+    # and every released unmatched purchase DID emit
+    p = ev.where(F.col("event_type") == "purchase")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    unmatched_released = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("ts"))
+            & (F.col("view_ts") >= F.col("ts") - F.expr("interval 30 minutes")),
+            "left_anti",
+        )
+        .where(F.col("ts") <= F.lit(wm))
+        .count()
+    )
+    assert len(null_rows) == unmatched_released
