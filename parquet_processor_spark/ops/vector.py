@@ -760,6 +760,250 @@ def kmeans_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# N254: IVF serving from TRAINED centroids — kmeans_ivf_train wired
+# into the serving path (the r13 sweep's remedy, completed: r14 first
+# made the geometry SF-derived with seed centroids; this member
+# serves the same derived n_cells/nprobe from Lloyd-TRAINED cells).
+# Hash-exact end to end by the IVFPQ discipline: unit-normalized
+# vectors quantize to exact ints (floor(x * 2^24 + 0.5) — power-of-
+# two scaling is IEEE-exact), Lloyd's per-(cell, dim) sums are
+# order-free bigints, each centroid coordinate is ONE IEEE division,
+# and every distance is a pinned-order left fold — so the DuckDB
+# oracle replays the unrolled training bitwise (the _ivfpq_ctes
+# pattern at 64 dims with a data-derived k).
+_IVF_TRAIN_ITERS = 2
+_IVFPQ_SCALE = float(1 << 24)  # power-of-two: float32 * scale is EXACT (shared with the IVFPQ family below)
+
+
+def _ivf_qvec(e: DataFrame) -> DataFrame:
+    """(vec_id, qv array<long>): unit-normalized embedding quantized
+    to exact integers — the full-width twin of _ivfpq_qsubs."""
+    return _unit(e).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(_IVFPQ_SCALE) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _ivf_qdist(qv, cv):
+    """Pinned-order L2² between a quantized vector and a double
+    centroid: sequential left fold over the zipped dims (both engines
+    fold in index order, so the float total is bit-identical)."""
+    return F.aggregate(
+        F.zip_with(qv, cv, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ivf_assign_q(qv_df: DataFrame, cb: DataFrame) -> DataFrame:
+    """qv_df plus ``cell``: argmin-distance assignment against the
+    broadcast centroid array (assign_cells' map-side shape — the
+    corpus never shuffles for assignment). Ties break to the lowest
+    cid via struct min."""
+    cb_arr = cb.agg(F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _ivf_qdist(F.col("qv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return (
+        qv_df.crossJoin(F.broadcast(cb_arr))
+        .withColumn("_best", best)
+        .select(*qv_df.columns, F.col("_best.cid").alias("cell"))
+    )
+
+
+def _ivf_train_cells(e: DataFrame, params: DataFrame, iters: int = _IVF_TRAIN_ITERS) -> tuple[DataFrame, DataFrame]:
+    """(qv, cb): the quantized corpus and the Lloyd-trained centroid
+    table (cid, cv array<double>) under the derived n_cells geometry.
+    Per round: map-side argmin assignment (broadcast centroids), then
+    the per-(cell, dim) integer-mean update — posexplode to (cell,
+    dim, sum, count) partials map-side combined, re-packed by
+    array_sort; the k-row centroid table is localCheckpointed per
+    round so round N never replays rounds 1..N-1 (kmeans_ivf_train's
+    loop discipline with hash-exact arithmetic)."""
+    qv = _ivf_qvec(e).localCheckpoint(eager=True)  # eager-by-design: read by every Lloyd round + the serve
+    cb = (
+        qv.crossJoin(F.broadcast(params.select("n_cells")))
+        .where(F.col("vec_id").between(F.lit(1), F.col("n_cells")))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("qv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _ivf_assign_q(qv, cb)
+        cb = (
+            assigned.select("cell", F.posexplode("qv").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("i", (F.col("s").cast("double") / F.col("n")).alias("m"))
+                        )
+                    ),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+            .localCheckpoint(eager=True)  # eager-by-design: k-row centroid table per round
+        )
+    return qv, cb
+
+
+def _ivf_trained_oracle() -> str:
+    """Unrolled-Lloyd DuckDB replay of the trained-cell serve (the
+    _ivfpq_ctes pattern at full width): quantize, seed from the
+    derived n_cells, {iters} integer-Lloyd rounds, assign + probe by
+    the same pinned-order distance, exact-cosine rerank."""
+    dim = _COEFF_DIM
+    unorm = (
+        "sqrt(list_reduce(list_prepend(cast(0 as double), "
+        "[cast(x as double) * cast(x as double) for x in embedding]), (acc, v) -> acc + v))"
+    )
+    dist = (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"list_transform(generate_series(1, {dim}), i -> "
+        f"(cast(q.qv[i] as double) - c.cv[i]) * (cast(q.qv[i] as double) - c.cv[i]))), "
+        f"(acc, v) -> acc + v)"
+    )
+    rounds = []
+    prev = "cb0"
+    for r in range(1, _IVF_TRAIN_ITERS + 1):
+        rounds.append(f"""
+    a{r} as materialized (
+      select vec_id, qv, cid as cell from (
+        select q.vec_id, q.qv, c.cid,
+               row_number() over (partition by q.vec_id
+                                  order by {dist}, c.cid) as rn
+        from qvec q join {prev} c on true
+      ) where rn = 1
+    ),
+    cbu{r} as (
+      select cell, i, cast(sum(qv[i]) as double) / count(*) as m
+      from a{r}, generate_series(1, {dim}) t(i)
+      group by cell, i
+    ),
+    cb{r} as materialized (
+      select cell as cid, list(m order by i) as cv from cbu{r} group by cell
+    )""")
+        prev = f"cb{r}"
+    return f"""
+    with {_ivf_geom_sql()},
+    u as materialized (
+      select vec_id,
+             [cast(cast(x as double) / {unorm} as real) for x in embedding] as embedding
+      from embeddings
+    ),
+    qvec as materialized (
+      select vec_id,
+             [cast(floor(cast(x as double) * {_IVFPQ_SCALE!r} + 0.5) as bigint)
+              for x in embedding] as qv
+      from u
+    ),
+    cb0 as materialized (
+      select q.vec_id as cid, [cast(x as double) for x in q.qv] as cv
+      from qvec q, ivfp where q.vec_id between 1 and ivfp.n_cells
+    ),
+    {",".join(rounds)},
+    assign as materialized (
+      select vec_id, cid as cell from (
+        select q.vec_id, c.cid,
+               row_number() over (partition by q.vec_id
+                                  order by {dist}, c.cid) as rn
+        from qvec q join {prev} c on true
+      ) where rn = 1
+    ),
+    probe as (
+      select cell as q_cell from (
+        select q.vec_id, c.cid as cell,
+               row_number() over (order by {dist}, c.cid) as rn
+        from (select * from qvec where vec_id = 0) q join {prev} c on true
+      ), ivfp where rn <= ivfp.nprobe
+    )
+    select b.vec_id, cast(b.cell as bigint) as cell, {_cos_sql('a', 'b')} as cos_sim
+    from (select embedding from u where vec_id = 0) a
+    cross join (select s.vec_id, u.embedding, s.cell
+                from assign s join probe p on s.cell = p.q_cell
+                join u on u.vec_id = s.vec_id) b
+    where b.vec_id <> 0
+    order by cos_sim desc, b.vec_id
+    limit 10
+    """
+
+
+@query(
+    "sim_topk_ivf_trained",
+    oracle=_ivf_trained_oracle(),
+    tags=("vector", "ivf", "iterative"),
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN served from Lloyd-TRAINED centroids at the derived
+    geometry (n_cells = max(8, ⌊√N⌋) seeds, {iters} integer-Lloyd
+    rounds, nprobe = half the cells) — kmeans_ivf_train's training
+    loop wired into an actual hash-checked serve. The probe ranking
+    and cell assignment use the same pinned-order quantized distance
+    the training used; the rerank is exact cosine over the candidate
+    set. Both engines replay the identical unrolled training, so the
+    top-10 hash-matches bitwise despite two rounds of float centroid
+    updates.
+
+    100 TB shape: training is kmeans_ivf_train's canonical loop
+    (broadcast centroids, map-side argmin, per-(cell, dim) integer
+    partials map-side combined — the corpus never shuffles); serving
+    is sim_topk_ivf_nprobe's plan against the trained table. Rounds
+    are a scheduled offline cost; the serve touches nprobe/n_cells of
+    the corpus per query. `recall_sim_topk_ivf_trained` is the
+    measured-recall twin.
+    """
+    e = t(spark, sf, "embeddings")
+    params = _ivf_params(e)
+    qv, cb = _ivf_train_cells(e.select("vec_id", "embedding"), params)
+    assigned = _ivf_assign_q(qv, cb).select("vec_id", "cell")
+    from pyspark.sql import Window
+
+    # probe = the query's top-nprobe TRAINED cells by the same
+    # quantized distance (n_cells-row control table, bounded window)
+    cb_scored = (
+        qv.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cb))
+        .select(F.col("cid").alias("q_cell"), _ivf_qdist(F.col("qv"), F.col("cv")).alias("d"))
+    )
+    w = Window.orderBy(F.asc("d"), F.asc("q_cell"))
+    probe = (
+        cb_scored.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(params.select("nprobe")))
+        .where(F.col("rn") <= F.col("nprobe"))
+        .select("q_cell")
+    )
+    u = _unit(e.select("vec_id", "embedding"))
+    q_emb = u.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
+    cand = (
+        assigned.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), F.col("cell") == F.col("q_cell"))
+        .join(u, "vec_id")
+    )
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        cand.crossJoin(F.broadcast(q_emb))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cell", F.col("cos_raw").alias("cos_sim"))
+    )
+
+
 # N3c: scalar (uint8) quantization of the embedding column — the
 # vector-compression step an ANN system applies before indexing at
 # scale (a 64-d float32 corpus shrinks 4x; IVF/LSH probes then scan
@@ -1018,7 +1262,6 @@ _IVFPQ_K = 32      # 5 bits/subspace -> 80-bit codes (25x vs floats)
 _IVFPQ_R = 50      # ADC shortlist size the refine step reranks
 _IVFPQ_ITERS = 2   # Lloyd rounds (matches _PQ_ITERS)
 _IVFPQ_SUBDIM = 4  # 64 / _IVFPQ_M
-_IVFPQ_SCALE = float(1 << 24)  # power-of-two: float32 * scale is EXACT
 
 
 def _unit(e: DataFrame) -> DataFrame:

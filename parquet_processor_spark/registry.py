@@ -129,6 +129,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # harness + pytest) — appended here as they land this round
     "pipeline_fair_pools",
     "streaming_stream_join_outer",
+    "sim_topk_ivf_trained",
+    "recall_sim_topk_ivf_trained",
     # Then: the r5-stale remainder (CORRECTNESS_r05 order)
     "join_interval_overlap",
     "profile_columns",

@@ -817,7 +817,9 @@ def test_verbatim_spans_windows_keyed_no_cartesian(spark):
         assert not re.search(r"\btext\b|\bws\b", b), f"raw text crosses a shuffle:\n{b}"
 
 
-@pytest.mark.parametrize("name", ["sim_topk_ivf", "sim_topk_ivfpq", "kmeans_ivf_train"])
+@pytest.mark.parametrize(
+    "name", ["sim_topk_ivf", "sim_topk_ivfpq", "kmeans_ivf_train", "sim_topk_ivf_trained"]
+)
 def test_ivf_cell_assignment_is_map_side(spark, name):
     # assign_cells claim (r7): cell assignment is a per-row argmax over
     # the broadcast centroid array — the embedding floats never cross a
