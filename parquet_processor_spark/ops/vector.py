@@ -3613,3 +3613,63 @@ def report_ivf_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# N255: the serving DECISION the curve exists for — the smallest probe
+# depth whose measured recall clears the target, as an oracle row. A
+# serving team runs the curve per corpus and then picks a knob; this
+# pins the pick itself (and whether the standing _IVF_SERVE_NUM
+# satisfies the target on THIS corpus) so a re-shaped corpus flips the
+# driver row, not a dashboard nobody reads.
+_IVF_TARGET_RECALL_10 = 7  # >= 7 of the brute top-10
+
+
+@query(
+    "report_ivf_operating_point",
+    oracle=f"""
+    with curve as ({{curve}}),
+    pick as (
+      select min(probe_num) as probe_num from curve
+      where n_overlap >= least({_IVF_TARGET_RECALL_10}, n_brute)
+    )
+    select cast({_IVF_TARGET_RECALL_10} as int) as target_overlap,
+           cast(pick.probe_num as int) as probe_num,
+           cast(c.nprobe as bigint) as nprobe,
+           c.n_brute, c.n_overlap,
+           pick.probe_num <= {_IVF_SERVE_NUM} as served_depth_ok
+    from pick join curve c on c.probe_num = pick.probe_num
+    """.format(curve=_ivf_curve_oracle()),
+    tags=("vector", "ivf", "report", "evidence"),
+)
+def report_ivf_operating_point(spark: SparkSession, sf: str) -> DataFrame:
+    """The operating-point pick off report_ivf_recall_curve: the
+    smallest probe depth (eighths numerator) whose measured brute-
+    force overlap reaches min({target}, n_brute) — the min() keeps an
+    under-10-result corpus from making the target unreachable — plus
+    whether the standing served depth (num={served}) satisfies the
+    target on this corpus. Monotone curve => the pick is the exact
+    knee, and full probe always qualifies, so the pick exists for any
+    non-empty corpus.
+
+    100 TB shape: the curve's arms (each cost ∝ its probed fraction)
+    dominate; the pick is a 5-row aggregate. Run after re-index or
+    drift: served_depth_ok flipping false IS the re-tune alarm.
+    """.format(target=_IVF_TARGET_RECALL_10, served=_IVF_SERVE_NUM)
+    curve = report_ivf_recall_curve(spark, sf).localCheckpoint(
+        eager=True
+    )  # eager-by-design: 5-row curve read by pick + join
+    pick = curve.where(
+        F.col("n_overlap")
+        >= F.least(F.lit(_IVF_TARGET_RECALL_10), F.col("n_brute"))
+    ).agg(F.min("probe_num").alias("pn"))
+    return (
+        curve.join(F.broadcast(pick), F.col("probe_num") == F.col("pn"))
+        .select(
+            F.lit(_IVF_TARGET_RECALL_10).cast("int").alias("target_overlap"),
+            F.col("probe_num").cast("int").alias("probe_num"),
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_brute",
+            "n_overlap",
+            (F.col("probe_num") <= F.lit(_IVF_SERVE_NUM)).alias("served_depth_ok"),
+        )
+    )

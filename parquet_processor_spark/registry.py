@@ -131,6 +131,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "streaming_stream_join_outer",
     "sim_topk_ivf_trained",
     "recall_sim_topk_ivf_trained",
+    "report_ivf_operating_point",
     # Then: the r5-stale remainder (CORRECTNESS_r05 order)
     "join_interval_overlap",
     "profile_columns",

@@ -580,3 +580,10 @@ def test_date_shift_empty_input(spark, empty_sf):
 def test_ivf_curve_empty_input(spark, empty_sf):
     rows = all_queries()["report_ivf_recall_curve"](spark, empty_sf).collect()
     assert len(rows) == 5 and all(r["n_brute"] == 0 and r["n_overlap"] == 0 for r in rows)
+
+
+def test_ivf_operating_point_empty_input(spark, empty_sf):
+    # target = least(7, n_brute) = 0 on an empty corpus, so the
+    # shallowest arm qualifies — the pick DEGRADES, never errors
+    [r] = all_queries()["report_ivf_operating_point"](spark, empty_sf).collect()
+    assert r["probe_num"] == 1 and r["n_brute"] == 0
