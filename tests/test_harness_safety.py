@@ -258,6 +258,7 @@ def test_hardcoded_true_oracle_columns_are_all_data_derived_tripwires():
         "recall_dedup_connected_lsh": {"agree_ok"},
         "recall_dedup_incremental_minhash": {"recall_ok"},
         "recall_sim_topk_ivf_nprobe": {"overlap_ok"},
+        "recall_sim_topk_ivf_trained": {"overlap_ok"},
         "error_minhash_estimate": {"mae_ok", "max_err_ok"},
         "error_approx_topk": {"topk_valid"},
         "recall_dedup_perceptual": {"recall_ok"},
