@@ -716,7 +716,7 @@ def curation_contamination_semantic(spark: SparkSession, sf: str) -> DataFrame:
     (bitwise identical both engines); max over identical IEEE doubles
     and the exact hit count follow.
     """
-    from parquet_processor_spark.ops.vector import dot, norm
+    from parquet_processor_spark.ops.vector import norm, pair_cos_arrow
 
     e = t(spark, sf, "embeddings")
     bench = (
@@ -730,7 +730,8 @@ def curation_contamination_semantic(spark: SparkSession, sf: str) -> DataFrame:
     corpus = e.where(F.col("vec_id") % 50 != 0).select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nc")
     )
-    cos = dot(F.col("embedding"), F.col("b_emb")) / (F.col("nc") * F.col("nb"))
+    # r14: Arrow pair scoring (guide §4.2; bit-exact — pair_cos_arrow)
+    cos = pair_cos_arrow()(F.col("embedding"), F.col("b_emb"), F.col("nc"), F.col("nb"))
     return (
         corpus.crossJoin(F.broadcast(bench))
         .select("vec_id", cos.alias("cos"))

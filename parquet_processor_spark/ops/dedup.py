@@ -726,18 +726,20 @@ _EMB_TAU = 0.18
     tags=("dedup", "vector"),
 )
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    from parquet_processor_spark.ops.vector import dot, norm
+    from parquet_processor_spark.ops.vector import norm, pair_cos_arrow
 
     e = t(spark, sf, "embeddings")
     # Per-vector norms computed on each join SIDE (once per vector),
     # not per pair — dot/(na*nb) is cosine()'s exact expression tree,
     # so the oracle (which spells all three folds per pair) still
     # hash-matches while the block join evaluates one fold per pair.
+    # r14: the per-pair dot fold runs in the Arrow kernel (guide §4.2;
+    # bit-exact by the pair_cos_arrow contract).
     sided = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     a = sided.alias("a")
     b = sided.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    cos = pair_cos_arrow()(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
     )
     pairs = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -839,7 +841,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # the norm is the identical sqrt-of-fold over the identical
     # array, just evaluated earlier, and dot/(na*nb) is the same
     # expression tree.
-    from parquet_processor_spark.ops.vector import dot, norm
+    from parquet_processor_spark.ops.vector import norm, pair_cos_arrow
 
     emb_a = e.select(
         F.col("vec_id").alias("ida"),
@@ -851,7 +853,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         norm(F.col("embedding")).alias("nb"),
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+    # r14: Arrow pair scoring (guide §4.2; bit-exact — pair_cos_arrow)
+    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
     pairs = (
         cand.join(emb_a, F.col("keep_cand") == F.col("ida"))
         .join(emb_b, F.col("dup") == F.col("idb"))

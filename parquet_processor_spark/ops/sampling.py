@@ -893,15 +893,23 @@ def sample_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from parquet_processor_spark.ops.vector import cosine
+    from parquet_processor_spark.ops.vector import norm, pair_cos_arrow
 
     e = t(spark, sf, "embeddings")
+    # r14: norms once per side + Arrow pair scoring (guide §4.2; the
+    # previous cosine() re-evaluated three interpreted folds per
+    # (anchor, candidate) pair). Bit-exact by the pair_cos_arrow
+    # contract — dot/(ne*na) is cosine()'s exact expression tree with
+    # the norms evaluated once per row instead of once per pair.
     anchors = e.where(F.col("vec_id") < _HARDNEG_Q).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("a_emb"),
+        norm(F.col("embedding")).alias("na"),
     )
-    base = e.where(F.col("vec_id") >= _HARDNEG_Q).select("vec_id", "label", "embedding")
+    base = e.where(F.col("vec_id") >= _HARDNEG_Q).select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("ne")
+    )
     scored = (
         base.crossJoin(F.broadcast(anchors))
         .where(F.col("label") != F.col("anchor_label"))
@@ -910,7 +918,9 @@ def sample_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
             "anchor_label",
             "vec_id",
             "label",
-            cosine(F.col("embedding"), F.col("a_emb")).alias("cos_sim"),
+            pair_cos_arrow()(
+                F.col("embedding"), F.col("a_emb"), F.col("ne"), F.col("na")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

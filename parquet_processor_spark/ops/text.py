@@ -1708,7 +1708,7 @@ def search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from parquet_processor_spark.ops.vector import dot, norm
+    from parquet_processor_spark.ops.vector import norm, pair_cos_arrow
 
     w = _bm25_weights(spark, sf).where(F.col("doc_id") != 0)
     tsum = None
@@ -1725,12 +1725,19 @@ def search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "text_rank")
     )
     e = t(spark, sf, "embeddings")
-    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")).limit(1)
-    cos = dot(F.col("embedding"), F.col("q_emb")) / (
-        norm(F.col("embedding")) * norm(F.col("q_emb"))
+    # r14: norms once per side + Arrow pair scoring (guide §4.2; the
+    # previous shape re-evaluated three interpreted folds per row —
+    # norm(q_emb) included — for every corpus vector). Bit-exact by
+    # the pair_cos_arrow contract.
+    q_emb = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q_emb"), norm(F.col("embedding")).alias("nq"))
+        .limit(1)
     )
+    cos = pair_cos_arrow()(F.col("embedding"), F.col("q_emb"), F.col("ne"), F.col("nq"))
     vscore = (
         e.where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("ne"))
         .crossJoin(F.broadcast(q_emb))
         .select(F.col("vec_id").alias("v_doc"), cos.alias("cos_sim"))
     )

@@ -59,45 +59,80 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Map-side IVF cell assignment: collapse the (cid, c_emb) centroid
-    table to ONE broadcast array row, then pick each vector's best cell
-    with a per-row struct argmax — pure codegen arithmetic beside the
-    scan, zero shuffle.
+    """Map-side IVF cell assignment: collect the (cid, c_emb) centroid
+    table once (bounded control state — sqrt(N) rows by the derived
+    geometry), broadcast it to the executors inside an Arrow kernel's
+    closure, and pick each vector's best cell with a per-batch NumPy
+    argmax — one ArrowEvalPython pass beside the scan, zero shuffle.
+
+    r14 optimization (guide §4.2, the pair_cos_arrow precedent): the
+    previous shape evaluated three interpreted higher-order folds per
+    (row, centroid) — dot + both norms via zip_with/aggregate — which
+    at the SF-derived cell count (n_cells = √N) cost ~3.1 s at sf0.1
+    vs 0.30 s for this kernel (measured; plans/r14). Bit-exactness is
+    preserved because np.cumsum accumulates left-to-right exactly like
+    the sequential fold (float32→float64 casts are exact, norms are
+    the same sqrt-of-fold, the cosine is the same one-IEEE-division of
+    dot/(na*nc)), np.argmax resolves ties — and NaNs — to the lowest
+    centroid id exactly like the previous (s, -cid) struct max, and
+    the bitwise equality of every (cell, best_cos) against the old
+    expression tree is pinned by tests/test_dedup_vector.py.
 
     The naive shape (crossJoin + groupBy + max_by) funnels the FULL
     float vectors through an Exchange just to pick a winner — at 100 TB
     that is a corpus-wide shuffle of the widest column for what is
     per-row arithmetic (FAISS assigns cells map-side for the same
-    reason). Ties are impossible (the -cid tiebreak field is distinct
-    per centroid) and struct max is order-independent, so the
-    collect_list order doesn't matter. The cosine expression is
-    evaluated per (row, centroid) exactly as in the aggregate form, so
-    results are bit-identical.
+    reason, with exactly this broadcast-centroid layout).
 
     Returns e's columns plus ``cell`` (winning centroid id) and
     ``best_cos`` (its cosine score).
     """
-    cent_arr = cent.agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("c_emb"))).alias("_cents")
+    rows = cent.select("cid", "c_emb").collect()  # eager-by-design:
+    # n_cells = sqrt(N) control rows — the same mass the previous
+    # shape collapsed into a single broadcast array row
+    rows.sort(key=lambda r: r["cid"])  # argmax-first-hit == lowest cid
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = (
+        np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 0), dtype=np.float64)
     )
-    scored = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                cosine(F.col("embedding"), c["c_emb"]).alias("s"),
-                (-c["cid"]).cast("double").alias("t"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    # centroid norms once per centroid: sqrt of the same left fold
+    ncs = (
+        np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+        if len(rows)
+        else np.zeros(0, dtype=np.float64)
     )
-    return (
-        e.crossJoin(F.broadcast(cent_arr))
-        .withColumn("_best", scored)
-        .select(
-            *e.columns,
-            F.col("_best.cid").alias("cell"),
-            F.col("_best.s").alias("best_cos"),
-        )
+
+    @F.pandas_udf("cell bigint, best_cos double")
+    def _best(emb: pd.Series) -> pd.DataFrame:
+        n = len(emb)
+        mask = np.array([v is not None for v in emb], dtype=bool)
+        if n == 0 or len(cids) == 0 or not mask.any():
+            none = pd.Series([None] * n, dtype="object")
+            return pd.DataFrame({"cell": none, "best_cos": none})
+        emat = np.stack([np.asarray(v, dtype=np.float64) for v in emb[mask]])
+        na = np.sqrt(np.cumsum(emat * emat, axis=1)[:, -1])
+        scores = np.empty((emat.shape[0], len(cids)), dtype=np.float64)
+        for j in range(len(cids)):
+            scores[:, j] = np.cumsum(emat * cmat[j], axis=1)[:, -1] / (na * ncs[j])
+        idx = np.argmax(scores, axis=1)  # ties and NaNs -> first hit == lowest cid
+        if mask.all():
+            return pd.DataFrame(
+                {"cell": cids[idx], "best_cos": scores[np.arange(len(idx)), idx]}
+            )
+        # null embeddings score null (the previous struct-max emitted
+        # null for a null cosine); non-null rows keep their argmax
+        cell = pd.Series([None] * n, dtype="object")
+        best = pd.Series([None] * n, dtype="object")
+        cell[mask] = list(cids[idx])
+        best[mask] = list(scores[np.arange(len(idx)), idx])
+        return pd.DataFrame({"cell": cell, "best_cos": best})
+
+    return e.withColumn("_best", _best(F.col("embedding"))).select(
+        *e.columns,
+        F.col("_best.cell").alias("cell"),
+        F.col("_best.best_cos").alias("best_cos"),
     )
 
 
@@ -2370,11 +2405,18 @@ def sim_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf, "embeddings")
+    # r14: norms once per side + Arrow pair scoring (guide §4.2;
+    # bit-exact — pair_cos_arrow: dot/(ne*nq) is cosine()'s exact
+    # expression tree with the norms hoisted off the pair loop)
     q = e.where(F.col("vec_id") < _BATCH_Q).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("nq"),
     )
-    base = e.where(F.col("vec_id") >= _BATCH_Q).select("vec_id", "embedding")
-    cos = cosine(F.col("embedding"), F.col("q_emb"))
+    base = e.where(F.col("vec_id") >= _BATCH_Q).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("ne")
+    )
+    cos = pair_cos_arrow()(F.col("embedding"), F.col("q_emb"), F.col("ne"), F.col("nq"))
     scored = base.crossJoin(F.broadcast(q)).select(
         "q_id", "vec_id", cos.alias("cos_sim")
     )
@@ -2661,7 +2703,11 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         norm(F.col("embedding")).alias("nb"),
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+    # r14: pair scoring through the Arrow kernel (guide §4.2) — the
+    # interpreted dot fold cost ~30 us/pair over the banded candidate
+    # set; bit-exact by the pair_cos_arrow contract (np.cumsum left
+    # fold, one IEEE division, pinned by test_dedup_vector.py)
+    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
     scored_und = (
         cand.join(emb_a, F.col("lo") == F.col("_ia"))
         .join(emb_b, F.col("hi") == F.col("_ib"))
@@ -3273,7 +3319,8 @@ def mine_bitext_mutual(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("idb"), F.col("embedding").alias("emb_b"),
         norm(F.col("embedding")).alias("nb"),
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+    # r14: Arrow pair scoring (guide §4.2; bit-exact — pair_cos_arrow)
+    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
     scored = (
         cand.join(ea, F.col("src_id") == F.col("ida"))
         .join(eb, F.col("tgt_id") == F.col("idb"))
@@ -3596,9 +3643,73 @@ def report_ivf_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     # brute-force scan (r13 advice)
     brute = sim_topk(spark, sf).select("vec_id").localCheckpoint(eager=True)
     e = t(spark, sf, "embeddings")
+    # r14 optimization (guide §2.4 — remove duplicated subtrees): the
+    # arms differ ONLY in probe depth, so the corpus assignment, the
+    # query's ranked centroid scores, and the per-depth nprobe values
+    # are computed ONCE and every arm rides them. The previous shape
+    # called _ivf_topk_nprobe per arm — 5 independent re-derivations of
+    # centroids + assignment (measured 5.9 s vs 2.4 s at sf0.1). The
+    # materialized frames are the index itself ((vec_id, cell) longs —
+    # what a serving fleet keeps at rest) and two control tables.
+    from pyspark.sql import Window
+
+    nagg = (
+        e.agg(
+            F.greatest(
+                F.lit(_IVF_MIN_CELLS).cast("long"),
+                F.floor(F.sqrt(F.count(F.lit(1)))).cast("long"),
+            ).alias("n_cells")
+        ).localCheckpoint(eager=True)  # eager-by-design: 1 geometry row, read by every arm
+    )
+
+    def _nprobe_of(num: int) -> DataFrame:
+        return nagg.select(
+            F.greatest(
+                F.lit(_IVF_MIN_NPROBE).cast("long"),
+                F.floor(F.col("n_cells") * num / 8.0).cast("long"),
+            ).alias("nprobe")
+        )
+
+    cent = _ivf_centroids(e, nagg)
+    assign = (
+        assign_cells(e, cent)
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)  # eager-by-design: 5 arms read it
+    )
+    cell_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    w = Window.orderBy(F.desc("s"), F.asc("q_cell"))
+    scored = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(F.col("cid").alias("q_cell"), cell_cos.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("q_cell", "rn")
+        .localCheckpoint(eager=True)  # eager-by-design: n_cells control rows
+    )
+    q_emb = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q_emb"))
+        .limit(1)
+        .localCheckpoint(eager=True)  # eager-by-design: 1 control row
+    )
+    cos = cosine(F.col("embedding"), F.col("q_emb"))
     out = None
     for p in _IVF_CURVE_NUMS:
-        got = _ivf_topk_nprobe(spark, sf, p).select(F.col("vec_id").alias("a_id"))
+        probe = (
+            scored.crossJoin(F.broadcast(_nprobe_of(p)))
+            .where(F.col("rn") <= F.col("nprobe"))
+            .select("q_cell")
+        )
+        got = (
+            assign.where(F.col("vec_id") != 0)
+            .join(F.broadcast(probe), F.col("cell") == F.col("q_cell"))
+            .join(e.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(q_emb))
+            .select("vec_id", cos.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(10)
+            .select(F.col("vec_id").alias("a_id"))
+        )
         arm = (
             brute.join(got, F.col("vec_id") == F.col("a_id"), "left")
             .agg(
@@ -3608,7 +3719,7 @@ def report_ivf_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("long")
                 .alias("n_overlap"),
             )
-            .crossJoin(F.broadcast(_ivf_params(e, p).select("nprobe")))
+            .crossJoin(F.broadcast(_nprobe_of(p)))
             .select("probe_num", "nprobe", "n_brute", "n_overlap")
         )
         out = arm if out is None else out.unionByName(arm)

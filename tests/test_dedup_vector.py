@@ -699,6 +699,63 @@ def test_ivf_balance_report_is_a_true_histogram(spark, sf_dir):
     assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-12
 
 
+def test_assign_cells_arrow_bit_exact_with_jvm_argmax(spark, sf_dir):
+    # r14: assign_cells moved from the interpreted (s, -cid) struct-max
+    # over higher-order folds to a NumPy argmax kernel (guide §4.2).
+    # This pins bitwise equality of every (cell, best_cos) against the
+    # previous expression tree at the derived IVF geometry — the same
+    # guard pair_cos_arrow carries for the pair-scoring path.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.vector import (
+        _ivf_centroids,
+        _ivf_params,
+        assign_cells,
+        cosine,
+    )
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(e, _ivf_params(e))
+    new = {
+        r["vec_id"]: (r["cell"], r["best_cos"])
+        for r in assign_cells(e, cent).select("vec_id", "cell", "best_cos").collect()
+    }
+    # the pre-r14 expression tree, verbatim
+    cent_arr = cent.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("c_emb"))).alias("_cents")
+    )
+    scored = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c["c_emb"]).alias("s"),
+                (-c["cid"]).cast("double").alias("t"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    old = {
+        r["vec_id"]: (r["cell"], r["best_cos"])
+        for r in e.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", scored)
+        .select(
+            "vec_id", F.col("_best.cid").alias("cell"), F.col("_best.s").alias("best_cos")
+        )
+        .collect()
+    }
+    assert set(new) == set(old) and len(new) >= 500
+    for vid, (cell, cos) in new.items():
+        ocell, ocos = old[vid]
+        assert cell == ocell, (vid, cell, ocell)
+        assert np.float64(cos).view(np.int64) == np.float64(ocos).view(np.int64), (
+            vid,
+            cos,
+            ocos,
+        )
+
+
 def test_numpy_cumsum_is_still_a_sequential_left_fold():
     # pair_cos_arrow's cross-engine bit-exactness rests on np.cumsum
     # accumulating strictly left-to-right (NumPy does not formally pin

@@ -1095,7 +1095,9 @@ def test_knn_graph_topk_is_window_group_limit(spark):
     # ONE ArrowEvalPython pass, and no cartesian pairing forms.
     plan = plan_of(spark, "sim_knn_graph")
     assert "WindowGroupLimit" in plan, plan
-    assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
+    # r14: TWO Arrow passes — band keys + the pair-cosine kernel
+    # (pair_cos_arrow replaced the interpreted dot fold, guide §4.2)
+    assert plan.count("ArrowEvalPython") <= 4, plan  # tree + detail of TWO passes
     assert "CartesianProduct" not in plan, plan
     # hot-bucket cap pruned via broadcast anti-join (capped_band_postings)
     assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
@@ -1171,7 +1173,9 @@ def test_bitext_mutual_capped_window_no_cartesian(spark):
     # posting-list aggregate), and no cartesian forms anywhere (the
     # cross-lang pairing streams out of posting-list generators).
     plan = plan_of(spark, "mine_bitext_mutual")
-    assert plan.count("ArrowEvalPython") <= 2, plan  # tree + detail of ONE pass
+    # r14: TWO Arrow passes — band keys + the pair-cosine kernel
+    # (pair_cos_arrow replaced the interpreted dot fold, guide §4.2)
+    assert plan.count("ArrowEvalPython") <= 4, plan  # tree + detail of TWO passes
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
 
