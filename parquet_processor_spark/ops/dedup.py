@@ -2401,9 +2401,21 @@ def join_set_similarity(spark: SparkSession, sf: str) -> DataFrame:
     """.format(num=_SETSIM_NUM, den=_SETSIM_DEN)
     from pyspark.sql import Window
 
+    # r14 (guide §2.4 — remove duplicated subtrees): the shingle-hash
+    # relation feeds FIVE consumers (sizes, the df statistic, the
+    # ranked prefix, and both sides of the intersection count); the
+    # unshared subtree re-ran the split + md5 pass per consumer
+    # (~0.4 s each at sf0.1). Materialize it once, spread across the
+    # cores (the check-SF parquet is one row group, which would pin
+    # every downstream consumer to one task), and hash-key the spread
+    # by doc_id so the per-doc aggregate and the prefix window reuse
+    # the partitioning. At 100 TB this is the inverted index every
+    # prefix-filter system materializes before probing.
     sh = (
         split_words(spark, sf)
         .select("doc_id", F.explode_outer(shingle_hashes_md5()).alias("h"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
@@ -2527,8 +2539,14 @@ def join_set_similarity_verify(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = split_words(spark, sf).select(
-        "doc_id", F.explode_outer(shingle_hashes_md5()).alias("h")
+    # r14: one materialized, core-spread shingle relation for the three
+    # consumers (sizes + both intersection sides) — see
+    # join_set_similarity for the rationale
+    sh = (
+        split_words(spark, sf)
+        .select("doc_id", F.explode_outer(shingle_hashes_md5()).alias("h"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     common = (

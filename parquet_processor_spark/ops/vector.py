@@ -3478,7 +3478,16 @@ def eval_retrieval_mrr(spark: SparkSession, sf: str) -> DataFrame:
     over exact integers (sixtieths), so the floats are two divisions
     — bitwise cross-engine regardless of partitioning.
     """.format(k=_KNN_K)
-    g = sim_knn_graph(spark, sf).select("src", "dst", "rank")
+    # r14 (guide §2.4 — duplicated subtrees): the K-rows-per-vector
+    # graph feeds BOTH the relevance join and the n_queries count;
+    # unshared, the whole banded-LSH + pair-score + top-K subtree
+    # executed twice (plan showed 4 WindowGroupLimit nodes). Bounded:
+    # K rows per vector.
+    g = (
+        sim_knn_graph(spark, sf)
+        .select("src", "dst", "rank")
+        .localCheckpoint(eager=True)
+    )
     lab = t(spark, sf, "embeddings").select("vec_id", "label")
     rel = (
         g.join(lab.select(F.col("vec_id").alias("src"), F.col("label").alias("ls")), "src")
