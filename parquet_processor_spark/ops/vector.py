@@ -1346,13 +1346,54 @@ def _det_l2sq(qp: str, cp: str) -> F.Column:
 
 
 def _ivfpq_assign_det(subsq: DataFrame, cb: DataFrame) -> DataFrame:
-    """Per (vec_id, m): argmin-L2 code, ties to the lowest cid."""
-    d2 = _det_l2sq("q", "c")
-    return (
-        subsq.join(F.broadcast(cb), "m")
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct(d2.alias("d"), F.col("cid").alias("cid"))).alias("best"))
-        .select("vec_id", "m", F.col("best.cid").alias("cell"))
+    """Per (vec_id, m): argmin-L2 code, ties to the lowest cid.
+
+    r14 (guide §4.2, the assign_cells pattern): the codebook is
+    BOUNDED control state (M*K rows — a constant of the index format),
+    so it collects once and rides the Arrow kernel's closure; each
+    batch computes the K distances per row in NumPy and argmins. The
+    previous shape was a broadcast join + (vec_id, m)-keyed min-struct
+    aggregate — a 32x row blowup through an exchange per Lloyd call.
+    Bit-exact: the distance is the same left-associated
+    ((t1²+t2²)+t3²)+t4² float64 tree (_det_l2sq; the quantized q's are
+    |q| <= 2^24 so the int->double cast is exact), and np.argmin's
+    first-hit tie rule over cid-ascending columns equals the
+    min(struct(d, cid)) ordering. Pinned bitwise by
+    tests/test_dedup_vector.py::test_ivfpq_assign_arrow_bit_exact.
+    """
+    dims = list(range(1, _IVFPQ_SUBDIM + 1))
+    rows = cb.select("m", "cid", *[f"c{d}" for d in dims]).collect()
+    # per-subspace codebook slices, cid-ascending so argmin-first == lowest cid
+    by_m: dict = {}
+    for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
+        by_m.setdefault(r["m"], []).append(
+            (r["cid"], [r[f"c{d}"] for d in dims])
+        )
+    cids_m = {m: np.array([c for c, _ in v], dtype=np.int64) for m, v in by_m.items()}
+    cmat_m = {m: np.array([e for _, e in v], dtype=np.float64) for m, v in by_m.items()}
+
+    @F.pandas_udf("bigint")
+    def _code(
+        m: pd.Series, q1: pd.Series, q2: pd.Series, q3: pd.Series, q4: pd.Series
+    ) -> pd.Series:
+        n = len(m)
+        if n == 0 or not cids_m:
+            return pd.Series([None] * n, dtype="object")
+        q = np.stack([s.to_numpy(dtype=np.float64) for s in (q1, q2, q3, q4)], axis=1)
+        mv = m.to_numpy()
+        out = np.empty(n, dtype=np.int64)
+        for mm in np.unique(mv):
+            sel = mv == mm
+            c = cmat_m[int(mm)]  # (K, SUBDIM)
+            t = q[sel][:, None, :] - c[None, :, :]  # (n_m, K, SUBDIM)
+            d = t[..., 0] * t[..., 0]
+            for j in range(1, t.shape[-1]):
+                d = d + t[..., j] * t[..., j]  # left-associated, matches _det_l2sq
+            out[sel] = cids_m[int(mm)][np.argmin(d, axis=1)]
+        return pd.Series(out)
+
+    return subsq.select(
+        "vec_id", "m", _code(F.col("m"), *[F.col(f"q{d}") for d in dims]).alias("cell")
     )
 
 

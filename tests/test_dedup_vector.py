@@ -756,6 +756,45 @@ def test_assign_cells_arrow_bit_exact_with_jvm_argmax(spark, sf_dir):
         )
 
 
+def test_ivfpq_assign_arrow_bit_exact_with_jvm_min_struct(spark, sf_dir):
+    # r14: _ivfpq_assign_det moved from broadcast-join + min-struct
+    # aggregate to a NumPy argmin kernel over the closure-collected
+    # codebook. This pins bitwise equality of every (vec_id, m) -> cell
+    # against the previous expression tree (same left-associated d2,
+    # min(struct(d, cid)) tie rule).
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.vector import (
+        _IVFPQ_ITERS,
+        _IVFPQ_K,
+        _det_l2sq,
+        _ivfpq_assign_det,
+        _ivfpq_qsubs,
+        _ivfpq_train_det,
+        _unit,
+    )
+    from parquet_processor_spark.tables import t
+
+    e = _unit(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    subsq = _ivfpq_qsubs(e).localCheckpoint(eager=True)
+    cb, _ = _ivfpq_train_det(subsq, _IVFPQ_K, _IVFPQ_ITERS)
+    cb = cb.localCheckpoint(eager=True)
+    new = {
+        (r["vec_id"], r["m"]): r["cell"]
+        for r in _ivfpq_assign_det(subsq, cb).collect()
+    }
+    d2 = _det_l2sq("q", "c")
+    old = {
+        (r["vec_id"], r["m"]): r["cell"]
+        for r in subsq.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(d2.alias("d"), F.col("cid").alias("cid"))).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cell"))
+        .collect()
+    }
+    assert new == old and len(new) >= 500 * 16
+
+
 def test_numpy_cumsum_is_still_a_sequential_left_fold():
     # pair_cos_arrow's cross-engine bit-exactness rests on np.cumsum
     # accumulating strictly left-to-right (NumPy does not formally pin
