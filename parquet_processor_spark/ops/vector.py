@@ -1362,7 +1362,7 @@ def _ivfpq_assign_det(subsq: DataFrame, cb: DataFrame) -> DataFrame:
     tests/test_dedup_vector.py::test_ivfpq_assign_arrow_bit_exact.
     """
     dims = list(range(1, _IVFPQ_SUBDIM + 1))
-    rows = cb.select("m", "cid", *[f"c{d}" for d in dims]).collect()
+    rows = cb.select("m", "cid", *[f"c{d}" for d in dims]).collect()  # eager-by-design: M*K-row codebook rides the Arrow kernel closure
     # per-subspace codebook slices, cid-ascending so argmin-first == lowest cid
     by_m: dict = {}
     for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
