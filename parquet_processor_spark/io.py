@@ -44,6 +44,24 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
+def materializing_count(df: DataFrame) -> int:
+    """Row count via the internal-row RDD — exactly ONE Spark job.
+
+    ``DataFrame.count()`` under AQE pays a second job (query-stage
+    materialization before the final aggregate), and ``isEmpty()`` on
+    an eagerly local-checkpointed frame pays a probe job ON TOP of the
+    checkpoint's own count job. Counting the executed plan's internal
+    RDD instead runs one job, and when ``df`` sits on a LAZILY
+    local-checkpointed frame this same job is what materializes the
+    checkpoint cache (computing any plan above the marked RDD computes
+    — and caches — every partition of it). This is the fixpoint-loop
+    probe primitive (guide §5 — fewer driver-synchronized jobs):
+    checkpoint materialization + convergence statistic in one job.
+    No Python-side row movement — the count happens in the JVM.
+    """
+    return df._jdf.queryExecution().toRdd().count()
+
+
 # --- sources -------------------------------------------------------------
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_processor_spark.io import materializing_count
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -1052,8 +1053,14 @@ def connected_components(nodes: DataFrame | None, edges: DataFrame) -> DataFrame
                 "label",
                 (F.col("label") < F.col("o_label")).alias("improved"),
             )
-        ).localCheckpoint()  # eager-by-design: cut per-round lineage
-        changed = stepped.where(F.col("improved")).limit(1).count()  # eager-by-design: fixpoint test
+        ).localCheckpoint(eager=False)  # materialized by the fused fixpoint count below
+        # r15 (guide §5 — fewer driver-synchronized jobs): the fixpoint
+        # probe IS the checkpoint's materializing action. The eager
+        # checkpoint + separate limit(1).count() probe paid three job
+        # launches per round; counting the improved rows over the
+        # lazily-checkpointed frame computes (and caches) every
+        # partition in ONE job and returns the test statistic.
+        changed = materializing_count(stepped.where(F.col("improved")))  # eager-by-design: fixpoint test + checkpoint materialization
         labels = stepped.select("node", "label")
         if changed == 0:
             return labels

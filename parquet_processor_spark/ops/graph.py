@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_processor_spark.io import materializing_count
 from parquet_processor_spark.registry import query
 from parquet_processor_spark.tables import t
 
@@ -694,9 +695,11 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
             alive.join(deg, "node", "left")
             .where(F.coalesce(F.col("deg"), F.lit(0)) < _KCORE_K)
             .select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the fused probe count
         )
-        if removed.isEmpty():
+        # r15 (guide §5): the fixpoint probe doubles as the checkpoint's
+        # materializing action — one job per round instead of two
+        if materializing_count(removed) == 0:  # eager-by-design: fixpoint probe + checkpoint materialization
             break
         fell = removed.select("node", F.lit(r).cast("int").alias("layer"))
         layers = fell if layers is None else layers.unionAll(fell)
@@ -805,9 +808,10 @@ def graph_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the fused probe count
         )
-        if frontier.isEmpty():
+        # r15 (guide §5): probe + checkpoint fused into one job
+        if materializing_count(frontier) == 0:  # eager-by-design: fixpoint probe + checkpoint materialization
             break
         dists = dists.unionAll(frontier.select("node", F.lit(r).cast("int").alias("dist")))
         visited = visited.unionAll(frontier).localCheckpoint(eager=True)
@@ -1227,12 +1231,14 @@ def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
         edges_all.select(F.col("src").alias("node"))
         .union(edges_all.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)  # eager-by-design: the peel frontier
+        .localCheckpoint(eager=False)  # materialized by the peel-top probe count
     )
     edges = edges_all
     out = None
     for _peel in range(_SCC_MAX_PEELS):
-        if nodes.isEmpty():
+        # r15 (guide §5): the peel-top probe doubles as the node table's
+        # checkpoint-materializing action — one job instead of two
+        if materializing_count(nodes) == 0:  # eager-by-design: peel fixpoint probe + checkpoint materialization
             break
         # forward-min coloring to fixpoint: c(v) = min id reaching v.
         # DELTA ITERATION (r12): only labels that CHANGED last round
@@ -1258,9 +1264,9 @@ def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
                 inc.join(lab, "node")
                 .where(F.col("cin") < F.col("c"))
                 .select("node", F.col("cin").alias("c"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materialized by the fused probe count
             )
-            if changed.isEmpty():  # eager-by-design: empty-delta fixpoint probe
+            if materializing_count(changed) == 0:  # eager-by-design: empty-delta fixpoint probe + checkpoint materialization (one job, guide §5)
                 break
             lab = (
                 lab.join(changed.select("node", F.col("c").alias("cn")), "node", "left")
@@ -1293,16 +1299,16 @@ def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
                 .join(lab, ["node", "c"])  # stay inside the class
                 .distinct()
                 .join(mark.select("node"), "node", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materialized by the fused probe count
             )
-            if frontier.isEmpty():  # eager-by-design: empty-frontier fixpoint probe
+            if materializing_count(frontier) == 0:  # eager-by-design: empty-frontier fixpoint probe + checkpoint materialization (one job, guide §5)
                 break
             mark = mark.unionAll(frontier).localCheckpoint(eager=True)
         else:
             raise RuntimeError("graph_scc: backward pass did not converge")
         found = mark.select("node", F.col("c").alias("scc_id"))
         out = found if out is None else out.union(found)
-        nodes = nodes.join(found, "node", "left_anti").localCheckpoint(eager=True)
+        nodes = nodes.join(found, "node", "left_anti").localCheckpoint(eager=False)  # materialized by the next peel-top probe count
         gone = found.select(F.col("node").alias("g"))
         edges = (
             edges.join(gone.withColumnRenamed("g", "src"), "src", "left_anti")
