@@ -836,24 +836,67 @@ def _ivf_qdist(qv, cv):
 
 
 def _ivf_assign_q(qv_df: DataFrame, cb: DataFrame) -> DataFrame:
-    """qv_df plus ``cell``: argmin-distance assignment against the
-    broadcast centroid array (assign_cells' map-side shape — the
-    corpus never shuffles for assignment). Ties break to the lowest
-    cid via struct min."""
-    cb_arr = cb.agg(F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents"))
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                _ivf_qdist(F.col("qv"), c["cv"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
+    """qv_df's columns plus ``cell``: argmin-distance assignment against
+    the k-row trained centroid table (k = derived n_cells <= sqrt(N) —
+    bounded control state), collected once, shipped via sc.broadcast
+    (one fetch per executor), and argmin'd per batch in NumPy — one
+    ArrowEvalPython pass beside the scan; the corpus never shuffles
+    for assignment (assign_cells' map-side shape).
+
+    r15 (guide §4.2, the assign_cells/_ivfpq_assign_det pattern): the
+    previous shape evaluated an interpreted zip_with/aggregate fold
+    per (row, centroid) against a broadcast array — the same
+    per-element interpreted cost the r14 kernels removed elsewhere.
+    Bit-exact with the old array_min(transform(struct(d, cid))): the
+    distance is np.cumsum((q-c)*(q-c)) — the identical sequential left
+    fold as _ivf_qdist (its 0.0 seed is bitwise-neutral: squares are
+    never -0.0), int64 q's cast to float64 exactly (|q| <= 2^24 *
+    sqrt scale < 2^53), and np.argmin's first-hit rule over
+    cid-ascending rows equals the struct-min (d, cid) tie ordering.
+    Null handling replicates the struct-min exactly: a null qv (or any
+    null element) made every per-centroid distance null and the
+    struct-min then tied down to the LOWEST cid — here a null row
+    yields all-NaN distances and np.argmin likewise returns the first
+    (lowest-cid) index. Pinned bitwise by tests/test_dedup_vector.py::
+    test_ivf_assign_q_arrow_bit_exact_with_jvm_struct_min.
+    """
+    rows = cb.select("cid", "cv").collect()  # eager-by-design: k-row trained-centroid control table rides the Arrow kernel closure
+    rows.sort(key=lambda r: r["cid"])  # argmin-first-hit == lowest cid
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = (
+        np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 0), dtype=np.float64)
     )
-    return (
-        qv_df.crossJoin(F.broadcast(cb_arr))
-        .withColumn("_best", best)
-        .select(*qv_df.columns, F.col("_best.cid").alias("cell"))
-    )
+    bc = SparkSession.getActiveSession().sparkContext.broadcast((cids, cmat))
+
+    @F.pandas_udf("bigint")
+    def _cell(qv: pd.Series) -> pd.Series:
+        cids_b, cmat_b = bc.value
+        n = len(qv)
+        if n == 0 or len(cids_b) == 0:
+            return pd.Series([None] * n, dtype="object")
+        mask = np.array([v is not None for v in qv], dtype=bool)
+        out = pd.Series([None] * n, dtype="object")
+        if mask.any():
+            # None elements inside a row become NaN -> all-NaN distance
+            # row -> argmin index 0 == lowest cid (the struct-min rule)
+            Q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in qv[mask]]
+            )
+            d = np.empty((Q.shape[0], len(cids_b)), dtype=np.float64)
+            for j in range(len(cids_b)):
+                t = Q - cmat_b[j]
+                d[:, j] = np.cumsum(t * t, axis=1)[:, -1]
+            out[mask] = list(cids_b[np.argmin(d, axis=1)])
+        else:
+            # whole-row nulls: every distance was null, struct-min tie
+            # broke to the lowest cid
+            return pd.Series([int(cids_b[0])] * n, dtype="object")
+        out[~mask] = int(cids_b[0])
+        return out
+
+    return qv_df.select(*qv_df.columns, _cell(F.col("qv")).alias("cell"))
 
 
 def _ivf_train_cells(e: DataFrame, params: DataFrame, iters: int = _IVF_TRAIN_ITERS) -> tuple[DataFrame, DataFrame]:
@@ -1346,20 +1389,33 @@ def _det_l2sq(qp: str, cp: str) -> F.Column:
 
 
 def _ivfpq_assign_det(subsq: DataFrame, cb: DataFrame) -> DataFrame:
-    """Per (vec_id, m): argmin-L2 code, ties to the lowest cid.
+    """subsq's columns plus ``cell``: per (vec_id, m) argmin-L2 code,
+    ties to the lowest cid.
 
     r14 (guide §4.2, the assign_cells pattern): the codebook is
     BOUNDED control state (M*K rows — a constant of the index format),
-    so it collects once and rides the Arrow kernel's closure; each
+    so it collects once and ships to the executors via sc.broadcast
+    (one fetch per executor, not a per-task closure payload); each
     batch computes the K distances per row in NumPy and argmins. The
     previous shape was a broadcast join + (vec_id, m)-keyed min-struct
     aggregate — a 32x row blowup through an exchange per Lloyd call.
+    r15: subsq's q columns pass THROUGH the projection, so the Lloyd
+    centroid update consumes the kernel output directly instead of
+    re-joining the assignment back to subsq on (vec_id, m) — one fewer
+    corpus-sized exchange per training round (guide §2.4).
     Bit-exact: the distance is the same left-associated
     ((t1²+t2²)+t3²)+t4² float64 tree (_det_l2sq; the quantized q's are
     |q| <= 2^24 so the int->double cast is exact), and np.argmin's
     first-hit tie rule over cid-ascending columns equals the
     min(struct(d, cid)) ordering. Pinned bitwise by
     tests/test_dedup_vector.py::test_ivfpq_assign_arrow_bit_exact.
+    Preconditions (documented hard edges vs the old join+min-struct):
+    every m value in subsq must exist in cb (the old inner join
+    silently dropped unknown m's; the kernel raises instead — both are
+    unreachable, since subsq and cb derive from the same _IVFPQ_SUBS
+    split), and codebook coordinates must be non-NaN (np.argmin picks
+    a NaN as the minimum where min(struct) ranked it last; cb entries
+    are exact-integer means, so NaN cannot occur).
     """
     dims = list(range(1, _IVFPQ_SUBDIM + 1))
     rows = cb.select("m", "cid", *[f"c{d}" for d in dims]).collect()  # eager-by-design: M*K-row codebook rides the Arrow kernel closure
@@ -1371,29 +1427,33 @@ def _ivfpq_assign_det(subsq: DataFrame, cb: DataFrame) -> DataFrame:
         )
     cids_m = {m: np.array([c for c, _ in v], dtype=np.int64) for m, v in by_m.items()}
     cmat_m = {m: np.array([e for _, e in v], dtype=np.float64) for m, v in by_m.items()}
+    bc = SparkSession.getActiveSession().sparkContext.broadcast((cids_m, cmat_m))
 
     @F.pandas_udf("bigint")
     def _code(
         m: pd.Series, q1: pd.Series, q2: pd.Series, q3: pd.Series, q4: pd.Series
     ) -> pd.Series:
+        cids_b, cmat_b = bc.value
         n = len(m)
-        if n == 0 or not cids_m:
+        if n == 0 or not cids_b:
             return pd.Series([None] * n, dtype="object")
         q = np.stack([s.to_numpy(dtype=np.float64) for s in (q1, q2, q3, q4)], axis=1)
         mv = m.to_numpy()
         out = np.empty(n, dtype=np.int64)
         for mm in np.unique(mv):
+            if int(mm) not in cmat_b:
+                raise ValueError(f"_ivfpq_assign_det: subspace m={mm} missing from codebook")
             sel = mv == mm
-            c = cmat_m[int(mm)]  # (K, SUBDIM)
+            c = cmat_b[int(mm)]  # (K, SUBDIM)
             t = q[sel][:, None, :] - c[None, :, :]  # (n_m, K, SUBDIM)
             d = t[..., 0] * t[..., 0]
             for j in range(1, t.shape[-1]):
                 d = d + t[..., j] * t[..., j]  # left-associated, matches _det_l2sq
-            out[sel] = cids_m[int(mm)][np.argmin(d, axis=1)]
+            out[sel] = cids_b[int(mm)][np.argmin(d, axis=1)]
         return pd.Series(out)
 
     return subsq.select(
-        "vec_id", "m", _code(F.col("m"), *[F.col(f"q{d}") for d in dims]).alias("cell")
+        *subsq.columns, _code(F.col("m"), *[F.col(f"q{d}") for d in dims]).alias("cell")
     )
 
 
@@ -1410,9 +1470,12 @@ def _ivfpq_train_det(subsq: DataFrame, k: int, iters: int) -> tuple[DataFrame, D
         *[F.col(f"q{d}").cast("double").alias(f"c{d}") for d in dims],
     )
     for _ in range(iters):
-        a = _ivfpq_assign_det(subsq, cb)
+        # r15 (guide §2.4): the assignment kernel passes the q columns
+        # through, so the centroid update aggregates the kernel output
+        # directly — the old shape re-joined the (vec_id, m)-keyed
+        # assignment back to subsq, a corpus-sized exchange per round
         cb = (
-            subsq.join(a, ["vec_id", "m"])
+            _ivfpq_assign_det(subsq, cb)
             .groupBy("m", "cell")
             .agg(
                 *[

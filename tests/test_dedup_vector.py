@@ -795,6 +795,49 @@ def test_ivfpq_assign_arrow_bit_exact_with_jvm_min_struct(spark, sf_dir):
     assert new == old and len(new) >= 500 * 16
 
 
+def test_ivf_assign_q_arrow_bit_exact_with_jvm_struct_min(spark, sf_dir):
+    # r15: _ivf_assign_q moved from the interpreted zip_with/aggregate
+    # fold + array_min(struct(d, cid)) over a broadcast centroid array
+    # to the NumPy argmin kernel (guide §4.2 — the _ivfpq_assign_det
+    # pattern at full width). This pins bitwise equality of every
+    # vec_id -> cell against the previous expression tree on the
+    # Lloyd-trained centroid table at the derived geometry.
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.vector import (
+        _ivf_assign_q,
+        _ivf_params,
+        _ivf_qdist,
+        _ivf_train_cells,
+    )
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv, cb = _ivf_train_cells(e, _ivf_params(e))
+    cb = cb.localCheckpoint(eager=True)
+    new = {
+        r["vec_id"]: r["cell"] for r in _ivf_assign_q(qv, cb).select("vec_id", "cell").collect()
+    }
+    # the pre-r15 expression tree, verbatim
+    cb_arr = cb.agg(F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _ivf_qdist(F.col("qv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    old = {
+        r["vec_id"]: r["cell"]
+        for r in qv.crossJoin(F.broadcast(cb_arr))
+        .withColumn("_best", best)
+        .select("vec_id", F.col("_best.cid").alias("cell"))
+        .collect()
+    }
+    assert new == old and len(new) >= 500
+
+
 def test_numpy_cumsum_is_still_a_sequential_left_fold():
     # pair_cos_arrow's cross-engine bit-exactness rests on np.cumsum
     # accumulating strictly left-to-right (NumPy does not formally pin
