@@ -1800,8 +1800,19 @@ def sink_ann_index_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     ix = _ivfpq_build(spark, sf)
     out = scratch_dir("ppspark_annindex_")
-    for part in ("assign", "codes", "cb"):
-        ix[part].write.mode("overwrite").parquet(f"{out}/{part}")
+    # r15 (guide §2.6 — overlap independent jobs): the three part
+    # writes are independent; submit them from a thread pool so the
+    # wall is the slowest write, not three sequential barriers
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [
+            pool.submit(
+                lambda p: ix[p].write.mode("overwrite").parquet(f"{out}/{p}"), part
+            )
+            for part in ("assign", "codes", "cb")
+        ]:
+            fut.result()
     fresh = _ivfpq_serve(ix)
     at_rest = dict(ix)
     for part in ("assign", "codes", "cb"):
@@ -3056,13 +3067,29 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
     cent = _ivf_centroids(e, params)
     assign = assign_cells(e, cent).select("vec_id", "cell").localCheckpoint(eager=True)
     out = scratch_dir("ppspark_annupsert_")
-    # v1: the standing corpus index at rest
-    codes_all.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/codes")
-    assign.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/assign")
-    cb.write.mode("overwrite").parquet(f"{out}/cb")
-    # the upsert: delta rows appended, nothing corpus-sized rewritten
-    codes_all.where(F.col("vec_id") >= c).write.mode("append").parquet(f"{out}/codes")
-    assign.where(F.col("vec_id") >= c).write.mode("append").parquet(f"{out}/assign")
+    # r15 (guide §2.6 — overlap independent jobs): the three index
+    # parts write as concurrent driver threads; each part's append
+    # chains after its own overwrite (same directory), but the three
+    # chains are independent, so the wall is the slowest chain, not
+    # the sum of five sequential write barriers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_codes() -> None:
+        # v1 corpus at rest, then the upsert: delta rows APPENDED,
+        # nothing corpus-sized rewritten
+        codes_all.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/codes")
+        codes_all.where(F.col("vec_id") >= c).write.mode("append").parquet(f"{out}/codes")
+
+    def _write_assign() -> None:
+        assign.where(F.col("vec_id") < c).write.mode("overwrite").parquet(f"{out}/assign")
+        assign.where(F.col("vec_id") >= c).write.mode("append").parquet(f"{out}/assign")
+
+    def _write_cb() -> None:
+        cb.write.mode("overwrite").parquet(f"{out}/cb")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(w) for w in (_write_codes, _write_assign, _write_cb)]:
+            fut.result()
     # serve from the merged at-rest parts vs the in-memory frozen build
     probe = _ivf_probe_list(e, cent, params)
     qsub = subsq.where(F.col("vec_id") == 0).select(
@@ -3070,7 +3097,9 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
     q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     base = {"e": e, "probe": probe, "qsub": qsub, "q_emb": q_emb}
-    fresh = _ivfpq_serve({**base, "assign": assign, "cb": cb, "codes": codes_all})
+    fresh = _ivfpq_serve(
+        {**base, "assign": assign, "cb": cb, "codes": codes_all}
+    ).localCheckpoint(eager=True)  # eager-by-design: 10-row serve result, read by the parity compare AND the top1 audit
     served = _ivfpq_serve(
         {
             **base,
@@ -3091,33 +3120,51 @@ def sink_ann_index_upsert(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_f", F.lit(0)) != F.coalesce("n_s", F.lit(0)), 1
         ).otherwise(0)
     )
-    parity = (
-        fa.join(sa, ["vec_id", "cell", "cos_sim"], "full_outer")
-        .agg((F.coalesce(bad, F.lit(0)) == 0).alias("ok"))
-        .collect()[0]["ok"]  # eager-by-design: sink round-trip barrier
+    # r15 (guide §5 — the driver should do almost no data work): the
+    # audit ledger is ONE lazy 1-row frame instead of five sequential
+    # driver-synchronized actions (parity collect, counts collect,
+    # merged-codes count, delta-cell count, top1 collect). Every audit
+    # fact becomes a 1-row aggregate cross-joined into the result row;
+    # the independent subtrees schedule concurrently inside the single
+    # consuming job. Values are identical: counts come from the
+    # checkpointed assignment (one row per corpus vector, same rows as
+    # e); n_codes_total still scans the MERGED at-rest files (the
+    # physical proof the append landed); top1 is the serve order's
+    # first row spelled as max(struct(cos_sim, -vec_id)) — same
+    # (cos desc, vec_id asc) winner, null on an empty serve.
+    parity_row = fa.join(sa, ["vec_id", "cell", "cos_sim"], "full_outer").agg(
+        (F.coalesce(bad, F.lit(0)) == 0).alias("serve_parity_ok")
     )
-    counts = e.agg(
+    counts_row = assign.agg(
         F.sum(F.when(F.col("vec_id") < c, 1).otherwise(0)).cast("long").alias("n_corpus"),
         F.sum(F.when(F.col("vec_id") >= c, 1).otherwise(0)).cast("long").alias("n_delta"),
-    ).collect()[0]  # eager-by-design: audit ledger
-    n_codes_total = spark.read.parquet(f"{out}/codes").count()  # eager-by-design: physical audit — proves the append landed
-    n_cells_delta = (
-        assign.where(F.col("vec_id") >= c).select("cell").distinct().count()  # eager-by-design: audit ledger
     )
-    top1 = fresh.limit(1).collect()  # eager-by-design: audit ledger (1 row)
-    return spark.createDataFrame(
-        [
-            (
-                int(counts["n_corpus"]),
-                int(counts["n_delta"]),
-                int(n_codes_total),
-                int(n_cells_delta),
-                int(top1[0]["vec_id"]) if top1 else None,
-                bool(parity),
-            )
-        ],
-        "n_corpus bigint, n_delta bigint, n_codes_total bigint, "
-        "n_cells_delta_hit bigint, top1_id bigint, serve_parity_ok boolean",
+    codes_row = (
+        spark.read.parquet(f"{out}/codes")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_codes_total"))
+    )
+    cells_row = (
+        assign.where(F.col("vec_id") >= c)
+        .select("cell")
+        .distinct()  # distinct-then-count (not count_distinct): a null cell, were one ever possible, counts as a value — the old ledger's semantics
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells_delta_hit"))
+    )
+    top1_row = fresh.agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("vec_id")).alias("nv"))).alias("_b")
+    ).select((-F.col("_b.nv")).cast("bigint").alias("top1_id"))
+    return (
+        counts_row.crossJoin(F.broadcast(codes_row))
+        .crossJoin(F.broadcast(cells_row))
+        .crossJoin(F.broadcast(top1_row))
+        .crossJoin(F.broadcast(parity_row))
+        .select(
+            "n_corpus",
+            "n_delta",
+            "n_codes_total",
+            "n_cells_delta_hit",
+            "top1_id",
+            "serve_parity_ok",
+        )
     )
 
 
