@@ -814,53 +814,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     candidate pairs, so the wide column crosses the wire once per
     surviving pair side instead of L times per row.
     """
-    from parquet_processor_spark.ops.vector import capped_band_postings
+    from parquet_processor_spark.ops.vector import bucket_pair_cos
 
     e = t(spark, sf, "embeddings")
-    # Bucket pairs come from ONE posting-list expansion (the
-    # shingle_pair_counts shape), not a band-key self-join: the join
-    # form would schedule the ArrowEvalPython band-key UDF once per
-    # join side — two full Python passes over the table — and shuffle
-    # both. Grouping runs the UDF once, shuffles 16-byte
-    # (band_key, vec_id) rows once, and streams each bucket's pairs
-    # out of chained generators.
-    blocks = capped_band_postings(e, 8)
-    cand = (
-        blocks.select("ids", F.posexplode("ids").alias("i", "va"))
-        .select(
-            F.col("va").alias("keep_cand"),
-            # explode_outer + guard: same double-slice avoidance as
-            # shingle_pair_counts
-            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("dup"),
-        )
-        .where(F.col("dup").isNotNull())
-        .dropDuplicates(["keep_cand", "dup"])
-    )
-    # Norms are computed ONCE PER VECTOR on the id-keyed side and
-    # carried into the pair join, so each candidate pair evaluates
-    # only the dot fold — not three folds. Bit-exact with cosine():
-    # the norm is the identical sqrt-of-fold over the identical
-    # array, just evaluated earlier, and dot/(na*nb) is the same
-    # expression tree.
-    from parquet_processor_spark.ops.vector import norm, pair_cos_arrow
-
-    emb_a = e.select(
-        F.col("vec_id").alias("ida"),
-        F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    emb_b = e.select(
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    # r14: Arrow pair scoring (guide §4.2; bit-exact — pair_cos_arrow)
-    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
+    # r15 (guide §8 — move heavy bytes once): pairs are scored INSIDE
+    # their LSH bucket (bucket_pair_cos — one band Arrow pass, hot
+    # buckets capped before any payload groups), so the embedding
+    # payload crosses once per posting instead of twice per candidate
+    # pair, and the tau predicate prunes before the pair-dedup
+    # exchange — only surviving near-dup pairs shuffle. Bit-exact with
+    # the previous join-then-pair_cos_arrow shape (the bucket kernel's
+    # pinned cumsum contract); the survivor rule below is unchanged.
     pairs = (
-        cand.join(emb_a, F.col("keep_cand") == F.col("ida"))
-        .join(emb_b, F.col("dup") == F.col("idb"))
-        .where(cos >= _EMB_TAU)
-        .select("keep_cand", "dup")
+        bucket_pair_cos(e, 8)
+        .where(F.col("cos_sim") >= _EMB_TAU)
+        .select(F.col("a_id").alias("keep_cand"), F.col("b_id").alias("dup"))
+        .dropDuplicates(["keep_cand", "dup"])
     )
     return (
         e.select("vec_id")

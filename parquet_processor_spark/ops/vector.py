@@ -408,6 +408,87 @@ def capped_band_postings(e: DataFrame, n_bands: int, cap: int = _EMB_BUCKET_CAP)
     )
 
 
+def bucket_pair_cos(e: DataFrame, n_bands: int, cap: int = _EMB_BUCKET_CAP) -> DataFrame:
+    """(a_id, b_id, cos_sim) for every DISTINCT unordered pair of
+    vectors sharing >= 1 capped LSH band bucket (a_id < b_id), with the
+    cosine scored INSIDE the bucket — the r15 shape for the whole
+    banded pair family (sim_range_search, dedup_embedding_lsh,
+    sim_knn_graph, mine_bitext_mutual).
+
+    Why (guide §8 / §4.2): the previous shape materialized the pair
+    spine, then re-joined BOTH embedding sides by id and shipped
+    2 x 64 doubles PER CANDIDATE PAIR into the pair_cos_arrow kernel —
+    ~1.7 GB at sf0.1 for sim_range_search's 1.7M candidates, and at
+    100 TB a pair-mass-sized payload movement (pair mass quadratic in
+    bucket density) twice over. Here the heavy bytes move once per
+    POSTING (n_bands x corpus — linear), pairs never exist outside the
+    bucket-local NumPy kernel, and only (a_id, b_id, cos) longs+double
+    leave it; a tau predicate placed above this helper prunes before
+    the pair-dedup exchange, so survivors alone shuffle.
+
+    Bit-exactness (the pair_cos_arrow contract, pinned by
+    tests/test_dedup_vector.py::test_bucket_pair_cos_bit_exact...):
+    per pair the dot is np.cumsum(A*B)[-1] — the identical sequential
+    left fold — and per-vector norms are the same sqrt-of-cumsum the
+    JVM norm() fold computes (the assign_cells precedent); the one
+    IEEE division matches dot/(na*nb). Multi-band duplicate pairs are
+    re-scored per shared bucket, but deterministically identically, so
+    the pair-level dropDuplicates keeps the same rows the
+    score-after-dedup shape produced.
+
+    Hot buckets past ``cap`` drop BEFORE any payload is grouped (the
+    capped_band_postings anti-join, same statistic, same keyed Arrow
+    pass); within a bucket the pair enumeration is chunked so the
+    kernel's scratch stays bounded (cap^2/2 pairs max per bucket).
+    """
+    keyed = e.select(
+        "vec_id",
+        F.explode_outer(lsh_band_keys_arrow(n_bands)(F.col("embedding"))).alias("band_key"),
+    ).localCheckpoint(eager=True)  # eager-by-design: 16-byte rows, read by the hot-key statistic AND the posting build
+    hot = (
+        keyed.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("band_key")
+    )
+    sided = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    posts = (
+        keyed.join(F.broadcast(hot), "band_key", "left_anti")
+        .join(sided, "vec_id")
+        .select("band_key", "vec_id", "nrm", "embedding")
+    )
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = len(pdf)
+        if s < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        ii, jj = np.triu_indices(s, k=1)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ii), 65536):  # bounded scratch per chunk
+            ic, jc = ii[lo : lo + 65536], jj[lo : lo + 65536]
+            d = np.cumsum(E[ic] * E[jc], axis=1)[:, -1]  # the sequential left fold
+            out_a.append(ids[ic])
+            out_b.append(ids[jc])
+            out_c.append(d / (nrm[ic] * nrm[jc]))
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return posts.groupBy("band_key").applyInPandas(
+        _score, "a_id long, b_id long, cos_sim double"
+    )
+
+
 def _keyed_post_sql(n_bands: int, cap: int = _EMB_BUCKET_CAP) -> str:
     """keyed + post CTEs: banded keys and the df-capped posting
     relation — the DuckDB twin of :func:`capped_band_postings`."""
@@ -1931,37 +2012,23 @@ _RANGE_BANDS = 16
 def _range_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """(a_id, b_id, cos_sim) for banded-candidate pairs with cos >= tau.
 
-    100 TB shape (the dedup_embedding_lsh discipline): band keys are
-    ONE Arrow pass; the self-join never forms — buckets group 16-byte
-    (band_key, vec_id) rows and stream pairs from generators; hot
-    buckets past ``_EMB_BUCKET_CAP`` are dropped before any list is
-    collected (capped_band_postings); pair-level dropDuplicates
-    collapses multi-band hits BEFORE any cosine; embeddings rejoin by
-    id only for surviving candidates, norms computed once per side.
+    r15 (guide §8 — move heavy bytes once): scoring happens INSIDE the
+    LSH bucket (bucket_pair_cos), so the 2x64-double payload crosses
+    once per posting instead of twice per candidate pair (~1.7 GB of
+    vector payload at sf0.1 for 1.7M candidates in the old
+    join-then-kernel shape), and the tau predicate prunes BEFORE the
+    pair-dedup exchange — only the found set (hundreds of rows, not
+    the candidate mass) ever shuffles. Hot buckets past
+    ``_EMB_BUCKET_CAP`` still drop before any payload is grouped, and
+    the cosine is bit-exact with the fold by the bucket kernel's
+    pinned cumsum contract, so the found pairs and their scores are
+    unchanged row for row.
     """
     e = t(spark, sf, "embeddings")
-    blocks = capped_band_postings(e, _RANGE_BANDS)
-    cand = (
-        blocks.select("ids", F.posexplode("ids").alias("i", "va"))
-        .select(
-            F.col("va").alias("a_id"),
-            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b_id"),
-        )
-        .where(F.col("b_id").isNotNull())
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    emb_a = e.select(
-        F.col("vec_id").alias("_ida"), F.col("embedding").alias("emb_a"), norm(F.col("embedding")).alias("na")
-    )
-    emb_b = e.select(
-        F.col("vec_id").alias("_idb"), F.col("embedding").alias("emb_b"), norm(F.col("embedding")).alias("nb")
-    )
-    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
     return (
-        cand.join(emb_a, F.col("a_id") == F.col("_ida"))
-        .join(emb_b, F.col("b_id") == F.col("_idb"))
-        .select("a_id", "b_id", cos.alias("cos_sim"))
+        bucket_pair_cos(e, _RANGE_BANDS)
         .where(F.col("cos_sim") >= _RANGE_TAU)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -2798,35 +2865,18 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf, "embeddings")
-    blocks = capped_band_postings(e, _KNN_BANDS)
-    cand = (
-        blocks.select("ids", F.posexplode("ids").alias("i", "lo"))
-        .select(
-            "lo",
-            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("hi"),
-        )
-        .where(F.col("hi").isNotNull())
-        .dropDuplicates(["lo", "hi"])
-    )
-    emb_a = e.select(
-        F.col("vec_id").alias("_ia"),
-        F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    emb_b = e.select(
-        F.col("vec_id").alias("_ib"),
-        F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    # r14: pair scoring through the Arrow kernel (guide §4.2) — the
-    # interpreted dot fold cost ~30 us/pair over the banded candidate
-    # set; bit-exact by the pair_cos_arrow contract (np.cumsum left
-    # fold, one IEEE division, pinned by test_dedup_vector.py)
-    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
+    # r15 (guide §8 — move heavy bytes once): each undirected pair is
+    # scored INSIDE its LSH bucket (bucket_pair_cos — one band Arrow
+    # pass, hot buckets capped before any payload groups), so the
+    # embedding payload crosses once per posting instead of twice per
+    # candidate pair; the pair-dedup exchange carries (lo, hi, cos)
+    # longs+double only. Bit-exact with the previous
+    # join-then-pair_cos_arrow shape (the bucket kernel's pinned
+    # cumsum contract).
     scored_und = (
-        cand.join(emb_a, F.col("lo") == F.col("_ia"))
-        .join(emb_b, F.col("hi") == F.col("_ib"))
-        .select("lo", "hi", cos.alias("cos_sim"))
+        bucket_pair_cos(e, _KNN_BANDS)
+        .dropDuplicates(["a_id", "b_id"])
+        .select(F.col("a_id").alias("lo"), F.col("b_id").alias("hi"), "cos_sim")
     )
     # mirror via a 2-row explode, NOT a self-union: a union references
     # the scored subtree twice, which re-runs the band-key Arrow pass
@@ -3435,47 +3485,30 @@ def mine_bitext_mutual(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("lang").isin(_BITEXT_SRC, _BITEXT_TGT))
         .select("vec_id", "lang", "embedding")
     )
-    keyed = v.select(
-        "vec_id",
-        "lang",
-        F.explode_outer(lsh_band_keys_arrow(_BITEXT_BANDS)(F.col("embedding"))).alias(
-            "band_key"
-        ),
+    # r15 (guide §8 — move heavy bytes once): all within-bucket pairs
+    # of the en/de slice score INSIDE the bucket (bucket_pair_cos —
+    # one band Arrow pass over v, hot-bucket cap before any payload
+    # groups, same df statistic as the old qualify-window), then the
+    # narrow (a_id, b_id, cos) pairs rejoin the tiny lang map and keep
+    # only cross-lang rows oriented src->tgt. The cosine is symmetric
+    # BITWISE (per-element products and the norm product commute), so
+    # orienting an undirected a<b pair either way reproduces the old
+    # directed score exactly; same-lang within-bucket pairs are scored
+    # and dropped — vectorized kernel work traded for never shipping
+    # 2x64 doubles per candidate pair through two id joins.
+    und = bucket_pair_cos(v, _BITEXT_BANDS).dropDuplicates(["a_id", "b_id"])
+    langs = v.select("vec_id", "lang")
+    la = langs.select(F.col("vec_id").alias("_la_id"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("vec_id").alias("_lb_id"), F.col("lang").alias("lang_b"))
+    sided = (
+        und.join(la, F.col("a_id") == F.col("_la_id"))
+        .join(lb, F.col("b_id") == F.col("_lb_id"))
+        .where(F.col("lang_a") != F.col("lang_b"))
     )
-    # one-exchange hot-bucket cap (the r10 _capped_band_blocks shape),
-    # then posting lists of (vec_id, lang) structs; cross-lang pairs
-    # stream out of one generator per bucket — never a band-key
-    # self-join (two ArrowEvalPython passes) or a cartesian.
-    wb = Window.partitionBy("band_key")
-    blocks = (
-        keyed.withColumn("df", F.count(F.lit(1)).over(wb))
-        .where(F.col("df") <= _EMB_BUCKET_CAP)
-        .groupBy("band_key")
-        .agg(F.collect_list(F.struct("vec_id", "lang")).alias("docs"))
-    )
-    cand = (
-        blocks.select(F.explode("docs").alias("a"), F.col("docs"))
-        .where(F.col("a.lang") == _BITEXT_SRC)
-        .select(F.col("a.vec_id").alias("src_id"), F.explode("docs").alias("b"))
-        .where(F.col("b.lang") == _BITEXT_TGT)
-        .select("src_id", F.col("b.vec_id").alias("tgt_id"))
-        .dropDuplicates(["src_id", "tgt_id"])
-    )
-    # norms once per vector on the id-keyed side (dedup_embedding_lsh)
-    ea = e.select(
-        F.col("vec_id").alias("ida"), F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    eb = e.select(
-        F.col("vec_id").alias("idb"), F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    # r14: Arrow pair scoring (guide §4.2; bit-exact — pair_cos_arrow)
-    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
-    scored = (
-        cand.join(ea, F.col("src_id") == F.col("ida"))
-        .join(eb, F.col("tgt_id") == F.col("idb"))
-        .select("src_id", "tgt_id", cos.alias("cos_sim"))
+    scored = sided.select(
+        F.when(F.col("lang_a") == _BITEXT_SRC, F.col("a_id")).otherwise(F.col("b_id")).alias("src_id"),
+        F.when(F.col("lang_a") == _BITEXT_SRC, F.col("b_id")).otherwise(F.col("a_id")).alias("tgt_id"),
+        "cos_sim",
     )
     w_src = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("tgt_id"))
     w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cos_sim"), F.asc("src_id"))

@@ -838,6 +838,63 @@ def test_ivf_assign_q_arrow_bit_exact_with_jvm_struct_min(spark, sf_dir):
     assert new == old and len(new) >= 500
 
 
+def test_bucket_pair_cos_bit_exact_with_pair_kernel(spark, sf_dir):
+    # r15: the banded pair family moved from pair-spine + embedding
+    # re-joins + pair_cos_arrow to bucket-LOCAL scoring
+    # (bucket_pair_cos). This pins (a) the candidate pair SET against
+    # the posting-list expansion and (b) every cosine bitwise against
+    # the previous join-then-kernel shape.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_processor_spark.ops.vector import (
+        bucket_pair_cos,
+        capped_band_postings,
+        norm,
+        pair_cos_arrow,
+    )
+    from parquet_processor_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    n_bands = 8
+    new = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in bucket_pair_cos(e, n_bands).dropDuplicates(["a_id", "b_id"]).collect()
+    }
+    # the pre-r15 shape, verbatim
+    blocks = capped_band_postings(e, n_bands)
+    cand = (
+        blocks.select("ids", F.posexplode("ids").alias("i", "va"))
+        .select(
+            F.col("va").alias("a_id"),
+            F.explode_outer(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b_id"),
+        )
+        .where(F.col("b_id").isNotNull())
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    emb_a = e.select(
+        F.col("vec_id").alias("_ida"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    emb_b = e.select(
+        F.col("vec_id").alias("_idb"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    cos = pair_cos_arrow()(F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb"))
+    old = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in cand.join(emb_a, F.col("a_id") == F.col("_ida"))
+        .join(emb_b, F.col("b_id") == F.col("_idb"))
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .collect()
+    }
+    assert set(new) == set(old) and len(new) >= 1000
+    for k, c in new.items():
+        assert np.float64(c).view(np.int64) == np.float64(old[k]).view(np.int64), (k, c, old[k])
+
+
 def test_numpy_cumsum_is_still_a_sequential_left_fold():
     # pair_cos_arrow's cross-engine bit-exactness rests on np.cumsum
     # accumulating strictly left-to-right (NumPy does not formally pin

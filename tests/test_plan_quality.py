@@ -1095,11 +1095,14 @@ def test_knn_graph_topk_is_window_group_limit(spark):
     # ONE ArrowEvalPython pass, and no cartesian pairing forms.
     plan = plan_of(spark, "sim_knn_graph")
     assert "WindowGroupLimit" in plan, plan
-    # r14: TWO Arrow passes — band keys + the pair-cosine kernel
-    # (pair_cos_arrow replaced the interpreted dot fold, guide §4.2)
-    assert plan.count("ArrowEvalPython") <= 4, plan  # tree + detail of TWO passes
+    # r15: the band Arrow pass runs ONCE below bucket_pair_cos's keyed
+    # checkpoint (so the final plan scans its RDD — zero Python
+    # re-evaluation left), and pair scoring is the bucket-local
+    # FlatMapGroupsInPandas kernel — embeddings never join per pair
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # bucket_pair_cos
     assert "CartesianProduct" not in plan, plan
-    # hot-bucket cap pruned via broadcast anti-join (capped_band_postings)
+    # hot-bucket cap pruned via broadcast anti-join (bucket_pair_cos)
     assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
 
 
@@ -1173,9 +1176,12 @@ def test_bitext_mutual_capped_window_no_cartesian(spark):
     # posting-list aggregate), and no cartesian forms anywhere (the
     # cross-lang pairing streams out of posting-list generators).
     plan = plan_of(spark, "mine_bitext_mutual")
-    # r14: TWO Arrow passes — band keys + the pair-cosine kernel
-    # (pair_cos_arrow replaced the interpreted dot fold, guide §4.2)
-    assert plan.count("ArrowEvalPython") <= 4, plan  # tree + detail of TWO passes
+    # r15: the band Arrow pass runs ONCE below bucket_pair_cos's keyed
+    # checkpoint (so the final plan scans its RDD — zero Python
+    # re-evaluation left), and pair scoring is the bucket-local
+    # FlatMapGroupsInPandas kernel — embeddings never join per pair
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # bucket_pair_cos
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
 
