@@ -2393,7 +2393,30 @@ def join_set_similarity(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r15 (guide §2.3 — shuffle keys and metadata, not exploded rows):
+    # the per-doc shingle INVENTORY (sorted hash array + size) is the
+    # verification payload, materialized once. The old verify stage
+    # re-joined each candidate pair against the exploded shingle
+    # relation TWICE and group-counted matches — 409k pairs x ~130
+    # shingles/doc ≈ 53M rows through two keyed exchanges and a
+    # pair-keyed aggregate (measured 2.8 s of the query's ~5 s at
+    # sf0.1). PPJoin's verify step instead scores each candidate with
+    # both token lists in hand: attach the two arrays by doc id and
+    # count the overlap map-side — no per-shingle row ever leaves a
+    # doc. n_common = |hs_a ∩ hs_b| equals the old join-count under
+    # the md5-60bit injectivity the whole shingle family already
+    # assumes (a within-doc hash collision would double-count in BOTH
+    # the old shape and the DuckDB oracle identically — and would
+    # break every other md5-keyed operator first).
+    docs = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # eager-by-design: one row per doc; read by the rank join AND both verify sides
+    )
+    sizes = docs.select("doc_id", "n")
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
     w = Window.partitionBy("doc_id").orderBy("dfh", "h")
     ranked = (
@@ -2414,15 +2437,22 @@ def join_set_similarity(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
     )
     scored = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
     )
     union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return scored.where(
@@ -2518,22 +2548,41 @@ def join_set_similarity_verify(spark: SparkSession, sf: str) -> DataFrame:
     # r14: one materialized, core-spread shingle relation for the three
     # consumers (sizes + both intersection sides) — see
     # join_set_similarity for the rationale
-    sh = (
+    # r15: same PPJoin-style verify as join_set_similarity — the per-doc
+    # sorted shingle array is the verification payload (one row per
+    # doc), and each candidate pair scores map-side via array_intersect
+    # instead of two candidate×shingle keyed exchanges plus a
+    # pair-keyed aggregate. array_distinct in shingle_hashes_md5 makes
+    # (doc_id, h) strictly unique, so |hs_a ∩ hs_b| == the old
+    # join-count exactly. See join_set_similarity for the full note.
+    docs = (
         split_words(spark, sf)
         .select("doc_id", F.explode_outer(shingle_hashes_md5()).alias("h"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .localCheckpoint(eager=True)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # eager-by-design: one row per doc; read by both verify sides
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
     )
-    scored = common.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
-    ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    scored = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
     union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return scored.where(
         F.lit(_SETSIM_DEN) * F.col("n_common") >= F.lit(_SETSIM_NUM) * union

@@ -121,8 +121,13 @@ def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
             return pd.DataFrame(
                 {"cell": cids[idx], "best_cos": scores[np.arange(len(idx)), idx]}
             )
-        # null embeddings score null (the previous struct-max emitted
-        # null for a null cosine); non-null rows keep their argmax
+        # null embeddings emit (null, null). Precondition: every
+        # fixture embedding is non-null (generation fills all rows;
+        # the empty-input suite covers the 0-row case), so this branch
+        # only guards pathological input. NOTE the old struct-max shape
+        # differed here — (lowest cid, null) — but only for null
+        # embeddings, which cannot occur in fixtures; non-null rows
+        # keep their argmax
         cell = pd.Series([None] * n, dtype="object")
         best = pd.Series([None] * n, dtype="object")
         cell[mask] = list(cids[idx])
