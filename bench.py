@@ -449,6 +449,34 @@ def main() -> None:
             print(f"EXTENDED FAILED {name}: {exc}", file=sys.stderr)
             extended[name] = None
 
+    # Serve-path disclosure (r15, additions-only): these queries read a
+    # session-scoped memo (_SIG_MEMO minhash signatures, _IVFPQ_MEMO
+    # trained index parts) that the warm pass populates, so their timed
+    # rows above measure the SERVE path (post-training cost) — the
+    # documented serving-shape contract, but not an end-to-end number.
+    # For each, also record ONE memo-cleared end-to-end sample so the
+    # artifact carries both costs explicitly. Existing rows unchanged.
+    SERVE_PATH_HEADLINE = ["dedup_near", "dedup_simhash"]
+    SERVE_PATH_EXTENDED = [
+        "dedup_incremental",
+        "dedup_incremental_minhash",
+        "join_set_similarity_verify",
+        "sim_topk_ivfpq",
+        "sink_ann_index_roundtrip",
+        "sink_ann_index_upsert",
+    ]
+    from parquet_processor_spark.ops.dedup import _SIG_MEMO
+    from parquet_processor_spark.ops.vector import _IVFPQ_MEMO
+
+    queries_e2e: dict[str, float | None] = {}
+    for name in SERVE_PATH_HEADLINE + SERVE_PATH_EXTENDED:
+        _SIG_MEMO.clear()
+        _IVFPQ_MEMO.clear()
+        try:
+            queries_e2e[name] = round(run_once(name), 3)
+        except Exception:  # noqa: BLE001
+            queries_e2e[name] = None
+
     calib_end = round(calibration_probe(), 3)
     calib_io_end = round(calibration_probe_io(), 3)
 
@@ -512,7 +540,16 @@ def main() -> None:
     # the extended per-query timings land on their own earlier line and
     # in BENCH_LOCAL.json for the full record.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    ext_line = {"metric": "extended_queries_wall", "unit": "sec", "sf": sf_val, "extended": extended}
+    ext_line = {
+        "metric": "extended_queries_wall",
+        "unit": "sec",
+        "sf": sf_val,
+        "extended": extended,
+        # memo-backed rows (serve-path) and their one-shot end-to-end
+        # samples — see the serve-path disclosure note above
+        "serve_path": SERVE_PATH_HEADLINE + SERVE_PATH_EXTENDED,
+        "queries_e2e": queries_e2e,
+    }
     headline_line = {
         "metric": "headline_queries_total_wall",
         "value": total,  # sum of per-query MEDIANS (see bench policy note)
@@ -545,10 +582,22 @@ def main() -> None:
         # Bounded so the driver's 2000-char stdout tail always holds
         # the full line (r5 lesson); BENCH_LOCAL.json has every min.
         "regressed_min": regressed_min,
+        # headline rows whose timed passes ride a session memo the warm
+        # pass populated (serve-path cost); memo-cleared end-to-end
+        # samples are on the extended line (queries_e2e) and in
+        # BENCH_LOCAL.json
+        "serve_path": SERVE_PATH_HEADLINE,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(
-            {**headline_line, "queries_min": times_min, "extended": extended, "spread": spread},
+            {
+                **headline_line,
+                "queries_min": times_min,
+                "extended": extended,
+                "spread": spread,
+                "serve_path": SERVE_PATH_HEADLINE + SERVE_PATH_EXTENDED,
+                "queries_e2e": queries_e2e,
+            },
             f,
             indent=1,
         )
